@@ -1,0 +1,87 @@
+"""Vectorized 64-bit hashing primitives.
+
+Analog of the reference's bit-packing utilities
+(/root/reference/smqtk_indexing/utils/bits.py:4-56), which pack boolean hash
+vectors into arbitrary-precision Python ints one element at a time.  Here
+every key is a fixed-width ``uint64`` computed by NumPy over whole Arrow
+batches — no Python ints, no per-row loops.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# Public-domain mixing constants (splitmix64 / xxhash-style).
+_SM64_GAMMA = np.uint64(0x9E3779B97F4A7C15)
+_SM64_M1 = np.uint64(0xBF58476D1CE4E5B9)
+_SM64_M2 = np.uint64(0x94D049BB133111EB)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — a strong, cheap uint64 -> uint64 mixer.
+
+    Vectorized; wraps mod 2**64 by construction of NumPy uint64 arithmetic.
+    """
+    with np.errstate(over="ignore"):
+        z = (x + _SM64_GAMMA).astype(np.uint64)
+        z = (z ^ (z >> np.uint64(30))) * _SM64_M1
+        z = (z ^ (z >> np.uint64(27))) * _SM64_M2
+        return z ^ (z >> np.uint64(31))
+
+
+def combine_u64(a: np.ndarray, b: np.ndarray | np.uint64) -> np.ndarray:
+    """Order-sensitive combine of two uint64 streams (boost::hash_combine
+    style, widened to 64 bits)."""
+    with np.errstate(over="ignore"):
+        return splitmix64(a ^ ((b * _FNV_PRIME) + np.uint64(0x9E3779B9)))
+
+
+def hash_strings_u64(arr: pa.Array | pa.ChunkedArray | np.ndarray | list,
+                     hash_key: str = "smqtk-ray-v1.0.0") -> np.ndarray:
+    """Deterministic uint64 hash of a string array.
+
+    Dictionary-encodes first (an O(n) Arrow kernel) so the SipHash pass runs
+    only over the *unique* strings — webtext token streams are Zipfian, so
+    uniques are typically 10-100x smaller than the stream.
+    """
+    if isinstance(arr, (list, np.ndarray)):
+        arr = pa.array(arr, type=pa.string())
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if len(arr) == 0:
+        return np.empty(0, dtype=np.uint64)
+    dict_arr = arr.dictionary_encode()
+    uniques = dict_arr.dictionary.to_pandas().to_numpy(dtype=object)
+    hashed_uniques = pd.util.hash_array(uniques, hash_key=hash_key)
+    indices = dict_arr.indices.to_numpy(zero_copy_only=False)
+    return hashed_uniques[indices]
+
+
+def fold_rows_u64(mat: np.ndarray, salt: np.uint64 | int = 0) -> np.ndarray:
+    """Fold each row of a 2-D unsigned array into one uint64 key.
+
+    Used for LSH band keys: ``mat`` is ``(n_docs, rows_per_band)`` of MinHash
+    values; the result is the bucket key.  Order-sensitive FNV-style fold
+    followed by a splitmix64 finalize.
+    """
+    with np.errstate(over="ignore"):
+        acc = np.full(mat.shape[0], np.uint64(0xCBF29CE484222325) ^ np.uint64(salt),
+                      dtype=np.uint64)
+        for j in range(mat.shape[1]):
+            acc = (acc ^ mat[:, j].astype(np.uint64)) * _FNV_PRIME
+        return splitmix64(acc)
+
+
+def grouped_arange(counts: np.ndarray) -> np.ndarray:
+    """``concatenate([arange(c) for c in counts])`` without the Python loop."""
+    counts = np.asarray(counts, dtype=np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    ends = counts.cumsum()
+    out = np.arange(total, dtype=np.int64)
+    out -= np.repeat(ends - counts, counts)
+    return out

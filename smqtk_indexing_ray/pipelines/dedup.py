@@ -1,0 +1,197 @@
+"""The flagship pipeline: pages -> signatures -> buckets -> verified edges
+-> connected components -> clustered, deduplicated output.
+
+This is the Ray-Data restatement of ``LSHNearestNeighborIndex.build_index``
+(/root/reference/smqtk_indexing/impls/nn_index/lsh.py:287-329): the
+reference's sequential hash loop + driver dict becomes
+
+    map_batches(extract) -> map_batches(SignatureStage actor pool)
+    -> map_batches(band)  -> sort/segment star edges (the bucket shuffle)
+    -> join-verify        -> alternating-star connected components
+    -> left join labels back onto pages
+
+Every stage streams; the only materialized intermediates are the signature
+table (0.5 KB/doc — checkpointed to Parquet at scale, pinned in the object
+store at test scale) and the per-round edge sets inside connected
+components.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from smqtk_indexing_ray.config import DedupConfig
+from smqtk_indexing_ray.stages.banding import band_stage
+from smqtk_indexing_ray.stages.buckets import star_edges
+from smqtk_indexing_ray.stages.components import connected_components
+from smqtk_indexing_ray.stages._util import stamp_schema
+from smqtk_indexing_ray.stages.signatures import SignatureStage, extract_text_stage
+from smqtk_indexing_ray.stages.verify import verify_edges
+
+
+@dataclass
+class DedupResult:
+    signatures: object   # Dataset: doc_id, n_tokens, n_shingles, minhash, simhash, text_h1/2
+    edges: object        # Dataset: u, v (verified near-dup + exact-dup edges)
+    labels: object       # Dataset: doc_id, cluster_id (clustered docs only)
+    output: object       # Dataset: pages cols + cluster_id + keep
+
+
+def compute_signatures(pages, cfg: DedupConfig):
+    """pages -> signature table (extraction + actor-pool signing)."""
+    cols = [c for c in ("doc_id", "text", "html") if c in pages.columns()]
+    ds = pages.select_columns(cols)
+    ds = ds.map_batches(extract_text_stage, batch_format="pyarrow")
+    return ds.map_batches(
+        SignatureStage,
+        fn_constructor_args=(cfg,),
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=cfg.signature_concurrency,
+    )
+
+
+def candidate_edges(signatures, cfg: DedupConfig):
+    """LSH banding + bucket shuffle -> deduplicated candidate star edges."""
+    bands = signatures.map_batches(
+        lambda t: band_stage(t, cfg), batch_format="pyarrow")
+    edges = star_edges(bands, ["bucket"], "doc_id", salt=cfg.bucket_salt)
+    return dedup_edges(edges)
+
+
+def dedup_edges(edges):
+    """Drop duplicate (u, v) rows (same pair found by several bands).
+
+    Sort-based consecutive dedup: exact within a batch; at most one
+    duplicate pair can survive per batch boundary, which is harmless for
+    both verification cost and connected components.
+    """
+    def drop_consecutive(t: pa.Table) -> pa.Table:
+        if t.num_rows <= 1:
+            return t
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        keep = np.concatenate([[True], (u[1:] != u[:-1]) | (v[1:] != v[:-1])])
+        return t.filter(pa.array(keep))
+
+    return edges.sort(["u", "v"]).map_batches(
+        drop_consecutive, batch_format="pyarrow")
+
+
+def exact_dup_edges(signatures):
+    """Star edges of byte-identical text via the 128-bit content hash —
+    the exact-dup fast path (reference analog: LinearHashIndex distinct
+    codes, impls/hash_index/linear.py:110)."""
+    ds = signatures.select_columns(["text_h1", "text_h2", "doc_id"])
+    return star_edges(ds, ["text_h1", "text_h2"], "doc_id")
+
+
+def select_representatives(labeled, *, num_partitions: int = 32):
+    """(cluster_id, warc_ts, doc_id) -> (cluster_id, rep_doc).
+
+    Deterministic representative = lexicographic min of (warc_ts, doc_id),
+    computed with two vectorized aggregate passes (argmin is not a native
+    Dataset aggregate; a per-group map_groups would be per-group Python).
+    """
+    from ray.data.aggregate import Min
+
+    def ts_us(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "cluster_id": t["cluster_id"],
+            "doc_id": t["doc_id"],
+            "ts_us": pc.cast(t["warc_ts"], pa.int64()),
+        })
+
+    slim = labeled.map_batches(ts_us, batch_format="pyarrow")
+    min_ts = slim.groupby("cluster_id").aggregate(Min("ts_us", alias_name="min_ts"))
+    min_ts = stamp_schema(min_ts, pa.schema([("cluster_id", pa.int64()),
+                                             ("min_ts", pa.int64())]))
+    j = slim.join(min_ts, join_type="inner", num_partitions=num_partitions,
+                  on=("cluster_id",))
+    def _at_min(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "ts_us" not in t.column_names:
+            return pa.schema([("cluster_id", pa.int64()),
+                              ("doc_id", pa.int64()),
+                              ("ts_us", pa.int64()),
+                              ("min_ts", pa.int64())]).empty_table()
+        return t.filter(pc.equal(t["ts_us"], t["min_ts"]))
+
+    at_min = j.map_batches(_at_min, batch_format="pyarrow")
+    reps = (at_min.groupby("cluster_id")
+            .aggregate(Min("doc_id", alias_name="rep_doc")))
+    return stamp_schema(reps, pa.schema([("cluster_id", pa.int64()),
+                                         ("rep_doc", pa.int64())]))
+
+
+def dedup_pipeline(pages, cfg: DedupConfig, *, num_partitions: int = 32,
+                   include_text: bool = False) -> DedupResult:
+    """Run the full near-duplicate pipeline; returns lazy Datasets.
+
+    ``pages`` must carry doc_id, url, warc_ts, html, text, lang.  The
+    signature table is materialized (it feeds banding, exact-dup, verify
+    and the final join); at 100 TB scale swap ``materialize()`` for a
+    Parquet checkpoint via :mod:`smqtk_indexing_ray.state.checkpoint`.
+    """
+    # Empty-input contract: raise before launching anything, like the
+    # reference's peek-and-chain guard (interfaces/nearest_neighbor_index.py
+    # :43-60 via utils/iter_validation.py:8-28).  limit(1) reads one block.
+    if pages.limit(1).count() == 0:
+        raise ValueError("dedup_pipeline: input corpus is empty")
+
+    sigs = compute_signatures(pages, cfg).materialize()
+
+    cand = candidate_edges(sigs, cfg)
+    near = verify_edges(cand, sigs, cfg, num_partitions=num_partitions)
+    exact = exact_dup_edges(sigs)
+    all_edges = near.select_columns(["u", "v"]).union(exact)
+
+    labels = connected_components(
+        all_edges, num_partitions=num_partitions, max_iters=cfg.cc_max_iters)
+    labels = stamp_schema(labels, pa.schema([("doc_id", pa.int64()),
+                                             ("cluster_id", pa.int64())]))
+
+    out_cols = ["doc_id", "url", "warc_ts", "lang"] + (
+        ["text"] if include_text else [])
+    meta = pages.select_columns([c for c in out_cols if c in pages.columns()])
+    joined = meta.join(labels, join_type="left_outer",
+                       num_partitions=num_partitions, on=("doc_id",))
+
+    _FIELD_TYPES = {"doc_id": pa.int64(), "url": pa.string(),
+                    "warc_ts": pa.timestamp("us"), "lang": pa.string(),
+                    "text": pa.string(), "cluster_id": pa.int64(),
+                    "rep_doc": pa.int64()}
+
+    def _empty(cols: list[str]) -> pa.Table:
+        return pa.schema([(c, _FIELD_TYPES[c]) for c in cols]).empty_table()
+
+    labeled_cols = out_cols + ["cluster_id"]
+
+    def fill_cluster(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "cluster_id" not in t.column_names:
+            return _empty(labeled_cols)
+        cid = pc.coalesce(t["cluster_id"], t["doc_id"])
+        return t.set_column(t.schema.get_field_index("cluster_id"),
+                            "cluster_id", cid).select(labeled_cols)
+
+    labeled = joined.map_batches(fill_cluster, batch_format="pyarrow")
+
+    reps = select_representatives(labeled, num_partitions=num_partitions)
+    out = labeled.join(reps, join_type="left_outer",
+                       num_partitions=num_partitions, on=("cluster_id",))
+
+    def keep_flag(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "rep_doc" not in t.column_names:
+            e = _empty(labeled_cols)
+            return e.append_column("keep", pa.array([], pa.bool_()))
+        keep = pc.or_kleene(pc.equal(t["doc_id"], t["rep_doc"]),
+                            pc.is_null(t["rep_doc"]))
+        t = t.append_column("keep", pc.fill_null(keep, True))
+        return t.drop_columns(["rep_doc"]).select(labeled_cols + ["keep"])
+
+    output = out.map_batches(keep_flag, batch_format="pyarrow")
+    return DedupResult(signatures=sigs, edges=all_edges, labels=labels,
+                       output=output)

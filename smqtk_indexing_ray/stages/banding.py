@@ -1,0 +1,56 @@
+"""LSH banding: signature rows -> exploded ``(bucket, doc_id)`` rows.
+
+Analog of the reference's hash-int bucket keying
+(/root/reference/smqtk_indexing/impls/nn_index/lsh.py:319 packs the bit
+vector into a Python int via utils/bits.py:4-20).  Here each of the ``b``
+bands of the MinHash signature folds into one uint64 key with the band id
+mixed in, so a single int64 ``bucket`` column is the shuffle key — the
+narrowest possible payload to send through the group-by (SURVEY.md: only
+signatures cross the shuffle; here it is 16 bytes/row, not even the
+signature).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from smqtk_indexing_ray.config import DedupConfig
+from smqtk_indexing_ray.functions.hashing import fold_rows_u64, splitmix64
+from smqtk_indexing_ray.stages.signatures import minhash_matrix
+
+
+def band_stage(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
+    """Explode one signature batch into ``bands`` bucket rows per doc.
+
+    Docs with zero shingles carry the sentinel signature and are excluded
+    here (they cannot be near-anything; exact dedup still covers them).
+    """
+    keep = batch.filter(pa.compute.greater(batch["n_shingles"], 0))
+    n = keep.num_rows
+    if n == 0:
+        return pa.table({"bucket": pa.array([], type=pa.int64()),
+                         "doc_id": pa.array([], type=pa.int64())})
+    sig = minhash_matrix(keep["minhash"], cfg.num_perms)
+    doc = keep["doc_id"].to_numpy(zero_copy_only=False)
+    r, b = cfg.rows_per_band, cfg.bands
+    keys = np.empty((n, b), dtype=np.uint64)
+    for band in range(b):
+        keys[:, band] = fold_rows_u64(sig[:, band * r:(band + 1) * r],
+                                      salt=np.uint64(band + 1))
+    bucket = keys.reshape(-1).view(np.int64)          # doc-major layout
+    doc_rep = np.repeat(doc, b)
+    return pa.table({"bucket": pa.array(bucket),
+                     "doc_id": pa.array(doc_rep)})
+
+
+def salted(bucket: np.ndarray, doc_id: np.ndarray, salt: int) -> np.ndarray:
+    """Sub-split a bucket key by ``hash(doc) % salt`` (hot-bucket control).
+
+    Star edges within a sub-bucket plus a representative-linking second
+    phase preserve connectivity (transitivity through the union-find), so
+    recall is unchanged while no single reducer sees a degenerate
+    million-member near-dup cloud (SURVEY.md §4.2).
+    """
+    s = splitmix64(doc_id.view(np.uint64)) % np.uint64(salt)
+    return splitmix64(bucket.view(np.uint64) ^ (s + np.uint64(1))).view(np.int64)

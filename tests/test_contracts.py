@@ -1,0 +1,53 @@
+"""Interface contract tests — behavior, not data.
+
+Analog of the reference's template-method contract suite
+(/root/reference/tests/interfaces/test_nearest_neighbors_index.py:43-305):
+empty input raises before any run, re-running identical input is
+idempotent/deterministic.
+"""
+
+import pyarrow as pa
+import pytest
+
+from smqtk_indexing_ray.config import DedupConfig
+from smqtk_indexing_ray.pipelines.dedup import dedup_pipeline
+from smqtk_indexing_ray.sources.pages import PagesSpec, generate_pages_table
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_empty_corpus_raises_before_run():
+    import ray.data as rd
+
+    empty = generate_pages_table(PagesSpec(n_docs=100)).slice(0, 0)
+    with pytest.raises(ValueError, match="empty"):
+        dedup_pipeline(rd.from_arrow(empty), DedupConfig(), num_partitions=2)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_config_validation():
+    with pytest.raises(ValueError, match="num_perms"):
+        DedupConfig(bands=10, rows_per_band=10, num_perms=128)
+    with pytest.raises(ValueError, match="hash_key"):
+        DedupConfig(hash_key="short")
+
+
+def test_config_round_trip():
+    cfg = DedupConfig(bands=16, rows_per_band=8, bucket_salt=4)
+    assert DedupConfig.from_dict(cfg.to_dict()) == cfg
+    assert cfg.config_hash() == DedupConfig.from_dict(cfg.to_dict()).config_hash()
+    assert cfg.config_hash() != DedupConfig().config_hash()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_idempotent_rerun_same_labels():
+    import ray.data as rd
+
+    spec = PagesSpec(n_docs=300, seed=3)
+    pages = rd.from_arrow(generate_pages_table(spec))
+    cfg = DedupConfig(signature_concurrency=(1, 2), batch_size=128)
+    a = dedup_pipeline(pages, cfg, num_partitions=2).output.to_pandas()
+    b = dedup_pipeline(pages, cfg, num_partitions=2).output.to_pandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    assert (a["cluster_id"] == b["cluster_id"]).all()
+    assert (a["keep"] == b["keep"]).all()

@@ -4,13 +4,15 @@ The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
+
+Float-parity design: every double emitted by an oracle-checked query is a
+ratio of exact int64 counts (bit-identical IEEE division on both sides)
+or a cosine similarity computed in float64 and rounded to 6 decimals on
+both sides.
 """
 
 from __future__ import annotations
@@ -19,26 +21,234 @@ from collections.abc import Callable
 from typing import Any
 
 
+def _docs(sf_dir: str):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(sf_dir: str):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship near-dup pipeline over sf0.001 documents."""
+    from smqtk_indexing_ray.config import DedupConfig
+    from smqtk_indexing_ray.pipelines.dedup import (
+        dedup_pipeline, documents_as_pages)
+
+    pages = documents_as_pages(_docs("/root/testdata/sf0.001"))
+    res = dedup_pipeline(pages, DedupConfig(), num_partitions=8)
+    return res.output
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_exact_dedup(sf_dir: str):
+    from smqtk_indexing_ray.pipelines.analysis import exact_dedup
+    return exact_dedup(_docs(sf_dir))
+
+
+def _q_exact_cluster_labels(sf_dir: str):
+    from smqtk_indexing_ray.pipelines.analysis import exact_cluster_labels
+    return exact_cluster_labels(_docs(sf_dir))
+
+
+def _q_token_stats(sf_dir: str):
+    from smqtk_indexing_ray.pipelines.analysis import token_stats
+    return token_stats(_docs(sf_dir))
+
+
+def _q_lang_summary(sf_dir: str):
+    from smqtk_indexing_ray.pipelines.analysis import lang_summary
+    return lang_summary(_docs(sf_dir))
+
+
+def _q_ngram_jaccard_pairs(sf_dir: str):
+    from smqtk_indexing_ray.pipelines.analysis import ngram_jaccard_pairs
+    return ngram_jaccard_pairs(_docs(sf_dir), k=3, threshold=0.5)
+
+
+def _q_jaccard_cluster_labels(sf_dir: str):
+    from smqtk_indexing_ray.pipelines.analysis import jaccard_cluster_labels
+    return jaccard_cluster_labels(_docs(sf_dir), k=3, threshold=0.5)
+
+
+def _q_cosine_near_pairs(sf_dir: str):
+    from smqtk_indexing_ray.pipelines.ann import cosine_near_pairs
+    return cosine_near_pairs(_emb(sf_dir), threshold=0.4)
+
+
+def _q_ann_topk(sf_dir: str):
+    from smqtk_indexing_ray.pipelines.ann import brute_force_topk
+    return brute_force_topk(_emb(sf_dir), n_queries=32, k=10)
+
+
+def _q_lsh_dedup(sf_dir: str):
+    """Flagship MinHash/LSH near-dup clustering (not SQL-expressible)."""
+    from smqtk_indexing_ray.config import DedupConfig
+    from smqtk_indexing_ray.pipelines.dedup import (
+        dedup_pipeline, documents_as_pages)
+    pages = documents_as_pages(_docs(sf_dir))
+    res = dedup_pipeline(pages, DedupConfig(), num_partitions=8)
+    import pyarrow as pa
+
+    def slim(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("doc_id", pa.int64()),
+                              ("cluster_id", pa.int64()),
+                              ("keep", pa.bool_())]).empty_table()
+        return t.select(["doc_id", "cluster_id", "keep"])
+
+    return res.output.map_batches(slim, batch_format="pyarrow")
+
+
+def _q_simhash_near_pairs(sf_dir: str):
+    from smqtk_indexing_ray.pipelines.analysis import simhash_near_pairs
+    return simhash_near_pairs(_docs(sf_dir), max_hamming=3)
+
+
+def _q_doc_fingerprints(sf_dir: str):
+    from smqtk_indexing_ray.pipelines.analysis import doc_fingerprints
+    return doc_fingerprints(_docs(sf_dir))
+
+
+def _q_lang_id(sf_dir: str):
+    from smqtk_indexing_ray.pipelines.analysis import lang_id
+    return lang_id(_docs(sf_dir))
+
+
+def _q_hamming_topk(sf_dir: str):
+    from smqtk_indexing_ray.pipelines.ann import hamming_topk
+    return hamming_topk(_emb(sf_dir), n_queries=8, k=10)
+
+
+def _q_srp_near_pairs(sf_dir: str):
+    from smqtk_indexing_ray.pipelines.ann import srp_near_pairs
+    return srp_near_pairs(_emb(sf_dir), max_hamming=24)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "exact_dedup": _q_exact_dedup,
+        "exact_cluster_labels": _q_exact_cluster_labels,
+        "token_stats": _q_token_stats,
+        "lang_summary": _q_lang_summary,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "jaccard_cluster_labels": _q_jaccard_cluster_labels,
+        "cosine_near_pairs": _q_cosine_near_pairs,
+        "ann_topk": _q_ann_topk,
+        "lsh_dedup": _q_lsh_dedup,
+        "simhash_near_pairs": _q_simhash_near_pairs,
+        "doc_fingerprints": _q_doc_fingerprints,
+        "lang_id": _q_lang_id,
+        "hamming_topk": _q_hamming_topk,
+        "srp_near_pairs": _q_srp_near_pairs,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB; views pre-registered on the same parquet)
+# ---------------------------------------------------------------------------
+
+_TOKS = r"""
+toks AS (
+  SELECT doc_id, length(text) AS n_chars,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+  FROM documents
+)
+"""
+
+_SHINGLES = r"""
+sh AS (
+  SELECT DISTINCT doc_id,
+    unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+      AS shingle
+  FROM toks
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), jpairs AS (
+  SELECT doc_a, doc_b, n_inter,
+         CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "exact_dedup": (
+            "SELECT min(doc_id) AS rep_doc, count(*) AS n_copies "
+            "FROM documents GROUP BY text"
+        ),
+        "exact_cluster_labels": (
+            "SELECT doc_id, min(doc_id) OVER (PARTITION BY text) "
+            "AS cluster_id FROM documents"
+        ),
+        "token_stats": (
+            "WITH " + _TOKS + " "
+            "SELECT doc_id, len(w) AS n_tokens, "
+            "len(list_distinct(w)) AS n_uniq_tokens, "
+            "CAST(len(list_filter(w, t -> t IN ('the', 'a'))) AS DOUBLE)"
+            " / greatest(len(w), 1) AS stop_ratio, "
+            "CAST(n_chars AS DOUBLE) / greatest(len(w), 1) "
+            "AS chars_per_token FROM toks"
+        ),
+        "lang_summary": (
+            "SELECT lang, count(*) AS n_docs, "
+            "sum(length(text)) AS total_chars, "
+            "CAST(sum(length(text)) AS DOUBLE) / count(*) AS avg_chars "
+            "FROM documents GROUP BY lang"
+        ),
+        "ngram_jaccard_pairs": (
+            "WITH " + _TOKS + ", " + _SHINGLES + " "
+            "SELECT doc_a, doc_b, n_inter, jaccard FROM jpairs"
+        ),
+        "jaccard_cluster_labels": (
+            "WITH RECURSIVE " + _TOKS + ", " + _SHINGLES + ", "
+            "edges AS ("
+            "  SELECT doc_a AS src, doc_b AS dst FROM jpairs"
+            "  UNION ALL SELECT doc_b, doc_a FROM jpairs"
+            "), reach(doc, lab) AS ("
+            "  SELECT doc_id, doc_id FROM documents"
+            "  UNION"
+            "  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.doc"
+            ") "
+            "SELECT doc AS doc_id, min(lab) AS cluster_id FROM reach "
+            "GROUP BY doc"
+        ),
+        "cosine_near_pairs": (
+            "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+            "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) >= 0.4"
+        ),
+        "ann_topk": (
+            "SELECT query_id, neighbor_id, rank, round(cs, 6) AS cos_sim "
+            "FROM ("
+            "  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+            "  list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
+            "  CAST(c.embedding AS DOUBLE[])) AS cs, "
+            "  row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+            "  list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
+            "  CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank "
+            "  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id "
+            "  WHERE q.vec_id < 32"
+            ") WHERE rank <= 10"
+        ),
+        # lsh_dedup, simhash_near_pairs, doc_fingerprints, lang_id,
+        # hamming_topk, srp_near_pairs: hash-family-dependent / iterative —
+        # not SQL-expressible; driver records rows-only checks.
+    }

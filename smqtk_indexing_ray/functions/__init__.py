@@ -10,6 +10,7 @@ from smqtk_indexing_ray.functions.hashing import (
 )
 from smqtk_indexing_ray.functions.tokenize import (
     normalize_text,
+    tokens_flat,
     tokenize_flat,
     shingle_flat,
     extract_text_from_html,
@@ -31,6 +32,7 @@ __all__ = [
     "fold_rows_u64",
     "splitmix64",
     "normalize_text",
+    "tokens_flat",
     "tokenize_flat",
     "shingle_flat",
     "extract_text_from_html",

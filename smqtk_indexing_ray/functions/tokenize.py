@@ -54,17 +54,15 @@ def normalize_text(texts: pa.Array | pa.ChunkedArray,
     return texts
 
 
-def tokenize_flat(texts: pa.Array | pa.ChunkedArray,
-                  lowercase: bool = True,
-                  hash_key: str = "smqtk-ray-v1.0.0",
-                  ) -> tuple[np.ndarray, np.ndarray]:
-    """Whitespace-tokenize a batch of documents into a flat token-hash stream.
+def tokens_flat(texts: pa.Array | pa.ChunkedArray,
+                lowercase: bool = True,
+                ) -> tuple[pa.Array, np.ndarray]:
+    """Whitespace-tokenize a batch into a flat token-string stream.
 
-    Returns ``(token_hashes, offsets)`` where ``token_hashes`` is uint64 of
-    all tokens of all docs concatenated and ``offsets`` (int64, len n_docs+1)
-    delimits each document's slice.  This flat layout is what makes MinHash /
-    SimHash fully vectorizable across a batch (segmented reductions via
-    ``np.minimum.reduceat`` / ``np.add.reduceat``).
+    Returns ``(flat_tokens, offsets)``: all tokens of all docs concatenated
+    as one Arrow string array plus int64 offsets (len n_docs+1) delimiting
+    each document's slice.  Empty tokens (from leading/trailing/runs of
+    whitespace or empty docs) are dropped.
     """
     texts = normalize_text(texts, lowercase=lowercase)
     lists = pc.utf8_split_whitespace(texts)
@@ -83,6 +81,22 @@ def tokenize_flat(texts: pa.Array | pa.ChunkedArray,
         counts = np.bincount(doc_ids[keep], minlength=len(offsets) - 1)
         flat = flat.filter(pa.array(keep))
         offsets = np.concatenate([[0], counts.cumsum()]).astype(np.int64)
+    return flat, offsets
+
+
+def tokenize_flat(texts: pa.Array | pa.ChunkedArray,
+                  lowercase: bool = True,
+                  hash_key: str = "smqtk-ray-v1.0.0",
+                  ) -> tuple[np.ndarray, np.ndarray]:
+    """Whitespace-tokenize a batch of documents into a flat token-hash stream.
+
+    Returns ``(token_hashes, offsets)`` where ``token_hashes`` is uint64 of
+    all tokens of all docs concatenated and ``offsets`` (int64, len n_docs+1)
+    delimits each document's slice.  This flat layout is what makes MinHash /
+    SimHash fully vectorizable across a batch (segmented reductions via
+    ``np.minimum.reduceat`` / ``np.add.reduceat``).
+    """
+    flat, offsets = tokens_flat(texts, lowercase=lowercase)
     tok = hash_strings_u64(flat, hash_key=hash_key)
     return tok, offsets
 

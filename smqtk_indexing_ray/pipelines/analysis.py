@@ -1,0 +1,495 @@
+"""Training-data text-analysis and dedup operators over a ``documents``
+table (``doc_id:int64, text:string, lang:string, source:string,
+n_chars:int64``).
+
+Every operator here is a streaming ``ray.data.Dataset`` pipeline; the
+SQL-expressible ones have exact DuckDB oracles in ``__ray_entry__.py``
+(column names and float arithmetic chosen so value hashes match
+bit-for-bit: all emitted doubles are ratios of exact int64 counts, so
+IEEE division gives identical bits on both sides).
+
+Reference parity notes: exact dedup is the distinct-code path of the
+reference's LinearHashIndex (/root/reference/smqtk_indexing/impls/
+hash_index/linear.py:110); n-gram Jaccard pairs are the exact-distance
+re-rank of LSH candidates (impls/nn_index/lsh.py:499-518) run over the
+whole corpus; the shingle self-join is the bucket multimap
+(impls/nn_index/lsh.py:315-323) with the shingle itself as the bucket key.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from smqtk_indexing_ray.functions.hashing import hash_strings_u64
+from smqtk_indexing_ray.functions.metrics import popcount_u64
+from smqtk_indexing_ray.functions.simhash import simhash_fingerprints
+from smqtk_indexing_ray.functions.tokenize import (
+    shingle_flat,
+    tokenize_flat,
+    tokens_flat,
+)
+from smqtk_indexing_ray.stages._util import stamp_schema
+
+# Two independent 16-char keys -> a 128-bit content hash per text; at the
+# 10^12-doc design scale a single 64-bit hash would collide (birthday
+# bound), 128 bits do not.
+_HK1 = "smqtk-ray-exact1"
+_HK2 = "smqtk-ray-exact2"
+
+STOPWORDS = ("the", "a")
+
+
+def _hash_text(t: pa.Table) -> pa.Table:
+    h1 = hash_strings_u64(pc.fill_null(t["text"], ""), hash_key=_HK1)
+    h2 = hash_strings_u64(pc.fill_null(t["text"], ""), hash_key=_HK2)
+    return pa.table({
+        "doc_id": t["doc_id"],
+        "h1": pa.array(h1.view(np.int64)),
+        "h2": pa.array(h2.view(np.int64)),
+    })
+
+
+def exact_dedup(docs, *, num_partitions: int = 16):
+    """Exact duplicate groups: one row per distinct text.
+
+    Output: ``rep_doc`` (min doc_id of the group), ``n_copies``.
+    Hash-partition + per-group first: the text never crosses the shuffle,
+    only its 128-bit hash (16 B/row vs the document body).
+    """
+    from ray.data.aggregate import Count, Min
+
+    hashed = docs.select_columns(["doc_id", "text"]).map_batches(
+        _hash_text, batch_format="pyarrow")
+    g = hashed.groupby(["h1", "h2"]).aggregate(
+        Min("doc_id", alias_name="rep_doc"),
+        Count(alias_name="n_copies"),
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "rep_doc": pc.cast(t["rep_doc"], pa.int64()) if t.num_rows else
+            pa.array([], pa.int64()),
+            "n_copies": pc.cast(t["n_copies"], pa.int64()) if t.num_rows else
+            pa.array([], pa.int64()),
+        })
+
+    return stamp_schema(g.map_batches(project, batch_format="pyarrow"),
+                        pa.schema([("rep_doc", pa.int64()),
+                                   ("n_copies", pa.int64())]))
+
+
+def exact_cluster_labels(docs, *, num_partitions: int = 16):
+    """Label every doc with the min doc_id sharing its exact text."""
+    from ray.data.aggregate import Min
+
+    hashed = docs.select_columns(["doc_id", "text"]).map_batches(
+        _hash_text, batch_format="pyarrow")
+    reps = hashed.groupby(["h1", "h2"]).aggregate(
+        Min("doc_id", alias_name="cluster_id"))
+    reps = stamp_schema(reps, pa.schema([("h1", pa.int64()),
+                                         ("h2", pa.int64()),
+                                         ("cluster_id", pa.int64())]))
+    j = hashed.join(reps, join_type="inner", num_partitions=num_partitions,
+                    on=("h1", "h2"))
+
+    def project(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "cluster_id" not in t.column_names:
+            return pa.schema([("doc_id", pa.int64()),
+                              ("cluster_id", pa.int64())]).empty_table()
+        return t.select(["doc_id", "cluster_id"])
+
+    return stamp_schema(j.map_batches(project, batch_format="pyarrow"),
+                        pa.schema([("doc_id", pa.int64()),
+                                   ("cluster_id", pa.int64())]))
+
+
+def _token_stats_batch(t: pa.Table) -> pa.Table:
+    n = t.num_rows
+    if n == 0:
+        return pa.schema([("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+                          ("n_uniq_tokens", pa.int64()),
+                          ("stop_ratio", pa.float64()),
+                          ("chars_per_token", pa.float64())]).empty_table()
+    flat, offsets = tokens_flat(t["text"], lowercase=False)
+    counts = np.diff(offsets)
+    doc_idx = np.repeat(np.arange(n), counts)
+    # unique tokens per doc: sort (doc, token-hash) and count segment heads
+    th = hash_strings_u64(flat)
+    order = np.lexsort((th, doc_idx))
+    d_s, h_s = doc_idx[order], th[order]
+    if len(d_s):
+        head = np.concatenate([[True], (d_s[1:] != d_s[:-1]) |
+                               (h_s[1:] != h_s[:-1])])
+        n_uniq = np.bincount(d_s[head], minlength=n)
+    else:
+        n_uniq = np.zeros(n, dtype=np.int64)
+    stop_mask = pc.is_in(flat, value_set=pa.array(list(STOPWORDS))
+                         ).to_numpy(zero_copy_only=False)
+    n_stop = np.bincount(doc_idx[stop_mask], minlength=n)
+    n_chars = pc.utf8_length(pc.fill_null(t["text"], "")
+                             ).to_numpy(zero_copy_only=False).astype(np.int64)
+    safe = np.maximum(counts, 1).astype(np.float64)
+    return pa.table({
+        "doc_id": t["doc_id"],
+        "n_tokens": pa.array(counts.astype(np.int64)),
+        "n_uniq_tokens": pa.array(n_uniq.astype(np.int64)),
+        "stop_ratio": pa.array(n_stop.astype(np.float64) / safe),
+        "chars_per_token": pa.array(n_chars.astype(np.float64) / safe),
+    })
+
+
+def token_stats(docs):
+    """Per-document token counts + quality ratios (vectorized, streaming)."""
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        _token_stats_batch, batch_format="pyarrow")
+
+
+def lang_summary(docs):
+    """Per-language corpus stats: doc count, total/avg chars (chars counted
+    from the text itself, not the stored ``n_chars`` column)."""
+    from ray.data.aggregate import Count, Sum
+
+    def pre(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": t["lang"],
+            "n_chars": pc.cast(pc.utf8_length(pc.fill_null(t["text"], "")),
+                               pa.int64()),
+        })
+
+    g = docs.select_columns(["lang", "text"]).map_batches(
+        pre, batch_format="pyarrow"
+    ).groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="total_chars"),
+    )
+
+    def post(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("lang", pa.string()), ("n_docs", pa.int64()),
+                              ("total_chars", pa.int64()),
+                              ("avg_chars", pa.float64())]).empty_table()
+        nd = pc.cast(t["n_docs"], pa.int64())
+        tc = pc.cast(t["total_chars"], pa.int64())
+        avg = pc.divide(pc.cast(tc, pa.float64()), pc.cast(nd, pa.float64()))
+        return pa.table({"lang": t["lang"], "n_docs": nd,
+                         "total_chars": tc, "avg_chars": avg})
+
+    return stamp_schema(g.map_batches(post, batch_format="pyarrow"),
+                        pa.schema([("lang", pa.string()),
+                                   ("n_docs", pa.int64()),
+                                   ("total_chars", pa.int64()),
+                                   ("avg_chars", pa.float64())]))
+
+
+def _shingle_explode(t: pa.Table, k: int) -> pa.Table:
+    """One row per distinct (doc, k-token shingle hash)."""
+    n = t.num_rows
+    empty = pa.schema([("shingle", pa.int64()),
+                       ("doc_id", pa.int64())]).empty_table()
+    if n == 0:
+        return empty
+    tok, off = tokenize_flat(t["text"], lowercase=False)
+    sh, soff = shingle_flat(tok, off, k)
+    if len(sh) == 0:
+        return empty
+    doc_idx = np.repeat(np.arange(n), np.diff(soff))
+    order = np.lexsort((sh, doc_idx))
+    d_s, s_s = doc_idx[order], sh[order]
+    head = np.concatenate([[True], (d_s[1:] != d_s[:-1]) |
+                           (s_s[1:] != s_s[:-1])])
+    doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    return pa.table({
+        "shingle": pa.array(s_s[head].view(np.int64)),
+        "doc_id": pa.array(doc_ids[d_s[head]].astype(np.int64)),
+    })
+
+
+def ngram_jaccard_pairs(docs, *, k: int = 3, threshold: float = 0.5,
+                        num_partitions: int = 16,
+                        max_shingle_freq: int | None = None):
+    """Exact n-gram-Jaccard near-duplicate pairs.
+
+    shingle-explode -> self-join on shingle -> per-pair intersection count
+    -> join per-doc set sizes -> jaccard = inter / (|A|+|B|-inter) >= thr.
+
+    At the 10^12-doc design scale the unfiltered self-join is quadratic in
+    shingle document-frequency; set ``max_shingle_freq`` to drop stop-
+    shingles (changes semantics — the MinHash/LSH pipeline is the scale
+    path, this operator is the exact verifier at test scale).
+    """
+    from ray.data.aggregate import Count
+
+    exploded = docs.select_columns(["doc_id", "text"]).map_batches(
+        lambda t: _shingle_explode(t, k), batch_format="pyarrow").materialize()
+
+    if max_shingle_freq is not None:
+        freq = exploded.groupby("shingle").aggregate(
+            Count(alias_name="df"))
+        freq = stamp_schema(freq, pa.schema([("shingle", pa.int64()),
+                                             ("df", pa.int64())]))
+        keep = freq.filter(expr=f"df <= {int(max_shingle_freq)}")
+        exploded = exploded.join(
+            keep.select_columns(["shingle"]), join_type="inner",
+            num_partitions=num_partitions, on=("shingle",))
+
+    sizes = exploded.groupby("doc_id").aggregate(Count(alias_name="n_sh"))
+    sizes = stamp_schema(sizes, pa.schema([("doc_id", pa.int64()),
+                                           ("n_sh", pa.int64())]))
+
+    right = exploded.map_batches(
+        lambda t: t.rename_columns(["shingle", "doc_b"]),
+        batch_format="pyarrow")
+    left = exploded.map_batches(
+        lambda t: t.rename_columns(["shingle", "doc_a"]),
+        batch_format="pyarrow")
+    joined = left.join(right, join_type="inner",
+                       num_partitions=num_partitions, on=("shingle",))
+
+    def ordered(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_a" not in t.column_names:
+            return pa.schema([("doc_a", pa.int64()),
+                              ("doc_b", pa.int64())]).empty_table()
+        t = t.filter(pc.less(t["doc_a"], t["doc_b"]))
+        return t.select(["doc_a", "doc_b"])
+
+    inter = joined.map_batches(ordered, batch_format="pyarrow").groupby(
+        ["doc_a", "doc_b"]).aggregate(Count(alias_name="n_inter"))
+    inter = stamp_schema(inter, pa.schema([("doc_a", pa.int64()),
+                                           ("doc_b", pa.int64()),
+                                           ("n_inter", pa.int64())]))
+
+    sa = sizes.map_batches(lambda t: t.rename_columns(["doc_a", "na"]),
+                           batch_format="pyarrow")
+    sb = sizes.map_batches(lambda t: t.rename_columns(["doc_b", "nb"]),
+                           batch_format="pyarrow")
+    j = inter.join(sa, join_type="inner", num_partitions=num_partitions,
+                   on=("doc_a",))
+    j = j.join(sb, join_type="inner", num_partitions=num_partitions,
+               on=("doc_b",))
+
+    out_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                            ("n_inter", pa.int64()),
+                            ("jaccard", pa.float64())])
+
+    def jac(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "na" not in t.column_names:
+            return out_schema.empty_table()
+        ni = t["n_inter"].to_numpy(zero_copy_only=False).astype(np.float64)
+        union = (t["na"].to_numpy(zero_copy_only=False)
+                 + t["nb"].to_numpy(zero_copy_only=False)
+                 - t["n_inter"].to_numpy(zero_copy_only=False)
+                 ).astype(np.float64)
+        jv = ni / union
+        keep = jv >= threshold
+        return pa.table({
+            "doc_a": t["doc_a"].filter(pa.array(keep)),
+            "doc_b": t["doc_b"].filter(pa.array(keep)),
+            "n_inter": t["n_inter"].filter(pa.array(keep)),
+            "jaccard": pa.array(jv[keep]),
+        })
+
+    return stamp_schema(j.map_batches(jac, batch_format="pyarrow"),
+                        out_schema)
+
+
+def jaccard_cluster_labels(docs, *, k: int = 3, threshold: float = 0.5,
+                           num_partitions: int = 16, cc_max_iters: int = 25):
+    """Connected components over exact-Jaccard pairs -> full doc labeling.
+
+    The SQL oracle for the clustering machinery: DuckDB reproduces it with
+    a recursive reachability CTE over the same edge set.
+    """
+    from smqtk_indexing_ray.stages.components import connected_components
+
+    pairs = ngram_jaccard_pairs(docs, k=k, threshold=threshold,
+                                num_partitions=num_partitions)
+    edges = pairs.map_batches(
+        lambda t: pa.table({"u": t["doc_a"], "v": t["doc_b"]}),
+        batch_format="pyarrow")
+    labels = connected_components(edges, num_partitions=num_partitions,
+                                  max_iters=cc_max_iters)
+    labels = stamp_schema(labels, pa.schema([("doc_id", pa.int64()),
+                                             ("cluster_id", pa.int64())]))
+    ids = docs.select_columns(["doc_id"])
+    j = ids.join(labels, join_type="left_outer",
+                 num_partitions=num_partitions, on=("doc_id",))
+
+    def fill(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "cluster_id" not in t.column_names:
+            return pa.schema([("doc_id", pa.int64()),
+                              ("cluster_id", pa.int64())]).empty_table()
+        cid = pc.coalesce(t["cluster_id"], t["doc_id"])
+        return pa.table({"doc_id": t["doc_id"], "cluster_id": cid})
+
+    return stamp_schema(j.map_batches(fill, batch_format="pyarrow"),
+                        pa.schema([("doc_id", pa.int64()),
+                                   ("cluster_id", pa.int64())]))
+
+
+def doc_fingerprints(docs, *, hash_key: str = "smqtk-ray-v1.0.0"):
+    """Order-sensitive rolling-hash fingerprint + SimHash per document.
+
+    Output: ``doc_id, fingerprint (int64), simhash (int64), n_tokens``.
+    Deterministic (seeded hash family), not SQL-expressible.
+    """
+    from smqtk_indexing_ray.functions.hashing import _FNV_PRIME, splitmix64
+
+    def fp(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("doc_id", pa.int64()),
+                            ("fingerprint", pa.int64()),
+                            ("simhash", pa.int64()),
+                            ("n_tokens", pa.int64())])
+        n = t.num_rows
+        if n == 0:
+            return schema.empty_table()
+        tok, off = tokenize_flat(t["text"], hash_key=hash_key)
+        counts = np.diff(off)
+        # rolling fold per doc: sequential in token position but vectorized
+        # across docs via a ragged-matrix sweep over position j
+        maxlen = int(counts.max()) if n else 0
+        acc = np.full(n, np.uint64(0xCBF29CE484222325), dtype=np.uint64)
+        starts = off[:-1]
+        with np.errstate(over="ignore"):
+            for j in range(maxlen):
+                alive = counts > j
+                idx = starts[alive] + j
+                rot = ((acc[alive] << np.uint64(13)) |
+                       (acc[alive] >> np.uint64(51)))
+                acc[alive] = (rot * _FNV_PRIME) ^ tok[idx]
+            acc = splitmix64(acc)
+        sim = simhash_fingerprints(tok, off)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "fingerprint": pa.array(acc.view(np.int64)),
+            "simhash": pa.array(sim.view(np.int64)),
+            "n_tokens": pa.array(counts.astype(np.int64)),
+        })
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        fp, batch_format="pyarrow")
+
+
+def simhash_near_pairs(docs, *, max_hamming: int = 3,
+                       num_partitions: int = 16):
+    """SimHash near-dup pairs via 4x16-bit band collision + popcount verify.
+
+    Pigeonhole: two 64-bit codes within hamming distance 3 agree on at
+    least one of 4 disjoint 16-bit chunks, so banding finds every such
+    pair (reference analog: SkLearnBallTreeHashIndex's hamming search,
+    /root/reference/smqtk_indexing/impls/hash_index/sklearn_balltree.py:
+    337-375, re-expressed as a shuffle).
+    """
+    fps = doc_fingerprints(docs).select_columns(["doc_id", "simhash"])
+
+    def band(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("band_key", pa.int64()), ("doc_id", pa.int64()),
+                            ("simhash", pa.int64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        code = t["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        parts = []
+        for band_id in range(4):
+            chunk = (code >> np.uint64(16 * band_id)) & np.uint64(0xFFFF)
+            key = (chunk.astype(np.int64) << np.int64(3)) | np.int64(band_id)
+            parts.append(pa.table({"band_key": pa.array(key),
+                                   "doc_id": pa.array(doc),
+                                   "simhash": t["simhash"]}))
+        return pa.concat_tables(parts)
+
+    banded = fps.map_batches(band, batch_format="pyarrow").materialize()
+    left = banded.map_batches(
+        lambda t: t.rename_columns(["band_key", "doc_a", "sim_a"]),
+        batch_format="pyarrow")
+    right = banded.map_batches(
+        lambda t: t.rename_columns(["band_key", "doc_b", "sim_b"]),
+        batch_format="pyarrow")
+    j = left.join(right, join_type="inner", num_partitions=num_partitions,
+                  on=("band_key",))
+
+    out_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                            ("hamming", pa.int64())])
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_a" not in t.column_names:
+            return out_schema.empty_table()
+        t = t.filter(pc.less(t["doc_a"], t["doc_b"]))
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        a = t["sim_a"].to_numpy(zero_copy_only=False).view(np.uint64)
+        b = t["sim_b"].to_numpy(zero_copy_only=False).view(np.uint64)
+        h = popcount_u64(np.bitwise_xor(a, b)).astype(np.int64)
+        keep = h <= max_hamming
+        return pa.table({
+            "doc_a": t["doc_a"].filter(pa.array(keep)),
+            "doc_b": t["doc_b"].filter(pa.array(keep)),
+            "hamming": pa.array(h[keep]),
+        })
+
+    pairs = j.map_batches(verify, batch_format="pyarrow")
+    # same pair can collide in several bands — keep one row
+    from ray.data.aggregate import Min
+    g = pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Min("hamming", alias_name="hamming"))
+    return stamp_schema(g, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# language identification (deterministic heuristic; not SQL-expressible)
+# ---------------------------------------------------------------------------
+
+# Tiny built-in stopword profiles (public common function words).
+_LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "une", "dans", "que", "pour"),
+    "es": ("el", "la", "los", "las", "es", "una", "para", "con", "por"),
+    "zh": (),  # matched by the CJK-character path below
+}
+
+
+def lang_id(docs):
+    """Heuristic language ID: stopword hit-rate per profile + a CJK
+    character-ratio fast path.  Output: ``doc_id, pred_lang,
+    confidence(float64)``."""
+    langs = [lg for lg in _LANG_PROFILES if _LANG_PROFILES[lg]]
+    value_sets = {lg: pa.array(list(_LANG_PROFILES[lg])) for lg in langs}
+
+    def ident(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("doc_id", pa.int64()),
+                            ("pred_lang", pa.string()),
+                            ("confidence", pa.float64())])
+        n = t.num_rows
+        if n == 0:
+            return schema.empty_table()
+        flat, off = tokens_flat(t["text"], lowercase=True)
+        counts = np.maximum(np.diff(off), 1).astype(np.float64)
+        doc_idx = np.repeat(np.arange(n), np.diff(off))
+        scores = np.zeros((n, len(langs)), dtype=np.float64)
+        for li, lg in enumerate(langs):
+            m = pc.is_in(flat, value_set=value_sets[lg]
+                         ).to_numpy(zero_copy_only=False)
+            scores[:, li] = np.bincount(doc_idx[m], minlength=n) / counts
+        # CJK ratio over characters
+        text = pc.fill_null(t["text"], "")
+        cjk = np.zeros(n, dtype=np.float64)
+        for i, s in enumerate(text.to_pylist()):
+            if s:
+                cjk[i] = sum("一" <= ch <= "鿿" for ch in s) / len(s)
+        best = scores.argmax(axis=1)
+        best_score = scores[np.arange(n), best]
+        pred = np.array(langs, dtype=object)[best]
+        use_cjk = cjk > 0.2
+        pred[use_cjk] = "zh"
+        best_score = np.where(use_cjk, cjk, best_score)
+        pred[(~use_cjk) & (best_score == 0.0)] = "und"
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "pred_lang": pa.array(pred, type=pa.string()),
+            "confidence": pa.array(best_score),
+        })
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        ident, batch_format="pyarrow")

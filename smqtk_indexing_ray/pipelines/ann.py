@@ -1,0 +1,366 @@
+"""Similarity search over an embedding column (``vec_id:int64,
+embedding:list<float>, label:int32``).
+
+Reference parity: this is the NearestNeighborsIndex surface
+(/root/reference/smqtk_indexing/interfaces/nearest_neighbor_index.py:96-118)
+re-expressed batch-first — every query is scored against the streaming
+corpus instead of point-queried against a mutable in-process index
+(impls/nn_index/faiss.py:751-831's search -> idx->uid -> exact re-rank).
+
+Shapes:
+* brute-force cosine top-k — the correctness baseline: the (small) query
+  matrix is broadcast once via ``ray.put`` and every corpus batch is scored
+  with one float64 matmul; per-batch top-k keeps the reduce input tiny
+  (n_batches * n_queries * k rows, never the corpus).
+* SRP-SimHash hamming search — the scale path (LSH-bucketed), analog of the
+  reference's SimpleRPFunctor + LinearHashIndex
+  (impls/lsh_functor/simple_rp.py:71-127, impls/hash_index/linear.py:206-244).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from smqtk_indexing_ray.functions.metrics import popcount_u64
+from smqtk_indexing_ray.stages._util import stamp_schema
+
+_TOPK_SCHEMA = pa.schema([("query_id", pa.int64()), ("neighbor_id", pa.int64()),
+                          ("rank", pa.int64()), ("cos_sim", pa.float64())])
+
+
+def _emb_matrix(t: pa.Table, col: str = "embedding") -> np.ndarray:
+    arr = t[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    nrm = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.where(nrm == 0, 1.0, nrm)
+
+
+class _BatchTopK:
+    """Actor-pool stage: score one corpus batch against the broadcast
+    query matrix; emit per-batch top-k candidates per query."""
+
+    def __init__(self, q_ref, k: int):
+        import ray
+        self.qids, qm = ray.get(q_ref)
+        self.qn = _normalize(qm)
+        self.k = k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        schema = pa.schema([("query_id", pa.int64()),
+                            ("neighbor_id", pa.int64()),
+                            ("cos_sim", pa.float64())])
+        n = t.num_rows
+        if n == 0 or len(self.qids) == 0:
+            return schema.empty_table()
+        cm = _normalize(_emb_matrix(t))
+        vids = t["vec_id"].to_numpy(zero_copy_only=False)
+        sims = self.qn @ cm.T                       # (nq, B)
+        sims[:, :] = np.where(vids[None, :] == self.qids[:, None],
+                              -np.inf, sims)        # exclude self
+        k = min(self.k, n)
+        # per-query top-k within the batch (argpartition then exact sort)
+        part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        rows = np.repeat(np.arange(len(self.qids)), k)
+        cols = part.reshape(-1)
+        s = sims[rows, cols]
+        finite = np.isfinite(s)
+        return pa.table({
+            "query_id": pa.array(self.qids[rows[finite]].astype(np.int64)),
+            "neighbor_id": pa.array(vids[cols[finite]].astype(np.int64)),
+            "cos_sim": pa.array(s[finite]),
+        })
+
+
+def _final_topk(cands, k: int):
+    """Global reduce: per query keep top-k by (-cos_sim, neighbor_id)."""
+    def reduce_group(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _TOPK_SCHEMA.empty_table()
+        s = t["cos_sim"].to_numpy(zero_copy_only=False)
+        nid = t["neighbor_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((nid, -s))[:k]
+        return pa.table({
+            "query_id": t["query_id"].take(pa.array(order)),
+            "neighbor_id": t["neighbor_id"].take(pa.array(order)),
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            "cos_sim": pa.array(s[order]),
+        })
+
+    out = cands.groupby("query_id").map_groups(
+        reduce_group, batch_format="pyarrow")
+    return stamp_schema(out, _TOPK_SCHEMA)
+
+
+def brute_force_topk(emb, *, n_queries: int = 32, k: int = 10,
+                     batch_size: int = 4096, concurrency=(1, 8)):
+    """Exact cosine top-k of the first ``n_queries`` vectors vs the corpus.
+
+    Output: ``query_id, neighbor_id, rank (1-based), cos_sim`` (float64 —
+    bit-compatible with DuckDB's double list_cosine_similarity up to
+    summation order; emitted rounded to 6 decimals).
+    """
+    import ray
+
+    qt = emb.filter(expr=f"vec_id < {int(n_queries)}")
+    qtbl = pa.concat_tables(
+        [b for b in qt.iter_batches(batch_format="pyarrow")]
+        or [pa.schema([("vec_id", pa.int64())]).empty_table()])
+    if qtbl.num_rows:
+        qids = qtbl["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qm = _emb_matrix(qtbl)
+    else:
+        qids, qm = np.empty(0, np.int64), np.zeros((0, 0))
+    q_ref = ray.put((qids, qm))
+
+    cands = emb.select_columns(["vec_id", "embedding"]).map_batches(
+        _BatchTopK, fn_constructor_args=(q_ref, k),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+    out = _final_topk(cands, k)
+
+    def round6(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _TOPK_SCHEMA.empty_table()
+        return t.set_column(
+            t.schema.get_field_index("cos_sim"), "cos_sim",
+            pc.round(t["cos_sim"], ndigits=6))
+
+    return out.map_batches(round6, batch_format="pyarrow")
+
+
+class _PairsAboveThreshold:
+    """Emit (vec_a < vec_b, cos_sim) pairs >= threshold for one corpus batch
+    against the broadcast full matrix.  Test-scale exact op; the scale path
+    is :func:`srp_near_pairs`."""
+
+    def __init__(self, all_ref, threshold: float):
+        import ray
+        self.ids, m = ray.get(all_ref)
+        self.mn = _normalize(m)
+        self.thr = threshold
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        schema = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64()),
+                            ("cos_sim", pa.float64())])
+        n = t.num_rows
+        if n == 0 or len(self.ids) == 0:
+            return schema.empty_table()
+        bm = _normalize(_emb_matrix(t))
+        bids = t["vec_id"].to_numpy(zero_copy_only=False)
+        sims = bm @ self.mn.T                       # (B, N)
+        mask = (sims >= self.thr) & (bids[:, None] < self.ids[None, :])
+        bi, ci = np.nonzero(mask)
+        return pa.table({
+            "vec_a": pa.array(bids[bi].astype(np.int64)),
+            "vec_b": pa.array(self.ids[ci].astype(np.int64)),
+            "cos_sim": pa.array(np.round(sims[bi, ci], 6)),
+        })
+
+
+def cosine_near_pairs(emb, *, threshold: float = 0.4,
+                      batch_size: int = 4096, concurrency=(1, 8)):
+    """All pairs with cosine similarity >= threshold (embedding near-dup)."""
+    import ray
+
+    tbl = pa.concat_tables(
+        [b for b in emb.select_columns(["vec_id", "embedding"])
+         .iter_batches(batch_format="pyarrow")]
+        or [pa.schema([("vec_id", pa.int64())]).empty_table()])
+    if tbl.num_rows:
+        ids = tbl["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _emb_matrix(tbl)
+    else:
+        ids, m = np.empty(0, np.int64), np.zeros((0, 0))
+    all_ref = ray.put((ids, m))
+    return emb.select_columns(["vec_id", "embedding"]).map_batches(
+        _PairsAboveThreshold, fn_constructor_args=(all_ref, threshold),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+
+
+# ---------------------------------------------------------------------------
+# SRP-SimHash hamming search (the scale path; rows-only oracle)
+# ---------------------------------------------------------------------------
+
+def srp_codes(emb, *, bits: int = 64, seed: int = 42, dim: int | None = None):
+    """64-bit signed-random-projection codes for every embedding.
+
+    The hyperplane matrix is a pure function of (seed, dim, bits) built in
+    each actor's ``__init__`` — the reference persists its projection matrix
+    as a model blob (simple_rp.py:116-117); here it is regenerated, which
+    makes task retries value-stable with zero broadcast traffic.
+    """
+    class _Coder:
+        def __init__(self, bits: int, seed: int):
+            self.bits, self.seed = bits, seed
+            self.R: np.ndarray | None = None
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            schema = pa.schema([("vec_id", pa.int64()),
+                                ("code", pa.int64())])
+            if t.num_rows == 0:
+                return schema.empty_table()
+            m = _emb_matrix(t)
+            if self.R is None:
+                rng = np.random.default_rng([self.seed, m.shape[1]])
+                self.R = rng.standard_normal((m.shape[1], self.bits))
+            proj = m @ self.R >= 0
+            weights = (np.uint64(1) << np.arange(self.bits, dtype=np.uint64))
+            code = (proj.astype(np.uint64) * weights[None, :]).sum(
+                axis=1, dtype=np.uint64)
+            return pa.table({
+                "vec_id": pc.cast(t["vec_id"], pa.int64()),
+                "code": pa.array(code.view(np.int64)),
+            })
+
+    return emb.select_columns(["vec_id", "embedding"]).map_batches(
+        _Coder, fn_constructor_args=(bits, seed),
+        batch_format="pyarrow", concurrency=(1, 4))
+
+
+def hamming_topk(emb, *, n_queries: int = 8, k: int = 10, seed: int = 42):
+    """LinearHashIndex.nn analog: exact top-k by hamming distance over SRP
+    codes, normalized to [0,1] like the reference
+    (/root/reference/smqtk_indexing/interfaces/hash_index.py:92-94;
+    brute-force scan impls/hash_index/linear.py:206-244).
+
+    Output: ``query_id, neighbor_id, rank, hamming (int), norm_hamming``.
+    """
+    import ray
+
+    codes = srp_codes(emb, seed=seed).materialize()
+    qt = pa.concat_tables(
+        [b for b in codes.filter(expr=f"vec_id < {int(n_queries)}")
+         .iter_batches(batch_format="pyarrow")]
+        or [pa.schema([("vec_id", pa.int64())]).empty_table()])
+    if qt.num_rows:
+        qids = qt["vec_id"].to_numpy(zero_copy_only=False)
+        qcodes = qt["code"].to_numpy(zero_copy_only=False).view(np.uint64)
+    else:
+        qids = np.empty(0, np.int64)
+        qcodes = np.empty(0, np.uint64)
+    q_ref = ray.put((qids, qcodes))
+
+    schema = pa.schema([("query_id", pa.int64()), ("neighbor_id", pa.int64()),
+                        ("hamming", pa.int64())])
+
+    class _Scan:
+        def __init__(self, q_ref, k):
+            self.qids, self.qcodes = ray.get(q_ref)
+            self.k = k
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            if n == 0 or len(self.qids) == 0:
+                return schema.empty_table()
+            c = t["code"].to_numpy(zero_copy_only=False).view(np.uint64)
+            v = t["vec_id"].to_numpy(zero_copy_only=False)
+            h = popcount_u64(
+                np.bitwise_xor(self.qcodes[:, None], c[None, :])
+            ).astype(np.int64)                      # (nq, B)
+            h = np.where(v[None, :] == self.qids[:, None], np.int64(65), h)
+            k = min(self.k, n)
+            part = np.argpartition(h, k - 1, axis=1)[:, :k]
+            rows = np.repeat(np.arange(len(self.qids)), k)
+            cols = part.reshape(-1)
+            hv = h[rows, cols]
+            ok = hv <= 64
+            return pa.table({
+                "query_id": pa.array(self.qids[rows[ok]].astype(np.int64)),
+                "neighbor_id": pa.array(v[cols[ok]].astype(np.int64)),
+                "hamming": pa.array(hv[ok]),
+            })
+
+    cands = codes.map_batches(_Scan, fn_constructor_args=(q_ref, k),
+                              batch_format="pyarrow", concurrency=(1, 4))
+
+    out_schema = pa.schema([("query_id", pa.int64()),
+                            ("neighbor_id", pa.int64()),
+                            ("rank", pa.int64()), ("hamming", pa.int64()),
+                            ("norm_hamming", pa.float64())])
+
+    def reduce_group(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        h = t["hamming"].to_numpy(zero_copy_only=False)
+        nid = t["neighbor_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((nid, h))[:k]
+        return pa.table({
+            "query_id": t["query_id"].take(pa.array(order)),
+            "neighbor_id": t["neighbor_id"].take(pa.array(order)),
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            "hamming": pa.array(h[order]),
+            "norm_hamming": pa.array(h[order].astype(np.float64) / 64.0),
+        })
+
+    out = cands.groupby("query_id").map_groups(
+        reduce_group, batch_format="pyarrow")
+    return stamp_schema(out, out_schema)
+
+
+def srp_near_pairs(emb, *, max_hamming: int = 8, seed: int = 42,
+                   num_partitions: int = 16):
+    """Scale-path embedding near-dup: SRP codes -> 4x16-bit band shuffle ->
+    popcount verify (finds every pair with hamming <= 3 exactly; pairs up
+    to ``max_hamming`` are found when any chunk agrees)."""
+    codes = srp_codes(emb, seed=seed)
+
+    def band(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("band_key", pa.int64()), ("vec_id", pa.int64()),
+                            ("code", pa.int64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        c = t["code"].to_numpy(zero_copy_only=False).view(np.uint64)
+        v = t["vec_id"].to_numpy(zero_copy_only=False)
+        parts = []
+        for band_id in range(4):
+            chunk = (c >> np.uint64(16 * band_id)) & np.uint64(0xFFFF)
+            key = (chunk.astype(np.int64) << np.int64(3)) | np.int64(band_id)
+            parts.append(pa.table({"band_key": pa.array(key),
+                                   "vec_id": pa.array(v),
+                                   "code": t["code"]}))
+        return pa.concat_tables(parts)
+
+    banded = codes.map_batches(band, batch_format="pyarrow").materialize()
+    left = banded.map_batches(
+        lambda t: t.rename_columns(["band_key", "vec_a", "code_a"]),
+        batch_format="pyarrow")
+    right = banded.map_batches(
+        lambda t: t.rename_columns(["band_key", "vec_b", "code_b"]),
+        batch_format="pyarrow")
+    j = left.join(right, join_type="inner", num_partitions=num_partitions,
+                  on=("band_key",))
+
+    out_schema = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64()),
+                            ("hamming", pa.int64())])
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "vec_a" not in t.column_names:
+            return out_schema.empty_table()
+        t = t.filter(pc.less(t["vec_a"], t["vec_b"]))
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        a = t["code_a"].to_numpy(zero_copy_only=False).view(np.uint64)
+        b = t["code_b"].to_numpy(zero_copy_only=False).view(np.uint64)
+        h = popcount_u64(np.bitwise_xor(a, b)).astype(np.int64)
+        keep = h <= max_hamming
+        return pa.table({
+            "vec_a": t["vec_a"].filter(pa.array(keep)),
+            "vec_b": t["vec_b"].filter(pa.array(keep)),
+            "hamming": pa.array(h[keep]),
+        })
+
+    from ray.data.aggregate import Min
+    pairs = j.map_batches(verify, batch_format="pyarrow")
+    g = pairs.groupby(["vec_a", "vec_b"]).aggregate(
+        Min("hamming", alias_name="hamming"))
+    return stamp_schema(g, out_schema)

@@ -127,6 +127,37 @@ def select_representatives(labeled, *, num_partitions: int = 32):
                                          ("rep_doc", pa.int64())]))
 
 
+def documents_as_pages(docs):
+    """Adapt a ``documents`` table (doc_id, text, lang, ...) to the pages
+    schema the flagship pipeline consumes: synthesizes deterministic
+    ``url``/``warc_ts`` (pure functions of doc_id) and a null ``html``."""
+    _TS_BASE_US = 1_577_836_800_000_000  # 2020-01-01T00:00:00Z
+
+    def adapt(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([
+                ("doc_id", pa.int64()), ("url", pa.string()),
+                ("warc_ts", pa.timestamp("us")), ("html", pa.binary()),
+                ("text", pa.string()), ("lang", pa.string()),
+            ]).empty_table()
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        url = pc.binary_join_element_wise(
+            pa.array(["doc://"] * t.num_rows),
+            pc.cast(t["doc_id"], pa.string()), "")
+        ts = pa.array(_TS_BASE_US + doc * 1_000_000, pa.timestamp("us"))
+        lang = t["lang"] if "lang" in t.column_names else pa.nulls(
+            t.num_rows, pa.string())
+        return pa.table({
+            "doc_id": t["doc_id"], "url": url, "warc_ts": ts,
+            "html": pa.nulls(t.num_rows, pa.binary()),
+            "text": t["text"], "lang": lang,
+        })
+
+    cols = [c for c in ("doc_id", "text", "lang") if c in docs.columns()]
+    return docs.select_columns(cols).map_batches(
+        adapt, batch_format="pyarrow")
+
+
 def dedup_pipeline(pages, cfg: DedupConfig, *, num_partitions: int = 32,
                    include_text: bool = False) -> DedupResult:
     """Run the full near-duplicate pipeline; returns lazy Datasets.

@@ -1,0 +1,191 @@
+#!/usr/bin/env python
+"""Headline benchmarks for the Ray-Data dedup engine.
+
+Default run: flagship near-dup pipeline over a deterministic synthetic
+pages corpus (read from Parquet, written to Parquet — the realistic
+sink), plus the sf-dir operator suite.  Prints ONE JSON line.
+
+  python bench.py                  # $GRAFT_SF_DIR (default sf0.1), $RAY_GRAFT_CPUS (default 32)
+  python bench.py --scaling        # same headline job at 8 vs 32 CPUs in
+                                   # fresh processes -> scaling efficiency
+
+The scaling run is the sandbox proxy for the north rule's N vs 4N-node
+criterion (BASELINE.md row 4): identical input, identical code, fresh
+``ray.init(num_cpus=8)`` vs ``num_cpus=32`` processes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+N_PAGES = 100_000
+PAGES_SEED = 7
+HOT_BLOCKS = 2
+
+
+def _corpus_path(n_docs: int) -> str:
+    return f"/tmp/bench_pages_{n_docs}_{PAGES_SEED}_{HOT_BLOCKS}"
+
+
+def ensure_corpus(n_docs: int) -> str:
+    """Generate the synthetic pages corpus to Parquet once (not timed)."""
+    path = _corpus_path(n_docs)
+    marker = os.path.join(path, "_DONE")
+    if os.path.exists(marker):
+        return path
+    from smqtk_indexing_ray.sources.pages import PagesSpec, pages_dataset
+    shutil.rmtree(path, ignore_errors=True)
+    spec = PagesSpec(n_docs=n_docs, seed=PAGES_SEED, hot_blocks=HOT_BLOCKS)
+    pages_dataset(spec).write_parquet(path)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return path
+
+
+def run_headline(n_docs: int) -> dict:
+    import ray.data as rd
+    from smqtk_indexing_ray.config import DedupConfig
+    from smqtk_indexing_ray.pipelines.dedup import dedup_pipeline
+
+    path = ensure_corpus(n_docs)
+    out = "/tmp/bench_dedup_out"
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.time()
+    res = dedup_pipeline(rd.read_parquet(path), DedupConfig(),
+                         num_partitions=32)
+    res.output.write_parquet(out)
+    dt = time.time() - t0
+    return {"sec": dt, "docs_per_sec": n_docs / dt, "n_docs": n_docs}
+
+
+def run_sf_suite(sf_dir: str) -> dict[str, float]:
+    """Time the sf-dir operator pipelines (documents + embeddings)."""
+    import ray.data as rd
+    from smqtk_indexing_ray.config import DedupConfig
+    from smqtk_indexing_ray.pipelines import analysis, ann
+    from smqtk_indexing_ray.pipelines.dedup import (
+        dedup_pipeline, documents_as_pages)
+
+    def docs():
+        return rd.read_parquet(f"{sf_dir}/documents.parquet")
+
+    def emb():
+        return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+    def consume(ds) -> int:
+        n = 0
+        for b in ds.iter_batches(batch_format="pyarrow"):
+            n += b.num_rows
+        return n
+
+    suite = {
+        "lsh_dedup_documents": lambda: dedup_pipeline(
+            documents_as_pages(docs()), DedupConfig(),
+            num_partitions=16).output,
+        "exact_dedup": lambda: analysis.exact_dedup(docs()),
+        "token_stats": lambda: analysis.token_stats(docs()),
+        "simhash_near_pairs": lambda: analysis.simhash_near_pairs(docs()),
+        "ann_topk": lambda: ann.brute_force_topk(emb(), n_queries=32, k=10),
+        "srp_near_pairs": lambda: ann.srp_near_pairs(emb(), max_hamming=24),
+    }
+    times: dict[str, float] = {}
+    for name, fn in suite.items():
+        t0 = time.time()
+        consume(fn())
+        times[name] = round(time.time() - t0, 3)
+    return times
+
+
+def bench_once(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
+    import ray
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    head = run_headline(N_PAGES)
+    queries = {"pages_dedup": round(head["sec"], 3)}
+    if not headline_only:
+        queries.update(run_sf_suite(sf_dir))
+    ray.shutdown()
+    return {
+        "metric": "flagship near-dup dedup wall time, "
+                  f"{head['n_docs']} synthetic pages (parquet->parquet)",
+        "value": round(head["sec"], 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "docs_per_sec": round(head["docs_per_sec"], 1),
+        "n_docs": head["n_docs"],
+    }
+
+
+def bench_scaling(sf_dir: str) -> dict:
+    """Fresh-process runs at 8 and 32 CPUs on the same corpus."""
+    ensure = subprocess.run(  # pre-generate so neither run pays generation
+        [sys.executable, __file__, "--ensure-corpus"], capture_output=True)
+    if ensure.returncode != 0:
+        sys.stderr.write(ensure.stderr.decode()[-2000:])
+        raise SystemExit(1)
+    results = {}
+    for cpus in (8, 32):
+        p = subprocess.run(
+            [sys.executable, __file__, "--cpus", str(cpus),
+             "--headline-only", "--sf-dir", sf_dir],
+            capture_output=True)
+        if p.returncode != 0:
+            sys.stderr.write(p.stderr.decode()[-2000:])
+            raise SystemExit(1)
+        line = [ln for ln in p.stdout.decode().splitlines()
+                if ln.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    thr8 = results[8]["docs_per_sec"]
+    thr32 = results[32]["docs_per_sec"]
+    eff = (thr32 / thr8) / 4.0
+    return {
+        "metric": "scaling efficiency, 8 -> 32 CPUs (N -> 4N proxy)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "queries": {"docs_per_sec_8cpu": thr8, "docs_per_sec_32cpu": thr32,
+                    "wall_sec_8cpu": results[8]["value"],
+                    "wall_sec_32cpu": results[32]["value"]},
+        "sf": sf_dir,
+        "num_cpus": 32,
+        "n_docs": results[32]["n_docs"],
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
+    ap.add_argument("--headline-only", action="store_true")
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--ensure-corpus", action="store_true")
+    args = ap.parse_args()
+
+    if args.ensure_corpus:
+        import ray
+        ray.init(address="local", num_cpus=args.cpus,
+                 include_dashboard=False, logging_level="ERROR")
+        ensure_corpus(N_PAGES)
+        ray.shutdown()
+        return
+    if args.scaling:
+        out = bench_scaling(args.sf_dir)
+    else:
+        out = bench_once(args.sf_dir, args.cpus, args.headline_only)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -19,7 +19,14 @@ calls ``ray.init()``.
 """
 
 from smqtk_indexing_ray.config import DedupConfig
+from smqtk_indexing_ray.context import ensure_data_context
+
+# Applied at import time (before any Dataset is created) because a Dataset
+# snapshots DataContext at creation: tuning applied later never reaches
+# operators of already-created datasets.  This only mutates Ray Data's
+# config object — it does NOT initialise Ray.
+ensure_data_context()
 
 __version__ = "0.1.0"
 
-__all__ = ["DedupConfig", "__version__"]
+__all__ = ["DedupConfig", "ensure_data_context", "__version__"]

@@ -55,7 +55,8 @@ class DedupConfig:
     # Autoscaling actor pool (min, max): a FIXED pool of num_cpus actors
     # reserves every CPU and starves the upstream read task — the pipeline
     # deadlocks.  (min=1, max=N) lets Ray grow the pool under load only.
-    signature_concurrency: int | tuple = (1, 8)
+    # None = size to the cluster at pipeline build time: (1, total_cpus - 2).
+    signature_concurrency: int | tuple | None = None
     cc_max_iters: int = 25          # connected-components round cap
 
     def __post_init__(self) -> None:

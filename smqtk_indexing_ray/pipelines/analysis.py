@@ -22,6 +22,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from smqtk_indexing_ray.context import NARROW_JOIN_HINT
 from smqtk_indexing_ray.functions.hashing import hash_strings_u64
 from smqtk_indexing_ray.functions.metrics import popcount_u64
 from smqtk_indexing_ray.functions.simhash import simhash_fingerprints
@@ -58,6 +59,9 @@ def exact_dedup(docs, *, num_partitions: int = 16):
     Hash-partition + per-group first: the text never crosses the shuffle,
     only its 128-bit hash (16 B/row vs the document body).
     """
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+
     from ray.data.aggregate import Count, Min
 
     hashed = docs.select_columns(["doc_id", "text"]).map_batches(
@@ -82,6 +86,9 @@ def exact_dedup(docs, *, num_partitions: int = 16):
 
 def exact_cluster_labels(docs, *, num_partitions: int = 16):
     """Label every doc with the min doc_id sharing its exact text."""
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+
     from ray.data.aggregate import Min
 
     hashed = docs.select_columns(["doc_id", "text"]).map_batches(
@@ -91,7 +98,8 @@ def exact_cluster_labels(docs, *, num_partitions: int = 16):
     reps = stamp_schema(reps, pa.schema([("h1", pa.int64()),
                                          ("h2", pa.int64()),
                                          ("cluster_id", pa.int64())]))
-    j = hashed.join(reps, join_type="inner", num_partitions=num_partitions,
+    j = hashed.join(reps, partition_size_hint=NARROW_JOIN_HINT,
+                  join_type="inner", num_partitions=num_partitions,
                     on=("h1", "h2"))
 
     def project(t: pa.Table) -> pa.Table:
@@ -149,6 +157,9 @@ def token_stats(docs):
 def lang_summary(docs):
     """Per-language corpus stats: doc count, total/avg chars (chars counted
     from the text itself, not the stored ``n_chars`` column)."""
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+
     from ray.data.aggregate import Count, Sum
 
     def pre(t: pa.Table) -> pa.Table:
@@ -219,6 +230,9 @@ def ngram_jaccard_pairs(docs, *, k: int = 3, threshold: float = 0.5,
     shingles (changes semantics — the MinHash/LSH pipeline is the scale
     path, this operator is the exact verifier at test scale).
     """
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+
     from ray.data.aggregate import Count
 
     exploded = docs.select_columns(["doc_id", "text"]).map_batches(
@@ -244,7 +258,8 @@ def ngram_jaccard_pairs(docs, *, k: int = 3, threshold: float = 0.5,
     left = exploded.map_batches(
         lambda t: t.rename_columns(["shingle", "doc_a"]),
         batch_format="pyarrow")
-    joined = left.join(right, join_type="inner",
+    joined = left.join(right, partition_size_hint=NARROW_JOIN_HINT,
+                  join_type="inner",
                        num_partitions=num_partitions, on=("shingle",))
 
     def ordered(t: pa.Table) -> pa.Table:
@@ -264,9 +279,11 @@ def ngram_jaccard_pairs(docs, *, k: int = 3, threshold: float = 0.5,
                            batch_format="pyarrow")
     sb = sizes.map_batches(lambda t: t.rename_columns(["doc_b", "nb"]),
                            batch_format="pyarrow")
-    j = inter.join(sa, join_type="inner", num_partitions=num_partitions,
+    j = inter.join(sa, partition_size_hint=NARROW_JOIN_HINT,
+                  join_type="inner", num_partitions=num_partitions,
                    on=("doc_a",))
-    j = j.join(sb, join_type="inner", num_partitions=num_partitions,
+    j = j.join(sb, partition_size_hint=NARROW_JOIN_HINT,
+                  join_type="inner", num_partitions=num_partitions,
                on=("doc_b",))
 
     out_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
@@ -301,6 +318,9 @@ def jaccard_cluster_labels(docs, *, k: int = 3, threshold: float = 0.5,
     The SQL oracle for the clustering machinery: DuckDB reproduces it with
     a recursive reachability CTE over the same edge set.
     """
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+
     from smqtk_indexing_ray.stages.components import connected_components
 
     pairs = ngram_jaccard_pairs(docs, k=k, threshold=threshold,
@@ -313,7 +333,8 @@ def jaccard_cluster_labels(docs, *, k: int = 3, threshold: float = 0.5,
     labels = stamp_schema(labels, pa.schema([("doc_id", pa.int64()),
                                              ("cluster_id", pa.int64())]))
     ids = docs.select_columns(["doc_id"])
-    j = ids.join(labels, join_type="left_outer",
+    j = ids.join(labels, partition_size_hint=NARROW_JOIN_HINT,
+                  join_type="left_outer",
                  num_partitions=num_partitions, on=("doc_id",))
 
     def fill(t: pa.Table) -> pa.Table:
@@ -381,6 +402,9 @@ def simhash_near_pairs(docs, *, max_hamming: int = 3,
     /root/reference/smqtk_indexing/impls/hash_index/sklearn_balltree.py:
     337-375, re-expressed as a shuffle).
     """
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+
     fps = doc_fingerprints(docs).select_columns(["doc_id", "simhash"])
 
     def band(t: pa.Table) -> pa.Table:
@@ -406,7 +430,8 @@ def simhash_near_pairs(docs, *, max_hamming: int = 3,
     right = banded.map_batches(
         lambda t: t.rename_columns(["band_key", "doc_b", "sim_b"]),
         batch_format="pyarrow")
-    j = left.join(right, join_type="inner", num_partitions=num_partitions,
+    j = left.join(right, partition_size_hint=NARROW_JOIN_HINT,
+                  join_type="inner", num_partitions=num_partitions,
                   on=("band_key",))
 
     out_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),

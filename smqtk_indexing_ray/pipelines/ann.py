@@ -23,6 +23,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from smqtk_indexing_ray.context import NARROW_JOIN_HINT
 from smqtk_indexing_ray.functions.metrics import popcount_u64
 from smqtk_indexing_ray.stages._util import stamp_schema
 
@@ -108,6 +109,9 @@ def brute_force_topk(emb, *, n_queries: int = 32, k: int = 10,
     bit-compatible with DuckDB's double list_cosine_similarity up to
     summation order; emitted rounded to 6 decimals).
     """
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+
     import ray
 
     qt = emb.filter(expr=f"vec_id < {int(n_queries)}")
@@ -169,6 +173,9 @@ class _PairsAboveThreshold:
 def cosine_near_pairs(emb, *, threshold: float = 0.4,
                       batch_size: int = 4096, concurrency=(1, 8)):
     """All pairs with cosine similarity >= threshold (embedding near-dup)."""
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+
     import ray
 
     tbl = pa.concat_tables(
@@ -235,6 +242,9 @@ def hamming_topk(emb, *, n_queries: int = 8, k: int = 10, seed: int = 42):
 
     Output: ``query_id, neighbor_id, rank, hamming (int), norm_hamming``.
     """
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+
     import ray
 
     codes = srp_codes(emb, seed=seed).materialize()
@@ -312,6 +322,9 @@ def srp_near_pairs(emb, *, max_hamming: int = 8, seed: int = 42,
     """Scale-path embedding near-dup: SRP codes -> 4x16-bit band shuffle ->
     popcount verify (finds every pair with hamming <= 3 exactly; pairs up
     to ``max_hamming`` are found when any chunk agrees)."""
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+
     codes = srp_codes(emb, seed=seed)
 
     def band(t: pa.Table) -> pa.Table:
@@ -337,7 +350,8 @@ def srp_near_pairs(emb, *, max_hamming: int = 8, seed: int = 42,
     right = banded.map_batches(
         lambda t: t.rename_columns(["band_key", "vec_b", "code_b"]),
         batch_format="pyarrow")
-    j = left.join(right, join_type="inner", num_partitions=num_partitions,
+    j = left.join(right, partition_size_hint=NARROW_JOIN_HINT,
+                  join_type="inner", num_partitions=num_partitions,
                   on=("band_key",))
 
     out_schema = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64()),

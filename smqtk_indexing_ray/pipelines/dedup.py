@@ -24,6 +24,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from smqtk_indexing_ray.context import NARROW_JOIN_HINT
 from smqtk_indexing_ray.config import DedupConfig
 from smqtk_indexing_ray.stages.banding import band_stage
 from smqtk_indexing_ray.stages.buckets import star_edges
@@ -46,12 +47,20 @@ def compute_signatures(pages, cfg: DedupConfig):
     cols = [c for c in ("doc_id", "text", "html") if c in pages.columns()]
     ds = pages.select_columns(cols)
     ds = ds.map_batches(extract_text_stage, batch_format="pyarrow")
+    conc = cfg.signature_concurrency
+    if conc is None:
+        # size the pool to the cluster, leaving headroom for the read task
+        # and downstream shuffle aggregators
+        import ray
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if (
+            ray.is_initialized()) else 8
+        conc = (1, max(2, cpus - 2))
     return ds.map_batches(
         SignatureStage,
         fn_constructor_args=(cfg,),
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
-        concurrency=cfg.signature_concurrency,
+        concurrency=conc,
     )
 
 
@@ -82,11 +91,25 @@ def dedup_edges(edges):
         drop_consecutive, batch_format="pyarrow")
 
 
-def exact_dup_edges(signatures):
+def exact_dup_edges(signatures, *, zero_shingle_only: bool = True):
     """Star edges of byte-identical text via the 128-bit content hash —
     the exact-dup fast path (reference analog: LinearHashIndex distinct
-    codes, impls/hash_index/linear.py:110)."""
-    ds = signatures.select_columns(["text_h1", "text_h2", "doc_id"])
+    codes, impls/hash_index/linear.py:110).
+
+    ``zero_shingle_only`` (default): only docs with no shingles need this
+    path — byte-identical texts with >=1 shingle have identical MinHash
+    signatures, land in identical buckets in every band, and survive
+    verification at est_jaccard=1.0, so the LSH path already connects
+    them.  Restricting to the zero-shingle remainder (docs shorter than
+    ``shingle_k`` tokens) removes a full-corpus sort from the pipeline.
+    """
+    ds = signatures.select_columns(["text_h1", "text_h2", "doc_id",
+                                    "n_shingles"])
+    if zero_shingle_only:
+        def short_only(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["n_shingles"], 0))
+        ds = ds.map_batches(short_only, batch_format="pyarrow")
+    ds = ds.select_columns(["text_h1", "text_h2", "doc_id"])
     return star_edges(ds, ["text_h1", "text_h2"], "doc_id")
 
 
@@ -110,7 +133,8 @@ def select_representatives(labeled, *, num_partitions: int = 32):
     min_ts = slim.groupby("cluster_id").aggregate(Min("ts_us", alias_name="min_ts"))
     min_ts = stamp_schema(min_ts, pa.schema([("cluster_id", pa.int64()),
                                              ("min_ts", pa.int64())]))
-    j = slim.join(min_ts, join_type="inner", num_partitions=num_partitions,
+    j = slim.join(min_ts, partition_size_hint=NARROW_JOIN_HINT,
+                  join_type="inner", num_partitions=num_partitions,
                   on=("cluster_id",))
     def _at_min(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "ts_us" not in t.column_names:
@@ -159,14 +183,25 @@ def documents_as_pages(docs):
 
 
 def dedup_pipeline(pages, cfg: DedupConfig, *, num_partitions: int = 32,
-                   include_text: bool = False) -> DedupResult:
+                   include_text: bool = False,
+                   rep_strategy: str = "min_doc") -> DedupResult:
     """Run the full near-duplicate pipeline; returns lazy Datasets.
 
     ``pages`` must carry doc_id, url, warc_ts, html, text, lang.  The
     signature table is materialized (it feeds banding, exact-dup, verify
     and the final join); at 100 TB scale swap ``materialize()`` for a
     Parquet checkpoint via :mod:`smqtk_indexing_ray.state.checkpoint`.
+
+    ``rep_strategy``: which cluster member gets ``keep=True`` —
+    ``"min_doc"`` (default; the component's min doc_id, join-free) or
+    ``"earliest"`` (lexicographic min of (warc_ts, doc_id), one aggregate
+    + two narrow joins).
     """
+    if rep_strategy not in ("min_doc", "earliest"):
+        raise ValueError(f"unknown rep_strategy: {rep_strategy!r}")
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+
     # Empty-input contract: raise before launching anything, like the
     # reference's peek-and-chain guard (interfaces/nearest_neighbor_index.py
     # :43-60 via utils/iter_validation.py:8-28).  limit(1) reads one block.
@@ -188,7 +223,8 @@ def dedup_pipeline(pages, cfg: DedupConfig, *, num_partitions: int = 32,
     out_cols = ["doc_id", "url", "warc_ts", "lang"] + (
         ["text"] if include_text else [])
     meta = pages.select_columns([c for c in out_cols if c in pages.columns()])
-    joined = meta.join(labels, join_type="left_outer",
+    joined = meta.join(labels, partition_size_hint=NARROW_JOIN_HINT,
+                  join_type="left_outer",
                        num_partitions=num_partitions, on=("doc_id",))
 
     _FIELD_TYPES = {"doc_id": pa.int64(), "url": pa.string(),
@@ -210,8 +246,27 @@ def dedup_pipeline(pages, cfg: DedupConfig, *, num_partitions: int = 32,
 
     labeled = joined.map_batches(fill_cluster, batch_format="pyarrow")
 
+    if rep_strategy == "min_doc":
+        # cluster_id IS the component's minimum doc_id (connected_components
+        # labels with the min), so the representative needs no join at all.
+        def keep_min_doc(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "cluster_id" not in t.column_names:
+                e = _empty(labeled_cols)
+                return e.append_column("keep", pa.array([], pa.bool_()))
+            return t.append_column(
+                "keep", pc.equal(t["doc_id"], t["cluster_id"]))
+
+        output = labeled.map_batches(keep_min_doc, batch_format="pyarrow")
+        return DedupResult(signatures=sigs, edges=all_edges, labels=labels,
+                           output=output)
+
+    # rep_strategy == "earliest": earliest (warc_ts, doc_id) of the cluster
+    # wins — costs one aggregate + two joins more than min_doc, so the
+    # labeled skeleton is materialized to avoid executing its lineage twice.
+    labeled = labeled.materialize()
     reps = select_representatives(labeled, num_partitions=num_partitions)
-    out = labeled.join(reps, join_type="left_outer",
+    out = labeled.join(reps, partition_size_hint=NARROW_JOIN_HINT,
+                  join_type="left_outer",
                        num_partitions=num_partitions, on=("cluster_id",))
 
     def keep_flag(t: pa.Table) -> pa.Table:

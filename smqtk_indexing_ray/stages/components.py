@@ -165,25 +165,60 @@ def _small_star(edges):
     return srt.map_batches(emit, batch_format="pyarrow")
 
 
-def _fingerprint(edges) -> tuple[int, int]:
-    """(count, order-independent multiset checksum) of an edge dataset.
+def _labels_of(edges, num_partitions: int = 16):
+    """Edge set -> candidate labeling ``(doc_id, cluster_id)`` (groupby-min).
 
-    Per-batch uint64 wraparound sums are partition-independent (modular
-    addition commutes), so the fingerprint is stable across block layouts.
+    Canonical by construction: the groupby collapses duplicate edges, so
+    the result is identical however the edge multiset is partitioned or
+    duplicated across batch boundaries.
+    """
+    from ray.data.aggregate import Min
+
+    def orient_lbl(t: pa.Table) -> pa.Table:
+        if _degenerate(t, "u", "v"):
+            return pa.schema([("doc_id", pa.int64()),
+                              ("c", pa.int64())]).empty_table()
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        lo = np.minimum(u, v)
+        hi = np.maximum(u, v)
+        return pa.table({
+            "doc_id": pa.array(np.concatenate([hi, lo])),
+            "c": pa.array(np.concatenate([lo, lo])),
+        })
+
+    return (edges.map_batches(orient_lbl, batch_format="pyarrow")
+            .groupby("doc_id", num_partitions=num_partitions)
+            .aggregate(Min("c", alias_name="cluster_id")))
+
+
+def _labels_fingerprint(labels) -> tuple[int, int]:
+    """(count, order-independent SET checksum) of a labels dataset.
+
+    Works on labels, not edges: the edge multiset produced by the star
+    operations carries batch-boundary-dependent duplicates, so an edge
+    fingerprint jiggles round-to-round long after the labeling has
+    converged (observed: count stable at round 1, checksum stable only by
+    luck ~20 rounds later).  Labels are distinct rows by construction, so
+    a commutative sum-hash is a true set fingerprint.
     """
     def chk(t: pa.Table) -> pa.Table:
-        if _degenerate(t, "u", "v"):
+        if _degenerate(t, "doc_id", "cluster_id"):
             return pa.table({"chk": pa.array([0], type=pa.int64()),
                              "cnt": pa.array([0], type=pa.int64())})
-        u = t["u"].to_numpy(zero_copy_only=False).view(np.uint64)
-        v = t["v"].to_numpy(zero_copy_only=False).view(np.uint64)
+        u = t["doc_id"].to_numpy(zero_copy_only=False).view(np.uint64)
+        v = t["cluster_id"].to_numpy(zero_copy_only=False).view(np.uint64)
         with np.errstate(over="ignore"):
             h = splitmix64(u * np.uint64(0x9E3779B97F4A7C15) ^ splitmix64(v))
-            s = int((np.sum(h, dtype=np.uint64)) % _CHK_MOD)
+            # mod BEFORE the sum: a raw uint64 sum wraps at 2**64, and the
+            # wrap count depends on how rows are batched — (x mod 2^64)
+            # mod M is not partition-invariant.  Per-element mod keeps the
+            # per-batch sum exact (n * (M-1) < 2^64 for any real block).
+            s = int(np.sum(h % _CHK_MOD, dtype=np.uint64) % _CHK_MOD)
         return pa.table({"chk": pa.array([s], type=pa.int64()),
                          "cnt": pa.array([t.num_rows], type=pa.int64())})
 
-    mini = edges.map_batches(chk, batch_format="pyarrow")
+    mini = labels.map_batches(chk, batch_format="pyarrow")
     from ray.data.aggregate import Sum
     res = mini.aggregate(Sum("chk", alias_name="chk"),
                          Sum("cnt", alias_name="cnt"))
@@ -200,36 +235,33 @@ def connected_components(edges, *, num_partitions: int = 32,
     that appear in an edge get a row — callers left-join and default
     singletons to their own id.  ``num_partitions`` is accepted for API
     symmetry (the sort chooses its own partitioning).
+
+    Termination: per-node labels are monotonically non-increasing under
+    the star operations, so the labeling is required to be stable for TWO
+    consecutive rounds (one stable round is almost always final for
+    star-shaped LSH candidate graphs; the second guards against a
+    coincidentally-unchanged labeling mid-propagation).
     """
     prev = None
+    stable = 0
+    labels = None
     for _ in range(max_iters):
         edges = _large_star(edges)
         edges = _small_star(edges)  # materialized inside (sort)
-        fp = _fingerprint(edges)
-        if fp == prev or fp[0] == 0:
+        labels = _labels_of(edges, num_partitions).materialize()
+        fp = _labels_fingerprint(labels)
+        if fp[0] == 0:
             break
+        if fp == prev:
+            stable += 1
+            if stable >= 2:
+                break
+        else:
+            stable = 0
         prev = fp
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} rounds")
-
-    from ray.data.aggregate import Min
-
-    def orient_lbl(t: pa.Table) -> pa.Table:
-        if _degenerate(t, "u", "v"):
-            return pa.schema([("doc_id", pa.int64()),
-                              ("c", pa.int64())]).empty_table()
-        u = t["u"].to_numpy(zero_copy_only=False)
-        v = t["v"].to_numpy(zero_copy_only=False)
-        lo = np.minimum(u, v)
-        hi = np.maximum(u, v)
-        return pa.table({
-            "doc_id": pa.array(np.concatenate([hi, lo])),
-            "c": pa.array(np.concatenate([lo, lo])),
-        })
-
-    labels = (edges.map_batches(orient_lbl, batch_format="pyarrow")
-              .groupby("doc_id").aggregate(Min("c", alias_name="cluster_id")))
     return labels
 
 

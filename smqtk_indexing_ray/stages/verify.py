@@ -16,6 +16,7 @@ import numpy as np
 import pyarrow as pa
 
 from smqtk_indexing_ray.config import DedupConfig
+from smqtk_indexing_ray.context import NARROW_JOIN_HINT
 from smqtk_indexing_ray.functions.metrics import est_jaccard, hamming_u64
 from smqtk_indexing_ray.stages.signatures import minhash_matrix
 
@@ -27,12 +28,14 @@ def verify_edges(edges, signatures, cfg: DedupConfig, *,
     ``hamming <= cfg.simhash_hamming_max``."""
     sig = signatures.select_columns(["doc_id", "minhash", "simhash"])
 
-    e1 = edges.join(sig, join_type="inner", num_partitions=num_partitions,
+    e1 = edges.join(sig, partition_size_hint=NARROW_JOIN_HINT,
+                  join_type="inner", num_partitions=num_partitions,
                     on=("u",), right_on=("doc_id",),
                     left_suffix="", right_suffix="_u")
     e1 = e1.rename_columns({"minhash": "minhash_u", "simhash": "simhash_u"})
     e1 = e1.drop_columns(["doc_id"]) if "doc_id" in e1.columns() else e1
-    e2 = e1.join(sig, join_type="inner", num_partitions=num_partitions,
+    e2 = e1.join(sig, partition_size_hint=NARROW_JOIN_HINT,
+                  join_type="inner", num_partitions=num_partitions,
                  on=("v",), right_on=("doc_id",),
                  left_suffix="", right_suffix="_v")
     e2 = e2.rename_columns({"minhash": "minhash_v", "simhash": "simhash_v"})

@@ -130,6 +130,56 @@ def _q_srp_near_pairs(sf_dir: str):
     return srp_near_pairs(_emb(sf_dir), max_hamming=24)
 
 
+def _q_substring_containment(sf_dir: str):
+    from smqtk_indexing_ray.pipelines.suffix import substring_containment
+    return substring_containment(_docs(sf_dir))
+
+
+def _q_cluster_containment(sf_dir: str):
+    """Suffix-array substring pass within LSH clusters (rows-only)."""
+    import pyarrow as pa
+    from smqtk_indexing_ray.config import DedupConfig
+    from smqtk_indexing_ray.context import NARROW_JOIN_HINT
+    from smqtk_indexing_ray.pipelines.dedup import (
+        dedup_pipeline, documents_as_pages)
+    from smqtk_indexing_ray.pipelines.suffix import cluster_containment
+    pages = documents_as_pages(_docs(sf_dir))
+    res = dedup_pipeline(pages, DedupConfig(), num_partitions=8)
+    texts = pages.select_columns(["doc_id", "text"])
+    labeled = res.labels.join(
+        texts, partition_size_hint=NARROW_JOIN_HINT, join_type="inner",
+        num_partitions=8, on=("doc_id",))
+
+    def clean(t: pa.Table) -> pa.Table:
+        cols = ["doc_id", "cluster_id", "text"]
+        if t.num_rows == 0 or any(c not in t.column_names for c in cols):
+            return pa.schema([("doc_id", pa.int64()),
+                              ("cluster_id", pa.int64()),
+                              ("text", pa.string())]).empty_table()
+        return t.select(cols)
+
+    return cluster_containment(
+        labeled.map_batches(clean, batch_format="pyarrow"), min_span=20)
+
+
+def _q_media_features(sf_dir: str):
+    """Multimodal plumbing over synthetic media (payload = text bytes)."""
+    from smqtk_indexing_ray.stages.multimodal import (
+        media_features, media_from_documents)
+    import pyarrow as pa
+
+    feats = media_features(media_from_documents(_docs(sf_dir)))
+
+    def slim(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("media_id", pa.int64()),
+                              ("kind", pa.string()),
+                              ("n_bytes", pa.int64())]).empty_table()
+        return t.select(["media_id", "kind", "n_bytes"])
+
+    return feats.map_batches(slim, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "exact_dedup": _q_exact_dedup,
@@ -146,6 +196,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "hamming_topk": _q_hamming_topk,
         "srp_near_pairs": _q_srp_near_pairs,
+        "substring_containment": _q_substring_containment,
+        "cluster_containment": _q_cluster_containment,
+        "media_features": _q_media_features,
     }
 
 
@@ -248,7 +301,21 @@ def oracle_sql() -> dict[str, str]:
             "  WHERE q.vec_id < 32"
             ") WHERE rank <= 10"
         ),
+        "substring_containment": (
+            "SELECT a.doc_id AS contained, min(b.doc_id) AS container "
+            "FROM documents a JOIN documents b "
+            "ON a.doc_id <> b.doc_id AND length(b.text) >= length(a.text) "
+            "AND strpos(b.text, a.text) > 0 "
+            "WHERE a.text <> '' GROUP BY a.doc_id"
+        ),
+        "media_features": (
+            "SELECT doc_id AS media_id, "
+            "CASE WHEN doc_id % 3 = 0 THEN 'audio' ELSE 'image' END AS kind, "
+            "octet_length(CAST(coalesce(text, '') AS BLOB)) AS n_bytes "
+            "FROM documents"
+        ),
         # lsh_dedup, simhash_near_pairs, doc_fingerprints, lang_id,
-        # hamming_topk, srp_near_pairs: hash-family-dependent / iterative —
-        # not SQL-expressible; driver records rows-only checks.
+        # hamming_topk, srp_near_pairs, cluster_containment:
+        # hash-family-dependent / iterative — not SQL-expressible; driver
+        # records rows-only checks.
     }

@@ -93,11 +93,12 @@ def exact_cluster_labels(docs, *, num_partitions: int = 16):
 
     hashed = docs.select_columns(["doc_id", "text"]).map_batches(
         _hash_text, batch_format="pyarrow")
+    from smqtk_indexing_ray.stages._util import drop_empty_blocks
     reps = hashed.groupby(["h1", "h2"]).aggregate(
         Min("doc_id", alias_name="cluster_id"))
-    reps = stamp_schema(reps, pa.schema([("h1", pa.int64()),
-                                         ("h2", pa.int64()),
-                                         ("cluster_id", pa.int64())]))
+    reps = drop_empty_blocks(reps, pa.schema([("h1", pa.int64()),
+                                              ("h2", pa.int64()),
+                                              ("cluster_id", pa.int64())]))
     j = hashed.join(reps, partition_size_hint=NARROW_JOIN_HINT,
                   join_type="inner", num_partitions=num_partitions,
                     on=("h1", "h2"))
@@ -195,10 +196,13 @@ def lang_summary(docs):
 
 
 def _shingle_explode(t: pa.Table, k: int) -> pa.Table:
-    """One row per distinct (doc, k-token shingle hash)."""
+    """One row per distinct (doc, k-token shingle hash), carrying the
+    doc's distinct-shingle-set size ``n_sh`` on every row (16 B more per
+    row, but it removes two whole join shuffles downstream — the pair
+    aggregation can compute Jaccard from Min(n_sh) per side)."""
     n = t.num_rows
-    empty = pa.schema([("shingle", pa.int64()),
-                       ("doc_id", pa.int64())]).empty_table()
+    empty = pa.schema([("shingle", pa.int64()), ("doc_id", pa.int64()),
+                       ("n_sh", pa.int64())]).empty_table()
     if n == 0:
         return empty
     tok, off = tokenize_flat(t["text"], lowercase=False)
@@ -211,9 +215,12 @@ def _shingle_explode(t: pa.Table, k: int) -> pa.Table:
     head = np.concatenate([[True], (d_s[1:] != d_s[:-1]) |
                            (s_s[1:] != s_s[:-1])])
     doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    d_kept = d_s[head]
+    n_sh = np.bincount(d_kept, minlength=n)
     return pa.table({
         "shingle": pa.array(s_s[head].view(np.int64)),
-        "doc_id": pa.array(doc_ids[d_s[head]].astype(np.int64)),
+        "doc_id": pa.array(doc_ids[d_kept].astype(np.int64)),
+        "n_sh": pa.array(n_sh[d_kept].astype(np.int64)),
     })
 
 
@@ -233,10 +240,14 @@ def ngram_jaccard_pairs(docs, *, k: int = 3, threshold: float = 0.5,
     from smqtk_indexing_ray.context import ensure_data_context
     ensure_data_context()
 
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Count, Min
 
+    from smqtk_indexing_ray.stages._util import drop_empty_blocks
     exploded = docs.select_columns(["doc_id", "text"]).map_batches(
-        lambda t: _shingle_explode(t, k), batch_format="pyarrow").materialize()
+        lambda t: _shingle_explode(t, k), batch_format="pyarrow")
+    exploded = drop_empty_blocks(
+        exploded, pa.schema([("shingle", pa.int64()), ("doc_id", pa.int64()),
+                             ("n_sh", pa.int64())]))
 
     if max_shingle_freq is not None:
         freq = exploded.groupby("shingle").aggregate(
@@ -248,43 +259,28 @@ def ngram_jaccard_pairs(docs, *, k: int = 3, threshold: float = 0.5,
             keep.select_columns(["shingle"]), join_type="inner",
             num_partitions=num_partitions, on=("shingle",))
 
-    sizes = exploded.groupby("doc_id").aggregate(Count(alias_name="n_sh"))
-    sizes = stamp_schema(sizes, pa.schema([("doc_id", pa.int64()),
-                                           ("n_sh", pa.int64())]))
-
     right = exploded.map_batches(
-        lambda t: t.rename_columns(["shingle", "doc_b"]),
+        lambda t: t.rename_columns(["shingle", "doc_b", "nb"]),
         batch_format="pyarrow")
     left = exploded.map_batches(
-        lambda t: t.rename_columns(["shingle", "doc_a"]),
+        lambda t: t.rename_columns(["shingle", "doc_a", "na"]),
         batch_format="pyarrow")
     joined = left.join(right, partition_size_hint=NARROW_JOIN_HINT,
                   join_type="inner",
                        num_partitions=num_partitions, on=("shingle",))
 
     def ordered(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "doc_a" not in t.column_names:
-            return pa.schema([("doc_a", pa.int64()),
-                              ("doc_b", pa.int64())]).empty_table()
+        cols = ("doc_a", "doc_b", "na", "nb")
+        if t.num_rows == 0 or any(c not in t.column_names for c in cols):
+            return pa.schema([(c, pa.int64()) for c in cols]).empty_table()
         t = t.filter(pc.less(t["doc_a"], t["doc_b"]))
-        return t.select(["doc_a", "doc_b"])
+        return t.select(list(cols))
 
+    # n_sh rides along; Min is a no-op combiner (all rows of a pair agree)
     inter = joined.map_batches(ordered, batch_format="pyarrow").groupby(
-        ["doc_a", "doc_b"]).aggregate(Count(alias_name="n_inter"))
-    inter = stamp_schema(inter, pa.schema([("doc_a", pa.int64()),
-                                           ("doc_b", pa.int64()),
-                                           ("n_inter", pa.int64())]))
-
-    sa = sizes.map_batches(lambda t: t.rename_columns(["doc_a", "na"]),
-                           batch_format="pyarrow")
-    sb = sizes.map_batches(lambda t: t.rename_columns(["doc_b", "nb"]),
-                           batch_format="pyarrow")
-    j = inter.join(sa, partition_size_hint=NARROW_JOIN_HINT,
-                  join_type="inner", num_partitions=num_partitions,
-                   on=("doc_a",))
-    j = j.join(sb, partition_size_hint=NARROW_JOIN_HINT,
-                  join_type="inner", num_partitions=num_partitions,
-               on=("doc_b",))
+        ["doc_a", "doc_b"]).aggregate(
+            Count(alias_name="n_inter"),
+            Min("na", alias_name="na"), Min("nb", alias_name="nb"))
 
     out_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
                             ("n_inter", pa.int64()),
@@ -301,13 +297,14 @@ def ngram_jaccard_pairs(docs, *, k: int = 3, threshold: float = 0.5,
         jv = ni / union
         keep = jv >= threshold
         return pa.table({
-            "doc_a": t["doc_a"].filter(pa.array(keep)),
-            "doc_b": t["doc_b"].filter(pa.array(keep)),
-            "n_inter": t["n_inter"].filter(pa.array(keep)),
+            "doc_a": pc.cast(t["doc_a"].filter(pa.array(keep)), pa.int64()),
+            "doc_b": pc.cast(t["doc_b"].filter(pa.array(keep)), pa.int64()),
+            "n_inter": pc.cast(t["n_inter"].filter(pa.array(keep)),
+                               pa.int64()),
             "jaccard": pa.array(jv[keep]),
         })
 
-    return stamp_schema(j.map_batches(jac, batch_format="pyarrow"),
+    return stamp_schema(inter.map_batches(jac, batch_format="pyarrow"),
                         out_schema)
 
 
@@ -423,7 +420,11 @@ def simhash_near_pairs(docs, *, max_hamming: int = 3,
                                    "simhash": t["simhash"]}))
         return pa.concat_tables(parts)
 
-    banded = fps.map_batches(band, batch_format="pyarrow").materialize()
+    from smqtk_indexing_ray.stages._util import drop_empty_blocks
+    banded = fps.map_batches(band, batch_format="pyarrow")
+    banded = drop_empty_blocks(
+        banded, pa.schema([("band_key", pa.int64()), ("doc_id", pa.int64()),
+                           ("simhash", pa.int64())]))
     left = banded.map_batches(
         lambda t: t.rename_columns(["band_key", "doc_a", "sim_a"]),
         batch_format="pyarrow")

@@ -343,7 +343,11 @@ def srp_near_pairs(emb, *, max_hamming: int = 8, seed: int = 42,
                                    "code": t["code"]}))
         return pa.concat_tables(parts)
 
-    banded = codes.map_batches(band, batch_format="pyarrow").materialize()
+    from smqtk_indexing_ray.stages._util import drop_empty_blocks
+    banded = codes.map_batches(band, batch_format="pyarrow")
+    banded = drop_empty_blocks(
+        banded, pa.schema([("band_key", pa.int64()), ("vec_id", pa.int64()),
+                           ("code", pa.int64())]))
     left = banded.map_batches(
         lambda t: t.rename_columns(["band_key", "vec_a", "code_a"]),
         batch_format="pyarrow")

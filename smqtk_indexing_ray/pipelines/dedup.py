@@ -130,9 +130,10 @@ def select_representatives(labeled, *, num_partitions: int = 32):
         })
 
     slim = labeled.map_batches(ts_us, batch_format="pyarrow")
+    from smqtk_indexing_ray.stages._util import drop_empty_blocks
     min_ts = slim.groupby("cluster_id").aggregate(Min("ts_us", alias_name="min_ts"))
-    min_ts = stamp_schema(min_ts, pa.schema([("cluster_id", pa.int64()),
-                                             ("min_ts", pa.int64())]))
+    min_ts = drop_empty_blocks(min_ts, pa.schema([("cluster_id", pa.int64()),
+                                                  ("min_ts", pa.int64())]))
     j = slim.join(min_ts, partition_size_hint=NARROW_JOIN_HINT,
                   join_type="inner", num_partitions=num_partitions,
                   on=("cluster_id",))
@@ -147,8 +148,8 @@ def select_representatives(labeled, *, num_partitions: int = 32):
     at_min = j.map_batches(_at_min, batch_format="pyarrow")
     reps = (at_min.groupby("cluster_id")
             .aggregate(Min("doc_id", alias_name="rep_doc")))
-    return stamp_schema(reps, pa.schema([("cluster_id", pa.int64()),
-                                         ("rep_doc", pa.int64())]))
+    return drop_empty_blocks(reps, pa.schema([("cluster_id", pa.int64()),
+                                              ("rep_doc", pa.int64())]))
 
 
 def documents_as_pages(docs):
@@ -209,6 +210,9 @@ def dedup_pipeline(pages, cfg: DedupConfig, *, num_partitions: int = 32,
         raise ValueError("dedup_pipeline: input corpus is empty")
 
     sigs = compute_signatures(pages, cfg).materialize()
+    from smqtk_indexing_ray.stages._util import drop_empty_blocks
+    from smqtk_indexing_ray.stages.signatures import _empty_signature_table
+    sigs = drop_empty_blocks(sigs, _empty_signature_table(cfg).schema)
 
     cand = candidate_edges(sigs, cfg)
     near = verify_edges(cand, sigs, cfg, num_partitions=num_partitions)

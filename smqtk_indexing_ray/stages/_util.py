@@ -6,12 +6,12 @@ import pyarrow as pa
 
 
 def stamp_schema(ds, schema: pa.Schema):
-    """Re-stamp zero-column empty blocks with the intended schema.
+    """Schema passthrough marker (documents the intended output schema).
 
-    Ray Data's hash-shuffle join and aggregate operators emit **zero-column**
-    empty blocks for empty partitions; a downstream join then fails with
-    ``No match ... for key field reference`` inside pyarrow.  Non-empty
-    blocks pass through untouched (zero-copy).
+    NOTE: this CANNOT repair empty blocks — Ray normalizes any empty
+    map_batches output to a **zero-column** block regardless of the schema
+    the UDF returned (verified empirically).  Use :func:`drop_empty_blocks`
+    on datasets that feed a join.
     """
     def f(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 and t.schema.names != schema.names:
@@ -19,3 +19,29 @@ def stamp_schema(ds, schema: pa.Schema):
         return t
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def drop_empty_blocks(ds, schema: pa.Schema):
+    """Rebuild a dataset without its empty blocks (join-input hygiene).
+
+    Ray's hash-aggregate emits zero-column blocks for empty partitions and
+    map_batches normalizes empty outputs to zero-column blocks; a join
+    partition that receives only such blocks dies inside pyarrow acero
+    with ``No match ... for key field reference``.  Filtering by block
+    METADATA (no data fetch) removes them; the dataset is materialized
+    first if it is not already (call sites are small aggregate outputs —
+    labels, representatives, bucket tables — never the corpus itself).
+
+    ``schema`` is used when every block is empty (an all-empty input must
+    still present typed columns to the join).
+    """
+    import ray.data as rd
+
+    mat = ds if hasattr(ds, "iter_internal_ref_bundles") and \
+        type(ds).__name__ == "MaterializedDataset" else ds.materialize()
+    refs = [ref for bundle in mat.iter_internal_ref_bundles()
+            for ref, meta in bundle.blocks
+            if meta.num_rows is None or meta.num_rows > 0]
+    if not refs:
+        return rd.from_arrow(schema.empty_table())
+    return rd.from_arrow_refs(refs)

@@ -262,7 +262,11 @@ def connected_components(edges, *, num_partitions: int = 32,
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} rounds")
-    return labels
+    # labels is already materialized: filtering empty blocks is a metadata
+    # pass, and downstream joins die on zero-column empty blocks
+    from smqtk_indexing_ray.stages._util import drop_empty_blocks
+    return drop_empty_blocks(labels, pa.schema([("doc_id", pa.int64()),
+                                                ("cluster_id", pa.int64())]))
 
 
 def driver_connected_components(edges) -> dict[int, int]:

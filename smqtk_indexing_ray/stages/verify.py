@@ -28,6 +28,10 @@ def verify_edges(edges, signatures, cfg: DedupConfig, *,
     ``hamming <= cfg.simhash_hamming_max``."""
     sig = signatures.select_columns(["doc_id", "minhash", "simhash"])
 
+    from smqtk_indexing_ray.stages._util import drop_empty_blocks
+    edges = drop_empty_blocks(
+        edges, pa.schema([("u", pa.int64()), ("v", pa.int64())]))
+
     e1 = edges.join(sig, partition_size_hint=NARROW_JOIN_HINT,
                   join_type="inner", num_partitions=num_partitions,
                     on=("u",), right_on=("doc_id",),

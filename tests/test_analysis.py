@@ -1,0 +1,151 @@
+"""Text-analysis / ANN operator tests on hand-built fixtures (the driver's
+DuckDB oracle covers the same ops at sf0.01; these pin exact semantics
+offline, reference style: tests/impls/nn_index/test_lsh.py:190-723 exact
+table assertions)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _docs():
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "a b c d e f",
+            "a b c d e f",                 # exact dup of 0
+            "a b c d e g",                 # near dup (5/7 trigram overlap)
+            "x y z w v u",
+            "the a the a",
+        ]),
+        "lang": pa.array(["en", "en", "de", "de", "en"]),
+    }))
+
+
+def _emb(n=40, d=8):
+    import ray.data as rd
+    rng = np.random.default_rng(1)
+    m = rng.standard_normal((n, d)).astype(np.float32)
+    m[1] = m[0] + 0.01 * rng.standard_normal(d).astype(np.float32)  # near-dup
+    return rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([list(r) for r in m],
+                              pa.list_(pa.float32())),
+        "label": pa.array(np.zeros(n, dtype=np.int32)),
+    }))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTextAnalysis:
+    def test_exact_dedup(self):
+        from smqtk_indexing_ray.pipelines.analysis import exact_dedup
+        df = exact_dedup(_docs()).to_pandas().sort_values(
+            "rep_doc", ignore_index=True)
+        assert dict(zip(df.rep_doc, df.n_copies)) == {0: 2, 2: 1, 3: 1, 4: 1}
+
+    def test_exact_cluster_labels(self):
+        from smqtk_indexing_ray.pipelines.analysis import exact_cluster_labels
+        df = exact_cluster_labels(_docs()).to_pandas()
+        assert dict(zip(df.doc_id, df.cluster_id)) == {
+            0: 0, 1: 0, 2: 2, 3: 3, 4: 4}
+
+    def test_token_stats(self):
+        from smqtk_indexing_ray.pipelines.analysis import token_stats
+        df = token_stats(_docs()).to_pandas().set_index("doc_id")
+        assert df.loc[0, "n_tokens"] == 6
+        assert df.loc[4, "n_tokens"] == 4
+        assert df.loc[4, "n_uniq_tokens"] == 2
+        assert df.loc[4, "stop_ratio"] == 1.0
+        assert df.loc[0, "stop_ratio"] == 1.0 / 6.0
+        assert df.loc[0, "chars_per_token"] == 11.0 / 6.0
+
+    def test_lang_summary(self):
+        from smqtk_indexing_ray.pipelines.analysis import lang_summary
+        df = lang_summary(_docs()).to_pandas().set_index("lang")
+        assert df.loc["en", "n_docs"] == 3
+        assert df.loc["de", "n_docs"] == 2
+        assert df.loc["en", "total_chars"] == 11 + 11 + 11
+        assert df.loc["en", "avg_chars"] == 11.0
+
+    def test_ngram_jaccard_pairs(self):
+        from smqtk_indexing_ray.pipelines.analysis import ngram_jaccard_pairs
+        df = ngram_jaccard_pairs(_docs(), k=3, threshold=0.4).to_pandas()
+        pairs = {(a, b): j for a, b, j in
+                 zip(df.doc_a, df.doc_b, df.jaccard)}
+        assert pairs[(0, 1)] == 1.0
+        # docs 0 and 2: trigram sets {abc,bcd,cde,def} vs {abc,bcd,cde,deg}
+        assert pairs[(0, 2)] == pytest.approx(3 / 5)
+        assert (3, 4) not in pairs and (0, 3) not in pairs
+
+    def test_jaccard_cluster_labels(self):
+        from smqtk_indexing_ray.pipelines.analysis import (
+            jaccard_cluster_labels)
+        df = jaccard_cluster_labels(_docs(), k=3, threshold=0.4).to_pandas()
+        lab = dict(zip(df.doc_id, df.cluster_id))
+        assert lab == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4}
+
+    def test_simhash_near_pairs_finds_exact_dup(self):
+        from smqtk_indexing_ray.pipelines.analysis import simhash_near_pairs
+        df = simhash_near_pairs(_docs(), max_hamming=3).to_pandas()
+        assert (0, 1, 0) in set(zip(df.doc_a, df.doc_b, df.hamming))
+
+    def test_doc_fingerprints_deterministic(self):
+        from smqtk_indexing_ray.pipelines.analysis import doc_fingerprints
+        a = doc_fingerprints(_docs()).to_pandas().sort_values(
+            "doc_id", ignore_index=True)
+        b = doc_fingerprints(_docs()).to_pandas().sort_values(
+            "doc_id", ignore_index=True)
+        assert a.equals(b)
+        assert a.fingerprint[0] == a.fingerprint[1]   # exact dup
+        assert a.fingerprint[0] != a.fingerprint[2]
+
+    def test_lang_id_shape(self):
+        from smqtk_indexing_ray.pipelines.analysis import lang_id
+        df = lang_id(_docs()).to_pandas()
+        assert len(df) == 5
+        assert set(df.columns) == {"doc_id", "pred_lang", "confidence"}
+        assert df.set_index("doc_id").loc[4, "pred_lang"] == "en"
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAnn:
+    def test_brute_force_topk_matches_numpy(self):
+        from smqtk_indexing_ray.pipelines.ann import brute_force_topk
+        emb = _emb()
+        df = brute_force_topk(emb, n_queries=4, k=5).to_pandas()
+        # oracle: dense numpy
+        t = pa.concat_tables(
+            [b for b in emb.iter_batches(batch_format="pyarrow")])
+        m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m[:4] @ m.T
+        for q in range(4):
+            s = sims[q].copy()
+            s[q] = -np.inf
+            want = np.lexsort((np.arange(len(s)), -s))[:5]
+            got = df[df.query_id == q].sort_values("rank").neighbor_id
+            np.testing.assert_array_equal(got, want)
+
+    def test_near_pair_found(self):
+        from smqtk_indexing_ray.pipelines.ann import cosine_near_pairs
+        df = cosine_near_pairs(_emb(), threshold=0.95).to_pandas()
+        assert (0, 1) in set(zip(df.vec_a, df.vec_b))
+
+    def test_hamming_topk_contract(self):
+        from smqtk_indexing_ray.pipelines.ann import hamming_topk
+        df = hamming_topk(_emb(), n_queries=3, k=4).to_pandas()
+        assert set(df.query_id) == {0, 1, 2}
+        g = df[df.query_id == 0].sort_values("rank")
+        assert list(g.hamming) == sorted(g.hamming)      # ascending distance
+        assert (g.norm_hamming == g.hamming / 64.0).all()
+        assert g.iloc[0].neighbor_id == 1                # the planted near-dup
+        # excludes self
+        assert not ((df.query_id == df.neighbor_id).any())
+
+    def test_srp_near_pairs(self):
+        from smqtk_indexing_ray.pipelines.ann import srp_near_pairs
+        df = srp_near_pairs(_emb(), max_hamming=8).to_pandas()
+        assert (0, 1) in set(zip(df.vec_a, df.vec_b))

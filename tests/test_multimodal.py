@@ -1,0 +1,73 @@
+"""Multimodal plumbing: schema, determinism, explode layout.
+
+The codec is a stub (no image/audio libs in this container); what these
+tests pin down is the Ray-side contract — actor-pool stage signature,
+fixed-size-list feature layout, batch behavior, retry-stable values."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _media_table(n=20):
+    rng = np.random.default_rng(5)
+    payloads = [rng.bytes(50 + int(rng.integers(0, 200))) for _ in range(n)]
+    return pa.table({
+        "media_id": pa.array(np.arange(n, dtype=np.int64)),
+        "kind": pa.array(["image" if i % 2 else "audio" for i in range(n)]),
+        "payload": pa.array(payloads, pa.binary()),
+    })
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMediaFeatures:
+    def test_schema_and_rows(self):
+        import ray.data as rd
+        from smqtk_indexing_ray.stages.multimodal import (
+            FEATURE_DIM, media_features)
+        out = media_features(rd.from_arrow(_media_table())).to_pandas()
+        assert len(out) == 20
+        assert set(out.columns) == {"media_id", "kind", "n_bytes", "width",
+                                    "height", "decoder", "feature"}
+        assert (out.decoder == "fake").all()  # no codec libs here
+        assert all(len(f) == FEATURE_DIM for f in out.feature)
+
+    def test_deterministic(self):
+        import ray.data as rd
+        from smqtk_indexing_ray.stages.multimodal import media_features
+        a = media_features(rd.from_arrow(_media_table())).to_pandas()
+        b = media_features(rd.from_arrow(_media_table())).to_pandas()
+        a = a.sort_values("media_id", ignore_index=True)
+        b = b.sort_values("media_id", ignore_index=True)
+        for fa, fb in zip(a.feature, b.feature):
+            np.testing.assert_array_equal(fa, fb)
+
+    def test_unit_norm_features(self):
+        from smqtk_indexing_ray.stages.multimodal import MediaFeatureStage
+        out = MediaFeatureStage()(_media_table())
+        feats = np.array(out["feature"].to_pylist())
+        np.testing.assert_allclose(
+            np.linalg.norm(feats, axis=1), 1.0, atol=1e-5)
+
+    def test_frame_explode(self):
+        import ray.data as rd
+        from smqtk_indexing_ray.stages.multimodal import frame_samples
+        out = frame_samples(rd.from_arrow(_media_table(6)),
+                            frames_per_doc=4).to_pandas()
+        assert len(out) == 24
+        per = out.groupby("media_id").frame_idx.apply(sorted)
+        assert all(list(v) == [0, 1, 2, 3] for v in per)
+
+    def test_media_from_documents(self):
+        import ray.data as rd
+        from smqtk_indexing_ray.stages.multimodal import (
+            media_features, media_from_documents)
+        docs = rd.from_arrow(pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["hello world", "second doc", None]),
+        }))
+        out = media_features(media_from_documents(docs)).to_pandas()
+        assert len(out) == 3
+        assert out.set_index("media_id").loc[1, "n_bytes"] == len(b"hello world")

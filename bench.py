@@ -26,7 +26,8 @@ import time
 
 DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-N_PAGES = 100_000
+N_PAGES = 1_000_000          # default headline corpus
+N_PAGES_SCALING = 8_000_000  # scaling run: large enough to saturate 32 CPUs
 PAGES_SEED = 7
 HOT_BLOCKS = 2
 
@@ -44,7 +45,7 @@ def ensure_corpus(n_docs: int) -> str:
     from smqtk_indexing_ray.sources.pages import PagesSpec, pages_dataset
     shutil.rmtree(path, ignore_errors=True)
     spec = PagesSpec(n_docs=n_docs, seed=PAGES_SEED, hot_blocks=HOT_BLOCKS)
-    pages_dataset(spec).write_parquet(path)
+    pages_dataset(spec, blocks_per_task=32).write_parquet(path)
     with open(marker, "w") as f:
         f.write("ok")
     return path
@@ -104,14 +105,15 @@ def run_sf_suite(sf_dir: str) -> dict[str, float]:
     return times
 
 
-def bench_once(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
+def bench_once(sf_dir: str, num_cpus: int, headline_only: bool,
+               n_docs: int = N_PAGES) -> dict:
     import ray
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
              logging_level="ERROR")
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
 
-    head = run_headline(N_PAGES)
+    head = run_headline(n_docs)
     queries = {"pages_dedup": round(head["sec"], 3)}
     if not headline_only:
         queries.update(run_sf_suite(sf_dir))
@@ -132,7 +134,8 @@ def bench_once(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
 def bench_scaling(sf_dir: str) -> dict:
     """Fresh-process runs at 8 and 32 CPUs on the same corpus."""
     ensure = subprocess.run(  # pre-generate so neither run pays generation
-        [sys.executable, __file__, "--ensure-corpus"], capture_output=True)
+        [sys.executable, __file__, "--ensure-corpus",
+         "--n-docs", str(N_PAGES_SCALING)], capture_output=True)
     if ensure.returncode != 0:
         sys.stderr.write(ensure.stderr.decode()[-2000:])
         raise SystemExit(1)
@@ -140,7 +143,8 @@ def bench_scaling(sf_dir: str) -> dict:
     for cpus in (8, 32):
         p = subprocess.run(
             [sys.executable, __file__, "--cpus", str(cpus),
-             "--headline-only", "--sf-dir", sf_dir],
+             "--headline-only", "--sf-dir", sf_dir,
+             "--n-docs", str(N_PAGES_SCALING)],
             capture_output=True)
         if p.returncode != 0:
             sys.stderr.write(p.stderr.decode()[-2000:])
@@ -171,19 +175,21 @@ def main() -> None:
     ap.add_argument("--headline-only", action="store_true")
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--ensure-corpus", action="store_true")
+    ap.add_argument("--n-docs", type=int, default=N_PAGES)
     args = ap.parse_args()
 
     if args.ensure_corpus:
         import ray
         ray.init(address="local", num_cpus=args.cpus,
                  include_dashboard=False, logging_level="ERROR")
-        ensure_corpus(N_PAGES)
+        ensure_corpus(args.n_docs)
         ray.shutdown()
         return
     if args.scaling:
         out = bench_scaling(args.sf_dir)
     else:
-        out = bench_once(args.sf_dir, args.cpus, args.headline_only)
+        out = bench_once(args.sf_dir, args.cpus, args.headline_only,
+                         n_docs=args.n_docs)
     print(json.dumps(out))
 
 

@@ -50,11 +50,15 @@ def compute_signatures(pages, cfg: DedupConfig):
     conc = cfg.signature_concurrency
     if conc is None:
         # size the pool to the cluster, leaving headroom for the read task
-        # and downstream shuffle aggregators
+        # and downstream shuffle aggregators.  min > 1 because an
+        # autoscaling pool ramping from one actor leaves most CPUs idle
+        # for the first half of the stage; min = cpus/3 keeps enough CPUs
+        # free that upstream reads are never starved (a FULL fixed pool
+        # deadlocks the streaming executor).
         import ray
         cpus = int(ray.cluster_resources().get("CPU", 8)) if (
             ray.is_initialized()) else 8
-        conc = (1, max(2, cpus - 2))
+        conc = (max(1, cpus // 3), max(2, cpus - 2))
     return ds.map_batches(
         SignatureStage,
         fn_constructor_args=(cfg,),
@@ -209,7 +213,15 @@ def dedup_pipeline(pages, cfg: DedupConfig, *, num_partitions: int = 32,
     if pages.limit(1).count() == 0:
         raise ValueError("dedup_pipeline: input corpus is empty")
 
-    sigs = compute_signatures(pages, cfg).materialize()
+    # Repartition before materializing: the signature actor pool emits one
+    # ~1-2 MB block per batch (hundreds of tiny blocks at 1M docs), and
+    # every downstream sort pays O(input_blocks x output_partitions) in
+    # task count — compacting to ~total_cpus blocks made the verify sort
+    # 4x faster at 1M docs.
+    import ray
+    n_blocks = max(8, min(64, int(ray.cluster_resources().get("CPU", 8))
+                          if ray.is_initialized() else 8))
+    sigs = compute_signatures(pages, cfg).repartition(n_blocks).materialize()
     from smqtk_indexing_ray.stages._util import drop_empty_blocks
     from smqtk_indexing_ray.stages.signatures import _empty_signature_table
     sigs = drop_empty_blocks(sigs, _empty_signature_table(cfg).schema)
@@ -227,9 +239,18 @@ def dedup_pipeline(pages, cfg: DedupConfig, *, num_partitions: int = 32,
     out_cols = ["doc_id", "url", "warc_ts", "lang"] + (
         ["text"] if include_text else [])
     meta = pages.select_columns([c for c in out_cols if c in pages.columns()])
-    joined = meta.join(labels, partition_size_hint=NARROW_JOIN_HINT,
-                  join_type="left_outer",
-                       num_partitions=num_partitions, on=("doc_id",))
+    from smqtk_indexing_ray.stages.attach import sort_attach
+    _TYPES = {"doc_id": pa.int64(), "url": pa.string(),
+              "warc_ts": pa.timestamp("us"), "lang": pa.string(),
+              "text": pa.string()}
+    meta_schema = pa.schema([(c, _TYPES[c]) for c in out_cols
+                             if c in pages.columns()])
+    joined = sort_attach(
+        meta, labels, key="doc_id", payload_key="doc_id",
+        payload_cols=["cluster_id"], how="left",
+        rows_schema=meta_schema,
+        payload_schema=pa.schema([("doc_id", pa.int64()),
+                                  ("cluster_id", pa.int64())]))
 
     _FIELD_TYPES = {"doc_id": pa.int64(), "url": pa.string(),
                     "warc_ts": pa.timestamp("us"), "lang": pa.string(),

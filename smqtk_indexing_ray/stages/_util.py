@@ -21,6 +21,32 @@ def stamp_schema(ds, schema: pa.Schema):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def probe_blocks(mat_ds, fn) -> pa.Table:
+    """Run ``fn(block) -> pa.Table`` over a MATERIALIZED dataset's blocks
+    as raw Ray tasks and concat the (tiny) results on the driver.
+
+    This is the escape hatch for the per-round driver probes (boundary
+    fixups, convergence fingerprints): each emits ~2 rows per block, but
+    as a ``map_batches`` dataset it costs a full streaming-executor
+    launch (~0.3-0.5 s of pure latency).  An iterative pipeline doing
+    several probes per round pays seconds of wall per round for
+    micro-results; raw tasks over the already-pinned block refs cost
+    ~10 ms each.  Only valid on materialized datasets.
+    """
+    import ray
+
+    refs = [ref for bundle in mat_ds.iter_internal_ref_bundles()
+            for ref, meta in bundle.blocks]
+    if not refs:
+        return pa.table({})
+    task = ray.remote(num_cpus=0.25)(fn)
+    parts = [t for t in ray.get([task.remote(r) for r in refs])
+             if t is not None and t.num_rows]
+    if not parts:
+        return pa.table({})
+    return pa.concat_tables(parts)
+
+
 def drop_empty_blocks(ds, schema: pa.Schema):
     """Rebuild a dataset without its empty blocks (join-input hygiene).
 

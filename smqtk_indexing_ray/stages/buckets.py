@@ -133,16 +133,23 @@ def _star_edges_single(ds, keys: list[str], node: str, all_reps: bool):
     def only_edges(t: pa.Table) -> pa.Table:
         return t.filter(pa.compute.is_valid(t["v"])).select(["u", "v"])
 
-    def only_reps(t: pa.Table) -> pa.Table:
+    def only_reps(t: pa.Table) -> pa.Table | None:
+        # raw-task probes see every block, including zero-column empties
+        if t.num_rows == 0 or any(c not in t.column_names
+                                  for c in ["u", "v"] + keys):
+            return None
         return t.filter(pa.compute.is_null(t["v"])).select(["u"] + keys)
 
     edges = mixed.map_batches(only_edges, batch_format="pyarrow")
-    reps = mixed.map_batches(only_reps, batch_format="pyarrow")
     if all_reps:
+        reps = mixed.map_batches(only_reps, batch_format="pyarrow")
         return edges, reps
     # boundary fixup: tiny (<= 2 rows per batch) — link local minima of the
-    # same key that straddled a batch boundary, driver-side.
-    bdf = reps.to_pandas()
+    # same key that straddled a batch boundary, driver-side (raw tasks over
+    # the materialized blocks, no extra dataset execution).
+    from smqtk_indexing_ray.stages._util import probe_blocks
+    ptbl = probe_blocks(mixed, only_reps)
+    bdf = ptbl.to_pandas() if ptbl.num_columns else __import__("pandas").DataFrame(columns=["u"] + keys)
     extra = _link_group_mins(bdf, keys)
     if len(extra):
         edges = edges.union(rd.from_arrow(extra))

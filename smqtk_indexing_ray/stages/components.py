@@ -72,7 +72,9 @@ def _boundary_fixup(srt, key: str, val: str) -> dict[int, int]:
                          "_lm": pa.array(lm),
                          "_n": pa.array(np.ones(len(idx), dtype=np.int64))})
 
-    pdf = srt.map_batches(probe, batch_format="pyarrow").to_pandas()
+    from smqtk_indexing_ray.stages._util import probe_blocks
+    ptbl = probe_blocks(srt, probe)
+    pdf = ptbl.to_pandas()
     if pdf.empty:
         return {}
     g = pdf.groupby(key).agg(lm=("_lm", "min"), n=("_n", "sum"))
@@ -218,13 +220,13 @@ def _labels_fingerprint(labels) -> tuple[int, int]:
         return pa.table({"chk": pa.array([s], type=pa.int64()),
                          "cnt": pa.array([t.num_rows], type=pa.int64())})
 
-    mini = labels.map_batches(chk, batch_format="pyarrow")
-    from ray.data.aggregate import Sum
-    res = mini.aggregate(Sum("chk", alias_name="chk"),
-                         Sum("cnt", alias_name="cnt"))
-    if not res or res.get("cnt") is None:
+    from smqtk_indexing_ray.stages._util import probe_blocks
+    mini = probe_blocks(labels, chk)
+    if mini.num_rows == 0:
         return 0, 0
-    return int(res["cnt"]), int(res["chk"]) % int(_CHK_MOD)
+    cnt = int(np.sum(mini["cnt"].to_numpy(zero_copy_only=False)))
+    s = int(np.sum(mini["chk"].to_numpy(zero_copy_only=False)) % _CHK_MOD)
+    return cnt, s
 
 
 def connected_components(edges, *, num_partitions: int = 32,
@@ -254,7 +256,10 @@ def connected_components(edges, *, num_partitions: int = 32,
             break
         if fp == prev:
             stable += 1
-            if stable >= 2:
+            # one full round with an unchanged label SET is the fixpoint
+            # test (the fingerprint is exact and partition-invariant);
+            # labels are monotone non-increasing under the star ops
+            if stable >= 1:
                 break
         else:
             stable = 0

@@ -2,12 +2,17 @@
 
 Analog of the reference's post-LSH exact-distance verification
 (/root/reference/smqtk_indexing/impls/nn_index/lsh.py:499-518: fetch
-candidate vectors, compute the exact metric, keep the best), restated as a
-batch self-join: candidate edges hash-join the signatures table on both
-endpoints (two partitioned joins — the signature payload crosses the wire
-once per endpoint, ~0.5 KB/row, never the text), then a vectorized kernel
-computes the estimated Jaccard (MinHash agreement fraction) and SimHash
-hamming distance and filters below-threshold edges.
+candidate vectors, compute the exact metric, keep the best), restated as
+two sort-merge payload attachments: candidate edges pick up each
+endpoint's signature via :func:`smqtk_indexing_ray.stages.attach.
+sort_attach` (the signature payload crosses the wire once per endpoint,
+~0.5 KB/row, never the text), then a vectorized kernel computes the
+estimated Jaccard (MinHash agreement fraction) and SimHash hamming
+distance and filters below-threshold edges.
+
+Hash joins were measured 2-10x slower here (per-join shuffle-aggregator
+actor spin-up dominates; np=16: 36 s vs np=64: 145 s for the same data);
+see stages/attach.py.
 """
 
 from __future__ import annotations
@@ -16,51 +21,87 @@ import numpy as np
 import pyarrow as pa
 
 from smqtk_indexing_ray.config import DedupConfig
-from smqtk_indexing_ray.context import NARROW_JOIN_HINT
 from smqtk_indexing_ray.functions.metrics import est_jaccard, hamming_u64
+from smqtk_indexing_ray.stages.attach import sort_attach
 from smqtk_indexing_ray.stages.signatures import minhash_matrix
+
+
+def _rename(mapping):
+    def f(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or any(c not in t.column_names for c in mapping):
+            return t
+        return t.rename_columns(
+            [mapping.get(c, c) for c in t.column_names])
+    return f
 
 
 def verify_edges(edges, signatures, cfg: DedupConfig, *,
                  num_partitions: int = 32):
     """edges(u, v) x signatures -> verified edges (u, v, est_jaccard,
     hamming) with ``est_jaccard >= cfg.verify_threshold`` OR
-    ``hamming <= cfg.simhash_hamming_max``."""
-    sig = signatures.select_columns(["doc_id", "minhash", "simhash"])
-
-    from smqtk_indexing_ray.stages._util import drop_empty_blocks
-    edges = drop_empty_blocks(
-        edges, pa.schema([("u", pa.int64()), ("v", pa.int64())]))
-
-    e1 = edges.join(sig, partition_size_hint=NARROW_JOIN_HINT,
-                  join_type="inner", num_partitions=num_partitions,
-                    on=("u",), right_on=("doc_id",),
-                    left_suffix="", right_suffix="_u")
-    e1 = e1.rename_columns({"minhash": "minhash_u", "simhash": "simhash_u"})
-    e1 = e1.drop_columns(["doc_id"]) if "doc_id" in e1.columns() else e1
-    e2 = e1.join(sig, partition_size_hint=NARROW_JOIN_HINT,
-                  join_type="inner", num_partitions=num_partitions,
-                 on=("v",), right_on=("doc_id",),
-                 left_suffix="", right_suffix="_v")
-    e2 = e2.rename_columns({"minhash": "minhash_v", "simhash": "simhash_v"})
-    if "doc_id" in e2.columns():
-        e2 = e2.drop_columns(["doc_id"])
-
+    ``hamming <= cfg.simhash_hamming_max``.  ``num_partitions`` kept for
+    API symmetry (sort_attach's sort picks its own partitioning)."""
     num_perms = cfg.num_perms
+    mh8_type = pa.binary(num_perms)
+
+    # Verify sketch: each 32-bit MinHash value truncated to its low byte.
+    # For a pair at Jaccard J the agreement fraction estimates
+    # J + (1-J)/256 (an accidental low-byte collision) — bias < 0.004,
+    # negligible against verify_threshold; payload shrinks 4x, and the
+    # attach sort is bandwidth-bound on exactly this payload.
+    def truncate(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "minhash" not in t.column_names:
+            return pa.schema([("doc_id", pa.int64()), ("mh8", mh8_type),
+                              ("simhash", pa.int64())]).empty_table()
+        mh = minhash_matrix(t["minhash"], num_perms)
+        mh8 = np.ascontiguousarray(mh.astype(np.uint8))
+        buf = pa.py_buffer(mh8.reshape(-1))
+        arr = pa.FixedSizeBinaryArray.from_buffers(
+            mh8_type, t.num_rows, [None, buf])
+        return pa.table({"doc_id": t["doc_id"], "mh8": arr,
+                         "simhash": t["simhash"]})
+
+    sig = signatures.select_columns(["doc_id", "minhash", "simhash"]
+                                    ).map_batches(truncate,
+                                                  batch_format="pyarrow")
+    sig_schema = pa.schema([("doc_id", pa.int64()), ("mh8", mh8_type),
+                            ("simhash", pa.int64())])
+    uv_schema = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+
+    e1 = sort_attach(edges, sig, key="u", payload_key="doc_id",
+                     payload_cols=["mh8", "simhash"], how="inner",
+                     rows_schema=uv_schema, payload_schema=sig_schema)
+    e1 = e1.map_batches(_rename({"mh8": "mh8_u", "simhash": "simhash_u"}),
+                        batch_format="pyarrow")
+    e1_schema = pa.schema([("u", pa.int64()), ("v", pa.int64()),
+                           ("mh8_u", mh8_type), ("simhash_u", pa.int64())])
+    e2 = sort_attach(e1, sig, key="v", payload_key="doc_id",
+                     payload_cols=["mh8", "simhash"], how="inner",
+                     rows_schema=e1_schema, payload_schema=sig_schema)
+    e2 = e2.map_batches(_rename({"mh8": "mh8_v", "simhash": "simhash_v"}),
+                        batch_format="pyarrow")
+
     thresh = cfg.verify_threshold
     ham_max = cfg.simhash_hamming_max
 
+    def u8_matrix(col, p):
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        buf = col.buffers()[1]
+        arr = np.frombuffer(buf, dtype=np.uint8)
+        start = col.offset * p
+        return arr[start:start + len(col) * p].reshape(len(col), p)
+
     def score(t: pa.Table) -> pa.Table:
-        needed = ("u", "v", "minhash_u", "minhash_v", "simhash_u", "simhash_v")
+        needed = ("u", "v", "mh8_u", "mh8_v", "simhash_u", "simhash_v")
         if t.num_rows == 0 or any(c not in t.column_names for c in needed):
-            # Ray joins emit zero-column blocks for empty partitions —
-            # always re-stamp the output schema.
+            # zero-column empty blocks flow through — re-stamp the schema
             return pa.table({"u": pa.array([], pa.int64()),
                              "v": pa.array([], pa.int64()),
                              "est_jaccard": pa.array([], pa.float64()),
                              "hamming": pa.array([], pa.int32())})
-        mu = minhash_matrix(t["minhash_u"], num_perms)
-        mv = minhash_matrix(t["minhash_v"], num_perms)
+        mu = u8_matrix(t["mh8_u"], num_perms)
+        mv = u8_matrix(t["mh8_v"], num_perms)
         ej = est_jaccard(mu, mv)
         su = t["simhash_u"].to_numpy(zero_copy_only=False).view(np.uint64)
         sv = t["simhash_v"].to_numpy(zero_copy_only=False).view(np.uint64)

@@ -162,10 +162,15 @@ def checkpointed_dedup(pages_path: str, cfg, ckpt_root: str, *,
         meta_cols = [c for c in ("doc_id", "url", "warc_ts", "lang")
                      if c in pages.columns()]
         meta = pages.select_columns(meta_cols)
-        from smqtk_indexing_ray.context import NARROW_JOIN_HINT
-        j = meta.join(labels, partition_size_hint=NARROW_JOIN_HINT,
-                      join_type="left_outer",
-                      num_partitions=num_partitions, on=("doc_id",))
+        from smqtk_indexing_ray.stages.attach import sort_attach
+        types = {"doc_id": pa.int64(), "url": pa.string(),
+                 "warc_ts": pa.timestamp("us"), "lang": pa.string()}
+        j = sort_attach(
+            meta, labels, key="doc_id", payload_key="doc_id",
+            payload_cols=["cluster_id"], how="left",
+            rows_schema=pa.schema([(c, types[c]) for c in meta_cols]),
+            payload_schema=pa.schema([("doc_id", pa.int64()),
+                                      ("cluster_id", pa.int64())]))
 
         def fill(t: pa.Table) -> pa.Table:
             want = meta_cols + ["cluster_id", "keep"]

@@ -180,6 +180,16 @@ def _q_media_features(sf_dir: str):
     return feats.map_batches(slim, batch_format="pyarrow")
 
 
+def _q_itq_codes(sf_dir: str):
+    """ITQ trained functor (reference's flagship LshFunctor): distributed
+    mean/covariance fit + driver-side rotation, batched code emission.
+    Deterministic (seeded) but eigen-decomposition-based — rows-only."""
+    from smqtk_indexing_ray.functions.itq import itq_codes, itq_fit
+    emb = _emb(sf_dir)
+    model = itq_fit(emb, bit_length=32, seed=42)
+    return itq_codes(emb, model)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "exact_dedup": _q_exact_dedup,
@@ -199,6 +209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_containment": _q_substring_containment,
         "cluster_containment": _q_cluster_containment,
         "media_features": _q_media_features,
+        "itq_codes": _q_itq_codes,
     }
 
 

@@ -87,7 +87,10 @@ class Checkpoint:
         import ray.data as rd
         if not self.has_stage(name):
             raise KeyError(f"no valid checkpoint for stage {name!r}")
-        return rd.read_parquet(self.stage_dir(name))
+        d = self.stage_dir(name)
+        if not any(f.endswith(".parquet") for f in os.listdir(d)):
+            return rd.from_items([])     # empty stage
+        return rd.read_parquet(d)
 
     def write_stage(self, ds, name: str, *, inputs: list[str] | None = None,
                     wall_s: float = 0.0, **extra):
@@ -97,11 +100,18 @@ class Checkpoint:
         tmp = self.stage_dir(name) + f".tmp-{uuid.uuid4().hex[:8]}"
         t0 = time.time()
         ds.write_parquet(tmp)
+        # an empty dataset writes no files (and possibly no directory):
+        # materialize the empty stage as an empty dir so resume semantics
+        # ("stage exists, zero rows") still hold
+        os.makedirs(tmp, exist_ok=True)
         final = self.stage_dir(name)
         shutil.rmtree(final, ignore_errors=True)
         os.replace(tmp, final)
         import ray.data as rd
-        out = rd.read_parquet(final)
+        if any(f.endswith(".parquet") for f in os.listdir(final)):
+            out = rd.read_parquet(final)
+        else:
+            out = rd.from_items([])
         self._record(StageRecord(
             name=name, rows=out.count(), config_hash=self.config_hash,
             wall_s=wall_s + (time.time() - t0), created_at=time.time(),

@@ -1,0 +1,161 @@
+"""Reference-contract tests: DedupIndex mutable-index API + ITQ functor.
+
+Mirrors the reference's interface/state-machine suites:
+tests/interfaces/test_nearest_neighbors_index.py:43-305 (empty input
+raises, count passthrough), tests/impls/nn_index/test_faiss.py:197-227
+(duplicate-uid warning), test_lsh.py:323-364 (idempotent update),
+test_lsh.py:402-450 (all-or-nothing remove),
+tests/impls/lsh_functor/test_itq.py:255-336 (collinear-points golden).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from smqtk_indexing_ray.config import DedupConfig
+
+
+def _pages(ids, texts):
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+
+
+TEXTS = [
+    "alpha beta gamma delta epsilon zeta",
+    "alpha beta gamma delta epsilon zeta",     # dup of 0
+    "one two three four five six seven",
+    "completely different content goes here now",
+]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDedupIndex:
+    def _fresh(self, tmp_path):
+        from smqtk_indexing_ray.pipelines.index import DedupIndex
+        return DedupIndex(str(tmp_path / "idx"), DedupConfig(
+            signature_concurrency=2, batch_size=256))
+
+    def test_build_count_len(self, tmp_path):
+        idx = self._fresh(tmp_path)
+        idx.build(_pages([0, 1, 2, 3], TEXTS))
+        assert idx.count() == 4 and len(idx) == 4
+
+    def test_empty_build_raises(self, tmp_path):
+        idx = self._fresh(tmp_path)
+        with pytest.raises(ValueError):
+            idx.build(_pages([], []))
+        assert idx.count() == 0
+
+    def test_update_skips_existing_with_warning(self, tmp_path):
+        idx = self._fresh(tmp_path)
+        idx.build(_pages([0, 1], TEXTS[:2]))
+        with pytest.warns(UserWarning, match="already indexed"):
+            idx.update(_pages([1, 2], TEXTS[1:3]))
+        assert idx.count() == 3
+
+    def test_remove_all_or_nothing(self, tmp_path):
+        idx = self._fresh(tmp_path)
+        idx.build(_pages([0, 1, 2, 3], TEXTS))
+        with pytest.raises(KeyError):
+            idx.remove([2, 99])
+        assert idx.count() == 4          # unmodified
+        idx.remove([2])
+        assert idx.count() == 3
+
+    def test_read_only_guard(self, tmp_path):
+        from smqtk_indexing_ray.pipelines.index import DedupIndex
+        idx = self._fresh(tmp_path)
+        idx.build(_pages([0, 1], TEXTS[:2]))
+        ro = DedupIndex(str(tmp_path / "idx"), DedupConfig(
+            signature_concurrency=2, batch_size=256), read_only=True)
+        with pytest.raises(RuntimeError):
+            ro.build(_pages([5], ["x y z w"]))
+        assert ro.count() == 2
+
+    def test_nn_self_query_first(self, tmp_path):
+        idx = self._fresh(tmp_path)
+        idx.build(_pages([0, 1, 2, 3], TEXTS))
+        ids, dists = idx.nn(TEXTS[0], n=3)
+        assert ids[0] in (0, 1) and dists[0] == 0.0
+        assert dists == sorted(dists)
+
+    def test_nn_empty_index_raises(self, tmp_path):
+        idx = self._fresh(tmp_path)
+        with pytest.raises(ValueError):
+            idx.nn("some text here")
+
+    def test_nn_no_shingle_query_raises(self, tmp_path):
+        idx = self._fresh(tmp_path)
+        idx.build(_pages([0, 1], TEXTS[:2]))
+        with pytest.raises(ValueError):
+            idx.nn("ab")
+
+    def test_labels_after_mutations(self, tmp_path):
+        idx = self._fresh(tmp_path)
+        idx.build(_pages([0, 1, 2, 3], TEXTS))
+        lab = idx.labels().to_pandas()
+        assert dict(zip(lab.doc_id, lab.cluster_id)) == {0: 0, 1: 0}
+        idx.remove([1])
+        lab2 = idx.labels().to_pandas()
+        assert len(lab2) == 0            # dup partner gone
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestItq:
+    def test_collinear_golden(self):
+        """Reference golden: 5 collinear 2-D points -> mean [0,0],
+        rotation column proportional to [1/sqrt(2), 1/sqrt(2)]
+        (tests/impls/lsh_functor/test_itq.py:255-336)."""
+        import ray.data as rd
+        from smqtk_indexing_ray.functions.itq import itq_fit
+        pts = np.array([[-2., -2.], [-1., -1.], [0., 0.], [1., 1.],
+                        [2., 2.]], dtype=np.float32)
+        emb = rd.from_arrow(pa.table({
+            "vec_id": pa.array(np.arange(5, dtype=np.int64)),
+            "embedding": pa.array([list(p) for p in pts],
+                                  pa.list_(pa.float32())),
+        }))
+        model = itq_fit(emb, bit_length=1, seed=0)
+        np.testing.assert_allclose(model.mean_vec, [0.0, 0.0], atol=1e-9)
+        col = model.rotation[:, 0]
+        np.testing.assert_allclose(np.abs(col), [2**-0.5, 2**-0.5],
+                                   atol=1e-7)
+        # decision boundary: points on either side of the line hash apart
+        h = model.get_hash(np.array([[1.0, 1.0], [-1.0, -1.0]]))
+        assert h[0, 0] != h[1, 0]
+
+    def test_codes_locality(self):
+        """Near vectors collide in far more bits than far vectors."""
+        import ray.data as rd
+        from smqtk_indexing_ray.functions.itq import itq_codes, itq_fit
+        from smqtk_indexing_ray.functions.metrics import popcount_u64
+        rng = np.random.default_rng(3)
+        base = rng.standard_normal((60, 16)).astype(np.float32)
+        base[1] = base[0] + 0.01 * rng.standard_normal(16).astype(np.float32)
+        emb = rd.from_arrow(pa.table({
+            "vec_id": pa.array(np.arange(60, dtype=np.int64)),
+            "embedding": pa.array([list(p) for p in base],
+                                  pa.list_(pa.float32())),
+        }))
+        model = itq_fit(emb, bit_length=16, seed=1)
+        codes = itq_codes(emb, model).to_pandas().set_index("vec_id")
+        c = codes.code.to_numpy().astype(np.int64).view(np.uint64)
+        near = popcount_u64(np.array([c[0] ^ c[1]]))[0]
+        far = [popcount_u64(np.array([c[0] ^ c[j]]))[0] for j in range(2, 30)]
+        assert near <= 2
+        assert np.mean(far) > near + 2
+
+    def test_fit_empty_raises(self):
+        import ray.data as rd
+        from smqtk_indexing_ray.functions.itq import itq_fit
+        emb = rd.from_arrow(pa.table({
+            "vec_id": pa.array([], pa.int64()),
+            "embedding": pa.array([], pa.list_(pa.float32())),
+        }))
+        with pytest.raises(ValueError):
+            itq_fit(emb, bit_length=4)

@@ -180,6 +180,13 @@ def _q_media_features(sf_dir: str):
     return feats.map_batches(slim, batch_format="pyarrow")
 
 
+def _q_ivf_topk(sf_dir: str):
+    """IVF-list approximate top-k (FAISS-IVF analog; recall-vs-brute-force
+    asserted in tests) — rows-only."""
+    from smqtk_indexing_ray.pipelines.ann import ivf_topk
+    return ivf_topk(_emb(sf_dir), n_queries=8, k=10, n_lists=16, n_probe=8)
+
+
 def _q_itq_codes(sf_dir: str):
     """ITQ trained functor (reference's flagship LshFunctor): distributed
     mean/covariance fit + driver-side rotation, batched code emission.
@@ -210,6 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_containment": _q_cluster_containment,
         "media_features": _q_media_features,
         "itq_codes": _q_itq_codes,
+        "ivf_topk": _q_ivf_topk,
     }
 
 

@@ -382,3 +382,130 @@ def srp_near_pairs(emb, *, max_hamming: int = 8, seed: int = 42,
     g = pairs.groupby(["vec_a", "vec_b"]).aggregate(
         Min("hamming", alias_name="hamming"))
     return stamp_schema(g, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the FAISS-IVF analog (rows-only oracle)
+# ---------------------------------------------------------------------------
+
+def ivf_train_centroids(emb, *, n_lists: int = 16, n_iter: int = 10,
+                        seed: int = 42, sample_limit: int = 100_000
+                        ) -> np.ndarray:
+    """Seeded k-means coarse quantizer trained on a corpus sample.
+
+    The reference delegates this to faiss ``index_factory('IVF...')``
+    training (/root/reference/smqtk_indexing/impls/nn_index/faiss.py:
+    368-386, 516-523); here it is a driver-side Lloyd loop over a bounded
+    sample (the quantizer is a tiny (n_lists, d) model — sampling does
+    not change it materially, and the corpus itself never leaves the
+    cluster).
+    """
+    sample = emb.select_columns(["embedding"]).limit(sample_limit)
+    tbl = pa.concat_tables(
+        [b for b in sample.iter_batches(batch_format="pyarrow")])
+    m = _normalize(_emb_matrix(tbl))
+    if len(m) == 0:
+        raise ValueError("ivf_train_centroids: empty input")
+    rng = np.random.default_rng(seed)
+    k = min(n_lists, len(m))
+    cent = m[rng.choice(len(m), size=k, replace=False)]
+    for _ in range(n_iter):
+        assign = (m @ cent.T).argmax(axis=1)
+        for j in range(k):
+            sel = m[assign == j]
+            if len(sel):
+                c = sel.mean(axis=0)
+                nrm = np.linalg.norm(c)
+                cent[j] = c / (nrm if nrm else 1.0)
+    return cent
+
+
+def ivf_topk(emb, *, n_queries: int = 8, k: int = 10, n_lists: int = 16,
+             n_probe: int = 4, seed: int = 42, batch_size: int = 4096,
+             concurrency=(1, 4)):
+    """IVF approximate top-k: assign each vector to its nearest centroid
+    list, search only the ``n_probe`` lists closest to each query, exact
+    re-rank inside (faiss.py:751-831's search -> exact re-rank shape;
+    ``n_probe`` is the recall/speed knob, faiss.py:715-749).
+
+    Output: ``query_id, neighbor_id, rank`` (rows-only oracle; recall vs
+    brute force is asserted in tests).
+    """
+    import ray
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+
+    cent = ivf_train_centroids(emb, n_lists=n_lists, seed=seed)
+    qt = pa.concat_tables(
+        [b for b in emb.filter(expr=f"vec_id < {int(n_queries)}")
+         .iter_batches(batch_format="pyarrow")]
+        or [pa.schema([("vec_id", pa.int64())]).empty_table()])
+    if qt.num_rows == 0:
+        return _final_topk(
+            __import__("ray.data", fromlist=["data"]).from_arrow(
+                pa.schema([("query_id", pa.int64()),
+                           ("neighbor_id", pa.int64()),
+                           ("cos_sim", pa.float64())]).empty_table()), k)
+    qids = qt["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    qm = _normalize(_emb_matrix(qt))
+    # lists each query probes
+    probes = np.argsort(-(qm @ cent.T), axis=1)[:, :n_probe]  # (nq, n_probe)
+    state_ref = ray.put((qids, qm, cent, probes))
+
+    class _IvfScan:
+        """Assign the batch's vectors to lists; score each query only
+        against vectors whose list is probed by that query."""
+
+        def __init__(self, ref, k):
+            self.qids, self.qm, self.cent, self.probes = ray.get(ref)
+            self.k = k
+            self.probe_sets = [set(int(x) for x in row)
+                               for row in self.probes]
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            schema = pa.schema([("query_id", pa.int64()),
+                                ("neighbor_id", pa.int64()),
+                                ("cos_sim", pa.float64())])
+            n = t.num_rows
+            if n == 0 or len(self.qids) == 0:
+                return schema.empty_table()
+            cm = _normalize(_emb_matrix(t))
+            vids = t["vec_id"].to_numpy(zero_copy_only=False)
+            assign = (cm @ self.cent.T).argmax(axis=1)      # (B,)
+            out_q, out_n, out_s = [], [], []
+            sims = self.qm @ cm.T                           # (nq, B)
+            for qi in range(len(self.qids)):
+                mask = np.isin(assign, self.probes[qi]) & (
+                    vids != self.qids[qi])
+                idx = np.flatnonzero(mask)
+                if len(idx) == 0:
+                    continue
+                s = sims[qi, idx]
+                kk = min(self.k, len(idx))
+                part = np.argpartition(-s, kk - 1)[:kk]
+                out_q.append(np.full(kk, self.qids[qi], np.int64))
+                out_n.append(vids[idx[part]].astype(np.int64))
+                out_s.append(s[part])
+            if not out_q:
+                return schema.empty_table()
+            return pa.table({
+                "query_id": pa.array(np.concatenate(out_q)),
+                "neighbor_id": pa.array(np.concatenate(out_n)),
+                "cos_sim": pa.array(np.concatenate(out_s)),
+            })
+
+    cands = emb.select_columns(["vec_id", "embedding"]).map_batches(
+        _IvfScan, fn_constructor_args=(state_ref, k),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+    out = _final_topk(cands, k)
+
+    def drop_sim(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("query_id", pa.int64()),
+                            ("neighbor_id", pa.int64()),
+                            ("rank", pa.int64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        return t.select(["query_id", "neighbor_id", "rank"])
+
+    return out.map_batches(drop_sim, batch_format="pyarrow")

@@ -1,0 +1,116 @@
+"""Ingestion readers + IVF ANN recall."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestReadPages:
+    def _write_parquet(self, tmp_path, drop=()):
+        t = pa.table({
+            "doc_id": pa.array([10, 11], pa.int64()),
+            "url": pa.array(["u/a", "u/b"]),
+            "warc_ts": pa.array([1, 2], pa.timestamp("us")),
+            "html": pa.array([b"<p>x</p>", None], pa.binary()),
+            "text": pa.array(["x", "y"]),
+            "lang": pa.array(["en", "de"]),
+        })
+        t = t.drop_columns(list(drop))
+        p = str(tmp_path / "pages.parquet")
+        pq.write_table(t, p)
+        return p
+
+    def test_parquet_full_schema(self, tmp_path):
+        from smqtk_indexing_ray.sources.ingest import PAGES_SCHEMA, read_pages
+        ds = read_pages(self._write_parquet(tmp_path))
+        df = ds.to_pandas()
+        assert list(df.columns) == [f.name for f in PAGES_SCHEMA]
+        assert sorted(df.doc_id) == [10, 11]
+
+    def test_parquet_missing_optional_columns(self, tmp_path):
+        from smqtk_indexing_ray.sources.ingest import read_pages
+        p = self._write_parquet(tmp_path, drop=("html", "lang"))
+        df = read_pages(p).to_pandas()
+        assert df.html.isna().all() and df.lang.isna().all()
+        assert (df.text == ["x", "y"]).all()
+
+    def test_jsonl_with_structural_ids(self, tmp_path):
+        from smqtk_indexing_ray.sources.ingest import read_pages
+        p = str(tmp_path / "pages.jsonl")
+        with open(p, "w") as f:
+            for i in range(5):
+                f.write(json.dumps({"url": f"u/{i}", "text": f"doc {i}"})
+                        + "\n")
+        df = read_pages(p, format="jsonl").to_pandas()
+        assert len(df) == 5
+        assert df.doc_id.nunique() == 5          # structural, unique
+        assert df.url.nunique() == 5
+
+    def test_missing_required_raises(self, tmp_path):
+        from smqtk_indexing_ray.sources.ingest import read_pages
+        p = str(tmp_path / "bad.parquet")
+        pq.write_table(pa.table({"body": pa.array(["x"])}), p)
+        with pytest.raises(ValueError, match="required"):
+            read_pages(p)
+
+    def test_feeds_pipeline(self, tmp_path):
+        import ray.data as rd
+        from smqtk_indexing_ray.config import DedupConfig
+        from smqtk_indexing_ray.pipelines.dedup import dedup_pipeline
+        from smqtk_indexing_ray.sources.ingest import read_pages
+        from smqtk_indexing_ray.sources.pages import (
+            PagesSpec, generate_pages_table)
+        p = str(tmp_path / "gen.parquet")
+        pq.write_table(generate_pages_table(PagesSpec(n_docs=200, seed=9)), p)
+        res = dedup_pipeline(read_pages(p), DedupConfig(
+            signature_concurrency=2, batch_size=128), num_partitions=4)
+        assert res.output.count() == 200
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestIvf:
+    def test_recall_vs_brute_force(self):
+        import ray.data as rd
+        from smqtk_indexing_ray.pipelines.ann import brute_force_topk, ivf_topk
+        rng = np.random.default_rng(7)
+        # clustered data so IVF lists are meaningful
+        centers = rng.standard_normal((4, 16)) * 3
+        m = np.concatenate([
+            centers[i % 4] + rng.standard_normal(16) * 0.5
+            for i in range(200)]).reshape(200, 16).astype(np.float32)
+        emb = rd.from_arrow(pa.table({
+            "vec_id": pa.array(np.arange(200, dtype=np.int64)),
+            "embedding": pa.array([list(r) for r in m],
+                                  pa.list_(pa.float32())),
+        }))
+        bf = brute_force_topk(emb, n_queries=8, k=5).to_pandas()
+        ivf = ivf_topk(emb, n_queries=8, k=5, n_lists=8,
+                       n_probe=4).to_pandas()
+        hits = 0
+        for q in range(8):
+            want = set(bf[bf.query_id == q].neighbor_id)
+            got = set(ivf[ivf.query_id == q].neighbor_id)
+            hits += len(want & got)
+        assert hits / (8 * 5) >= 0.8             # n_probe=4/8 lists
+
+    def test_deterministic(self):
+        import ray.data as rd
+        from smqtk_indexing_ray.pipelines.ann import ivf_topk
+        rng = np.random.default_rng(1)
+        m = rng.standard_normal((100, 8)).astype(np.float32)
+        emb = rd.from_arrow(pa.table({
+            "vec_id": pa.array(np.arange(100, dtype=np.int64)),
+            "embedding": pa.array([list(r) for r in m],
+                                  pa.list_(pa.float32())),
+        }))
+        a = ivf_topk(emb, n_queries=4, k=3).to_pandas().sort_values(
+            ["query_id", "rank"], ignore_index=True)
+        b = ivf_topk(emb, n_queries=4, k=3).to_pandas().sort_values(
+            ["query_id", "rank"], ignore_index=True)
+        assert a.equals(b)

@@ -180,6 +180,11 @@ def _q_media_features(sf_dir: str):
     return feats.map_batches(slim, batch_format="pyarrow")
 
 
+def _q_euclidean_topk(sf_dir: str):
+    from smqtk_indexing_ray.pipelines.ann import euclidean_topk
+    return euclidean_topk(_emb(sf_dir), n_queries=16, k=10)
+
+
 def _q_ivf_topk(sf_dir: str):
     """IVF-list approximate top-k (FAISS-IVF analog; recall-vs-brute-force
     asserted in tests) — rows-only."""
@@ -218,6 +223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "itq_codes": _q_itq_codes,
         "ivf_topk": _q_ivf_topk,
+        "euclidean_topk": _q_euclidean_topk,
     }
 
 
@@ -318,6 +324,19 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank "
             "  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id "
             "  WHERE q.vec_id < 32"
+            ") WHERE rank <= 10"
+        ),
+        "euclidean_topk": (
+            "SELECT query_id, neighbor_id, rank, round(d, 6) AS l2_dist "
+            "FROM ("
+            "  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+            "  list_distance(CAST(q.embedding AS DOUBLE[]), "
+            "  CAST(c.embedding AS DOUBLE[])) AS d, "
+            "  row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+            "  list_distance(CAST(q.embedding AS DOUBLE[]), "
+            "  CAST(c.embedding AS DOUBLE[])) ASC, c.vec_id) AS rank "
+            "  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id "
+            "  WHERE q.vec_id < 16"
             ") WHERE rank <= 10"
         ),
         "substring_containment": (

@@ -509,3 +509,94 @@ def ivf_topk(emb, *, n_queries: int = 8, k: int = 10, n_lists: int = 16,
         return t.select(["query_id", "neighbor_id", "rank"])
 
     return out.map_batches(drop_sim, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# euclidean top-k (reference metric parity: utils/metrics.py:73-86)
+# ---------------------------------------------------------------------------
+
+def euclidean_topk(emb, *, n_queries: int = 16, k: int = 10,
+                   batch_size: int = 4096, concurrency=(1, 8)):
+    """Exact L2-distance top-k of the first ``n_queries`` vectors.
+
+    Output: ``query_id, neighbor_id, rank, l2_dist`` (float64, rounded to
+    6 decimals for bit-parity with DuckDB's double ``list_distance``).
+    """
+    import ray
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+
+    qt = pa.concat_tables(
+        [b for b in emb.filter(expr=f"vec_id < {int(n_queries)}")
+         .iter_batches(batch_format="pyarrow")]
+        or [pa.schema([("vec_id", pa.int64())]).empty_table()])
+    if qt.num_rows:
+        qids = qt["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qm = _emb_matrix(qt)
+    else:
+        qids, qm = np.empty(0, np.int64), np.zeros((0, 0))
+    q_ref = ray.put((qids, qm))
+
+    schema = pa.schema([("query_id", pa.int64()), ("neighbor_id", pa.int64()),
+                        ("l2_dist", pa.float64())])
+    out_schema = pa.schema([("query_id", pa.int64()),
+                            ("neighbor_id", pa.int64()),
+                            ("rank", pa.int64()), ("l2_dist", pa.float64())])
+
+    class _L2Scan:
+        def __init__(self, ref, k):
+            self.qids, self.qm = ray.get(ref)
+            self.k = k
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            if n == 0 or len(self.qids) == 0:
+                return schema.empty_table()
+            cm = _emb_matrix(t)
+            vids = t["vec_id"].to_numpy(zero_copy_only=False)
+            # direct (q - c) differences per query (not the dot-product
+            # identity, whose cancellation error can flip the 6-decimal
+            # rounding against DuckDB's straightforward formula)
+            d2 = np.empty((len(self.qids), n))
+            for qi in range(len(self.qids)):
+                diff = cm - self.qm[qi][None, :]
+                d2[qi] = np.sum(diff * diff, axis=1)
+            d2 = np.where(vids[None, :] == self.qids[:, None], np.inf, d2)
+            k = min(self.k, n)
+            part = np.argpartition(d2, k - 1, axis=1)[:, :k]
+            rows = np.repeat(np.arange(len(self.qids)), k)
+            cols = part.reshape(-1)
+            dv = d2[rows, cols]
+            ok = np.isfinite(dv)
+            return pa.table({
+                "query_id": pa.array(self.qids[rows[ok]].astype(np.int64)),
+                "neighbor_id": pa.array(vids[cols[ok]].astype(np.int64)),
+                "l2_dist": pa.array(dv[ok]),   # squared until final sqrt
+            })
+
+    cands = emb.select_columns(["vec_id", "embedding"]).map_batches(
+        _L2Scan, fn_constructor_args=(q_ref, k),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+
+    def reduce_group(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        d2 = t["l2_dist"].to_numpy(zero_copy_only=False)
+        nid = t["neighbor_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((nid, d2))[:k]
+        # exact distance recomputed as sqrt(sum of squares) per DuckDB's
+        # list_distance: recompute from the query/corpus dot identity is
+        # subject to cancellation — re-derive via sqrt of the (clamped) d2
+        dist = np.sqrt(np.maximum(d2[order], 0.0))
+        return pa.table({
+            "query_id": t["query_id"].take(pa.array(order)),
+            "neighbor_id": t["neighbor_id"].take(pa.array(order)),
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            "l2_dist": pa.array(np.round(dist, 6)),
+        })
+
+    out = cands.groupby("query_id").map_groups(
+        reduce_group, batch_format="pyarrow")
+    from smqtk_indexing_ray.stages._util import stamp_schema
+    return stamp_schema(out, out_schema)

@@ -51,3 +51,29 @@ def test_idempotent_rerun_same_labels():
     b = b.sort_values("doc_id").reset_index(drop=True)
     assert (a["cluster_id"] == b["cluster_id"]).all()
     assert (a["keep"] == b["keep"]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_salted_buckets_equivalent_clustering():
+    """Hot-bucket salting (SURVEY.md §4.2): bucket_salt=4 must produce
+    identical cluster labels to salt=1 — sub-bucket representatives are
+    chained, preserving connectivity while bounding per-reducer fanout.
+    Uses a corpus with a deliberate 500-doc hot-template cluster."""
+    import ray.data as rd
+
+    spec = PagesSpec(n_docs=1500, seed=13, hot_blocks=5)
+    pages = rd.from_arrow(generate_pages_table(spec))
+    base = DedupConfig(signature_concurrency=(1, 2), batch_size=256)
+    salted = DedupConfig(signature_concurrency=(1, 2), batch_size=256,
+                         bucket_salt=4)
+    a = dedup_pipeline(pages, base, num_partitions=4
+                       ).output.to_pandas().sort_values(
+        "doc_id", ignore_index=True)
+    b = dedup_pipeline(pages, salted, num_partitions=4
+                       ).output.to_pandas().sort_values(
+        "doc_id", ignore_index=True)
+    assert (a["cluster_id"] == b["cluster_id"]).all()
+    assert (a["keep"] == b["keep"]).all()
+    # the hot cluster exists and is fully clustered under both configs
+    hot = a[a.cluster_id == a.cluster_id.value_counts().idxmax()]
+    assert len(hot) == 500

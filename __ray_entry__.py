@@ -180,6 +180,15 @@ def _q_media_features(sf_dir: str):
     return feats.map_batches(slim, batch_format="pyarrow")
 
 
+def _q_sessionize(sf_dir: str):
+    """Session windows over the events stream table (sort + segmented
+    kernel + cross-block stitch) — exact SQL window-function oracle."""
+    import ray.data as rd
+    from smqtk_indexing_ray.pipelines.events import sessionize
+    return sessionize(rd.read_parquet(f"{sf_dir}/events.parquet"),
+                      gap_minutes=30)
+
+
 def _q_euclidean_topk(sf_dir: str):
     from smqtk_indexing_ray.pipelines.ann import euclidean_topk
     return euclidean_topk(_emb(sf_dir), n_queries=16, k=10)
@@ -224,6 +233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "itq_codes": _q_itq_codes,
         "ivf_topk": _q_ivf_topk,
         "euclidean_topk": _q_euclidean_topk,
+        "sessionize": _q_sessionize,
     }
 
 
@@ -325,6 +335,25 @@ def oracle_sql() -> dict[str, str]:
             "  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id "
             "  WHERE q.vec_id < 32"
             ") WHERE rank <= 10"
+        ),
+        "sessionize": (
+            "WITH e AS ("
+            "  SELECT user_id, ts, event_id, value,"
+            "  CASE WHEN lag(ts) OVER w IS NULL"
+            "       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000"
+            "       THEN 1 ELSE 0 END AS brk"
+            "  FROM events WINDOW w AS "
+            "  (PARTITION BY user_id ORDER BY ts, event_id)"
+            "), s AS ("
+            "  SELECT *, sum(brk) OVER "
+            "  (PARTITION BY user_id ORDER BY ts, event_id "
+            "   ROWS UNBOUNDED PRECEDING) AS sn FROM e"
+            ") "
+            "SELECT user_id, min(event_id) AS session_key, "
+            "count(*) AS n_events, min(epoch_us(ts)) AS t_start_us, "
+            "max(epoch_us(ts)) AS t_end_us, "
+            "round(sum(value), 6) AS total_value "
+            "FROM s GROUP BY user_id, sn"
         ),
         "euclidean_topk": (
             "SELECT query_id, neighbor_id, rank, round(d, 6) AS l2_dist "

@@ -67,3 +67,16 @@ def euclidean_distance(mat: np.ndarray, q: np.ndarray) -> np.ndarray:
 def histogram_intersection_distance(mat: np.ndarray, q: np.ndarray) -> np.ndarray:
     """1 - histogram intersection (reference: utils/metrics.py:49-70)."""
     return 1.0 - np.minimum(mat, q[None, :]).sum(axis=1)
+
+
+def round6(x: np.ndarray) -> np.ndarray:
+    """Round to 6 decimals with DuckDB's semantics (half away from zero,
+    computed as floor(|x|*1e6 + 0.5)/1e6).
+
+    Neither ``pyarrow.compute.round`` nor ``np.round`` matches DuckDB
+    bit-for-bit (pc.round(83.17999999999999, 6) returns the input;
+    np.round is half-to-even) — and the driver's correctness gate hashes
+    float bits, so every oracle-checked double goes through this.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    return np.copysign(np.floor(np.abs(x) * 1e6 + 0.5), x) / 1e6

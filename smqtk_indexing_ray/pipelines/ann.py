@@ -25,6 +25,7 @@ import pyarrow.compute as pc
 
 from smqtk_indexing_ray.context import NARROW_JOIN_HINT
 from smqtk_indexing_ray.functions.metrics import popcount_u64
+from smqtk_indexing_ray.functions.metrics import round6 as _round6
 from smqtk_indexing_ray.stages._util import stamp_schema
 
 _TOPK_SCHEMA = pa.schema([("query_id", pa.int64()), ("neighbor_id", pa.int64()),
@@ -131,14 +132,16 @@ def brute_force_topk(emb, *, n_queries: int = 32, k: int = 10,
         concurrency=concurrency)
     out = _final_topk(cands, k)
 
-    def round6(t: pa.Table) -> pa.Table:
+    from smqtk_indexing_ray.functions.metrics import round6
+
+    def round_sim(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return _TOPK_SCHEMA.empty_table()
         return t.set_column(
             t.schema.get_field_index("cos_sim"), "cos_sim",
-            pc.round(t["cos_sim"], ndigits=6))
+            pa.array(round6(t["cos_sim"].to_numpy(zero_copy_only=False))))
 
-    return out.map_batches(round6, batch_format="pyarrow")
+    return out.map_batches(round_sim, batch_format="pyarrow")
 
 
 class _PairsAboveThreshold:
@@ -166,7 +169,7 @@ class _PairsAboveThreshold:
         return pa.table({
             "vec_a": pa.array(bids[bi].astype(np.int64)),
             "vec_b": pa.array(self.ids[ci].astype(np.int64)),
-            "cos_sim": pa.array(np.round(sims[bi, ci], 6)),
+            "cos_sim": pa.array(_round6(sims[bi, ci])),
         })
 
 
@@ -593,7 +596,7 @@ def euclidean_topk(emb, *, n_queries: int = 16, k: int = 10,
             "query_id": t["query_id"].take(pa.array(order)),
             "neighbor_id": t["neighbor_id"].take(pa.array(order)),
             "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
-            "l2_dist": pa.array(np.round(dist, 6)),
+            "l2_dist": pa.array(_round6(dist)),
         })
 
     out = cands.groupby("query_id").map_groups(

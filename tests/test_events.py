@@ -1,0 +1,90 @@
+"""Sessionization: hand-built fixture + pandas oracle + block-boundary
+stitching."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+MIN = 60 * 1_000_000  # one minute in us
+
+
+def _events_table(rows):
+    """rows: list of (event_id, user_id, ts_minutes, value)."""
+    return pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([int(r[2] * MIN) for r in rows],
+                       pa.timestamp("us")),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array(["x"] * len(rows)),
+        "value": pa.array([float(r[3]) for r in rows], pa.float64()),
+    })
+
+
+def _pandas_oracle(df: pd.DataFrame, gap_min=30) -> pd.DataFrame:
+    df = df.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    out = []
+    for uid, g in df.groupby("user_id"):
+        g = g.reset_index(drop=True)
+        brk = [True] + [
+            (g.ts[i] - g.ts[i - 1]).total_seconds() > gap_min * 60
+            for i in range(1, len(g))]
+        sid = np.cumsum(brk)
+        for s, sg in g.groupby(sid):
+            out.append({
+                "user_id": uid, "session_key": int(sg.event_id.min()),
+                "n_events": len(sg),
+                "t_start_us": int(sg.ts.min().value // 1000),
+                "t_end_us": int(sg.ts.max().value // 1000),
+                "total_value": round(float(sg.value.sum()), 6),
+            })
+    return pd.DataFrame(out).sort_values("session_key",
+                                         ignore_index=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSessionize:
+    def test_hand_built(self):
+        import ray.data as rd
+        from smqtk_indexing_ray.pipelines.events import sessionize
+        rows = [
+            # user 1: two sessions (gap 45 min between e2 and e3)
+            (0, 1, 0.0, 1.0), (1, 1, 10.0, 2.0), (2, 1, 20.0, 3.0),
+            (3, 1, 65.0, 4.0), (4, 1, 70.0, 5.0),
+            # user 2: one session, events exactly at the 30-min gap
+            (5, 2, 0.0, 1.5), (6, 2, 30.0, 2.5),
+            # user 3: singleton
+            (7, 3, 500.0, 9.0),
+        ]
+        got = sessionize(rd.from_arrow(_events_table(rows))
+                         ).to_pandas().sort_values("session_key",
+                                                   ignore_index=True)
+        assert len(got) == 4
+        s = got.set_index("session_key")
+        assert s.loc[0, "n_events"] == 3 and s.loc[0, "total_value"] == 6.0
+        assert s.loc[3, "n_events"] == 2
+        assert s.loc[5, "n_events"] == 2      # 30-min gap is inclusive
+        assert s.loc[7, "n_events"] == 1
+        assert s.loc[0, "t_end_us"] == 20 * MIN
+
+    def test_random_vs_pandas_oracle_many_blocks(self):
+        import ray.data as rd
+        from smqtk_indexing_ray.pipelines.events import sessionize
+        rng = np.random.default_rng(11)
+        n = 3000
+        rows = []
+        t = np.zeros(20)
+        for i in range(n):
+            u = int(rng.integers(0, 20))
+            t[u] += float(rng.exponential(20))  # minutes
+            rows.append((i, u, t[u], float(np.round(rng.random() * 10, 2))))
+        tbl = _events_table(rows)
+        # many small blocks to exercise cross-block session stitching
+        ds = rd.from_arrow(tbl).repartition(23)
+        got = sessionize(ds).to_pandas().sort_values(
+            "session_key", ignore_index=True)
+        want = _pandas_oracle(tbl.to_pandas())
+        pd.testing.assert_frame_equal(
+            got[want.columns.tolist()], want, check_dtype=False)

@@ -208,12 +208,15 @@ class DedupIndex:
                 qsig[None, band * r:(band + 1) * r],
                 salt=np.uint64(band + 1)).view(np.int64)[0])
 
-        # candidate scan: recompute band keys per signature batch and keep
-        # colliders (scale path: a bucket-sorted Parquet checkpoint with
-        # key-range pruning; at index scale this is a signature-table scan)
+        # candidate scan: band keys are precomputed in the signature
+        # table; keep colliders (scale path: a bucket-sorted Parquet
+        # checkpoint with key-range pruning; at index scale this is a
+        # signature-table scan).  Verification uses the stored 8-bit
+        # sketch against the query's truncated signature.
         from smqtk_indexing_ray.stages.banding import band_stage
-        from smqtk_indexing_ray.stages.signatures import minhash_matrix
+        from smqtk_indexing_ray.stages.signatures import fixed_binary_matrix
 
+        qmh8 = (qsig.astype(np.uint8))[None, :]
         cand_rows: list[tuple[int, float]] = []
         for t in self._signatures().iter_batches(batch_format="pyarrow"):
             bt = band_stage(t, cfg)
@@ -227,9 +230,9 @@ class DedupIndex:
                 continue
             sel = t.filter(pa.compute.is_in(
                 t["doc_id"], value_set=pa.array(cds, pa.int64())))
-            sig_m = minhash_matrix(sel["minhash"], cfg.num_perms)
+            sig_m = fixed_binary_matrix(sel["mh8"], cfg.num_perms)
             ej = est_jaccard(sig_m, np.broadcast_to(
-                qsig, (sel.num_rows, cfg.num_perms)))
+                qmh8, (sel.num_rows, cfg.num_perms)))
             for did, e in zip(
                     sel["doc_id"].to_numpy(zero_copy_only=False), ej):
                 cand_rows.append((int(did), float(1.0 - e)))

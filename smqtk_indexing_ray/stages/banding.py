@@ -16,29 +16,27 @@ import numpy as np
 import pyarrow as pa
 
 from smqtk_indexing_ray.config import DedupConfig
-from smqtk_indexing_ray.functions.hashing import fold_rows_u64, splitmix64
-from smqtk_indexing_ray.stages.signatures import minhash_matrix
+from smqtk_indexing_ray.functions.hashing import splitmix64
+from smqtk_indexing_ray.stages.signatures import fixed_binary_matrix
 
 
 def band_stage(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
     """Explode one signature batch into ``bands`` bucket rows per doc.
 
-    Docs with zero shingles carry the sentinel signature and are excluded
-    here (they cannot be near-anything; exact dedup still covers them).
+    Band keys are precomputed by the signature stage (the full MinHash
+    signature never leaves it); this stage only filters zero-shingle docs
+    (they cannot be near-anything; exact dedup still covers them) and
+    explodes the fixed-binary band-key matrix into shuffle rows.
     """
     keep = batch.filter(pa.compute.greater(batch["n_shingles"], 0))
     n = keep.num_rows
     if n == 0:
         return pa.table({"bucket": pa.array([], type=pa.int64()),
                          "doc_id": pa.array([], type=pa.int64())})
-    sig = minhash_matrix(keep["minhash"], cfg.num_perms)
+    b = cfg.bands
+    keys = fixed_binary_matrix(keep["bands"], b * 8, dtype=np.int64)
     doc = keep["doc_id"].to_numpy(zero_copy_only=False)
-    r, b = cfg.rows_per_band, cfg.bands
-    keys = np.empty((n, b), dtype=np.uint64)
-    for band in range(b):
-        keys[:, band] = fold_rows_u64(sig[:, band * r:(band + 1) * r],
-                                      salt=np.uint64(band + 1))
-    bucket = keys.reshape(-1).view(np.int64)          # doc-major layout
+    bucket = np.ascontiguousarray(keys).reshape(-1)   # doc-major layout
     doc_rep = np.repeat(doc, b)
     return pa.table({"bucket": pa.array(bucket),
                      "doc_id": pa.array(doc_rep)})

@@ -74,17 +74,35 @@ class SignatureStage:
         h1 = hash_strings_u64(text, hash_key=self.key1)
         h2 = hash_strings_u64(text, hash_key=self.key2)
         n = batch.num_rows
+        if not n:
+            return _empty_signature_table(cfg)
+        # The full (num_perms x uint32) signature never leaves this stage:
+        # downstream needs only (a) the per-band LSH keys (computed here,
+        # once) and (b) an 8-bit-per-perm verify sketch (est-Jaccard bias
+        # from low-byte truncation is (1-J)/256 < 0.004).  This keeps the
+        # materialized table ~2.4x narrower than shipping raw signatures.
+        from smqtk_indexing_ray.functions.hashing import fold_rows_u64
+        r, b = cfg.rows_per_band, cfg.bands
+        bands = np.empty((n, b), dtype=np.int64)
+        for band in range(b):
+            bands[:, band] = fold_rows_u64(
+                sig[:, band * r:(band + 1) * r],
+                salt=np.uint64(band + 1)).view(np.int64)
+        mh8 = np.ascontiguousarray(sig.astype(np.uint8))
         return pa.table({
             "doc_id": batch["doc_id"],
             "n_tokens": pa.array(np.diff(off).astype(np.int32)),
             "n_shingles": pa.array(np.diff(sh_off).astype(np.int32)),
-            # fixed_size_binary: the only fixed-width layout pyarrow's hash
-            # join accepts as a payload column (fixed_size_list is rejected)
-            "minhash": _sig_to_binary(sig, cfg.num_perms),
+            # fixed_size_binary: the only fixed-width layout pyarrow's
+            # acero kernels accept as a payload (fixed_size_list rejected)
+            "mh8": _bytes_to_binary(mh8, cfg.num_perms),
+            "bands": _bytes_to_binary(
+                np.ascontiguousarray(bands).view(np.uint8).reshape(n, -1),
+                b * 8),
             "simhash": pa.array(_u64_to_i64(simh)),
             "text_h1": pa.array(_u64_to_i64(h1)),
             "text_h2": pa.array(_u64_to_i64(h2)),
-        }) if n else _empty_signature_table(cfg)
+        })
 
 
 def _empty_signature_table(cfg: DedupConfig) -> pa.Table:
@@ -92,27 +110,31 @@ def _empty_signature_table(cfg: DedupConfig) -> pa.Table:
         "doc_id": pa.array([], type=pa.int64()),
         "n_tokens": pa.array([], type=pa.int32()),
         "n_shingles": pa.array([], type=pa.int32()),
-        "minhash": pa.array([], type=pa.binary(cfg.num_perms * 4)),
+        "mh8": pa.array([], type=pa.binary(cfg.num_perms)),
+        "bands": pa.array([], type=pa.binary(cfg.bands * 8)),
         "simhash": pa.array([], type=pa.int64()),
         "text_h1": pa.array([], type=pa.int64()),
         "text_h2": pa.array([], type=pa.int64()),
     })
 
 
-def _sig_to_binary(sig: np.ndarray, num_perms: int) -> pa.Array:
-    """(n, P) uint32 -> fixed_size_binary[P*4], zero-copy over sig's bytes."""
-    n = sig.shape[0]
-    buf = pa.py_buffer(np.ascontiguousarray(sig).view(np.uint8).reshape(-1))
-    return pa.FixedSizeBinaryArray.from_buffers(
-        pa.binary(num_perms * 4), n, [None, buf])
+def _bytes_to_binary(mat: np.ndarray, width: int) -> pa.Array:
+    """(n, width) uint8 -> fixed_size_binary[width], zero-copy."""
+    n = mat.shape[0]
+    buf = pa.py_buffer(mat.reshape(-1))
+    return pa.FixedSizeBinaryArray.from_buffers(pa.binary(width), n,
+                                                [None, buf])
 
 
-def minhash_matrix(col: pa.ChunkedArray | pa.Array, num_perms: int) -> np.ndarray:
-    """Zero-copy view of a ``fixed_size_binary[P*4]`` column as (n, P) uint32."""
+def fixed_binary_matrix(col: pa.ChunkedArray | pa.Array, width: int,
+                        dtype=np.uint8) -> np.ndarray:
+    """Zero-copy view of a ``fixed_size_binary[width]`` column as an
+    (n, width/itemsize) array of ``dtype``."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     n = len(col)
     buf = col.buffers()[1]
-    arr = np.frombuffer(buf, dtype=np.uint32)
-    start = col.offset * num_perms
-    return arr[start:start + n * num_perms].reshape(n, num_perms)
+    arr = np.frombuffer(buf, dtype=dtype)
+    per = width // np.dtype(dtype).itemsize
+    start = col.offset * per
+    return arr[start:start + n * per].reshape(n, per)

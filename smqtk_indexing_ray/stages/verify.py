@@ -23,7 +23,6 @@ import pyarrow as pa
 from smqtk_indexing_ray.config import DedupConfig
 from smqtk_indexing_ray.functions.metrics import est_jaccard, hamming_u64
 from smqtk_indexing_ray.stages.attach import sort_attach
-from smqtk_indexing_ray.stages.signatures import minhash_matrix
 
 
 def _rename(mapping):
@@ -44,26 +43,10 @@ def verify_edges(edges, signatures, cfg: DedupConfig, *,
     num_perms = cfg.num_perms
     mh8_type = pa.binary(num_perms)
 
-    # Verify sketch: each 32-bit MinHash value truncated to its low byte.
-    # For a pair at Jaccard J the agreement fraction estimates
-    # J + (1-J)/256 (an accidental low-byte collision) — bias < 0.004,
-    # negligible against verify_threshold; payload shrinks 4x, and the
-    # attach sort is bandwidth-bound on exactly this payload.
-    def truncate(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "minhash" not in t.column_names:
-            return pa.schema([("doc_id", pa.int64()), ("mh8", mh8_type),
-                              ("simhash", pa.int64())]).empty_table()
-        mh = minhash_matrix(t["minhash"], num_perms)
-        mh8 = np.ascontiguousarray(mh.astype(np.uint8))
-        buf = pa.py_buffer(mh8.reshape(-1))
-        arr = pa.FixedSizeBinaryArray.from_buffers(
-            mh8_type, t.num_rows, [None, buf])
-        return pa.table({"doc_id": t["doc_id"], "mh8": arr,
-                         "simhash": t["simhash"]})
-
-    sig = signatures.select_columns(["doc_id", "minhash", "simhash"]
-                                    ).map_batches(truncate,
-                                                  batch_format="pyarrow")
+    # The signature stage already emits the 8-bit-per-perm verify sketch
+    # (est-Jaccard bias from low-byte truncation is (1-J)/256 < 0.004);
+    # the attach sort is bandwidth-bound on exactly this payload.
+    sig = signatures.select_columns(["doc_id", "mh8", "simhash"])
     sig_schema = pa.schema([("doc_id", pa.int64()), ("mh8", mh8_type),
                             ("simhash", pa.int64())])
     uv_schema = pa.schema([("u", pa.int64()), ("v", pa.int64())])

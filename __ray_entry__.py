@@ -180,6 +180,17 @@ def _q_media_features(sf_dir: str):
     return feats.map_batches(slim, batch_format="pyarrow")
 
 
+def _q_winnow_fingerprints(sf_dir: str):
+    """Winnowing local fingerprints (Schleimer et al. 2003) — rows-only."""
+    from smqtk_indexing_ray.pipelines.analysis import winnow_fingerprints
+    return winnow_fingerprints(_docs(sf_dir), k=5, window=4)
+
+
+def _q_quality_signals(sf_dir: str):
+    from smqtk_indexing_ray.pipelines.analysis import quality_signals
+    return quality_signals(_docs(sf_dir))
+
+
 def _q_sessionize(sf_dir: str):
     """Session windows over the events stream table (sort + segmented
     kernel + cross-block stitch) — exact SQL window-function oracle."""
@@ -234,6 +245,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_topk": _q_ivf_topk,
         "euclidean_topk": _q_euclidean_topk,
         "sessionize": _q_sessionize,
+        "quality_signals": _q_quality_signals,
+        "winnow_fingerprints": _q_winnow_fingerprints,
     }
 
 
@@ -335,6 +348,26 @@ def oracle_sql() -> dict[str, str]:
             "  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id "
             "  WHERE q.vec_id < 32"
             ") WHERE rank <= 10"
+        ),
+        "quality_signals": (
+            "WITH toks AS ("
+            "  SELECT doc_id,"
+            "  list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+            "  AS w FROM documents"
+            "), m AS ("
+            "  SELECT doc_id, len(w) AS n_tokens,"
+            "  CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)"
+            "   / greatest(len(w), 1) AS mean_word_len,"
+            "  CAST(len(list_filter(w, x -> length(x) <= 2)) AS DOUBLE)"
+            "   / greatest(len(w), 1) AS frac_short_words,"
+            "  CAST(len(list_filter(w, x -> length(x) >= 8)) AS DOUBLE)"
+            "   / greatest(len(w), 1) AS frac_long_words"
+            "  FROM toks"
+            ") "
+            "SELECT doc_id, n_tokens, mean_word_len, frac_short_words, "
+            "frac_long_words, (n_tokens >= 50 AND n_tokens <= 100000 AND "
+            "mean_word_len >= 3.0 AND mean_word_len <= 10.0) "
+            "AS passes_quality FROM m"
         ),
         "sessionize": (
             "WITH e AS ("

@@ -519,3 +519,107 @@ def lang_id(docs):
 
     return docs.select_columns(["doc_id", "text"]).map_batches(
         ident, batch_format="pyarrow")
+
+
+def quality_signals(docs, *, min_tokens: int = 50, max_tokens: int = 100_000,
+                    min_mean_wl: float = 3.0, max_mean_wl: float = 10.0):
+    """Gopher-style document quality rules (Rae et al. 2021, public):
+    word-count bounds and mean-word-length bounds, plus short/long-word
+    fractions.  All emitted doubles are exact ratios of int64 counts
+    (bit-identical to the SQL oracle without rounding).
+
+    Output: ``doc_id, n_tokens, mean_word_len, frac_short_words (<=2
+    chars), frac_long_words (>=8 chars), passes_quality (bool)``.
+    """
+    schema = pa.schema([
+        ("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+        ("mean_word_len", pa.float64()),
+        ("frac_short_words", pa.float64()),
+        ("frac_long_words", pa.float64()),
+        ("passes_quality", pa.bool_()),
+    ])
+
+    def sig(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return schema.empty_table()
+        flat, off = tokens_flat(t["text"], lowercase=False)
+        counts = np.diff(off)
+        doc_idx = np.repeat(np.arange(n), counts)
+        wl = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        sum_wl = np.bincount(doc_idx, weights=wl, minlength=n)
+        n_short = np.bincount(doc_idx[wl <= 2], minlength=n)
+        n_long = np.bincount(doc_idx[wl >= 8], minlength=n)
+        safe = np.maximum(counts, 1).astype(np.float64)
+        mean_wl = sum_wl / safe
+        passes = ((counts >= min_tokens) & (counts <= max_tokens)
+                  & (mean_wl >= min_mean_wl) & (mean_wl <= max_mean_wl))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": pa.array(counts.astype(np.int64)),
+            "mean_word_len": pa.array(mean_wl),
+            "frac_short_words": pa.array(n_short.astype(np.float64) / safe),
+            "frac_long_words": pa.array(n_long.astype(np.float64) / safe),
+            "passes_quality": pa.array(passes),
+        })
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        sig, batch_format="pyarrow")
+
+
+def winnow_fingerprints(docs, *, k: int = 5, window: int = 4,
+                        hash_key: str = "smqtk-ray-v1.0.0"):
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — public algorithm): select the minimum k-gram hash in
+    every sliding window of ``window`` consecutive k-grams (rightmost
+    minimum on ties), guaranteeing any shared substring of length
+    >= k + window - 1 tokens contributes at least one shared fingerprint.
+
+    Output: one row per selected fingerprint: ``doc_id, pos (k-gram
+    index), fingerprint (int64)``.  Deterministic (seeded hash family);
+    not SQL-expressible.
+    """
+    def winnow(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("doc_id", pa.int64()), ("pos", pa.int32()),
+                            ("fingerprint", pa.int64())])
+        n = t.num_rows
+        if n == 0:
+            return schema.empty_table()
+        tok, off = tokenize_flat(t["text"], hash_key=hash_key)
+        sh, soff = shingle_flat(tok, off, k)
+        if len(sh) == 0:
+            return schema.empty_table()
+        counts = np.diff(soff)
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        out_doc, out_pos, out_fp = [], [], []
+        for i in range(n):
+            h = sh[soff[i]:soff[i + 1]]
+            m = len(h)
+            if m == 0:
+                continue
+            if m <= window:
+                j = int(m - 1 - np.argmin(h[::-1]))   # rightmost min
+                out_doc.append(np.array([doc_ids[i]], np.int64))
+                out_pos.append(np.array([j], np.int32))
+                out_fp.append(h[j:j + 1].view(np.int64))
+                continue
+            win = np.lib.stride_tricks.sliding_window_view(h, window)
+            # rightmost minimum per window
+            rev_arg = np.argmin(win[:, ::-1], axis=1)
+            sel = (np.arange(len(win)) + (window - 1 - rev_arg)).astype(
+                np.int64)
+            keep = np.concatenate([[True], sel[1:] != sel[:-1]])
+            sel = np.unique(sel[keep])
+            out_doc.append(np.full(len(sel), doc_ids[i], np.int64))
+            out_pos.append(sel.astype(np.int32))
+            out_fp.append(h[sel].view(np.int64))
+        if not out_doc:
+            return schema.empty_table()
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(out_doc)),
+            "pos": pa.array(np.concatenate(out_pos)),
+            "fingerprint": pa.array(np.concatenate(out_fp)),
+        })
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        winnow, batch_format="pyarrow")

@@ -149,3 +149,47 @@ class TestAnn:
         from smqtk_indexing_ray.pipelines.ann import srp_near_pairs
         df = srp_near_pairs(_emb(), max_hamming=8).to_pandas()
         assert (0, 1) in set(zip(df.vec_a, df.vec_b))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestQualityAndWinnowing:
+    def test_quality_signals(self):
+        import ray.data as rd
+        from smqtk_indexing_ray.pipelines.analysis import quality_signals
+        docs = rd.from_arrow(pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array([
+                " ".join(["word"] * 60),          # passes all bounds
+                "aa bb cc",                        # too few tokens
+            ]),
+        }))
+        df = quality_signals(docs).to_pandas().set_index("doc_id")
+        assert bool(df.loc[0, "passes_quality"])
+        assert not bool(df.loc[1, "passes_quality"])
+        assert df.loc[0, "mean_word_len"] == 4.0
+        assert df.loc[1, "frac_short_words"] == 1.0
+
+    def test_winnowing_guarantee(self):
+        """Docs sharing a long substring must share >=1 fingerprint in it;
+        every window of the stream is covered by a selection."""
+        import ray.data as rd
+        from smqtk_indexing_ray.pipelines.analysis import winnow_fingerprints
+        shared = "the quick brown fox jumps over the lazy dog again and again"
+        docs = rd.from_arrow(pa.table({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array([
+                "prefix words here " + shared,
+                shared + " completely different suffix material",
+                "no overlap with anything else at all whatsoever okay",
+            ]),
+        }))
+        df = winnow_fingerprints(docs, k=5, window=4).to_pandas()
+        f0 = set(df[df.doc_id == 0].fingerprint)
+        f1 = set(df[df.doc_id == 1].fingerprint)
+        f2 = set(df[df.doc_id == 2].fingerprint)
+        assert f0 & f1                      # shared substring detected
+        assert not (f0 & f2) and not (f1 & f2)
+        # deterministic across runs
+        df2 = winnow_fingerprints(docs, k=5, window=4).to_pandas()
+        assert df.sort_values(["doc_id", "pos"], ignore_index=True).equals(
+            df2.sort_values(["doc_id", "pos"], ignore_index=True))

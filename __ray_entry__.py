@@ -307,7 +307,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lang_summary": (
             "SELECT lang, count(*) AS n_docs, "
-            "sum(length(text)) AS total_chars, "
+            "CAST(sum(length(text)) AS BIGINT) AS total_chars, "
             "CAST(sum(length(text)) AS DOUBLE) / count(*) AS avg_chars "
             "FROM documents GROUP BY lang"
         ),

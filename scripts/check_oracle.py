@@ -47,6 +47,10 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> str:
     a, b = canon(ray_df), canon(sql_df)
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if av.dtype != bv.dtype:
+            # the driver's value hash is type/bit-sensitive (lang_summary
+            # r1 failed on int64 vs float64 with equal numbers) — mirror it
+            return (f"DTYPE mismatch col={c}: ray={av.dtype} sql={bv.dtype}")
         if av.dtype.kind == "f" or bv.dtype.kind == "f":
             eq = (pd.isna(av) & pd.isna(bv)) | (av == bv)
         else:

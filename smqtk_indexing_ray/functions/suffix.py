@@ -83,8 +83,13 @@ def duplicated_span_mask(texts: list[bytes], min_span: int = 20,
 
     Builds one suffix array over the concatenation (documents separated by
     unique out-of-band sentinels so spans cannot cross boundaries), then
-    marks, for every adjacent suffix pair from different documents with
-    LCP >= min_span, the shared prefix in both documents.
+    computes for EVERY suffix its longest common prefix with any suffix of
+    a different document via the standard prev/next different-doc sweep
+    (the nearest other-doc suffix in SA order, in either direction,
+    maximizes that LCP), and marks spans >= min_span.  This is complete —
+    a suffix whose SA neighbors are same-doc suffixes is still matched
+    against the nearest other-doc suffix (ADVICE r1: the adjacent-pair
+    approximation undercounted internally repetitive documents).
     """
     if not texts:
         return []
@@ -104,18 +109,34 @@ def duplicated_span_mask(texts: list[bytes], min_span: int = 20,
 
     sa = suffix_array(s)
     lcp = lcp_array(s, sa)
-
-    masks = [np.zeros(len(p), dtype=bool) for p in parts]
     d_sa = doc[sa]
-    ok = (lcp >= min_span) & (d_sa != -1)
-    ok[1:] &= (doc[sa[:-1]] != -1) & (d_sa[1:] != doc[sa[:-1]])
-    ok[0] = False
-    for r in np.flatnonzero(ok):
-        ln = int(lcp[r])
-        for pos in (int(sa[r]), int(sa[r - 1])):
-            di = int(doc[pos])
-            if di < 0:
-                continue
-            off = pos - int(starts[di])
-            masks[di][off:off + ln] = True
-    return masks
+    nt = len(s)
+
+    # best[r] = LCP(suffix sa[r], nearest different-doc suffix) — running
+    # min of lcp, reset at each doc change, swept both directions.
+    # Sentinel suffixes have unique symbols so their lcp entries are 0 and
+    # naturally break runs.  O(n) like the Kasai loop above.
+    best = np.zeros(nt, dtype=np.int64)
+    run = 0
+    for r in range(1, nt):
+        lv = int(lcp[r])
+        run = lv if d_sa[r - 1] != d_sa[r] else min(run, lv)
+        if run > best[r]:
+            best[r] = run
+    run = 0
+    for r in range(nt - 2, -1, -1):
+        lv = int(lcp[r + 1])
+        run = lv if d_sa[r + 1] != d_sa[r] else min(run, lv)
+        if run > best[r]:
+            best[r] = run
+
+    # mark [off, off+best) per qualifying suffix via per-doc difference
+    # arrays (O(n) total, no O(n*span) slice writes)
+    diffs = [np.zeros(len(p) + 1, dtype=np.int64) for p in parts]
+    for r in np.flatnonzero((best >= min_span) & (d_sa >= 0)):
+        di = int(d_sa[r])
+        off = int(sa[r]) - int(starts[di])
+        ln = min(int(best[r]), len(parts[di]) - off)
+        diffs[di][off] += 1
+        diffs[di][off + ln] -= 1
+    return [np.cumsum(d[:-1]) > 0 for d in diffs]

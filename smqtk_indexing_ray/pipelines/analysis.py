@@ -258,12 +258,24 @@ def ngram_jaccard_pairs(docs, *, k: int = 3, threshold: float = 0.5,
         exploded = exploded.join(
             keep.select_columns(["shingle"]), join_type="inner",
             num_partitions=num_partitions, on=("shingle",))
+        exploded = drop_empty_blocks(
+            exploded, pa.schema([("shingle", pa.int64()),
+                                 ("doc_id", pa.int64()),
+                                 ("n_sh", pa.int64())]))
+
+    def _ren(t: pa.Table, names: tuple[str, str, str]) -> pa.Table:
+        # select by NAME first: join output column order is not guaranteed
+        # and empty blocks can arrive zero-column (ADVICE r1)
+        src = ("shingle", "doc_id", "n_sh")
+        if t.num_rows == 0 or any(c not in t.column_names for c in src):
+            return pa.schema([(c, pa.int64()) for c in names]).empty_table()
+        return t.select(list(src)).rename_columns(list(names))
 
     right = exploded.map_batches(
-        lambda t: t.rename_columns(["shingle", "doc_b", "nb"]),
+        lambda t: _ren(t, ("shingle", "doc_b", "nb")),
         batch_format="pyarrow")
     left = exploded.map_batches(
-        lambda t: t.rename_columns(["shingle", "doc_a", "na"]),
+        lambda t: _ren(t, ("shingle", "doc_a", "na")),
         batch_format="pyarrow")
     joined = left.join(right, partition_size_hint=NARROW_JOIN_HINT,
                   join_type="inner",
@@ -498,12 +510,15 @@ def lang_id(docs):
             m = pc.is_in(flat, value_set=value_sets[lg]
                          ).to_numpy(zero_copy_only=False)
             scores[:, li] = np.bincount(doc_idx[m], minlength=n) / counts
-        # CJK ratio over characters
+        # CJK ratio over characters — one Arrow regex kernel, no Python
+        # per-character loop (each [一-鿿] match is exactly one char)
         text = pc.fill_null(t["text"], "")
-        cjk = np.zeros(n, dtype=np.float64)
-        for i, s in enumerate(text.to_pylist()):
-            if s:
-                cjk[i] = sum("一" <= ch <= "鿿" for ch in s) / len(s)
+        n_cjk = pc.count_substring_regex(text, "[一-鿿]").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        n_chars = pc.utf8_length(text).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        cjk = np.divide(n_cjk, n_chars, out=np.zeros(n, dtype=np.float64),
+                        where=n_chars > 0)
         best = scores.argmax(axis=1)
         best_score = scores[np.arange(n), best]
         pred = np.array(langs, dtype=object)[best]

@@ -239,10 +239,10 @@ def connected_components(edges, *, num_partitions: int = 32,
     symmetry (the sort chooses its own partitioning).
 
     Termination: per-node labels are monotonically non-increasing under
-    the star operations, so the labeling is required to be stable for TWO
-    consecutive rounds (one stable round is almost always final for
-    star-shaped LSH candidate graphs; the second guards against a
-    coincidentally-unchanged labeling mid-propagation).
+    the star operations, so ONE full large+small-star round with an
+    unchanged label-set fingerprint is the fixpoint test (the fingerprint
+    is an exact partition-invariant multiset checksum; monotonicity rules
+    out a coincidentally-unchanged labeling mid-propagation).
     """
     prev = None
     stable = 0

@@ -31,12 +31,28 @@ _FEAT_SCHEMA = pa.schema([
 ])
 
 
+def _bytes_hash64(p: bytes) -> int:
+    """Value-stable 64-bit hash of a byte string (splitmix64 word mix) —
+    PYTHONHASHSEED-independent, so task retries / multi-process runs see
+    identical values (unlike builtin ``hash``)."""
+    arr = np.frombuffer(p, dtype=np.uint8)
+    pad = (-len(arr)) % 8
+    if pad:
+        arr = np.concatenate([arr, np.zeros(pad, np.uint8)])
+    words = arr.view(np.uint64)
+    idx = np.arange(len(words), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        h = splitmix64(words ^ splitmix64(idx + np.uint64(len(p))))
+        acc = np.bitwise_xor.reduce(h) if len(h) else np.uint64(0)
+        return int(splitmix64(np.uint64([acc]))[0])
+
+
 def _fake_decode_meta(payloads: list[bytes | None]) -> tuple[np.ndarray, np.ndarray]:
     """Deterministic stand-in for image decode: (width, height) derived
     from a payload hash.  Marked 'fake' in the output; swap for a real
     codec by subclassing :class:`MediaFeatureStage` and overriding
     ``_decode``."""
-    h = np.array([hash(p) & 0xFFFF if p else 0 for p in payloads],
+    h = np.array([_bytes_hash64(p) & 0xFFFF if p else 0 for p in payloads],
                  dtype=np.uint64)
     w = (64 + (h % np.uint64(1024))).astype(np.int32)
     ht = (64 + ((h >> np.uint64(5)) % np.uint64(1024))).astype(np.int32)

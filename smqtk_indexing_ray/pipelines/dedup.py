@@ -69,11 +69,18 @@ def compute_signatures(pages, cfg: DedupConfig):
 
 
 def candidate_edges(signatures, cfg: DedupConfig):
-    """LSH banding + bucket shuffle -> deduplicated candidate star edges."""
+    """LSH banding + bucket shuffle -> candidate star edges.
+
+    A pair colliding in several bands appears once per band; the verify
+    stage's first ``sort_attach(dedup_rows_on=["v"])`` collapses those
+    duplicates inside its own sort, so no standalone edge-dedup sort runs
+    (VERDICT r1 #2).  The bucket shuffle also carries the zero-shingle
+    exact-dup buckets (see :func:`stages.banding.band_stage`), so the
+    returned edges cover both near- and exact-duplicate candidates.
+    """
     bands = signatures.map_batches(
         lambda t: band_stage(t, cfg), batch_format="pyarrow")
-    edges = star_edges(bands, ["bucket"], "doc_id", salt=cfg.bucket_salt)
-    return dedup_edges(edges)
+    return star_edges(bands, ["bucket"], "doc_id", salt=cfg.bucket_salt)
 
 
 def dedup_edges(edges):
@@ -81,7 +88,9 @@ def dedup_edges(edges):
 
     Sort-based consecutive dedup: exact within a batch; at most one
     duplicate pair can survive per batch boundary, which is harmless for
-    both verification cost and connected components.
+    both verification cost and connected components.  No longer on the
+    flagship path (the verify attach fuses this dedup into its own sort);
+    kept for standalone edge-set callers.
     """
     def drop_consecutive(t: pa.Table) -> pa.Table:
         if t.num_rows <= 1:
@@ -226,10 +235,12 @@ def dedup_pipeline(pages, cfg: DedupConfig, *, num_partitions: int = 32,
     from smqtk_indexing_ray.stages.signatures import _empty_signature_table
     sigs = drop_empty_blocks(sigs, _empty_signature_table(cfg).schema)
 
+    # exact-dup (zero-shingle) candidates ride the same bucket shuffle as
+    # the LSH bands and pass verification at est_jaccard = 1.0 — no
+    # separate exact-dup sort (VERDICT r1 #2)
     cand = candidate_edges(sigs, cfg)
     near = verify_edges(cand, sigs, cfg, num_partitions=num_partitions)
-    exact = exact_dup_edges(sigs)
-    all_edges = near.select_columns(["u", "v"]).union(exact)
+    all_edges = near.select_columns(["u", "v"])
 
     labels = connected_components(
         all_edges, num_partitions=num_partitions, max_iters=cfg.cc_max_iters)

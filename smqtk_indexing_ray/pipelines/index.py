@@ -171,8 +171,7 @@ class DedupIndex:
             cand = D.candidate_edges(sigs, self.cfg)
             near = D.verify_edges(cand, sigs, self.cfg,
                                   num_partitions=self.num_partitions)
-            exact = D.exact_dup_edges(sigs)
-            edges = near.select_columns(["u", "v"]).union(exact)
+            edges = near.select_columns(["u", "v"])
             return connected_components(
                 edges, num_partitions=self.num_partitions,
                 max_iters=self.cfg.cc_max_iters)

@@ -49,7 +49,8 @@ def _tagged_schema(rows_schema: pa.Schema, payload_schema: pa.Schema,
 def sort_attach(rows, payload, *, key: str, payload_key: str,
                 payload_cols: list[str], how: str = "left",
                 rows_schema: pa.Schema | None = None,
-                payload_schema: pa.Schema | None = None):
+                payload_schema: pa.Schema | None = None,
+                dedup_rows_on: list[str] | None = None):
     """Attach ``payload_cols`` (from ``payload``, keyed by unique
     ``payload_key``) onto ``rows`` matching ``rows[key]``.
 
@@ -59,6 +60,12 @@ def sort_attach(rows, payload, *, key: str, payload_key: str,
     Pass ``rows_schema``/``payload_schema`` whenever the input is a LAZY
     dataset: ``Dataset.schema()`` may execute part of the plan to resolve
     it, and the union below would then execute it a second time.
+
+    ``dedup_rows_on``: additional row columns appended to the sort key;
+    consecutive data rows equal on ``(key, *dedup_rows_on)`` collapse to
+    one inside the fill kernel — this fuses a sort-based row dedup into
+    the attach's existing sort (at most one duplicate survives per batch
+    boundary, same contract as a standalone sorted dedup).
     """
     if how not in ("left", "inner"):
         raise ValueError(f"how must be left|inner, got {how!r}")
@@ -101,7 +108,10 @@ def sort_attach(rows, payload, *, key: str, payload_key: str,
 
     tagged = payload.map_batches(tag_payload, batch_format="pyarrow").union(
         rows.map_batches(tag_rows, batch_format="pyarrow"))
-    srt = tagged.sort(["_k", "_tag"]).materialize()
+    # payload rows (_tag=0) sort before data rows per key regardless of the
+    # dedup columns' null values on the payload side (_tag precedes them)
+    sort_keys = ["_k", "_tag"] + list(dedup_rows_on or [])
+    srt = tagged.sort(sort_keys).materialize()
 
     # --- probe: payload values of each batch's first/last segment --------
     def probe(t: pa.Table) -> pa.Table:
@@ -152,6 +162,13 @@ def sort_attach(rows, payload, *, key: str, payload_key: str,
         if not data_mask.any():
             return osch.empty_table()
         dsel = np.flatnonzero(data_mask)
+        if dedup_rows_on and len(dsel) > 1:
+            same = k[dsel][1:] == k[dsel][:-1]
+            for nm in dedup_rows_on:
+                cv = pc.fill_null(t[nm], 0).to_numpy(
+                    zero_copy_only=False)[dsel]
+                same &= cv[1:] == cv[:-1]
+            dsel = dsel[np.concatenate([[True], ~same])]
         take = pa.array(take_idx[dsel], mask=take_idx[dsel] < 0)
         cols = {key: t["_k"].take(pa.array(dsel))}
         for nm in row_cols:

@@ -24,22 +24,42 @@ def band_stage(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
     """Explode one signature batch into ``bands`` bucket rows per doc.
 
     Band keys are precomputed by the signature stage (the full MinHash
-    signature never leaves it); this stage only filters zero-shingle docs
-    (they cannot be near-anything; exact dedup still covers them) and
-    explodes the fixed-binary band-key matrix into shuffle rows.
+    signature never leaves it); this stage explodes the fixed-binary
+    band-key matrix into shuffle rows.
+
+    Zero-shingle docs (shorter than ``shingle_k`` tokens) cannot be
+    near-anything, so instead of their band keys they emit ONE exact-dup
+    bucket keyed by the 128-bit content hash: byte-identical short texts
+    share the bucket, the verify stage passes them at est_jaccard = 1.0
+    (identical signatures), and the standalone exact-dup star sort the
+    pipeline used to run disappears.  A chance key collision with the
+    MinHash band keyspace (p = 2^-64 per pair) only creates a candidate
+    edge, which verification rejects.
     """
+    empty = pa.table({"bucket": pa.array([], type=pa.int64()),
+                      "doc_id": pa.array([], type=pa.int64())})
     keep = batch.filter(pa.compute.greater(batch["n_shingles"], 0))
     n = keep.num_rows
-    if n == 0:
-        return pa.table({"bucket": pa.array([], type=pa.int64()),
-                         "doc_id": pa.array([], type=pa.int64())})
-    b = cfg.bands
-    keys = fixed_binary_matrix(keep["bands"], b * 8, dtype=np.int64)
-    doc = keep["doc_id"].to_numpy(zero_copy_only=False)
-    bucket = np.ascontiguousarray(keys).reshape(-1)   # doc-major layout
-    doc_rep = np.repeat(doc, b)
-    return pa.table({"bucket": pa.array(bucket),
-                     "doc_id": pa.array(doc_rep)})
+    parts = []
+    if n:
+        b = cfg.bands
+        keys = fixed_binary_matrix(keep["bands"], b * 8, dtype=np.int64)
+        doc = keep["doc_id"].to_numpy(zero_copy_only=False)
+        bucket = np.ascontiguousarray(keys).reshape(-1)   # doc-major layout
+        doc_rep = np.repeat(doc, b)
+        parts.append(pa.table({"bucket": pa.array(bucket),
+                               "doc_id": pa.array(doc_rep)}))
+    zs = batch.filter(pa.compute.equal(batch["n_shingles"], 0))
+    if zs.num_rows:
+        h1 = zs["text_h1"].to_numpy(zero_copy_only=False).view(np.uint64)
+        h2 = zs["text_h2"].to_numpy(zero_copy_only=False).view(np.uint64)
+        with np.errstate(over="ignore"):
+            eb = splitmix64(h1 ^ splitmix64(h2)).view(np.int64)
+        parts.append(pa.table({"bucket": pa.array(eb),
+                               "doc_id": zs["doc_id"]}))
+    if not parts:
+        return empty
+    return pa.concat_tables(parts)
 
 
 def salted(bucket: np.ndarray, doc_id: np.ndarray, salt: int) -> np.ndarray:

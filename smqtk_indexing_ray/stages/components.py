@@ -109,11 +109,79 @@ def _sym(edges):
     return edges.map_batches(f, batch_format="pyarrow")
 
 
-def _large_star(edges):
-    """Emit (m, v) for every v > a adjacent to a, m = min(N(a) + {a})."""
-    srt = _sym(edges).sort("a").materialize()
-    fix = _boundary_fixup(srt, "a", "b")
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
 
+
+def _label_hash(keys: np.ndarray, lbls: np.ndarray) -> int:
+    """Partial partition-invariant label-set checksum (mod before sum —
+    raw uint64 sums wrap batch-layout-dependently)."""
+    if len(keys) == 0:
+        return 0
+    with np.errstate(over="ignore"):
+        h = splitmix64(keys.astype(np.uint64) * _GOLD
+                       ^ splitmix64(lbls.astype(np.uint64)))
+        return int(np.sum(h % _CHK_MOD, dtype=np.uint64) % _CHK_MOD)
+
+
+def _adjacency_probe(srt):
+    """One raw-task probe over the a-sorted symmetric adjacency.
+
+    Returns ``(fix, fp, boundary_labels)`` where ``fix`` is the
+    straddling-key global-min dict the emit kernels need, ``fp`` is an
+    EXACT ``(count, checksum)`` fingerprint of the current labeling
+    ``{(a, min(N(a) ∪ {a}))}`` — identical to what a groupby-min over the
+    oriented edges would produce, without the per-round hash-shuffle
+    aggregate — and ``boundary_labels`` is the (tiny) dict of labels for
+    keys in first/last block segments, whose rows the interior label
+    emission must skip."""
+    def probe(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("kind", pa.int8()), ("key", pa.int64()),
+                         ("lm", pa.int64()), ("fp", pa.int64()),
+                         ("cnt", pa.int64())])
+        if _degenerate(t, "a", "b"):
+            return sch.empty_table()
+        k = t["a"].to_numpy(zero_copy_only=False)
+        v = t["b"].to_numpy(zero_copy_only=False)
+        starts, _ = _segments(k)
+        seg_keys = k[starts]
+        seg_min = np.minimum.reduceat(v, starts)
+        nseg = len(starts)
+        bidx = np.unique([0, nseg - 1])
+        interior = np.ones(nseg, dtype=bool)
+        interior[bidx] = False
+        lbl = np.minimum(seg_min, seg_keys)
+        s = _label_hash(seg_keys[interior], lbl[interior])
+        nb = len(bidx)
+        return pa.table({
+            "kind": pa.array(
+                np.concatenate([np.zeros(nb, np.int8), [1]])),
+            "key": pa.array(np.concatenate([seg_keys[bidx], [0]])),
+            "lm": pa.array(np.concatenate([seg_min[bidx], [0]])),
+            "fp": pa.array(np.concatenate([np.zeros(nb, np.int64), [s]])),
+            "cnt": pa.array(np.concatenate(
+                [np.ones(nb, np.int64), [int(interior.sum())]])),
+        })
+
+    from smqtk_indexing_ray.stages._util import probe_blocks
+    ptbl = probe_blocks(srt, probe)
+    if ptbl.num_rows == 0 or "kind" not in ptbl.column_names:
+        return {}, (0, 0), {}
+    pdf = ptbl.to_pandas()
+    bnd = pdf[pdf["kind"] == 0]
+    intr = pdf[pdf["kind"] == 1]
+    g = bnd.groupby("key").agg(lm=("lm", "min"), n=("cnt", "sum"))
+    fix = dict(zip(g.index[g["n"] > 1].astype(np.int64),
+                   g.loc[g["n"] > 1, "lm"].astype(np.int64)))
+    bkeys = g.index.to_numpy(dtype=np.int64)
+    blbls = np.minimum(g["lm"].to_numpy(dtype=np.int64), bkeys)
+    cnt = int(intr["cnt"].sum()) + len(bkeys)
+    chk = int((int(intr["fp"].sum() % int(_CHK_MOD))
+               + _label_hash(bkeys, blbls)) % int(_CHK_MOD))
+    return fix, (cnt, chk), dict(zip(bkeys, blbls))
+
+
+def _emit_large_star(srt, fix):
+    """Emit (m, v) for every v > a adjacent to a, m = min(N(a) + {a})."""
     def emit(t: pa.Table) -> pa.Table:
         if _degenerate(t, "a", "b"):
             return _empty_uv()
@@ -128,6 +196,40 @@ def _large_star(edges):
         return pa.table({"u": pa.array(m[mask]), "v": pa.array(b[mask])})
 
     return srt.map_batches(emit, batch_format="pyarrow")
+
+
+def _labels_from_adjacency(srt, boundary_labels: dict[int, int]):
+    """Converged labeling straight off the sorted adjacency: one label row
+    per interior segment (exact, no shuffle), plus the driver-merged
+    boundary keys as a tiny literal table.  Every node that appears in an
+    edge is a segment key of the symmetric adjacency, so roots label
+    themselves — same surface as a groupby-min over oriented edges."""
+    import ray.data as rd
+
+    def emit(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("doc_id", pa.int64()), ("cluster_id", pa.int64())])
+        if _degenerate(t, "a", "b"):
+            return sch.empty_table()
+        k = t["a"].to_numpy(zero_copy_only=False)
+        v = t["b"].to_numpy(zero_copy_only=False)
+        starts, _ = _segments(k)
+        seg_keys = k[starts]
+        seg_min = np.minimum.reduceat(v, starts)
+        nseg = len(starts)
+        interior = np.ones(nseg, dtype=bool)
+        interior[np.unique([0, nseg - 1])] = False
+        lbl = np.minimum(seg_min, seg_keys)
+        return pa.table({"doc_id": pa.array(seg_keys[interior]),
+                         "cluster_id": pa.array(lbl[interior])})
+
+    labels = srt.map_batches(emit, batch_format="pyarrow")
+    if boundary_labels:
+        btbl = pa.table({
+            "doc_id": pa.array(list(boundary_labels.keys()), pa.int64()),
+            "cluster_id": pa.array(list(boundary_labels.values()),
+                                   pa.int64())})
+        labels = labels.union(rd.from_arrow(btbl))
+    return labels
 
 
 def _small_star(edges):
@@ -167,68 +269,6 @@ def _small_star(edges):
     return srt.map_batches(emit, batch_format="pyarrow")
 
 
-def _labels_of(edges, num_partitions: int = 16):
-    """Edge set -> candidate labeling ``(doc_id, cluster_id)`` (groupby-min).
-
-    Canonical by construction: the groupby collapses duplicate edges, so
-    the result is identical however the edge multiset is partitioned or
-    duplicated across batch boundaries.
-    """
-    from ray.data.aggregate import Min
-
-    def orient_lbl(t: pa.Table) -> pa.Table:
-        if _degenerate(t, "u", "v"):
-            return pa.schema([("doc_id", pa.int64()),
-                              ("c", pa.int64())]).empty_table()
-        u = t["u"].to_numpy(zero_copy_only=False)
-        v = t["v"].to_numpy(zero_copy_only=False)
-        lo = np.minimum(u, v)
-        hi = np.maximum(u, v)
-        return pa.table({
-            "doc_id": pa.array(np.concatenate([hi, lo])),
-            "c": pa.array(np.concatenate([lo, lo])),
-        })
-
-    return (edges.map_batches(orient_lbl, batch_format="pyarrow")
-            .groupby("doc_id", num_partitions=num_partitions)
-            .aggregate(Min("c", alias_name="cluster_id")))
-
-
-def _labels_fingerprint(labels) -> tuple[int, int]:
-    """(count, order-independent SET checksum) of a labels dataset.
-
-    Works on labels, not edges: the edge multiset produced by the star
-    operations carries batch-boundary-dependent duplicates, so an edge
-    fingerprint jiggles round-to-round long after the labeling has
-    converged (observed: count stable at round 1, checksum stable only by
-    luck ~20 rounds later).  Labels are distinct rows by construction, so
-    a commutative sum-hash is a true set fingerprint.
-    """
-    def chk(t: pa.Table) -> pa.Table:
-        if _degenerate(t, "doc_id", "cluster_id"):
-            return pa.table({"chk": pa.array([0], type=pa.int64()),
-                             "cnt": pa.array([0], type=pa.int64())})
-        u = t["doc_id"].to_numpy(zero_copy_only=False).view(np.uint64)
-        v = t["cluster_id"].to_numpy(zero_copy_only=False).view(np.uint64)
-        with np.errstate(over="ignore"):
-            h = splitmix64(u * np.uint64(0x9E3779B97F4A7C15) ^ splitmix64(v))
-            # mod BEFORE the sum: a raw uint64 sum wraps at 2**64, and the
-            # wrap count depends on how rows are batched — (x mod 2^64)
-            # mod M is not partition-invariant.  Per-element mod keeps the
-            # per-batch sum exact (n * (M-1) < 2^64 for any real block).
-            s = int(np.sum(h % _CHK_MOD, dtype=np.uint64) % _CHK_MOD)
-        return pa.table({"chk": pa.array([s], type=pa.int64()),
-                         "cnt": pa.array([t.num_rows], type=pa.int64())})
-
-    from smqtk_indexing_ray.stages._util import probe_blocks
-    mini = probe_blocks(labels, chk)
-    if mini.num_rows == 0:
-        return 0, 0
-    cnt = int(np.sum(mini["cnt"].to_numpy(zero_copy_only=False)))
-    s = int(np.sum(mini["chk"].to_numpy(zero_copy_only=False)) % _CHK_MOD)
-    return cnt, s
-
-
 def connected_components(edges, *, num_partitions: int = 32,
                          max_iters: int = 25):
     """Edges (u, v) -> labels Dataset ``(doc_id, cluster_id)``.
@@ -236,42 +276,42 @@ def connected_components(edges, *, num_partitions: int = 32,
     ``cluster_id`` is the minimum ``doc_id`` of the component.  Only nodes
     that appear in an edge get a row — callers left-join and default
     singletons to their own id.  ``num_partitions`` is accepted for API
-    symmetry (the sort chooses its own partitioning).
+    symmetry (the sorts choose their own partitioning).
+
+    Shuffle budget: each round costs ONE symmetric-adjacency sort (large
+    star) and ONE oriented sort (small star); the large-star probe doubles
+    as an exact labeling fingerprint of the round's input edge set
+    (``{(a, min(N(a) ∪ {a}))}`` — what a groupby-min over oriented edges
+    would compute), so no per-round label aggregate runs at all, and on
+    convergence the labels are emitted straight off the already-sorted
+    adjacency.  A star-shaped input resolves in 2 large sorts + 1 small
+    sort total.
 
     Termination: per-node labels are monotonically non-increasing under
-    the star operations, so ONE full large+small-star round with an
-    unchanged label-set fingerprint is the fixpoint test (the fingerprint
-    is an exact partition-invariant multiset checksum; monotonicity rules
-    out a coincidentally-unchanged labeling mid-propagation).
+    the star operations and the component minimum propagates at least one
+    hop per round, so an unchanged labeling across ONE full round is the
+    fixpoint (the fingerprint is exact and partition-invariant).
     """
-    prev = None
-    stable = 0
-    labels = None
-    for _ in range(max_iters):
-        edges = _large_star(edges)
-        edges = _small_star(edges)  # materialized inside (sort)
-        labels = _labels_of(edges, num_partitions).materialize()
-        fp = _labels_fingerprint(labels)
-        if fp[0] == 0:
-            break
-        if fp == prev:
-            stable += 1
-            # one full round with an unchanged label SET is the fixpoint
-            # test (the fingerprint is exact and partition-invariant);
-            # labels are monotone non-increasing under the star ops
-            if stable >= 1:
-                break
-        else:
-            stable = 0
-        prev = fp
-    else:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iters} rounds")
-    # labels is already materialized: filtering empty blocks is a metadata
-    # pass, and downstream joins die on zero-column empty blocks
+    import ray.data as rd
     from smqtk_indexing_ray.stages._util import drop_empty_blocks
-    return drop_empty_blocks(labels, pa.schema([("doc_id", pa.int64()),
-                                                ("cluster_id", pa.int64())]))
+
+    label_schema = pa.schema([("doc_id", pa.int64()),
+                              ("cluster_id", pa.int64())])
+    prev = None
+    for _ in range(max_iters):
+        srt = _sym(edges).sort("a").materialize()
+        fix, fp, boundary_labels = _adjacency_probe(srt)
+        if fp[0] == 0:
+            return rd.from_arrow(label_schema.empty_table())
+        if prev is not None and fp == prev:
+            labels = _labels_from_adjacency(srt, boundary_labels)
+            # materialized: downstream joins die on zero-column empty
+            # blocks, and drop_empty_blocks is a metadata pass
+            return drop_empty_blocks(labels.materialize(), label_schema)
+        prev = fp
+        edges = _small_star(_emit_large_star(srt, fix))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds")
 
 
 def driver_connected_components(edges) -> dict[int, int]:

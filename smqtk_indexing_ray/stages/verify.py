@@ -51,9 +51,13 @@ def verify_edges(edges, signatures, cfg: DedupConfig, *,
                             ("simhash", pa.int64())])
     uv_schema = pa.schema([("u", pa.int64()), ("v", pa.int64())])
 
+    # dedup_rows_on=["v"]: raw star edges repeat a pair once per colliding
+    # band; fusing the (u, v) dedup into this attach's sort removes the
+    # standalone edge-dedup sort the pipeline used to run (VERDICT r1 #2)
     e1 = sort_attach(edges, sig, key="u", payload_key="doc_id",
                      payload_cols=["mh8", "simhash"], how="inner",
-                     rows_schema=uv_schema, payload_schema=sig_schema)
+                     rows_schema=uv_schema, payload_schema=sig_schema,
+                     dedup_rows_on=["v"])
     e1 = e1.map_batches(_rename({"mh8": "mh8_u", "simhash": "simhash_u"}),
                         batch_format="pyarrow")
     e1_schema = pa.schema([("u", pa.int64()), ("v", pa.int64()),

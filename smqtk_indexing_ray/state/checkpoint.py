@@ -153,8 +153,7 @@ def checkpointed_dedup(pages_path: str, cfg, ckpt_root: str, *,
     def make_edges():
         cand = D.candidate_edges(sigs, cfg)
         near = D.verify_edges(cand, sigs, cfg, num_partitions=num_partitions)
-        exact = D.exact_dup_edges(sigs)
-        return near.select_columns(["u", "v"]).union(exact)
+        return near.select_columns(["u", "v"])
 
     edges = ck.stage("edges", make_edges, inputs=["signatures"])
 

@@ -402,76 +402,32 @@ def doc_fingerprints(docs, *, hash_key: str = "smqtk-ray-v1.0.0"):
 
 
 def simhash_near_pairs(docs, *, max_hamming: int = 3,
-                       num_partitions: int = 16):
+                       num_partitions: int = 16,
+                       max_pairs_per_bucket: int | None = None):
     """SimHash near-dup pairs via 4x16-bit band collision + popcount verify.
 
     Pigeonhole: two 64-bit codes within hamming distance 3 agree on at
     least one of 4 disjoint 16-bit chunks, so banding finds every such
     pair (reference analog: SkLearnBallTreeHashIndex's hamming search,
     /root/reference/smqtk_indexing/impls/hash_index/sklearn_balltree.py:
-    337-375, re-expressed as a shuffle).
+    337-375, re-expressed as a shuffle).  Join-free since round 2: the
+    band-key self-join was O(m^2) per bucket before any filter (a hot
+    chunk was a quadratic skew bomb); :func:`stages.hampairs.
+    banded_hamming_pairs` costs O(distinct_codes^2 + output) per bucket.
+    ``num_partitions`` kept for API compatibility.
     """
     from smqtk_indexing_ray.context import ensure_data_context
     ensure_data_context()
+    from smqtk_indexing_ray.stages.hampairs import banded_hamming_pairs
 
     fps = doc_fingerprints(docs).select_columns(["doc_id", "simhash"])
-
-    def band(t: pa.Table) -> pa.Table:
-        schema = pa.schema([("band_key", pa.int64()), ("doc_id", pa.int64()),
-                            ("simhash", pa.int64())])
-        if t.num_rows == 0:
-            return schema.empty_table()
-        code = t["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
-        doc = t["doc_id"].to_numpy(zero_copy_only=False)
-        parts = []
-        for band_id in range(4):
-            chunk = (code >> np.uint64(16 * band_id)) & np.uint64(0xFFFF)
-            key = (chunk.astype(np.int64) << np.int64(3)) | np.int64(band_id)
-            parts.append(pa.table({"band_key": pa.array(key),
-                                   "doc_id": pa.array(doc),
-                                   "simhash": t["simhash"]}))
-        return pa.concat_tables(parts)
-
-    from smqtk_indexing_ray.stages._util import drop_empty_blocks
-    banded = fps.map_batches(band, batch_format="pyarrow")
-    banded = drop_empty_blocks(
-        banded, pa.schema([("band_key", pa.int64()), ("doc_id", pa.int64()),
-                           ("simhash", pa.int64())]))
-    left = banded.map_batches(
-        lambda t: t.rename_columns(["band_key", "doc_a", "sim_a"]),
-        batch_format="pyarrow")
-    right = banded.map_batches(
-        lambda t: t.rename_columns(["band_key", "doc_b", "sim_b"]),
-        batch_format="pyarrow")
-    j = left.join(right, partition_size_hint=NARROW_JOIN_HINT,
-                  join_type="inner", num_partitions=num_partitions,
-                  on=("band_key",))
-
     out_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
                             ("hamming", pa.int64())])
-
-    def verify(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "doc_a" not in t.column_names:
-            return out_schema.empty_table()
-        t = t.filter(pc.less(t["doc_a"], t["doc_b"]))
-        if t.num_rows == 0:
-            return out_schema.empty_table()
-        a = t["sim_a"].to_numpy(zero_copy_only=False).view(np.uint64)
-        b = t["sim_b"].to_numpy(zero_copy_only=False).view(np.uint64)
-        h = popcount_u64(np.bitwise_xor(a, b)).astype(np.int64)
-        keep = h <= max_hamming
-        return pa.table({
-            "doc_a": t["doc_a"].filter(pa.array(keep)),
-            "doc_b": t["doc_b"].filter(pa.array(keep)),
-            "hamming": pa.array(h[keep]),
-        })
-
-    pairs = j.map_batches(verify, batch_format="pyarrow")
-    # same pair can collide in several bands — keep one row
-    from ray.data.aggregate import Min
-    g = pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Min("hamming", alias_name="hamming"))
-    return stamp_schema(g, out_schema)
+    pairs = banded_hamming_pairs(
+        fps, id_col="doc_id", code_col="simhash", max_hamming=max_hamming,
+        max_pairs_per_bucket=max_pairs_per_bucket,
+        out_a="doc_a", out_b="doc_b")
+    return stamp_schema(pairs, out_schema)
 
 
 # ---------------------------------------------------------------------------

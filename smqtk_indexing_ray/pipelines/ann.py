@@ -321,70 +321,27 @@ def hamming_topk(emb, *, n_queries: int = 8, k: int = 10, seed: int = 42):
 
 
 def srp_near_pairs(emb, *, max_hamming: int = 8, seed: int = 42,
-                   num_partitions: int = 16):
+                   num_partitions: int = 16,
+                   max_pairs_per_bucket: int | None = None):
     """Scale-path embedding near-dup: SRP codes -> 4x16-bit band shuffle ->
     popcount verify (finds every pair with hamming <= 3 exactly; pairs up
-    to ``max_hamming`` are found when any chunk agrees)."""
+    to ``max_hamming`` are found when any chunk agrees).  Join-free since
+    round 2 — see :func:`stages.hampairs.banded_hamming_pairs` (the r1
+    band-key self-join was O(m^2) per bucket, a skew bomb on degenerate
+    near-zero-code chunks).  ``num_partitions`` kept for API
+    compatibility."""
     from smqtk_indexing_ray.context import ensure_data_context
     ensure_data_context()
+    from smqtk_indexing_ray.stages.hampairs import banded_hamming_pairs
 
     codes = srp_codes(emb, seed=seed)
-
-    def band(t: pa.Table) -> pa.Table:
-        schema = pa.schema([("band_key", pa.int64()), ("vec_id", pa.int64()),
-                            ("code", pa.int64())])
-        if t.num_rows == 0:
-            return schema.empty_table()
-        c = t["code"].to_numpy(zero_copy_only=False).view(np.uint64)
-        v = t["vec_id"].to_numpy(zero_copy_only=False)
-        parts = []
-        for band_id in range(4):
-            chunk = (c >> np.uint64(16 * band_id)) & np.uint64(0xFFFF)
-            key = (chunk.astype(np.int64) << np.int64(3)) | np.int64(band_id)
-            parts.append(pa.table({"band_key": pa.array(key),
-                                   "vec_id": pa.array(v),
-                                   "code": t["code"]}))
-        return pa.concat_tables(parts)
-
-    from smqtk_indexing_ray.stages._util import drop_empty_blocks
-    banded = codes.map_batches(band, batch_format="pyarrow")
-    banded = drop_empty_blocks(
-        banded, pa.schema([("band_key", pa.int64()), ("vec_id", pa.int64()),
-                           ("code", pa.int64())]))
-    left = banded.map_batches(
-        lambda t: t.rename_columns(["band_key", "vec_a", "code_a"]),
-        batch_format="pyarrow")
-    right = banded.map_batches(
-        lambda t: t.rename_columns(["band_key", "vec_b", "code_b"]),
-        batch_format="pyarrow")
-    j = left.join(right, partition_size_hint=NARROW_JOIN_HINT,
-                  join_type="inner", num_partitions=num_partitions,
-                  on=("band_key",))
-
     out_schema = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64()),
                             ("hamming", pa.int64())])
-
-    def verify(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "vec_a" not in t.column_names:
-            return out_schema.empty_table()
-        t = t.filter(pc.less(t["vec_a"], t["vec_b"]))
-        if t.num_rows == 0:
-            return out_schema.empty_table()
-        a = t["code_a"].to_numpy(zero_copy_only=False).view(np.uint64)
-        b = t["code_b"].to_numpy(zero_copy_only=False).view(np.uint64)
-        h = popcount_u64(np.bitwise_xor(a, b)).astype(np.int64)
-        keep = h <= max_hamming
-        return pa.table({
-            "vec_a": t["vec_a"].filter(pa.array(keep)),
-            "vec_b": t["vec_b"].filter(pa.array(keep)),
-            "hamming": pa.array(h[keep]),
-        })
-
-    from ray.data.aggregate import Min
-    pairs = j.map_batches(verify, batch_format="pyarrow")
-    g = pairs.groupby(["vec_a", "vec_b"]).aggregate(
-        Min("hamming", alias_name="hamming"))
-    return stamp_schema(g, out_schema)
+    pairs = banded_hamming_pairs(
+        codes, id_col="vec_id", code_col="code", max_hamming=max_hamming,
+        max_pairs_per_bucket=max_pairs_per_bucket,
+        out_a="vec_a", out_b="vec_b")
+    return stamp_schema(pairs, out_schema)
 
 
 # ---------------------------------------------------------------------------

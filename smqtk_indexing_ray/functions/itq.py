@@ -56,13 +56,21 @@ def _find_itq_rotation(v: np.ndarray, n_iter: int, seed: int) -> np.ndarray:
 
 
 def itq_fit(emb, *, bit_length: int = 32, n_iter: int = 50, seed: int = 42,
-            normalize: int | None = None, vec_col: str = "embedding"
-            ) -> ItqModel:
+            normalize: int | None = None, vec_col: str = "embedding",
+            fit_sample_limit: int = 1_000_000) -> ItqModel:
     """Distributed ITQ fit over a Dataset with a ``list<float>`` column.
 
     Global mean and covariance via partial sums (reference collects the
     whole matrix driver-side, itq.py:333-336); eigendecomposition + ITQ
     iterations on the (d, d) driver-side problem (itq.py:351-383).
+
+    The rotation pass needs the PROJECTED ``(n, bits)`` distribution on
+    the driver; above ``fit_sample_limit`` rows it uses a deterministic
+    content-hash Bernoulli sample (expected ~``fit_sample_limit`` rows) —
+    the rotation is a ``(bits, bits)`` Procrustes estimate, so a bounded
+    sample pins driver memory without materially changing it (VERDICT r1
+    #6; mirrors the reference's bounded-memory chunking, mrpt.py:27).
+    Inputs at or under the limit are used in full (golden tests exact).
     """
     def partial(t: pa.Table) -> pa.Table:
         arr = t[vec_col]
@@ -108,10 +116,16 @@ def itq_fit(emb, *, bit_length: int = 32, n_iter: int = 50, seed: int = 42,
     order = np.argsort(eig_vals)[::-1][:bit_length]
     pc_basis = eig_vecs[:, order]           # (d, bits)
 
-    # project a driver-side ITQ problem: rotation needs the projected data
-    # distribution; a seeded sample suffices, but for exactness with the
-    # reference we recompute v = (x - mean) @ pc via a second partial pass
+    # second pass: project (and, above the limit, subsample) the corpus to
+    # the (sample_n, bits) driver-side rotation problem.  The sample is a
+    # content-hash Bernoulli draw — deterministic per row value, so it is
+    # stable under task retries and any partitioning (no global row index
+    # exists in a streaming pass).
+    keep_frac = min(1.0, float(fit_sample_limit) / n_total)
+    threshold = np.uint64(min(int(keep_frac * 2.0**64), 2**64 - 1))
+
     def project(t: pa.Table) -> pa.Table:
+        from smqtk_indexing_ray.functions.hashing import splitmix64
         arr = t[vec_col]
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
@@ -120,6 +134,15 @@ def itq_fit(emb, *, bit_length: int = 32, n_iter: int = 50, seed: int = 42,
             return pa.table({"blob": pa.array([], pa.binary())})
         m = arr.values.to_numpy(zero_copy_only=False).astype(
             np.float64).reshape(n, -1)
+        if keep_frac < 1.0:
+            with np.errstate(over="ignore"):
+                key = m[:, 0].view(np.uint64) ^ splitmix64(
+                    np.full(n, np.uint64(seed))
+                    + m[:, -1].view(np.uint64))
+                h = splitmix64(key)
+            m = m[h <= threshold]
+            if m.shape[0] == 0:
+                return pa.table({"blob": pa.array([], pa.binary())})
         if normalize is not None:
             nrm = np.linalg.norm(m, ord=normalize, axis=1, keepdims=True)
             m = m / np.where(nrm == 0, 1.0, nrm)
@@ -131,10 +154,10 @@ def itq_fit(emb, *, bit_length: int = 32, n_iter: int = 50, seed: int = 42,
     v = np.concatenate([
         np.frombuffer(row["blob"], dtype=np.float64).reshape(-1, bit_length)
         for row in vparts]) if vparts else np.zeros((0, bit_length))
-    # NOTE: v is (n, bits) — small relative to the corpus (bits <= 64);
-    # for 10^12-doc scale replace with a seeded random_sample of ~1e6 rows
-    # (the rotation is a (bits, bits) estimate; sampling does not change it
-    # materially).
+    if v.shape[0] == 0:
+        # pathological sample miss: fall back to the mean row (rotation
+        # degenerates to the seeded init, still a valid orthogonal basis)
+        v = np.zeros((1, bit_length))
     rot = _find_itq_rotation(v, n_iter, seed)
     return ItqModel(mean_vec=mean, rotation=pc_basis @ rot)
 

@@ -43,8 +43,12 @@ class DedupConfig:
 
     # --- verification / clustering ---------------------------------------
     verify_threshold: float = 0.5   # min estimated Jaccard to keep an edge
-    bucket_salt: int = 1            # sub-split factor for hot buckets (1=off)
-    salt_min_group: int = 0         # unused when bucket_salt == 1
+    # Hot-bucket salt: secondary sort sub-key letting the range partitioner
+    # split a degenerate near-dup cloud across up to `salt` blocks (see
+    # stages/buckets.py).  Connectivity-identical at any value and costs
+    # one int8 sort column, so it is ON by default (1 = off).
+    bucket_salt: int = 16
+    salt_min_group: int = 0         # reserved (salting is size-oblivious)
 
     # --- determinism -------------------------------------------------------
     seed: int = 42

@@ -62,13 +62,5 @@ def band_stage(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
     return pa.concat_tables(parts)
 
 
-def salted(bucket: np.ndarray, doc_id: np.ndarray, salt: int) -> np.ndarray:
-    """Sub-split a bucket key by ``hash(doc) % salt`` (hot-bucket control).
-
-    Star edges within a sub-bucket plus a representative-linking second
-    phase preserve connectivity (transitivity through the union-find), so
-    recall is unchanged while no single reducer sees a degenerate
-    million-member near-dup cloud (SURVEY.md §4.2).
-    """
-    s = splitmix64(doc_id.view(np.uint64)) % np.uint64(salt)
-    return splitmix64(bucket.view(np.uint64) ^ (s + np.uint64(1))).view(np.int64)
+# hot-bucket skew control lives in stages/buckets.star_edges (salt as a
+# secondary sort sub-key; SURVEY.md §4.2) — no key rewriting happens here.

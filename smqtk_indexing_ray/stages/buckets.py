@@ -17,10 +17,17 @@ segmented reductions inside ``map_batches``:
   driver-side fixup (2 rows per batch at most) links local minima of the
   same key.
 
-Hot buckets (boilerplate near-dup clouds): ``salt > 1`` sub-splits every
-bucket by ``hash(doc) % salt`` and links the sub-bucket representatives in
-a second, much smaller star pass — connectivity is preserved through the
-representatives while no single segment carries the whole cloud.
+Hot buckets (boilerplate near-dup clouds): Ray's range-partitioning sort
+chooses boundaries between DISTINCT key values, so a million-member
+bucket lands in ONE partition/block (verified empirically: 500k rows of
+one key -> a single 422k-row block).  ``salt > 1`` therefore appends a
+deterministic per-node sub-key ``hash(doc) % salt`` to the SORT key only
+— not the segmentation key — so boundaries can fall inside a hot bucket
+and split it across up to ``salt`` blocks (each ~1/salt of the cloud),
+while the existing boundary fixup links the per-block local minima
+exactly as it does for any straddling bucket.  Edge semantics are
+identical at any salt, the sort count is identical (one), and the only
+cost is a 1-byte sort-key column, so salting is ON by default.
 """
 
 from __future__ import annotations
@@ -53,10 +60,9 @@ class _EmitStarEdges:
     ``(u = local_min, v = null, key cols set)``.
     """
 
-    def __init__(self, keys: list[str], node: str, all_reps: bool):
+    def __init__(self, keys: list[str], node: str):
         self.keys = keys
         self.node = node
-        self.all_reps = all_reps
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         keys, node = self.keys, self.node
@@ -76,10 +82,8 @@ class _EmitStarEdges:
         v = np.maximum(rep, d)
         mask = u != v
         eu, ev = u[mask], v[mask]
-        # rep rows: all segments (salted phase 1) or just batch-boundary ones
-        if self.all_reps:
-            ridx = np.arange(len(starts))
-        elif len(starts) == 1:
+        # rep rows: only the batch-boundary segments can straddle blocks
+        if len(starts) == 1:
             ridx = np.array([0])
         else:
             ridx = np.array([0, len(starts) - 1])
@@ -102,32 +106,38 @@ class _EmitStarEdges:
 def star_edges(ds, keys: list[str], node: str = "doc_id", *, salt: int = 1):
     """Candidate edges from bucket co-membership.  Returns a Dataset(u, v).
 
-    ``keys`` are int64 columns identifying the bucket; ``salt > 1`` enables
-    the two-phase hot-bucket split.
+    ``keys`` are int64 columns identifying the bucket; ``salt > 1``
+    appends a deterministic ``hash(node) % salt`` sub-key to the SORT
+    order (segmentation stays at the bucket level), letting the range
+    partitioner split a degenerate hot bucket across up to ``salt``
+    blocks — the boundary fixup links the per-block local minima, so the
+    emitted edge set is connectivity-identical at any salt.
     """
+    sort_keys = list(keys)
     if salt > 1:
+        smax = min(int(salt), 127)
+
         def add_salt(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or node not in t.column_names:
+                return t
             d = t[node].to_numpy(zero_copy_only=False)
             s = (splitmix64(d.view(np.uint64) if d.dtype == np.int64 else
-                            d.astype(np.uint64)) % np.uint64(salt))
-            return t.append_column("_salt", pa.array(s.view(np.int64)))
-        salted = ds.map_batches(add_salt, batch_format="pyarrow")
-        e1, reps = _star_edges_single(salted, keys + ["_salt"], node,
-                                      all_reps=True)
-        # phase 2: link sub-bucket representatives within the original key
-        e2 = star_edges(reps, keys, node="u", salt=1)
-        return e1.union(e2)
-    edges, _ = _star_edges_single(ds, keys, node, all_reps=False)
-    return edges
+                            d.astype(np.uint64)) % np.uint64(smax))
+            return t.append_column("_salt",
+                                   pa.array(s.astype(np.int8), pa.int8()))
+
+        ds = ds.map_batches(add_salt, batch_format="pyarrow")
+        sort_keys = keys + ["_salt"]
+    return _star_edges_single(ds, sort_keys, keys, node)
 
 
-def _star_edges_single(ds, keys: list[str], node: str, all_reps: bool):
+def _star_edges_single(ds, sort_keys: list[str], keys: list[str], node: str):
     import ray.data as rd
 
     # materialized because both the edge and rep filters consume it — the
     # emitted table is ~24 B/row, far smaller than re-running the sort.
-    mixed = ds.sort(keys).map_batches(
-        _EmitStarEdges(keys, node, all_reps), batch_format="pyarrow"
+    mixed = ds.sort(sort_keys).map_batches(
+        _EmitStarEdges(keys, node), batch_format="pyarrow"
     ).materialize()
 
     def only_edges(t: pa.Table) -> pa.Table:
@@ -141,9 +151,6 @@ def _star_edges_single(ds, keys: list[str], node: str, all_reps: bool):
         return t.filter(pa.compute.is_null(t["v"])).select(["u"] + keys)
 
     edges = mixed.map_batches(only_edges, batch_format="pyarrow")
-    if all_reps:
-        reps = mixed.map_batches(only_reps, batch_format="pyarrow")
-        return edges, reps
     # boundary fixup: tiny (<= 2 rows per batch) — link local minima of the
     # same key that straddled a batch boundary, driver-side (raw tasks over
     # the materialized blocks, no extra dataset execution).
@@ -153,7 +160,7 @@ def _star_edges_single(ds, keys: list[str], node: str, all_reps: bool):
     extra = _link_group_mins(bdf, keys)
     if len(extra):
         edges = edges.union(rd.from_arrow(extra))
-    return edges, None
+    return edges
 
 
 def _link_group_mins(bdf: pd.DataFrame, keys: list[str]) -> pa.Table:

@@ -77,3 +77,33 @@ def test_salted_buckets_equivalent_clustering():
     # the hot cluster exists and is fully clustered under both configs
     hot = a[a.cluster_id == a.cluster_id.value_counts().idxmax()]
     assert len(hot) == 500
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_salt_splits_hot_bucket_across_blocks():
+    """Ray's range partitioner never splits a single key value, so a
+    degenerate hot bucket lands in ONE block unless salted.  With salt as
+    a secondary sort sub-key the cloud spreads over multiple blocks and
+    the boundary fixup still links every member to the global minimum."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from smqtk_indexing_ray.stages.buckets import star_edges
+    from smqtk_indexing_ray.stages.components import (
+        driver_connected_components)
+
+    n = 200_000
+    t = pa.table({
+        "bucket": pa.array(np.full(n, 7, dtype=np.int64)),
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+    })
+    ds = rd.from_arrow(t).repartition(16)
+    edges = star_edges(ds, ["bucket"], "doc_id", salt=16).materialize()
+    # every doc connects to component min 0
+    cc = driver_connected_components(edges)
+    assert set(cc.values()) == {0}
+    assert len(cc) == n
+    # and the hot bucket was actually split: more than one block holds it
+    sizes = [m.num_rows for b in edges.iter_internal_ref_bundles()
+             for _, m in b.blocks if m.num_rows]
+    assert len(sizes) > 1

@@ -135,8 +135,49 @@ def _q_substring_containment(sf_dir: str):
     return substring_containment(_docs(sf_dir))
 
 
+def _jaccard_labeled_texts(sf_dir: str):
+    """(doc_id, cluster_id, text) under EXACT n-gram-Jaccard clustering —
+    hash-family-independent labels, so downstream containment is
+    SQL-checkable (VERDICT r1 #10)."""
+    import pyarrow as pa
+    from smqtk_indexing_ray.pipelines.analysis import jaccard_cluster_labels
+    from smqtk_indexing_ray.stages.attach import sort_attach
+    docs = _docs(sf_dir)
+    labels = jaccard_cluster_labels(docs, k=3, threshold=0.5)
+    return sort_attach(
+        labels, docs.select_columns(["doc_id", "text"]),
+        key="doc_id", payload_key="doc_id", payload_cols=["text"],
+        how="inner",
+        rows_schema=pa.schema([("doc_id", pa.int64()),
+                               ("cluster_id", pa.int64())]),
+        payload_schema=pa.schema([("doc_id", pa.int64()),
+                                  ("text", pa.string())]))
+
+
 def _q_cluster_containment(sf_dir: str):
-    """Suffix-array substring pass within LSH clusters (rows-only)."""
+    """Suffix-array containment within exact-Jaccard clusters (the
+    clustering matches the jaccard_cluster_labels oracle, so this row has
+    a full DuckDB oracle; the span-fraction surface stays in
+    cluster_dup_spans)."""
+    import pyarrow as pa
+    from smqtk_indexing_ray.pipelines.suffix import cluster_containment
+
+    out = cluster_containment(_jaccard_labeled_texts(sf_dir), min_span=20)
+
+    def slim(t: pa.Table) -> pa.Table:
+        cols = ["doc_id", "cluster_id", "contained_in"]
+        if t.num_rows == 0 or any(c not in t.column_names for c in cols):
+            return pa.schema([("doc_id", pa.int64()),
+                              ("cluster_id", pa.int64()),
+                              ("contained_in", pa.int64())]).empty_table()
+        return t.select(cols)
+
+    return out.map_batches(slim, batch_format="pyarrow")
+
+
+def _q_cluster_dup_spans(sf_dir: str):
+    """Suffix-array duplicated-span fractions within LSH clusters
+    (rows-only: span semantics are not SQL-expressible)."""
     import pyarrow as pa
     from smqtk_indexing_ray.config import DedupConfig
     from smqtk_indexing_ray.context import NARROW_JOIN_HINT
@@ -240,6 +281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "srp_near_pairs": _q_srp_near_pairs,
         "substring_containment": _q_substring_containment,
         "cluster_containment": _q_cluster_containment,
+        "cluster_dup_spans": _q_cluster_dup_spans,
         "media_features": _q_media_features,
         "itq_codes": _q_itq_codes,
         "ivf_topk": _q_ivf_topk,
@@ -414,8 +456,39 @@ def oracle_sql() -> dict[str, str]:
             "octet_length(CAST(coalesce(text, '') AS BLOB)) AS n_bytes "
             "FROM documents"
         ),
+        "cluster_containment": (
+            "WITH RECURSIVE " + _TOKS + ", " + _SHINGLES + ", "
+            "edges AS ("
+            "  SELECT doc_a AS src, doc_b AS dst FROM jpairs"
+            "  UNION ALL SELECT doc_b, doc_a FROM jpairs"
+            "), reach(doc, lab) AS ("
+            "  SELECT doc_id, doc_id FROM documents"
+            "  UNION"
+            "  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.doc"
+            "), labels AS ("
+            "  SELECT doc AS doc_id, min(lab) AS cluster_id FROM reach "
+            "  GROUP BY doc"
+            "), csize AS ("
+            "  SELECT cluster_id, count(*) AS n FROM labels "
+            "  GROUP BY cluster_id"
+            "), multi AS ("
+            "  SELECT l.doc_id, l.cluster_id FROM labels l "
+            "  JOIN csize s USING (cluster_id) WHERE s.n > 1"
+            "), cont AS ("
+            "  SELECT m.doc_id, min(m2.doc_id) AS contained_in"
+            "  FROM multi m"
+            "  JOIN documents ta ON ta.doc_id = m.doc_id"
+            "  JOIN multi m2 ON m2.cluster_id = m.cluster_id"
+            "   AND m2.doc_id <> m.doc_id"
+            "  JOIN documents tb ON tb.doc_id = m2.doc_id"
+            "  WHERE ta.text <> '' AND strpos(tb.text, ta.text) > 0"
+            "  GROUP BY m.doc_id"
+            ") "
+            "SELECT m.doc_id, m.cluster_id, c.contained_in "
+            "FROM multi m LEFT JOIN cont c ON c.doc_id = m.doc_id"
+        ),
         # lsh_dedup, simhash_near_pairs, doc_fingerprints, lang_id,
-        # hamming_topk, srp_near_pairs, cluster_containment:
-        # hash-family-dependent / iterative — not SQL-expressible; driver
-        # records rows-only checks.
+        # hamming_topk, srp_near_pairs, cluster_dup_spans:
+        # hash-family-dependent / iterative / span-structural — not
+        # SQL-expressible; driver records rows-only checks.
     }

@@ -69,18 +69,24 @@ def compute_signatures(pages, cfg: DedupConfig):
 
 
 def candidate_edges(signatures, cfg: DedupConfig):
-    """LSH banding + bucket shuffle -> candidate star edges.
+    """LSH banding + bucket shuffle -> deduplicated candidate star edges.
 
-    A pair colliding in several bands appears once per band; the verify
-    stage's first ``sort_attach(dedup_rows_on=["v"])`` collapses those
-    duplicates inside its own sort, so no standalone edge-dedup sort runs
-    (VERDICT r1 #2).  The bucket shuffle also carries the zero-shingle
-    exact-dup buckets (see :func:`stages.banding.band_stage`), so the
-    returned edges cover both near- and exact-duplicate candidates.
+    The bucket shuffle also carries the zero-shingle exact-dup buckets
+    (see :func:`stages.banding.band_stage`), so the returned edges cover
+    both near- and exact-duplicate candidates.
+
+    The standalone 16-byte/row edge-dedup sort stays IN FRONT of the
+    verify attach deliberately: a pair colliding in k bands appears k
+    times here, and Arrow allocates full-width buffers for null
+    fixed-size-binary columns (measured: pa.nulls(1M, binary(128)) =
+    128 MB), so fusing the dedup into the attach's union sort made every
+    duplicate edge row carry ~136 dead bytes — ~9 GB of spill-inducing
+    shuffle weight at 8M docs.  Two narrow sorts beat one wide one.
     """
     bands = signatures.map_batches(
         lambda t: band_stage(t, cfg), batch_format="pyarrow")
-    return star_edges(bands, ["bucket"], "doc_id", salt=cfg.bucket_salt)
+    edges = star_edges(bands, ["bucket"], "doc_id", salt=cfg.bucket_salt)
+    return dedup_edges(edges)
 
 
 def dedup_edges(edges):
@@ -88,9 +94,8 @@ def dedup_edges(edges):
 
     Sort-based consecutive dedup: exact within a batch; at most one
     duplicate pair can survive per batch boundary, which is harmless for
-    both verification cost and connected components.  No longer on the
-    flagship path (the verify attach fuses this dedup into its own sort);
-    kept for standalone edge-set callers.
+    both verification cost and connected components (the verify attach's
+    ``dedup_rows_on`` catches batch-boundary stragglers for free).
     """
     def drop_consecutive(t: pa.Table) -> pa.Table:
         if t.num_rows <= 1:

@@ -253,6 +253,14 @@ def _q_ivf_topk(sf_dir: str):
     return ivf_topk(_emb(sf_dir), n_queries=8, k=10, n_lists=16, n_probe=8)
 
 
+def _q_mrpt_topk(sf_dir: str):
+    """MRPT median-split multi-tree approximate top-k (the reference's
+    value-balanced partitioning, mrpt.py:289-362; recall asserted in
+    tests) — rows-only."""
+    from smqtk_indexing_ray.pipelines.ann import mrpt_topk
+    return mrpt_topk(_emb(sf_dir), n_queries=8, k=10, n_trees=8, depth=4)
+
+
 def _q_itq_codes(sf_dir: str):
     """ITQ trained functor (reference's flagship LshFunctor): distributed
     mean/covariance fit + driver-side rotation, batched code emission.
@@ -285,6 +293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "itq_codes": _q_itq_codes,
         "ivf_topk": _q_ivf_topk,
+        "mrpt_topk": _q_mrpt_topk,
         "euclidean_topk": _q_euclidean_topk,
         "sessionize": _q_sessionize,
         "quality_signals": _q_quality_signals,

@@ -83,8 +83,10 @@ def candidate_edges(signatures, cfg: DedupConfig):
     duplicate edge row carry ~136 dead bytes — ~9 GB of spill-inducing
     shuffle weight at 8M docs.  Two narrow sorts beat one wide one.
     """
+    from smqtk_indexing_ray.stages._util import auto_blocks
     bands = signatures.map_batches(
-        lambda t: band_stage(t, cfg), batch_format="pyarrow")
+        lambda t: band_stage(t, cfg), batch_format="pyarrow"
+    ).repartition(auto_blocks())
     edges = star_edges(bands, ["bucket"], "doc_id", salt=cfg.bucket_salt)
     return dedup_edges(edges)
 
@@ -105,7 +107,8 @@ def dedup_edges(edges):
         keep = np.concatenate([[True], (u[1:] != u[:-1]) | (v[1:] != v[:-1])])
         return t.filter(pa.array(keep))
 
-    return edges.sort(["u", "v"]).map_batches(
+    from smqtk_indexing_ray.stages._util import auto_blocks
+    return edges.repartition(auto_blocks()).sort(["u", "v"]).map_batches(
         drop_consecutive, batch_format="pyarrow")
 
 
@@ -254,7 +257,10 @@ def dedup_pipeline(pages, cfg: DedupConfig, *, num_partitions: int = 32,
 
     out_cols = ["doc_id", "url", "warc_ts", "lang"] + (
         ["text"] if include_text else [])
-    meta = pages.select_columns([c for c in out_cols if c in pages.columns()])
+    # the pages read can arrive as hundreds of file blocks; compact before
+    # the label attach so its sort doesn't pay O(blocks x partitions)
+    meta = pages.select_columns(
+        [c for c in out_cols if c in pages.columns()]).repartition(n_blocks)
     from smqtk_indexing_ray.stages.attach import sort_attach
     _TYPES = {"doc_id": pa.int64(), "url": pa.string(),
               "warc_ts": pa.timestamp("us"), "lang": pa.string(),

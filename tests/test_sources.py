@@ -114,3 +114,64 @@ class TestIvf:
         b = ivf_topk(emb, n_queries=4, k=3).to_pandas().sort_values(
             ["query_id", "rank"], ignore_index=True)
         assert a.equals(b)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMrpt:
+    def _emb(self, m):
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            "vec_id": pa.array(np.arange(len(m), dtype=np.int64)),
+            "embedding": pa.array([list(r) for r in m],
+                                  pa.list_(pa.float32())),
+        }))
+
+    def test_recall_vs_bruteforce(self):
+        from smqtk_indexing_ray.pipelines.ann import brute_force_topk, mrpt_topk
+        rng = np.random.default_rng(11)
+        centers = rng.standard_normal((4, 16)) * 3
+        m = np.concatenate([
+            centers[i % 4] + rng.standard_normal(16) * 0.5
+            for i in range(200)]).reshape(200, 16).astype(np.float32)
+        emb = self._emb(m)
+        bf = brute_force_topk(emb, n_queries=8, k=5).to_pandas()
+        mr = mrpt_topk(emb, n_queries=8, k=5, n_trees=8, depth=3).to_pandas()
+        hits = 0
+        for q in range(8):
+            want = set(bf[bf.query_id == q].neighbor_id)
+            got = set(mr[mr.query_id == q].neighbor_id)
+            hits += len(want & got)
+        assert hits / (8 * 5) >= 0.8
+
+    def test_median_splits_balance_skewed_values(self):
+        """The value-balanced property (reference mrpt.py:333-345): with a
+        heavily skewed value distribution, median splits still produce
+        near-uniform leaf occupancy — the skew control LSH banding lacks."""
+        from smqtk_indexing_ray.pipelines.ann import (
+            _mrpt_leaves, _normalize, mrpt_fit_trees)
+        rng = np.random.default_rng(3)
+        # skew bomb: 90% of vectors in a tight cloud, 10% spread out
+        tight = rng.standard_normal((900, 8)) * 0.01 + 5.0
+        wide = rng.standard_normal((100, 8)) * 4.0
+        m = np.concatenate([tight, wide]).astype(np.float32)
+        emb = self._emb(m)
+        depth = 3
+        bases, thr = mrpt_fit_trees(emb, n_trees=4, depth=depth, seed=0)
+        mn = _normalize(m.astype(np.float64))
+        for t in range(4):
+            leaves = _mrpt_leaves(mn, bases[t], thr[t], depth)
+            counts = np.bincount(leaves, minlength=1 << depth)
+            # every leaf holds between 1/4x and 4x the uniform share
+            assert counts.max() <= 4 * len(m) / (1 << depth)
+            assert counts.min() >= len(m) / (1 << depth) / 4
+
+    def test_deterministic(self):
+        from smqtk_indexing_ray.pipelines.ann import mrpt_topk
+        rng = np.random.default_rng(2)
+        m = rng.standard_normal((100, 8)).astype(np.float32)
+        emb = self._emb(m)
+        a = mrpt_topk(emb, n_queries=4, k=3).to_pandas().sort_values(
+            ["query_id", "rank"], ignore_index=True)
+        b = mrpt_topk(emb, n_queries=4, k=3).to_pandas().sort_values(
+            ["query_id", "rank"], ignore_index=True)
+        assert a.equals(b)

@@ -61,6 +61,13 @@ def _q_token_stats(sf_dir: str):
     return token_stats(_docs(sf_dir))
 
 
+def _q_token_counts(sf_dir: str):
+    """Whitespace + BPE-ish regex token counts (RE2 pattern shared with
+    the DuckDB oracle)."""
+    from smqtk_indexing_ray.pipelines.analysis import token_counts
+    return token_counts(_docs(sf_dir))
+
+
 def _q_lang_summary(sf_dir: str):
     from smqtk_indexing_ray.pipelines.analysis import lang_summary
     return lang_summary(_docs(sf_dir))
@@ -276,6 +283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": _q_exact_dedup,
         "exact_cluster_labels": _q_exact_cluster_labels,
         "token_stats": _q_token_stats,
+        "token_counts": _q_token_counts,
         "lang_summary": _q_lang_summary,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "jaccard_cluster_labels": _q_jaccard_cluster_labels,
@@ -355,6 +363,14 @@ def oracle_sql() -> dict[str, str]:
             " / greatest(len(w), 1) AS stop_ratio, "
             "CAST(n_chars AS DOUBLE) / greatest(len(w), 1) "
             "AS chars_per_token FROM toks"
+        ),
+        "token_counts": (
+            r"SELECT doc_id, "
+            r"CAST(len(regexp_extract_all(coalesce(text, ''), '\S+')) "
+            r"AS BIGINT) AS n_ws_tokens, "
+            r"CAST(len(regexp_extract_all(coalesce(text, ''), "
+            r"' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+')) AS BIGINT) "
+            r"AS n_bpe_tokens FROM documents"
         ),
         "lang_summary": (
             "SELECT lang, count(*) AS n_docs, "

@@ -155,6 +155,41 @@ def token_stats(docs):
         _token_stats_batch, batch_format="pyarrow")
 
 
+#: GPT-2-style pre-tokenizer, restricted to RE2 syntax (no lookahead) so
+#: the SAME pattern runs in Arrow's count_substring_regex and DuckDB's
+#: regexp_extract_all — the oracle counts are engine-identical.
+BPE_PRETOKEN_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def token_counts(docs):
+    """Whitespace + BPE-ish-regex token counts per document.
+
+    Training-data token budgeting: ``n_ws_tokens`` (whitespace runs of
+    non-space) approximates word count; ``n_bpe_tokens`` counts GPT-2
+    pre-tokenizer-style segments (letters / digits / punctuation runs
+    with leading-space affinity), the standard pre-split whose count
+    upper-bounds real BPE token count.  One Arrow regex kernel per
+    column, zero Python loops.
+    """
+    schema = pa.schema([("doc_id", pa.int64()), ("n_ws_tokens", pa.int64()),
+                        ("n_bpe_tokens", pa.int64())])
+
+    def count(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return schema.empty_table()
+        text = pc.fill_null(t["text"], "")
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_ws_tokens": pc.cast(
+                pc.count_substring_regex(text, r"\S+"), pa.int64()),
+            "n_bpe_tokens": pc.cast(
+                pc.count_substring_regex(text, BPE_PRETOKEN_RE), pa.int64()),
+        })
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        count, batch_format="pyarrow")
+
+
 def lang_summary(docs):
     """Per-language corpus stats: doc count, total/avg chars (chars counted
     from the text itself, not the stored ``n_chars`` column)."""

@@ -278,3 +278,30 @@ class TestBandedHammingPairs:
             rd.from_arrow(t), id_col="vid", code_col="code",
             max_hamming=3, max_pairs_per_bucket=50).to_pandas()
         assert len(df) == 50
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_token_counts_matches_duckdb():
+    """Arrow count_substring_regex and DuckDB regexp_extract_all run the
+    same RE2 pattern — counts must be engine-identical (the oracle
+    contract for the token_counts query)."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+    from smqtk_indexing_ray.pipelines.analysis import (
+        BPE_PRETOKEN_RE, token_counts)
+    texts = ["hello world", "  leading", "a1b2 c3!", "", None,
+             "tab\tsep\nlines", "üñïçødé mix 42", "word's don't"]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+    got = token_counts(docs).to_pandas().sort_values(
+        "doc_id", ignore_index=True)
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        r = con.execute(
+            r"SELECT len(regexp_extract_all(coalesce(?, ''), '\S+')), "
+            "len(regexp_extract_all(coalesce(?, ''), ?))",
+            [t, t, BPE_PRETOKEN_RE]).fetchone()
+        assert got.loc[i, "n_ws_tokens"] == r[0]
+        assert got.loc[i, "n_bpe_tokens"] == r[1]

@@ -239,6 +239,25 @@ def _q_quality_signals(sf_dir: str):
     return quality_signals(_docs(sf_dir))
 
 
+def _q_window_agg(sf_dir: str):
+    """Tumbling 1-hour window per-event-type aggregate (in-batch Arrow
+    pre-aggregation -> tiny shuffle) — exact SQL oracle (count/min/max
+    are order-independent, no float rounding needed)."""
+    import ray.data as rd
+    from smqtk_indexing_ray.pipelines.events import window_agg
+    return window_agg(rd.read_parquet(f"{sf_dir}/events.parquet"),
+                      window_minutes=60)
+
+
+def _q_window_user_counts(sf_dir: str):
+    """Exact distinct users per tumbling window (two-level distinct with
+    in-batch pre-dedup) — exact SQL oracle."""
+    import ray.data as rd
+    from smqtk_indexing_ray.pipelines.events import window_user_counts
+    return window_user_counts(rd.read_parquet(f"{sf_dir}/events.parquet"),
+                              window_minutes=60)
+
+
 def _q_sessionize(sf_dir: str):
     """Session windows over the events stream table (sort + segmented
     kernel + cross-block stitch) — exact SQL window-function oracle."""
@@ -304,6 +323,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mrpt_topk": _q_mrpt_topk,
         "euclidean_topk": _q_euclidean_topk,
         "sessionize": _q_sessionize,
+        "window_agg": _q_window_agg,
+        "window_user_counts": _q_window_user_counts,
         "quality_signals": _q_quality_signals,
         "winnow_fingerprints": _q_winnow_fingerprints,
     }
@@ -454,6 +475,19 @@ def oracle_sql() -> dict[str, str]:
             "max(epoch_us(ts)) AS t_end_us, "
             "round(sum(value), 6) AS total_value "
             "FROM s GROUP BY user_id, sn"
+        ),
+        "window_agg": (
+            "SELECT make_timestamp((epoch_us(ts) // 3600000000) "
+            "* 3600000000) AS window_start, event_type, "
+            "count(*) AS n_events, min(value) AS min_value, "
+            "max(value) AS max_value "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "window_user_counts": (
+            "SELECT make_timestamp((epoch_us(ts) // 3600000000) "
+            "* 3600000000) AS window_start, "
+            "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
+            "FROM events GROUP BY 1"
         ),
         "euclidean_topk": (
             "SELECT query_id, neighbor_id, rank, round(d, 6) AS l2_dist "

@@ -171,3 +171,114 @@ def sessionize(events, *, gap_minutes: int = 30, num_partitions: int = 16):
         })
 
     return agg.map_batches(project, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# tumbling-window aggregates — the pre-aggregate (combiner) pattern
+# ---------------------------------------------------------------------------
+
+def _window_col(t: pa.Table, window_minutes: int) -> pa.Array:
+    w_us = int(window_minutes) * 60 * 1_000_000
+    ts = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+    return pa.array(ts - ts % w_us).cast(pa.timestamp("us"))
+
+
+def window_agg(events, *, window_minutes: int = 60):
+    """Tumbling-window per-event-type aggregate: ``window_start,
+    event_type, n_events, min_value, max_value``.
+
+    The textbook partial-aggregation shape (SURVEY.md §4.2 "push
+    aggregation partial"): each batch pre-aggregates with an in-batch
+    Arrow ``group_by`` (C++ kernel), so only one tiny row per
+    (window, type) per batch crosses the shuffle — at 100 TB the shuffle
+    input is bounded by windows x types x batches, not by event count.
+    min/max/count are order-independent, so the doubles are bit-exact
+    against the SQL oracle with no rounding.
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    out_schema = pa.schema([
+        ("window_start", pa.timestamp("us")), ("event_type", pa.string()),
+        ("n_events", pa.int64()), ("min_value", pa.float64()),
+        ("max_value", pa.float64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "ts" not in t.column_names:
+            return pa.schema([
+                ("window_start", pa.timestamp("us")),
+                ("event_type", pa.string()), ("n", pa.int64()),
+                ("mn", pa.float64()), ("mx", pa.float64())]).empty_table()
+        t2 = pa.table({"window_start": _window_col(t, window_minutes),
+                       "event_type": t["event_type"],
+                       "value": t["value"]})
+        g = t2.group_by(["window_start", "event_type"]).aggregate(
+            [("value", "count"), ("value", "min"), ("value", "max")])
+        return g.rename_columns(
+            ["window_start", "event_type", "n", "mn", "mx"])
+
+    part = events.select_columns(["ts", "event_type", "value"]).map_batches(
+        partial, batch_format="pyarrow")
+    agg = part.groupby(["window_start", "event_type"]).aggregate(
+        Sum("n", alias_name="n_events"), Min("mn", alias_name="min_value"),
+        Max("mx", alias_name="max_value"))
+
+    def clean(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "n_events" not in t.column_names:
+            return out_schema.empty_table()
+        return pa.table({
+            "window_start": pc.cast(t["window_start"], pa.timestamp("us")),
+            "event_type": t["event_type"],
+            "n_events": pc.cast(t["n_events"], pa.int64()),
+            "min_value": t["min_value"],
+            "max_value": t["max_value"],
+        })
+
+    return agg.map_batches(clean, batch_format="pyarrow")
+
+
+def window_user_counts(events, *, window_minutes: int = 60):
+    """Exact distinct users per tumbling window: ``window_start,
+    n_users``.
+
+    Two-level exact distinct: batches pre-dedup (window, user) pairs
+    in-batch (Arrow group_by), the shuffle then sees at most one row per
+    (window, user) per batch, and a global groupby finishes the dedup
+    before the per-window count — the scale-safe exact COUNT DISTINCT.
+    """
+    from ray.data.aggregate import Count
+
+    out_schema = pa.schema([("window_start", pa.timestamp("us")),
+                            ("n_users", pa.int64())])
+
+    def pair_dedup(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "ts" not in t.column_names:
+            return pa.schema([("window_start", pa.timestamp("us")),
+                              ("user_id", pa.int64())]).empty_table()
+        t2 = pa.table({"window_start": _window_col(t, window_minutes),
+                       "user_id": t["user_id"]})
+        g = t2.group_by(["window_start", "user_id"]).aggregate([])
+        return g.select(["window_start", "user_id"])
+
+    pairs = events.select_columns(["ts", "user_id"]).map_batches(
+        pair_dedup, batch_format="pyarrow")
+    distinct = pairs.groupby(["window_start", "user_id"]).aggregate(
+        Count(alias_name="_c"))
+
+    def strip(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "window_start" not in t.column_names:
+            return pa.schema([("window_start", pa.timestamp("us")),
+                              ("user_id", pa.int64())]).empty_table()
+        return t.select(["window_start", "user_id"])
+
+    counts = distinct.map_batches(strip, batch_format="pyarrow").groupby(
+        "window_start").aggregate(Count(alias_name="n_users"))
+
+    def clean(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "n_users" not in t.column_names:
+            return out_schema.empty_table()
+        return pa.table({
+            "window_start": pc.cast(t["window_start"], pa.timestamp("us")),
+            "n_users": pc.cast(t["n_users"], pa.int64()),
+        })
+
+    return counts.map_batches(clean, batch_format="pyarrow")

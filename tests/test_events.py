@@ -88,3 +88,54 @@ class TestSessionize:
         want = _pandas_oracle(tbl.to_pandas())
         pd.testing.assert_frame_equal(
             got[want.columns.tolist()], want, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWindowAgg:
+    def _events(self, n=2000, seed=4):
+        import ray.data as rd
+        rng = np.random.default_rng(seed)
+        base = 1_577_836_800_000_000
+        ts = base + rng.integers(0, 6 * 3600 * 1_000_000, n)
+        return rd.from_arrow(pa.table({
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array(rng.integers(0, 50, n), pa.int64()),
+            "event_type": pa.array(
+                np.array(["a", "b", "c"])[rng.integers(0, 3, n)]),
+            "value": pa.array(rng.standard_normal(n)),
+        }))
+
+    def test_matches_pandas_groupby(self):
+        from smqtk_indexing_ray.pipelines.events import (
+            window_agg, window_user_counts)
+        ev = self._events()
+        src = ev.to_pandas()
+        w = (src.ts.astype("int64") // 3_600_000_000) * 3_600_000_000
+        src = src.assign(window_start=pd.to_datetime(w, unit="us"))
+        want = src.groupby(["window_start", "event_type"]).agg(
+            n_events=("value", "size"), min_value=("value", "min"),
+            max_value=("value", "max")).reset_index()
+        got = window_agg(ev).to_pandas().sort_values(
+            ["window_start", "event_type"], ignore_index=True)
+        want = want.sort_values(["window_start", "event_type"],
+                                ignore_index=True)
+        pd.testing.assert_frame_equal(
+            got.astype({"window_start": "datetime64[us]"}), want,
+            check_dtype=False)
+        uw = src.groupby("window_start").user_id.nunique().reset_index(
+            name="n_users")
+        gu = window_user_counts(ev).to_pandas().sort_values(
+            "window_start", ignore_index=True)
+        assert (gu.n_users.to_numpy()
+                == uw.sort_values("window_start").n_users.to_numpy()).all()
+
+    def test_partition_invariant(self):
+        """Pre-aggregation must be exact under any batching."""
+        from smqtk_indexing_ray.pipelines.events import window_agg
+        ev = self._events(seed=9)
+        a = window_agg(ev.repartition(1)).to_pandas().sort_values(
+            ["window_start", "event_type"], ignore_index=True)
+        b = window_agg(ev.repartition(13)).to_pandas().sort_values(
+            ["window_start", "event_type"], ignore_index=True)
+        pd.testing.assert_frame_equal(a, b)

@@ -476,6 +476,43 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(value), 6) AS total_value "
             "FROM s GROUP BY user_id, sn"
         ),
+        "lang_id": (
+            "WITH t AS ("
+            r"  SELECT doc_id, coalesce(text, '') AS text,"
+            r"  list_filter(string_split_regex(lower(coalesce(text, '')),"
+            r" '\s+'), x -> x <> '') AS w FROM documents"
+            "), s AS ("
+            "  SELECT doc_id, text, greatest(len(w), 1) AS n,"
+            "  len(list_filter(w, x -> x IN ('the','a','of','and','to',"
+            "'in','is','that','it','for'))) AS h_en,"
+            "  len(list_filter(w, x -> x IN ('der','die','das','und',"
+            "'ist','nicht','ein','mit','zu'))) AS h_de,"
+            "  len(list_filter(w, x -> x IN ('le','la','les','et','est',"
+            "'une','dans','que','pour'))) AS h_fr,"
+            "  len(list_filter(w, x -> x IN ('el','la','los','las','es',"
+            "'una','para','con','por'))) AS h_es"
+            "  FROM t"
+            "), sc AS ("
+            "  SELECT doc_id, text,"
+            "  CAST(h_en AS DOUBLE) / n AS s_en,"
+            "  CAST(h_de AS DOUBLE) / n AS s_de,"
+            "  CAST(h_fr AS DOUBLE) / n AS s_fr,"
+            "  CAST(h_es AS DOUBLE) / n AS s_es,"
+            "  CASE WHEN length(text) > 0 THEN"
+            "  CAST(len(regexp_extract_all(text, '[一-鿿]')) AS DOUBLE)"
+            "  / length(text) ELSE 0.0 END AS cjk"
+            "  FROM s"
+            ") "
+            "SELECT doc_id,"
+            " CASE WHEN cjk > 0.2 THEN 'zh'"
+            " WHEN greatest(s_en, s_de, s_fr, s_es) = 0.0 THEN 'und'"
+            " WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'"
+            " WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'"
+            " WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS pred_lang,"
+            " CASE WHEN cjk > 0.2 THEN cjk"
+            " ELSE greatest(s_en, s_de, s_fr, s_es) END AS confidence "
+            "FROM sc"
+        ),
         "window_agg": (
             "SELECT make_timestamp((epoch_us(ts) // 3600000000) "
             "* 3600000000) AS window_start, event_type, "
@@ -546,8 +583,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT m.doc_id, m.cluster_id, c.contained_in "
             "FROM multi m LEFT JOIN cont c ON c.doc_id = m.doc_id"
         ),
-        # lsh_dedup, simhash_near_pairs, doc_fingerprints, lang_id,
-        # hamming_topk, srp_near_pairs, cluster_dup_spans:
-        # hash-family-dependent / iterative / span-structural — not
-        # SQL-expressible; driver records rows-only checks.
+        # lsh_dedup, simhash_near_pairs, doc_fingerprints, hamming_topk,
+        # srp_near_pairs, itq_codes, ivf_topk, mrpt_topk, cluster_dup_spans,
+        # winnow_fingerprints: hash-family-dependent / iterative /
+        # span-structural — not SQL-expressible; driver records rows-only
+        # checks (each has a pytest oracle: brute-force recall, golden
+        # values, or structural contracts).
     }

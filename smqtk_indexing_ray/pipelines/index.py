@@ -87,6 +87,20 @@ def _pruned_read(dir_path: str, col: str, values,
     return pa.concat_tables(parts), n_read, n_total
 
 
+_SIM_TAG = np.uint64(0x53494D4B45593259)  # disjoint keyspace for sim chunks
+
+
+def _sim_chunk_keys(sim_u64: np.ndarray, band_id: int) -> np.ndarray:
+    """SimHash 16-bit-chunk bucket keys, tag-mixed so they cannot
+    systematically collide with the MinHash band keyspace."""
+    from smqtk_indexing_ray.functions.hashing import splitmix64
+    chunk = (sim_u64 >> np.uint64(16 * band_id)) & np.uint64(0xFFFF)
+    with np.errstate(over="ignore"):
+        return splitmix64(
+            ((chunk << np.uint64(3)) | np.uint64(band_id)) ^ _SIM_TAG
+        ).view(np.int64)
+
+
 class DedupIndex:
     """Checkpoint-backed near-duplicate index with the reference's
     mutable-index API."""
@@ -294,12 +308,20 @@ class DedupIndex:
         qsig = minhash_signatures(sh, soff, a, b)[0]   # (num_perms,)
 
         from smqtk_indexing_ray.functions.hashing import fold_rows_u64
+        from smqtk_indexing_ray.functions.simhash import simhash_fingerprints
         r, nb = cfg.rows_per_band, cfg.bands
-        qkeys = np.empty(nb, dtype=np.int64)
+        qkeys = np.empty(nb + 4, dtype=np.int64)
         for band in range(nb):
             qkeys[band] = int(fold_rows_u64(
                 qsig[None, band * r:(band + 1) * r],
                 salt=np.uint64(band + 1)).view(np.int64)[0])
+        # near-key expansion: the query's SimHash chunk keys reach docs
+        # within hamming <= 3 of the query code even when every exact
+        # MinHash band misses (reference: on-the-fly LinearHashIndex over
+        # bucket keys, lsh.py:480-487)
+        qsim = simhash_fingerprints(tok, off)
+        for b4 in range(4):
+            qkeys[nb + b4] = int(_sim_chunk_keys(qsim, b4)[0])
 
         # key-range-pruned candidate lookup (VERDICT r1 #9; reference
         # analog: the hash-index bucket lookup, lsh.py:479-497): the
@@ -347,15 +369,38 @@ class DedupIndex:
     def _buckets_dir(self) -> str:
         """Bucket table ``(bucket, doc_id)`` SORTED by bucket, built once
         per signature version — the hash-index analog whose sortedness
-        gives the nn path its row-group pruning."""
+        gives the nn path its row-group pruning.
+
+        Besides the MinHash band keys, each doc also contributes four
+        SimHash 16-bit-chunk keys (tagged into a disjoint keyspace):
+        the on-the-fly NEAR-KEY expansion of the reference's nn
+        (lsh.py:480-487 builds a LinearHashIndex over all bucket keys to
+        reach buckets at hamming > 0) — a query whose exact MinHash
+        bands all miss still reaches docs whose 64-bit SimHash is within
+        hamming 3 of the query's (e.g. token reorderings that destroy
+        the shingle set but keep the token multiset)."""
         v = self._version()
         name = f"buckets_v{v}"
+        cfg = self.cfg
 
         def make():
             from smqtk_indexing_ray.stages.banding import band_stage
+
+            def explode(t: pa.Table) -> pa.Table:
+                base = band_stage(t, cfg)
+                if t.num_rows == 0 or "simhash" not in t.column_names:
+                    return base
+                sim = t["simhash"].to_numpy(
+                    zero_copy_only=False).view(np.uint64)
+                parts = [base]
+                for b4 in range(4):
+                    keys = _sim_chunk_keys(sim, b4)
+                    parts.append(pa.table({
+                        "bucket": pa.array(keys), "doc_id": t["doc_id"]}))
+                return pa.concat_tables(parts)
+
             return self._signatures().map_batches(
-                lambda t: band_stage(t, self.cfg),
-                batch_format="pyarrow").sort("bucket")
+                explode, batch_format="pyarrow").sort("bucket")
 
         self._ck.stage(name, make, inputs=[self._sig_stage()])
         return self._ck.stage_dir(name)

@@ -226,3 +226,22 @@ class TestNnPruning:
         st = idx.nn_stats
         assert st["sig_groups_total"] >= 1
         assert st["sig_groups_read"] <= st["sig_groups_total"]
+
+    def test_nn_near_key_expansion_token_reorder(self, tmp_path):
+        """A token reordering destroys every k-shingle (so all exact
+        MinHash band keys miss) but keeps the token multiset (identical
+        SimHash) — the nn path must still surface it via the SimHash
+        chunk buckets (reference analog: on-the-fly near-key search over
+        bucket keys, lsh.py:480-487)."""
+        from smqtk_indexing_ray.pipelines.index import DedupIndex
+        words = ("alpha beta gamma delta epsilon zeta eta theta iota "
+                 "kappa lam mu nu xi omicron pi rho sigma tau upsilon")
+        query = words
+        reordered = " ".join(reversed(words.split()))
+        idx = DedupIndex(str(tmp_path / "idx"), DedupConfig(
+            signature_concurrency=2, batch_size=256))
+        others = [f"totally different text number {i} about other things"
+                  for i in range(20)]
+        idx.build(_pages(list(range(21)), [reordered] + others))
+        ids, dists = idx.nn(query, n=5)
+        assert 0 in ids, "reordered doc not reached via near-key expansion"

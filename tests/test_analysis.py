@@ -305,3 +305,21 @@ def test_token_counts_matches_duckdb():
             [t, t, BPE_PRETOKEN_RE]).fetchone()
         assert got.loc[i, "n_ws_tokens"] == r[0]
         assert got.loc[i, "n_bpe_tokens"] == r[1]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_doc_fingerprint_order_sensitive():
+    """Token reordering must change the fingerprint (the position-mixed
+    XOR keeps the rolling fold's order sensitivity in one vectorized
+    pass) while leaving the order-insensitive SimHash unchanged."""
+    import ray.data as rd
+    from smqtk_indexing_ray.pipelines.analysis import doc_fingerprints
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["alpha beta gamma delta",
+                          "delta gamma beta alpha"]),
+    }))
+    df = doc_fingerprints(docs).to_pandas().sort_values(
+        "doc_id", ignore_index=True)
+    assert df.fingerprint[0] != df.fingerprint[1]
+    assert df.simhash[0] == df.simhash[1]

@@ -118,6 +118,98 @@ class Checkpoint:
             inputs=inputs or [], extra=extra))
         return out
 
+    def write_partitioned(self, ds, name: str, *, key: str = "doc_id",
+                          n_shards: int = 32, shard_groups: int = 1,
+                          inputs: list[str] | None = None):
+        """Shard-resumable Parquet sink (SURVEY.md §4.2 "resumable
+        output"): rows are hash-partitioned on ``key`` into ``n_shards``
+        hive-style subdirectories (``part=K/``; not ``_``-prefixed —
+        parquet dataset discovery treats underscore paths as hidden), committed atomically
+        per write, with the completed shard set recorded in the manifest
+        — a resumed call FILTERS completed shards out of the input before
+        executing, so finished partitions are never recomputed or
+        rewritten.
+
+        ``shard_groups > 1`` splits the write into that many independent
+        commits (each its own execution over the shard-filtered input):
+        finer crash granularity at the cost of re-reading the input per
+        group — the right trade when the input is a cheap checkpoint
+        read and the corpus is large.
+        """
+        import numpy as np
+        import pyarrow as pa
+
+        from smqtk_indexing_ray.functions.hashing import splitmix64
+
+        final = self.stage_dir(name)
+        os.makedirs(final, exist_ok=True)
+        rec = self.manifest().get(name, {})
+        done: set[int] = (set(rec.get("shards_done", []))
+                          if rec.get("config_hash") == self.config_hash
+                          else set())
+
+        def reader():
+            import ray.data as rd
+            if any(True for _, _, fs in os.walk(final)
+                   for f in fs if f.endswith(".parquet")):
+                ds_out = rd.read_parquet(final)
+
+                def drop_part(t):
+                    return (t.drop_columns(["part"])
+                            if "part" in t.column_names else t)
+
+                return ds_out.map_batches(drop_part, batch_format="pyarrow")
+            return rd.from_items([])
+
+        if len(done) >= n_shards:
+            return reader()
+
+        t0 = time.time()
+        groups = [sorted(set(range(n_shards)) - done)[i::shard_groups]
+                  for i in range(shard_groups)]
+        for grp in groups:
+            if not grp:
+                continue
+            grp_set = np.asarray(grp, dtype=np.int64)
+
+            def add_shard(t: pa.Table, _g=grp_set) -> pa.Table:
+                if t.num_rows == 0 or key not in t.column_names:
+                    # normalized empty blocks arrive zero-column
+                    return pa.table({"part": pa.array([], pa.int64())})
+                k = t[key].to_numpy(zero_copy_only=False)
+                with np.errstate(over="ignore"):
+                    sh = (splitmix64(k.view(np.uint64))
+                          % np.uint64(n_shards)).view(np.int64)
+                t = t.append_column("part", pa.array(sh))
+                return t.filter(pa.array(np.isin(sh, _g)))
+
+            tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
+            ds.map_batches(add_shard, batch_format="pyarrow").write_parquet(
+                tmp, partition_cols=["part"])
+            os.makedirs(tmp, exist_ok=True)
+            for d in sorted(os.listdir(tmp)):
+                if d.startswith("part="):
+                    shutil.rmtree(os.path.join(final, d),
+                                  ignore_errors=True)
+                    os.replace(os.path.join(tmp, d),
+                               os.path.join(final, d))
+            shutil.rmtree(tmp, ignore_errors=True)
+            done.update(int(s) for s in grp)
+            self._record(StageRecord(
+                name=name, rows=int(rec.get("rows", 0)),
+                config_hash=self.config_hash,
+                wall_s=time.time() - t0, created_at=time.time(),
+                inputs=inputs or [],
+                extra={"shards_done": sorted(done),
+                       "n_shards": n_shards}))
+        out = reader()
+        self._record(StageRecord(
+            name=name, rows=out.count(), config_hash=self.config_hash,
+            wall_s=time.time() - t0, created_at=time.time(),
+            inputs=inputs or [],
+            extra={"shards_done": sorted(done), "n_shards": n_shards}))
+        return out
+
     def stage(self, name: str, fn, *, inputs: list[str] | None = None,
               **extra):
         """Resume-or-compute: return the checkpointed Dataset if this
@@ -197,5 +289,13 @@ def checkpointed_dedup(pages_path: str, cfg, ckpt_root: str, *,
 
         return j.map_batches(fill, batch_format="pyarrow")
 
-    output = ck.stage("output", make_output, inputs=["labels"])
+    # shard-resumable sink: a crashed output write resumes at the first
+    # incomplete hash shard instead of rewriting the whole table
+    m = ck.manifest().get("output", {})
+    if (m.get("config_hash") == cfg.config_hash()
+            and len(m.get("shards_done", [])) >= m.get("n_shards", 16)):
+        return ck.write_partitioned(None, "output", key="doc_id",
+                                    n_shards=m.get("n_shards", 16))
+    output = ck.write_partitioned(make_output(), "output", key="doc_id",
+                                  n_shards=16, inputs=["labels"])
     return output

@@ -10,6 +10,7 @@ from __future__ import annotations
 import json
 import os
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
@@ -84,3 +85,62 @@ class TestCheckpoint:
         c = res.output.to_pandas()[key].sort_values(
             "doc_id", ignore_index=True)
         assert a.equals(c)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPartitionedOutput:
+    def _mtimes(self, root):
+        import os
+        out = {}
+        for d in os.listdir(root):
+            if d.startswith("part="):
+                p = os.path.join(root, d)
+                out[d] = max(os.path.getmtime(os.path.join(p, f))
+                             for f in os.listdir(p))
+        return out
+
+    def test_shard_resume_skips_completed(self, tmp_path):
+        import os
+        import time as _time
+
+        import ray.data as rd
+        from smqtk_indexing_ray.state.checkpoint import Checkpoint
+
+        ck = Checkpoint(str(tmp_path / "ck"), "cfg1")
+        t = pa.table({"doc_id": pa.array(np.arange(400, dtype=np.int64)),
+                      "val": pa.array(np.arange(400, dtype=np.int64) * 2)})
+        ds = rd.from_arrow(t)
+
+        out = ck.write_partitioned(ds, "out", key="doc_id", n_shards=4,
+                                   shard_groups=2)
+        assert out.count() == 400
+        root = ck.stage_dir("out")
+        m1 = self._mtimes(root)
+        assert len(m1) == 4
+        assert sorted(ck.manifest()["out"]["shards_done"]) == [0, 1, 2, 3]
+
+        # idempotent re-run: nothing rewritten, no duplicate rows
+        _time.sleep(0.05)
+        out2 = ck.write_partitioned(ds, "out", key="doc_id", n_shards=4)
+        assert out2.count() == 400
+        assert self._mtimes(root) == m1
+
+        # partial-crash resume: mark shards 2,3 incomplete and drop their
+        # dirs; only they are recomputed, 0,1 untouched
+        from smqtk_indexing_ray.state.checkpoint import StageRecord
+        ck._record(StageRecord(
+            name="out", rows=0, config_hash="cfg1", wall_s=0.0,
+            created_at=0.0, extra={"shards_done": [0, 1], "n_shards": 4}))
+        import shutil
+        shutil.rmtree(os.path.join(root, "part=2"))
+        shutil.rmtree(os.path.join(root, "part=3"))
+        _time.sleep(0.05)
+        out3 = ck.write_partitioned(ds, "out", key="doc_id", n_shards=4)
+        assert out3.count() == 400
+        m3 = self._mtimes(root)
+        assert m3["part=0"] == m1["part=0"]
+        assert m3["part=1"] == m1["part=1"]
+        assert m3["part=2"] > m1["part=2"]
+        # no duplicated doc_ids after resume
+        df = out3.to_pandas()
+        assert df.doc_id.is_unique and len(df) == 400

@@ -323,3 +323,45 @@ def test_doc_fingerprint_order_sensitive():
         "doc_id", ignore_index=True)
     assert df.fingerprint[0] != df.fingerprint[1]
     assert df.simhash[0] == df.simhash[1]
+
+
+class TestBucketPairsFuzz:
+    """Property fuzz of the per-bucket pair kernel (pure, no Ray): the
+    distinct-code + first-agreeing-chunk emission must equal brute force
+    over the bucket for any code multiset."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(st.lists(st.integers(min_value=0, max_value=2**20),
+                    min_size=0, max_size=30),
+           st.integers(min_value=0, max_value=2**16 - 1))
+    @settings(max_examples=50, deadline=None)
+    def test_bucket_kernel_matches_brute(self, lows, chunk):
+        import numpy as np
+        import pyarrow as pa
+        from smqtk_indexing_ray.functions.metrics import popcount_u64
+        from smqtk_indexing_ray.stages.hampairs import (
+            _BucketPairs, _first_agreeing_band)
+        # band 0 bucket: all codes share low 16 bits == chunk; the upper
+        # bits vary (lows perturb bits 16..36)
+        codes = np.array([(int(x) << 16) | chunk for x in lows],
+                         dtype=np.uint64)
+        ids = np.arange(len(codes), dtype=np.int64)
+        band_key = (np.int64(chunk) << 3) | 0
+        t = pa.table({"band_key": pa.array(
+            np.full(len(ids), band_key, dtype=np.int64)),
+            "vid": pa.array(ids),
+            "code": pa.array(codes.view(np.int64))})
+        out = _BucketPairs("vid", "code", 6, None)(t)
+        got = set(zip(out["a"].to_pylist(), out["b"].to_pylist(),
+                      out["hamming"].to_pylist()))
+        want = set()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                x = np.uint64(codes[i] ^ codes[j])
+                h = int(popcount_u64(np.array([x]))[0])
+                first = int(_first_agreeing_band(np.array([x]))[0])
+                if h <= 6 and first == 0:
+                    want.add((i, j, h))
+        assert got == want

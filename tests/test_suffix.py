@@ -9,6 +9,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from smqtk_indexing_ray.functions.suffix import (
     duplicated_span_mask,
@@ -97,3 +99,62 @@ class TestContainmentOps:
             df.loc[4, "contained_in"] != df.loc[4, "contained_in"]  # NaN
         assert df.loc[1, "dup_span_frac"] == 1.0
         assert df.loc[4, "dup_span_frac"] == 0.0
+
+
+class TestSuffixHypothesis:
+    """Property-based fuzz vs naive oracles (the reference has no
+    property tests; these pin the prefix-doubling SA, Kasai LCP, and the
+    prev/next different-doc sweep against brute force)."""
+
+    @given(st.lists(st.integers(min_value=0, max_value=3),
+                    min_size=0, max_size=60))
+    @settings(max_examples=60, deadline=None)
+    def test_suffix_array_matches_sorted_suffixes(self, vals):
+        import numpy as np
+        from smqtk_indexing_ray.functions.suffix import suffix_array
+        s = np.asarray(vals, dtype=np.int64)
+        sa = suffix_array(s)
+        want = sorted(range(len(s)), key=lambda i: tuple(s[i:]))
+        assert list(sa) == want
+
+    @given(st.lists(st.integers(min_value=0, max_value=2),
+                    min_size=1, max_size=50))
+    @settings(max_examples=60, deadline=None)
+    def test_lcp_matches_naive(self, vals):
+        import numpy as np
+        from smqtk_indexing_ray.functions.suffix import (
+            lcp_array, suffix_array)
+        s = np.asarray(vals, dtype=np.int64)
+        sa = suffix_array(s)
+        lcp = lcp_array(s, sa)
+
+        def naive(i, j):
+            n = 0
+            while (i + n < len(s) and j + n < len(s)
+                   and s[i + n] == s[j + n]):
+                n += 1
+            return n
+
+        for r in range(1, len(s)):
+            assert lcp[r] == naive(int(sa[r]), int(sa[r - 1]))
+
+    @given(st.lists(st.text(alphabet="abc", min_size=0, max_size=40),
+                    min_size=2, max_size=5),
+           st.integers(min_value=2, max_value=8))
+    @settings(max_examples=40, deadline=None)
+    def test_span_mask_matches_naive(self, texts, min_span):
+        import numpy as np
+        from smqtk_indexing_ray.functions.suffix import duplicated_span_mask
+        bt = [t.encode() for t in texts]
+        masks = duplicated_span_mask(bt, min_span=min_span)
+
+        # naive: byte b of doc i is covered iff some window of length
+        # min_span containing it occurs in another doc
+        for i, t in enumerate(bt):
+            want = np.zeros(len(t), dtype=bool)
+            for st_ in range(0, max(len(t) - min_span + 1, 0)):
+                sub = t[st_:st_ + min_span]
+                if any(j != i and sub in o for j, o in enumerate(bt)):
+                    want[st_:st_ + min_span] = True
+            np.testing.assert_array_equal(masks[i], want,
+                                          err_msg=f"doc {i}: {texts}")

@@ -115,6 +115,25 @@ def run_sf_suite(sf_dir: str) -> dict[str, float]:
     return times
 
 
+def run_headline_stats(n_docs: int) -> None:
+    """Print the headline pipeline's per-operator Ray Data stats (the
+    measure-don't-guess loop: wall should be dominated by the signature
+    actor pool and the sorts, not scheduling or tiny-block overhead)."""
+    import ray.data as rd
+    from smqtk_indexing_ray.config import DedupConfig
+    from smqtk_indexing_ray.pipelines.dedup import dedup_pipeline
+
+    path = ensure_corpus(n_docs)
+    out = "/tmp/bench_dedup_out"
+    shutil.rmtree(out, ignore_errors=True)
+    res = dedup_pipeline(rd.read_parquet(path), DedupConfig(),
+                         num_partitions=32)
+    res.output.write_parquet(out)
+    sys.stderr.write(res.output.stats() + "\n")
+    sys.stderr.write("--- signature stage ---\n")
+    sys.stderr.write(res.signatures.stats() + "\n")
+
+
 def bench_once(sf_dir: str, num_cpus: int, headline_only: bool,
                n_docs: int = N_PAGES) -> dict:
     import ray
@@ -192,10 +211,20 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
     ap.add_argument("--headline-only", action="store_true")
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--stats", action="store_true",
+                    help="print per-operator Ray Data stats for the "
+                         "headline pipeline (to stderr)")
     ap.add_argument("--ensure-corpus", action="store_true")
     ap.add_argument("--n-docs", type=int, default=N_PAGES)
     args = ap.parse_args()
 
+    if args.stats:
+        import ray
+        ray.init(address="local", num_cpus=args.cpus,
+                 include_dashboard=False, logging_level="ERROR")
+        run_headline_stats(args.n_docs)
+        ray.shutdown()
+        return
     if args.ensure_corpus:
         import ray
         ray.init(address="local", num_cpus=args.cpus,

@@ -51,6 +51,62 @@ def ensure_corpus(n_docs: int) -> str:
     return path
 
 
+def ensure_truth(n_docs: int) -> str:
+    """Ground-truth cluster labels for the corpus (generated once)."""
+    path = _corpus_path(n_docs) + "_truth"
+    marker = os.path.join(path, "_DONE")
+    if os.path.exists(marker):
+        return path
+    from smqtk_indexing_ray.sources.pages import PagesSpec, truth_dataset
+    shutil.rmtree(path, ignore_errors=True)
+    spec = PagesSpec(n_docs=n_docs, seed=PAGES_SEED, hot_blocks=HOT_BLOCKS)
+    truth_dataset(spec, blocks_per_task=32).select_columns(
+        ["doc_id", "true_cluster", "class"]).write_parquet(path)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return path
+
+
+def cluster_quality(out_dir: str, truth_dir: str) -> dict:
+    """Exact dup-pair recall/precision of the written output vs planted
+    ground truth (BASELINE.md row 1's metric, measured at bench scale).
+
+    recall    = same-true-cluster pairs that share a predicted cluster
+    precision = same-predicted-cluster pairs that share a true cluster
+    (hot blocks form one true cluster; singletons contribute no pairs).
+    """
+    import duckdb
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW o AS SELECT * FROM '{out_dir}/**/*.parquet'")
+    con.sql(f"CREATE VIEW t AS SELECT * FROM '{truth_dir}/*.parquet'")
+    q = """
+    WITH j AS (
+      SELECT o.doc_id, o.cluster_id,
+             CASE WHEN t.true_cluster < 0 THEN -1 ELSE t.true_cluster END
+               AS tc
+      FROM o JOIN t USING (doc_id)
+    ), cells AS (
+      SELECT tc, cluster_id, count(*) AS c FROM j GROUP BY 1, 2
+    ), truth_pairs AS (
+      SELECT sum(n * (n - 1) / 2) AS p FROM (
+        SELECT sum(c) AS n FROM cells GROUP BY tc)
+    ), pred_pairs AS (
+      SELECT sum(n * (n - 1) / 2) AS p FROM (
+        SELECT sum(c) AS n FROM cells GROUP BY cluster_id)
+    ), both_pairs AS (
+      SELECT sum(c * (c - 1) / 2) AS p FROM cells
+    )
+    SELECT
+      CAST((SELECT p FROM both_pairs) AS DOUBLE)
+        / (SELECT p FROM truth_pairs) AS recall,
+      CAST((SELECT p FROM both_pairs) AS DOUBLE)
+        / (SELECT p FROM pred_pairs) AS precision
+    """
+    r = con.sql(q).fetchone()
+    return {"dup_pair_recall": round(float(r[0]), 5),
+            "dup_pair_precision": round(float(r[1]), 5)}
+
+
 def run_headline(n_docs: int) -> dict:
     import ray.data as rd
     from smqtk_indexing_ray.config import DedupConfig
@@ -144,6 +200,7 @@ def bench_once(sf_dir: str, num_cpus: int, headline_only: bool,
 
     head = run_headline(n_docs)
     queries = {"pages_dedup": round(head["sec"], 3)}
+    quality = cluster_quality("/tmp/bench_dedup_out", ensure_truth(n_docs))
     if not headline_only:
         queries.update(run_sf_suite(sf_dir))
     ray.shutdown()
@@ -157,6 +214,7 @@ def bench_once(sf_dir: str, num_cpus: int, headline_only: bool,
         "num_cpus": num_cpus,
         "docs_per_sec": round(head["docs_per_sec"], 1),
         "n_docs": head["n_docs"],
+        **quality,
     }
 
 

@@ -172,11 +172,19 @@ def _q_cluster_containment(sf_dir: str):
     out = cluster_containment(_jaccard_labeled_texts(sf_dir), min_span=20)
 
     def slim(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
         cols = ["doc_id", "cluster_id", "contained_in"]
         if t.num_rows == 0 or any(c not in t.column_names for c in cols):
             return pa.schema([("doc_id", pa.int64()),
                               ("cluster_id", pa.int64()),
                               ("contained_in", pa.int64())]).empty_table()
+        # -1 sentinel for "not contained": keeps the column pure int64 on
+        # both sides (a NULL would surface as NaN float64 in the driver's
+        # comparison frame)
+        t = t.set_column(t.schema.get_field_index("contained_in"),
+                         "contained_in",
+                         pc.fill_null(pc.cast(t["contained_in"],
+                                              pa.int64()), -1))
         return t.select(cols)
 
     return out.map_batches(slim, batch_format="pyarrow")
@@ -580,7 +588,8 @@ def oracle_sql() -> dict[str, str]:
             "  WHERE ta.text <> '' AND strpos(tb.text, ta.text) > 0"
             "  GROUP BY m.doc_id"
             ") "
-            "SELECT m.doc_id, m.cluster_id, c.contained_in "
+            "SELECT m.doc_id, m.cluster_id, "
+            "CAST(coalesce(c.contained_in, -1) AS BIGINT) AS contained_in "
             "FROM multi m LEFT JOIN cont c ON c.doc_id = m.doc_id"
         ),
         # lsh_dedup, simhash_near_pairs, doc_fingerprints, hamming_topk,

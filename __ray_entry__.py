@@ -266,6 +266,58 @@ def _q_window_user_counts(sf_dir: str):
                               window_minutes=60)
 
 
+def _q_asof_join(sf_dir: str):
+    """As-of join: attach each event's latest checkpoint event (every
+    10th event_id) at or before its timestamp, per user — exact DuckDB
+    ASOF JOIN oracle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Max
+    from smqtk_indexing_ray.stages._util import drop_empty_blocks
+    from smqtk_indexing_ray.stages.asof import asof_join
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet").select_columns(
+        ["event_id", "ts", "user_id"])
+
+    def cks_only(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("event_id", pa.int64()),
+                              ("ts", pa.timestamp("us")),
+                              ("user_id", pa.int64())]).empty_table()
+        import numpy as np
+        e = t["event_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(e % 10 == 0))
+
+    # right side: one checkpoint per (user, ts) — max event_id — so the
+    # as-of match is unique and the oracle is tie-free
+    cks = ev.map_batches(cks_only, batch_format="pyarrow").groupby(
+        ["user_id", "ts"]).aggregate(Max("event_id", alias_name="ck_id"))
+    cks = drop_empty_blocks(cks, pa.schema([
+        ("user_id", pa.int64()), ("ts", pa.timestamp("us")),
+        ("ck_id", pa.int64())]))
+
+    out = asof_join(
+        ev, cks, key="user_id", ts="ts", payload_cols=["ck_id"],
+        left_schema=pa.schema([("event_id", pa.int64()),
+                               ("ts", pa.timestamp("us")),
+                               ("user_id", pa.int64())]),
+        right_schema=pa.schema([("user_id", pa.int64()),
+                                ("ts", pa.timestamp("us")),
+                                ("ck_id", pa.int64())]))
+
+    def slim(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "event_id" not in t.column_names:
+            return pa.schema([("event_id", pa.int64()),
+                              ("ck_id", pa.int64())]).empty_table()
+        return pa.table({
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "ck_id": pc.fill_null(pc.cast(t["ck_id"], pa.int64()), -1),
+        })
+
+    return out.map_batches(slim, batch_format="pyarrow")
+
+
 def _q_sessionize(sf_dir: str):
     """Session windows over the events stream table (sort + segmented
     kernel + cross-block stitch) — exact SQL window-function oracle."""
@@ -331,6 +383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mrpt_topk": _q_mrpt_topk,
         "euclidean_topk": _q_euclidean_topk,
         "sessionize": _q_sessionize,
+        "asof_join": _q_asof_join,
         "window_agg": _q_window_agg,
         "window_user_counts": _q_window_user_counts,
         "quality_signals": _q_quality_signals,
@@ -520,6 +573,16 @@ def oracle_sql() -> dict[str, str]:
             " CASE WHEN cjk > 0.2 THEN cjk"
             " ELSE greatest(s_en, s_de, s_fr, s_es) END AS confidence "
             "FROM sc"
+        ),
+        "asof_join": (
+            "WITH cks AS ("
+            "  SELECT user_id, ts, max(event_id) AS ck_id FROM events"
+            "  WHERE event_id % 10 = 0 GROUP BY 1, 2"
+            ") "
+            "SELECT e.event_id, "
+            "CAST(coalesce(c.ck_id, -1) AS BIGINT) AS ck_id "
+            "FROM events e ASOF LEFT JOIN cks c "
+            "ON c.user_id = e.user_id AND e.ts >= c.ts"
         ),
         "window_agg": (
             "SELECT make_timestamp((epoch_us(ts) // 3600000000) "

@@ -139,3 +139,65 @@ class TestWindowAgg:
         b = window_agg(ev.repartition(13)).to_pandas().sort_values(
             ["window_start", "event_type"], ignore_index=True)
         pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAsofJoin:
+    def test_matches_pandas_merge_asof(self):
+        """Sorted-tag + per-block carry as-of join vs pandas merge_asof,
+        with enough blocks that key segments straddle block boundaries."""
+        import ray.data as rd
+        from smqtk_indexing_ray.stages.asof import asof_join
+        rng = np.random.default_rng(21)
+        n_left, n_right = 4000, 300
+        lt = pa.table({
+            "user_id": pa.array(rng.integers(0, 12, n_left), pa.int64()),
+            "ts": pa.array(rng.integers(0, 10_000, n_left), pa.int64()),
+            "event_id": pa.array(np.arange(n_left, dtype=np.int64)),
+        })
+        # unique (user, ts) on the right so the match is deterministic
+        ru = rng.integers(0, 12, n_right)
+        rt = rng.choice(20_000, size=n_right, replace=False) % 10_000
+        seen = set()
+        keep = []
+        for u, t in zip(ru, rt):
+            keep.append((u, t) not in seen)
+            seen.add((u, t))
+        ru, rt = ru[keep], rt[keep]
+        rtbl = pa.table({
+            "user_id": pa.array(ru, pa.int64()),
+            "ts": pa.array(rt.astype(np.int64), pa.int64()),
+            "snap": pa.array(np.arange(len(ru), dtype=np.int64) + 1000),
+        })
+        out = asof_join(
+            rd.from_arrow(lt).repartition(7),
+            rd.from_arrow(rtbl).repartition(3),
+            key="user_id", ts="ts", payload_cols=["snap"],
+            left_schema=lt.schema, right_schema=rtbl.schema,
+        ).to_pandas().sort_values("event_id", ignore_index=True)
+        want = pd.merge_asof(
+            lt.to_pandas().sort_values("ts", kind="stable"),
+            rtbl.to_pandas().sort_values("ts", kind="stable"),
+            on="ts", by="user_id", direction="backward",
+        ).sort_values("event_id", ignore_index=True)
+        assert len(out) == n_left
+        lhs = out.snap.fillna(-1).astype(np.int64).to_numpy()
+        rhs = want.snap.fillna(-1).astype(np.int64).to_numpy()
+        np.testing.assert_array_equal(lhs, rhs)
+
+    def test_no_match_is_null(self):
+        import ray.data as rd
+        from smqtk_indexing_ray.stages.asof import asof_join
+        lt = pa.table({"user_id": pa.array([1, 1], pa.int64()),
+                       "ts": pa.array([5, 50], pa.int64()),
+                       "event_id": pa.array([0, 1], pa.int64())})
+        rtbl = pa.table({"user_id": pa.array([1], pa.int64()),
+                         "ts": pa.array([10], pa.int64()),
+                         "snap": pa.array([7], pa.int64())})
+        out = asof_join(rd.from_arrow(lt), rd.from_arrow(rtbl),
+                        key="user_id", ts="ts", payload_cols=["snap"],
+                        left_schema=lt.schema, right_schema=rtbl.schema
+                        ).to_pandas().sort_values("event_id",
+                                                  ignore_index=True)
+        assert pd.isna(out.snap[0])          # ts=5 precedes every snap
+        assert out.snap[1] == 7              # ts=50 takes snap at 10

@@ -318,6 +318,57 @@ def _q_asof_join(sf_dir: str):
     return out.map_batches(slim, batch_format="pyarrow")
 
 
+def _q_session_join(sf_dir: str):
+    """Interval (range) join: attach each event's session window — the
+    disjoint-interval reduction to as-of join, with an exact SQL BETWEEN
+    join oracle over the session windows."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from smqtk_indexing_ray.pipelines.events import sessionize
+    from smqtk_indexing_ray.stages.asof import interval_join
+
+    ev_path = f"{sf_dir}/events.parquet"
+    ev = rd.read_parquet(ev_path).select_columns(
+        ["event_id", "ts", "user_id"])
+
+    def to_us(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("event_id", pa.int64()),
+                              ("ts_us", pa.int64()),
+                              ("user_id", pa.int64())]).empty_table()
+        return pa.table({"event_id": t["event_id"],
+                         "ts_us": pc.cast(t["ts"], pa.int64()),
+                         "user_id": t["user_id"]})
+
+    points = ev.map_batches(to_us, batch_format="pyarrow")
+    sess = sessionize(rd.read_parquet(ev_path), gap_minutes=30
+                      ).select_columns(["user_id", "session_key",
+                                        "t_start_us", "t_end_us"])
+    out = interval_join(
+        points, sess, key="user_id", ts="ts_us",
+        lo="t_start_us", hi="t_end_us", payload_cols=["session_key"],
+        points_schema=pa.schema([("event_id", pa.int64()),
+                                 ("ts_us", pa.int64()),
+                                 ("user_id", pa.int64())]),
+        intervals_schema=pa.schema([("user_id", pa.int64()),
+                                    ("session_key", pa.int64()),
+                                    ("t_start_us", pa.int64()),
+                                    ("t_end_us", pa.int64())]))
+
+    def slim(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "event_id" not in t.column_names:
+            return pa.schema([("event_id", pa.int64()),
+                              ("session_key", pa.int64())]).empty_table()
+        return pa.table({
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "session_key": pc.fill_null(
+                pc.cast(t["session_key"], pa.int64()), -1),
+        })
+
+    return out.map_batches(slim, batch_format="pyarrow")
+
+
 def _q_sessionize(sf_dir: str):
     """Session windows over the events stream table (sort + segmented
     kernel + cross-block stitch) — exact SQL window-function oracle."""
@@ -383,6 +434,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mrpt_topk": _q_mrpt_topk,
         "euclidean_topk": _q_euclidean_topk,
         "sessionize": _q_sessionize,
+        "session_join": _q_session_join,
         "asof_join": _q_asof_join,
         "window_agg": _q_window_agg,
         "window_user_counts": _q_window_user_counts,
@@ -573,6 +625,29 @@ def oracle_sql() -> dict[str, str]:
             " CASE WHEN cjk > 0.2 THEN cjk"
             " ELSE greatest(s_en, s_de, s_fr, s_es) END AS confidence "
             "FROM sc"
+        ),
+        "session_join": (
+            "WITH e AS ("
+            "  SELECT user_id, ts, event_id,"
+            "  CASE WHEN lag(ts) OVER w IS NULL"
+            "       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000"
+            "       THEN 1 ELSE 0 END AS brk"
+            "  FROM events WINDOW w AS "
+            "  (PARTITION BY user_id ORDER BY ts, event_id)"
+            "), s AS ("
+            "  SELECT *, sum(brk) OVER "
+            "  (PARTITION BY user_id ORDER BY ts, event_id "
+            "   ROWS UNBOUNDED PRECEDING) AS sn FROM e"
+            "), sess AS ("
+            "  SELECT user_id, min(event_id) AS session_key, "
+            "  min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1 "
+            "  FROM s GROUP BY user_id, sn"
+            ") "
+            "SELECT ev.event_id, "
+            "CAST(coalesce(x.session_key, -1) AS BIGINT) AS session_key "
+            "FROM events ev LEFT JOIN sess x "
+            "ON x.user_id = ev.user_id "
+            "AND epoch_us(ev.ts) BETWEEN x.t0 AND x.t1"
         ),
         "asof_join": (
             "WITH cks AS ("

@@ -175,3 +175,84 @@ def asof_join(left, right, *, key: str, ts: str,
         __import__("functools").partial(fill_block, carry=carries[i]), r)
         for i, r in enumerate(refs)]
     return rd.from_arrow_refs(filled)
+
+
+def interval_join(points, intervals, *, key: str, ts: str, lo: str,
+                  hi: str, payload_cols: list[str],
+                  points_schema: pa.Schema | None = None,
+                  intervals_schema: pa.Schema | None = None):
+    """Attach interval payloads to every point with ``lo <= point.ts <=
+    hi`` and matching ``key``; payloads are null for uncovered points.
+
+    PARTITIONING ASSUMPTION (documented per SURVEY.md §2's custom-
+    operator rule): intervals must be NON-OVERLAPPING per key (e.g.
+    session windows).  Under that assumption the range join reduces to
+    an as-of join on the interval start — the candidate interval is the
+    one with the greatest ``lo <= ts`` — followed by a vectorized upper-
+    bound check; overlapping intervals would need a different plan (an
+    interval tree or an explode-by-bucket equi-join).
+    """
+    def _arrow_schema(ds) -> pa.Schema:
+        s = ds.schema()
+        return s.base_schema if hasattr(s, "base_schema") else s
+
+    psch = points_schema or _arrow_schema(points)
+    isch = intervals_schema or _arrow_schema(intervals)
+
+    def as_right(t: pa.Table) -> pa.Table:
+        out_sch = pa.schema(
+            [(key, pa.int64()), ("_lo", pa.int64()), ("_hi", pa.int64())]
+            + [(n, isch.field(n).type) for n in payload_cols])
+        if t.num_rows == 0 or lo not in t.column_names:
+            return out_sch.empty_table()
+        return pa.table({
+            key: pc.cast(t[key], pa.int64()),
+            "_lo": pc.cast(t[lo], pa.int64()),
+            "_hi": pc.cast(t[hi], pa.int64()),
+            **{n: t[n] for n in payload_cols},
+        })
+
+    right = intervals.map_batches(as_right, batch_format="pyarrow")
+    right_schema = pa.schema(
+        [(key, pa.int64()), ("_lo", pa.int64()), ("_hi", pa.int64())]
+        + [(n, isch.field(n).type) for n in payload_cols])
+
+    def as_left(t: pa.Table) -> pa.Table:
+        out_sch = pa.schema(
+            [(key, pa.int64()), ("_lo", pa.int64())]
+            + [(n, psch.field(n).type) for n in psch.names
+               if n not in (key,)])
+        if t.num_rows == 0 or key not in t.column_names:
+            return out_sch.empty_table()
+        cols = {key: pc.cast(t[key], pa.int64()),
+                "_lo": pc.cast(t[ts], pa.int64())}
+        for n in psch.names:
+            if n != key:
+                cols[n] = t[n]
+        return pa.table(cols)
+
+    left = points.map_batches(as_left, batch_format="pyarrow")
+    left_schema = pa.schema(
+        [(key, pa.int64()), ("_lo", pa.int64())]
+        + [(n, psch.field(n).type) for n in psch.names if n != key])
+
+    joined = asof_join(left, right, key=key, ts="_lo",
+                       payload_cols=["_hi"] + payload_cols,
+                       left_schema=left_schema, right_schema=right_schema)
+
+    def bound(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "_hi" not in t.column_names:
+            return t
+        inside = pc.and_kleene(
+            pc.is_valid(t["_hi"]),
+            pc.less_equal(t["_lo"], pc.cast(t["_hi"], pa.int64())))
+        inside = pc.fill_null(inside, False)
+        for n in payload_cols:
+            idx = t.schema.get_field_index(n)
+            t = t.set_column(
+                idx, n, pc.if_else(inside, t[n],
+                                   pa.nulls(t.num_rows,
+                                            t.schema.field(n).type)))
+        return t.drop_columns(["_hi"])
+
+    return joined.map_batches(bound, batch_format="pyarrow")

@@ -201,3 +201,23 @@ class TestAsofJoin:
                                                   ignore_index=True)
         assert pd.isna(out.snap[0])          # ts=5 precedes every snap
         assert out.snap[1] == 7              # ts=50 takes snap at 10
+
+    def test_interval_join_disjoint(self):
+        import ray.data as rd
+        from smqtk_indexing_ray.stages.asof import interval_join
+        pts = pa.table({"user_id": pa.array([1, 1, 1, 2], pa.int64()),
+                        "ts_us": pa.array([5, 15, 40, 15], pa.int64()),
+                        "event_id": pa.array([0, 1, 2, 3], pa.int64())})
+        iv = pa.table({"user_id": pa.array([1, 1], pa.int64()),
+                       "t0": pa.array([10, 30], pa.int64()),
+                       "t1": pa.array([20, 35], pa.int64()),
+                       "sid": pa.array([100, 200], pa.int64())})
+        out = interval_join(
+            rd.from_arrow(pts), rd.from_arrow(iv), key="user_id",
+            ts="ts_us", lo="t0", hi="t1", payload_cols=["sid"],
+            points_schema=pts.schema, intervals_schema=iv.schema,
+        ).to_pandas().sort_values("event_id", ignore_index=True)
+        assert pd.isna(out.sid[0])       # before every interval
+        assert out.sid[1] == 100         # inside [10, 20]
+        assert pd.isna(out.sid[2])       # after [30, 35] upper bound
+        assert pd.isna(out.sid[3])       # other key, no intervals

@@ -88,3 +88,39 @@ def test_driver_union_find_matches():
     }))
     got = driver_connected_components(ds)
     assert got == _cc_oracle(edges)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestConvergenceAdversarial:
+    """Extra adversarial shapes for the r2 probe-based convergence test
+    (labels fingerprinted at the large-star sort, earliest-stop): shapes
+    chosen to maximize the chance of a premature-stop bug."""
+
+    def test_adversarial_shapes(self):
+        rng = np.random.default_rng(23)
+        cases = []
+        # two chains sharing no nodes (labels of separate components)
+        cases.append([(i, i + 1) for i in range(0, 30)]
+                     + [(i, i + 1) for i in range(100, 140)])
+        # binary tree (log-depth propagation)
+        cases.append([(i, 2 * i + 1) for i in range(63)]
+                     + [(i, 2 * i + 2) for i in range(63)])
+        # cycle (every node has two neighbors)
+        cases.append([(i, (i + 1) % 50) for i in range(50)])
+        # barbell: two cliques linked by a long path
+        k1 = [(i, j) for i in range(6) for j in range(i + 1, 6)]
+        k2 = [(100 + i, 100 + j) for i in range(6) for j in range(i + 1, 6)]
+        path = [(5 + i, 5 + i + 1) for i in range(0, 95)]
+        cases.append(k1 + k2 + path)
+        # reversed-id chain: min is at the END of the path
+        cases.append([(200 - i, 200 - i - 1) for i in range(0, 60)])
+        # random sparse graphs near the percolation threshold
+        for seed in range(4):
+            r = np.random.default_rng(seed)
+            es = [tuple(sorted(map(int, r.integers(0, 300, 2))))
+                  for _ in range(160)]
+            cases.append([e for e in es if e[0] != e[1]])
+        for edges in cases:
+            got = _run_cc(edges)
+            want = _cc_oracle(edges)
+            assert got == want, f"mismatch on case with {len(edges)} edges"

@@ -153,6 +153,13 @@ def run_sf_suite(sf_dir: str) -> dict[str, float]:
             n += b.num_rows
         return n
 
+    def events():
+        return rd.read_parquet(f"{sf_dir}/events.parquet")
+
+    def window_agg():
+        from smqtk_indexing_ray.pipelines.events import window_agg as wa
+        return wa(events(), window_minutes=60)
+
     suite = {
         "lsh_dedup_documents": lambda: dedup_pipeline(
             documents_as_pages(docs()), DedupConfig(),
@@ -162,6 +169,8 @@ def run_sf_suite(sf_dir: str) -> dict[str, float]:
         "simhash_near_pairs": lambda: analysis.simhash_near_pairs(docs()),
         "ann_topk": lambda: ann.brute_force_topk(emb(), n_queries=32, k=10),
         "srp_near_pairs": lambda: ann.srp_near_pairs(emb(), max_hamming=24),
+        "mrpt_topk": lambda: ann.mrpt_topk(emb(), n_queries=32, k=10),
+        "window_agg": window_agg,
     }
     times: dict[str, float] = {}
     for name, fn in suite.items():

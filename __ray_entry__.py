@@ -61,6 +61,16 @@ def _q_token_stats(sf_dir: str):
     return token_stats(_docs(sf_dir))
 
 
+def _q_token_quantiles(sf_dir: str):
+    """Exact discrete quantiles of per-doc token counts: one narrow
+    column sort + metadata index resolution + point reads; index rule
+    bit-matches DuckDB quantile_disc."""
+    from smqtk_indexing_ray.pipelines.analysis import token_stats
+    from smqtk_indexing_ray.stages.quantiles import column_quantiles
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    return column_quantiles(token_stats(_docs(sf_dir)), "n_tokens", qs)
+
+
 def _q_token_counts(sf_dir: str):
     """Whitespace + BPE-ish regex token counts (RE2 pattern shared with
     the DuckDB oracle)."""
@@ -414,6 +424,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_cluster_labels": _q_exact_cluster_labels,
         "token_stats": _q_token_stats,
         "token_counts": _q_token_counts,
+        "token_quantiles": _q_token_quantiles,
         "lang_summary": _q_lang_summary,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "jaccard_cluster_labels": _q_jaccard_cluster_labels,
@@ -497,6 +508,14 @@ def oracle_sql() -> dict[str, str]:
             " / greatest(len(w), 1) AS stop_ratio, "
             "CAST(n_chars AS DOUBLE) / greatest(len(w), 1) "
             "AS chars_per_token FROM toks"
+        ),
+        "token_quantiles": (
+            "WITH " + _TOKS + ", agg AS ("
+            "  SELECT quantile_disc(len(w),"
+            "  [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS ql FROM toks"
+            ") "
+            "SELECT unnest(CAST([0.1, 0.25, 0.5, 0.75, 0.9, 0.99]"
+            " AS DOUBLE[])) AS q, unnest(ql) AS n_tokens FROM agg"
         ),
         "token_counts": (
             r"SELECT doc_id, "

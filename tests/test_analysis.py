@@ -365,3 +365,24 @@ class TestBucketPairsFuzz:
                 if h <= 6 and first == 0:
                     want.add((i, j, h))
         assert got == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_column_quantiles_matches_duckdb():
+    """Metadata-indexed point reads must reproduce DuckDB quantile_disc
+    exactly across block layouts."""
+    import duckdb
+    import ray.data as rd
+    from smqtk_indexing_ray.stages.quantiles import column_quantiles
+    rng = np.random.default_rng(31)
+    vals = rng.integers(0, 10_000, 5000).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"x": pa.array(vals)})).repartition(9)
+    qs = [0.0, 0.01, 0.1, 0.33, 0.5, 0.9, 0.999, 1.0]
+    got = column_quantiles(ds, "x", qs).to_pandas()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT unnest(?) AS x",
+                [[int(v) for v in vals]])
+    for q, v in zip(got.q, got.x):
+        want = con.execute("SELECT quantile_disc(x, ?) FROM t",
+                           [float(q)]).fetchone()[0]
+        assert int(v) == int(want), (q, v, want)

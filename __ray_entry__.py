@@ -71,6 +71,34 @@ def _q_token_quantiles(sf_dir: str):
     return column_quantiles(token_stats(_docs(sf_dir)), "n_tokens", qs)
 
 
+def _q_top_docs_per_lang(sf_dir: str):
+    """Per-group top-k (5 longest docs per language): one sort +
+    per-block rank with boundary carries — row_number() oracle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from smqtk_indexing_ray.stages.topk import top_k_per_group
+
+    schema = pa.schema([("lang", pa.string()), ("doc_id", pa.int64()),
+                        ("n_tokens", pa.int64())])
+
+    def slim(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return schema.empty_table()
+        text = pc.fill_null(t["text"], "")
+        return pa.table({
+            "lang": t["lang"],
+            "doc_id": t["doc_id"],
+            "n_tokens": pc.cast(
+                pc.count_substring_regex(text, r"\S+"), pa.int64()),
+        })
+
+    tks = _docs(sf_dir).select_columns(
+        ["lang", "doc_id", "text"]).map_batches(slim,
+                                                batch_format="pyarrow")
+    return top_k_per_group(tks, group="lang", order="n_tokens",
+                           tiebreak="doc_id", k=5, schema=schema)
+
+
 def _q_token_counts(sf_dir: str):
     """Whitespace + BPE-ish regex token counts (RE2 pattern shared with
     the DuckDB oracle)."""
@@ -425,6 +453,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": _q_token_stats,
         "token_counts": _q_token_counts,
         "token_quantiles": _q_token_quantiles,
+        "top_docs_per_lang": _q_top_docs_per_lang,
         "lang_summary": _q_lang_summary,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "jaccard_cluster_labels": _q_jaccard_cluster_labels,
@@ -508,6 +537,17 @@ def oracle_sql() -> dict[str, str]:
             " / greatest(len(w), 1) AS stop_ratio, "
             "CAST(n_chars AS DOUBLE) / greatest(len(w), 1) "
             "AS chars_per_token FROM toks"
+        ),
+        "top_docs_per_lang": (
+            r"SELECT lang, doc_id, n_tokens, rank FROM ("
+            r"  SELECT lang, doc_id,"
+            r"  CAST(len(regexp_extract_all(coalesce(text, ''), '\S+'))"
+            r"  AS BIGINT) AS n_tokens,"
+            r"  CAST(row_number() OVER (PARTITION BY lang"
+            r"  ORDER BY len(regexp_extract_all(coalesce(text, ''),"
+            r" '\S+')) DESC, doc_id) AS BIGINT) AS rank"
+            r"  FROM documents"
+            r") WHERE rank <= 5"
         ),
         "token_quantiles": (
             "WITH " + _TOKS + ", agg AS ("

@@ -1,0 +1,103 @@
+"""Per-group top-k — keep each group's k best rows by a sort key.
+
+One range-partitioning sort by ``(group, -order, tiebreak)`` and a
+vectorized per-block rank, with the standard boundary fixup: only the
+group straddling each block boundary needs its prefix row count from
+earlier blocks, and those counts come from the tiny per-block probes in
+sorted block order (same machinery as stages/attach and stages/asof).
+
+Semantics match ``row_number() OVER (PARTITION BY group ORDER BY order
+DESC, tiebreak ASC) <= k`` exactly — the tiebreak column makes the rank
+deterministic, so the SQL oracle is bit-exact.
+
+Reference analog: the per-query ``sorted(...)[:n]`` re-rank of the LSH
+index (/root/reference/smqtk_indexing/impls/nn_index/lsh.py:513-518),
+lifted from one query's candidates to every group of a table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def top_k_per_group(ds, *, group: str, order: str, tiebreak: str,
+                    k: int, descending: bool = True,
+                    schema: pa.Schema | None = None):
+    """Keep the ``k`` best rows per ``group`` ordered by ``order``
+    (descending by default), ties broken by ascending ``tiebreak``.
+    Output adds an int64 ``rank`` column (1-based).  ``group``/``order``/
+    ``tiebreak`` must be orderable scalar columns."""
+    import ray
+    import ray.data as rd
+
+    def _arrow_schema(d) -> pa.Schema:
+        s = d.schema()
+        return s.base_schema if hasattr(s, "base_schema") else s
+
+    sch = schema or _arrow_schema(ds)
+    srt = ds.sort([group, order, tiebreak],
+                  descending=[False, descending, False]).materialize()
+
+    # per-block probe: (last group key, rows of last key) — group keys
+    # keep their native type (string groups work)
+    gtype = sch.field(group).type
+
+    def probe(t: pa.Table) -> pa.Table:
+        psch = pa.schema([("k", gtype), ("cnt", pa.int64())])
+        if t.num_rows == 0 or group not in t.column_names:
+            return psch.empty_table()
+        g = t[group].to_numpy(zero_copy_only=False)
+        starts = np.concatenate([[0], np.flatnonzero(g[1:] != g[:-1]) + 1])
+        last_cnt = int(t.num_rows - starts[-1])
+        return pa.table({"k": t[group].take(
+            pa.array([int(starts[-1])], pa.int64())),
+            "cnt": pa.array([last_cnt], pa.int64())})
+
+    from smqtk_indexing_ray.stages._util import _get_probe_task
+    refs = [ref for bundle in srt.iter_internal_ref_bundles()
+            for ref, meta in bundle.blocks]
+    out_schema = pa.schema(list(sch) + [pa.field("rank", pa.int64())])
+    if not refs:
+        return rd.from_arrow(out_schema.empty_table())
+    task = _get_probe_task()
+    per_block = ray.get([task.remote(probe, r) for r in refs])
+    # carry[i] = rows of block i's FIRST group key in earlier blocks
+    carries: list[dict] = []
+    acc_key = None
+    acc_cnt = 0
+    for tbl in per_block:
+        carries.append({} if acc_key is None else {acc_key: acc_cnt})
+        if tbl is None or tbl.num_rows == 0:
+            continue
+        kk = tbl["k"][0].as_py()
+        cnt = int(tbl["cnt"][0].as_py())
+        if acc_key == kk:
+            acc_cnt += cnt
+        else:
+            acc_key, acc_cnt = kk, cnt
+
+    def rank_block(t: pa.Table, carry: dict) -> pa.Table:
+        if t.num_rows == 0 or group not in t.column_names:
+            return out_schema.empty_table()
+        g = t[group].to_numpy(zero_copy_only=False)
+        n = t.num_rows
+        starts = np.concatenate([[0], np.flatnonzero(g[1:] != g[:-1]) + 1])
+        seg_id = np.repeat(np.arange(len(starts)),
+                           np.diff(np.concatenate([starts, [n]])))
+        rank = (np.arange(n) - starts[seg_id]).astype(np.int64) + 1
+        off = carry.get(g[0] if not hasattr(g[0], "item")
+                        else g[0].item(), 0)
+        rank[seg_id == 0] += off
+        keep = rank <= k
+        if not keep.any():
+            return out_schema.empty_table()
+        idx = pa.array(np.flatnonzero(keep), pa.int64())
+        out = t.take(idx)
+        return out.append_column("rank", pa.array(rank[keep]))
+
+    filled = [task.remote(
+        __import__("functools").partial(rank_block, carry=carries[i]), r)
+        for i, r in enumerate(refs)]
+    return rd.from_arrow_refs(filled)

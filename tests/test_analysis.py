@@ -6,6 +6,7 @@ table assertions)."""
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -386,3 +387,29 @@ def test_column_quantiles_matches_duckdb():
         want = con.execute("SELECT quantile_disc(x, ?) FROM t",
                            [float(q)]).fetchone()[0]
         assert int(v) == int(want), (q, v, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_top_k_per_group_matches_pandas():
+    """Per-block rank with boundary carries vs a pandas groupby rank,
+    across enough blocks that groups straddle boundaries (incl. one hot
+    group spanning several blocks)."""
+    import ray.data as rd
+    from smqtk_indexing_ray.stages.topk import top_k_per_group
+    rng = np.random.default_rng(41)
+    n = 3000
+    g = rng.integers(0, 6, n)
+    g[:1500] = 2                      # hot group straddles blocks
+    t = pa.table({"grp": pa.array(g.astype(np.int64)),
+                  "score": pa.array(rng.integers(0, 500, n).astype(np.int64)),
+                  "rid": pa.array(np.arange(n, dtype=np.int64))})
+    got = top_k_per_group(
+        rd.from_arrow(t).repartition(11), group="grp", order="score",
+        tiebreak="rid", k=7, schema=t.schema,
+    ).to_pandas().sort_values(["grp", "rank"], ignore_index=True)
+    df = t.to_pandas().sort_values(
+        ["grp", "score", "rid"], ascending=[True, False, True])
+    df["rank"] = df.groupby("grp").cumcount() + 1
+    want = df[df["rank"] <= 7].sort_values(["grp", "rank"],
+                                           ignore_index=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

@@ -103,8 +103,32 @@ def cluster_quality(out_dir: str, truth_dir: str) -> dict:
         / (SELECT p FROM pred_pairs) AS precision
     """
     r = con.sql(q).fetchone()
-    return {"dup_pair_recall": round(float(r[0]), 5),
-            "dup_pair_precision": round(float(r[1]), 5)}
+    out = {"dup_pair_recall": round(float(r[0]), 5),
+           "dup_pair_precision": round(float(r[1]), 5)}
+    # per-class recall: which planted duplicate KIND (exact / near /
+    # boiler / contain / hot) loses pairs, if any
+    per = con.sql("""
+    WITH j AS (
+      SELECT o.doc_id, o.cluster_id, t.class,
+             CASE WHEN t.true_cluster < 0 THEN -1 ELSE t.true_cluster END
+               AS tc
+      FROM o JOIN t USING (doc_id)
+      WHERE t.class <> 'single'
+    ), cells AS (
+      SELECT class, tc, cluster_id, count(*) AS c FROM j GROUP BY 1, 2, 3
+    ), tp AS (
+      SELECT class, sum(n * (n - 1) / 2) AS p FROM (
+        SELECT class, tc, sum(c) AS n FROM cells GROUP BY 1, 2)
+      GROUP BY class
+    ), bp AS (
+      SELECT class, sum(c * (c - 1) / 2) AS p FROM cells GROUP BY class
+    )
+    SELECT tp.class, CAST(bp.p AS DOUBLE) / tp.p
+    FROM tp JOIN bp USING (class) ORDER BY 1
+    """).fetchall()
+    for cls, rec in per:
+        out[f"recall_{cls}"] = round(float(rec), 5)
+    return out
 
 
 def run_headline(n_docs: int) -> dict:

@@ -295,6 +295,17 @@ def _q_window_agg(sf_dir: str):
                       window_minutes=60)
 
 
+def _q_hopping_window_counts(sf_dir: str):
+    """Sliding (hopping) window event counts — 60-minute windows on
+    30-minute hops; in-batch explode + pre-aggregation — exact SQL
+    oracle via per-row generate_series."""
+    import ray.data as rd
+    from smqtk_indexing_ray.pipelines.events import hopping_window_counts
+    return hopping_window_counts(
+        rd.read_parquet(f"{sf_dir}/events.parquet"),
+        window_minutes=60, hop_minutes=30)
+
+
 def _q_window_user_counts(sf_dir: str):
     """Exact distinct users per tumbling window (two-level distinct with
     in-batch pre-dedup) — exact SQL oracle."""
@@ -478,6 +489,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": _q_asof_join,
         "window_agg": _q_window_agg,
         "window_user_counts": _q_window_user_counts,
+        "hopping_window_counts": _q_hopping_window_counts,
         "quality_signals": _q_quality_signals,
         "winnow_fingerprints": _q_winnow_fingerprints,
     }
@@ -724,6 +736,16 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n_events, min(value) AS min_value, "
             "max(value) AS max_value "
             "FROM events GROUP BY 1, 2"
+        ),
+        "hopping_window_counts": (
+            "SELECT make_timestamp(ws) AS window_start, "
+            "count(*) AS n_events FROM ("
+            "  SELECT unnest(generate_series("
+            "    (epoch_us(ts) // 1800000000) * 1800000000 - 1800000000,"
+            "    (epoch_us(ts) // 1800000000) * 1800000000,"
+            "    1800000000)) AS ws"
+            "  FROM events"
+            ") GROUP BY 1"
         ),
         "window_user_counts": (
             "SELECT make_timestamp((epoch_us(ts) // 3600000000) "

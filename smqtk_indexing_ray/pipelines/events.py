@@ -282,3 +282,57 @@ def window_user_counts(events, *, window_minutes: int = 60):
         })
 
     return counts.map_batches(clean, batch_format="pyarrow")
+
+
+def hopping_window_counts(events, *, window_minutes: int = 60,
+                          hop_minutes: int = 30):
+    """Sliding (hopping) window event counts: every window of length
+    ``window_minutes`` starting on a ``hop_minutes`` boundary, so each
+    event lands in ``window/hop`` windows.
+
+    ``window_minutes`` must be a multiple of ``hop_minutes``.  Same
+    partial-aggregation shape as :func:`window_agg` — the explode factor
+    is applied in-batch and immediately pre-aggregated, so the shuffle
+    sees one row per (window, batch), not per (event, window).
+    """
+    from ray.data.aggregate import Sum
+
+    if window_minutes % hop_minutes:
+        raise ValueError("window_minutes must be a multiple of hop_minutes")
+    k = window_minutes // hop_minutes
+    hop_us = int(hop_minutes) * 60 * 1_000_000
+
+    out_schema = pa.schema([("window_start", pa.timestamp("us")),
+                            ("n_events", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        psch = pa.schema([("window_start", pa.timestamp("us")),
+                          ("n", pa.int64())])
+        if t.num_rows == 0 or "ts" not in t.column_names:
+            return psch.empty_table()
+        ts = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        w_max = ts - ts % hop_us
+        # windows w_max - (k-1)*hop .. w_max, all containing the event
+        ws = (w_max[None, :] - (np.arange(k - 1, -1, -1,
+                                          dtype=np.int64)[:, None] * hop_us)
+              ).reshape(-1)
+        t2 = pa.table({"window_start": pa.array(ws).cast(
+            pa.timestamp("us"))})
+        g = t2.group_by(["window_start"]).aggregate(
+            [("window_start", "count")])
+        return g.rename_columns(["window_start", "n"])
+
+    part = events.select_columns(["ts"]).map_batches(
+        partial, batch_format="pyarrow")
+    agg = part.groupby("window_start").aggregate(
+        Sum("n", alias_name="n_events"))
+
+    def clean(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "n_events" not in t.column_names:
+            return out_schema.empty_table()
+        return pa.table({
+            "window_start": pc.cast(t["window_start"], pa.timestamp("us")),
+            "n_events": pc.cast(t["n_events"], pa.int64()),
+        })
+
+    return agg.map_batches(clean, batch_format="pyarrow")

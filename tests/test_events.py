@@ -221,3 +221,28 @@ class TestAsofJoin:
         assert out.sid[1] == 100         # inside [10, 20]
         assert pd.isna(out.sid[2])       # after [30, 35] upper bound
         assert pd.isna(out.sid[3])       # other key, no intervals
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hopping_window_counts_matches_pandas():
+    import ray.data as rd
+    from smqtk_indexing_ray.pipelines.events import hopping_window_counts
+    rng = np.random.default_rng(6)
+    n = 1500
+    base = 1_577_836_800_000_000
+    ts = base + rng.integers(0, 4 * 3600 * 1_000_000, n)
+    ev = rd.from_arrow(pa.table({
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "user_id": pa.array(np.zeros(n, np.int64)),
+    })).repartition(6)
+    got = hopping_window_counts(ev, window_minutes=60, hop_minutes=30
+                                ).to_pandas()
+    got = got.set_index(got.window_start.astype("int64"))["n_events"]
+    hop = 1_800_000_000
+    want: dict[int, int] = {}
+    for t in ts:
+        wmax = int(t) - int(t) % hop
+        for w in (wmax - hop, wmax):
+            want[w] = want.get(w, 0) + 1
+    assert dict(got) == want

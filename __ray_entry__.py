@@ -99,6 +99,34 @@ def _q_top_docs_per_lang(sf_dir: str):
                            tiebreak="doc_id", k=5, schema=schema)
 
 
+def _q_stratified_sample(sf_dir: str):
+    """Deterministic stratified sample: 20 docs per language, selected
+    by a shared LCG rank so the draw is reproducible in SQL — the
+    distributed analog of seeded random_sample for per-stratum training
+    budgets."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from smqtk_indexing_ray.stages.topk import top_k_per_group
+
+    schema = pa.schema([("lang", pa.string()), ("doc_id", pa.int64()),
+                        ("draw", pa.int64())])
+
+    def add_draw(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return schema.empty_table()
+        import numpy as np
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        draw = (d * 1103515245 + 12345) % 2147483648
+        return pa.table({"lang": t["lang"], "doc_id": t["doc_id"],
+                         "draw": pa.array(draw.astype(np.int64))})
+
+    ds = _docs(sf_dir).select_columns(["lang", "doc_id"]).map_batches(
+        add_draw, batch_format="pyarrow")
+    return top_k_per_group(ds, group="lang", order="draw",
+                           tiebreak="doc_id", k=20, descending=False,
+                           schema=schema)
+
+
 def _q_token_counts(sf_dir: str):
     """Whitespace + BPE-ish regex token counts (RE2 pattern shared with
     the DuckDB oracle)."""
@@ -465,6 +493,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": _q_token_counts,
         "token_quantiles": _q_token_quantiles,
         "top_docs_per_lang": _q_top_docs_per_lang,
+        "stratified_sample": _q_stratified_sample,
         "lang_summary": _q_lang_summary,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "jaccard_cluster_labels": _q_jaccard_cluster_labels,
@@ -549,6 +578,16 @@ def oracle_sql() -> dict[str, str]:
             " / greatest(len(w), 1) AS stop_ratio, "
             "CAST(n_chars AS DOUBLE) / greatest(len(w), 1) "
             "AS chars_per_token FROM toks"
+        ),
+        "stratified_sample": (
+            "SELECT lang, doc_id, draw, rank FROM ("
+            "  SELECT lang, doc_id,"
+            "  (doc_id * 1103515245 + 12345) % 2147483648 AS draw,"
+            "  CAST(row_number() OVER (PARTITION BY lang ORDER BY"
+            "  (doc_id * 1103515245 + 12345) % 2147483648, doc_id)"
+            "  AS BIGINT) AS rank"
+            "  FROM documents"
+            ") WHERE rank <= 20"
         ),
         "top_docs_per_lang": (
             r"SELECT lang, doc_id, n_tokens, rank FROM ("

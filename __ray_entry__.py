@@ -313,6 +313,41 @@ def _q_quality_signals(sf_dir: str):
     return quality_signals(_docs(sf_dir))
 
 
+def _q_event_seq(sf_dir: str):
+    """Running per-user sequence numbers over the event stream (a
+    distributed row_number window) — exact SQL oracle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from smqtk_indexing_ray.stages.topk import top_k_per_group
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet").select_columns(
+        ["user_id", "ts", "event_id"])
+    schema = pa.schema([("user_id", pa.int64()),
+                        ("ts_us", pa.int64()), ("event_id", pa.int64())])
+
+    def to_us(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return schema.empty_table()
+        return pa.table({"user_id": t["user_id"],
+                         "ts_us": pc.cast(t["ts"], pa.int64()),
+                         "event_id": t["event_id"]})
+
+    out = top_k_per_group(
+        ev.map_batches(to_us, batch_format="pyarrow"), group="user_id",
+        order="ts_us", tiebreak="event_id", k=None, descending=False,
+        schema=schema)
+
+    def slim(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "event_id" not in t.column_names:
+            return pa.schema([("event_id", pa.int64()),
+                              ("seq", pa.int64())]).empty_table()
+        return pa.table({"event_id": t["event_id"],
+                         "seq": pc.cast(t["rank"], pa.int64())})
+
+    return out.map_batches(slim, batch_format="pyarrow")
+
+
 def _q_window_agg(sf_dir: str):
     """Tumbling 1-hour window per-event-type aggregate (in-batch Arrow
     pre-aggregation -> tiny shuffle) — exact SQL oracle (count/min/max
@@ -519,6 +554,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_agg": _q_window_agg,
         "window_user_counts": _q_window_user_counts,
         "hopping_window_counts": _q_hopping_window_counts,
+        "event_seq": _q_event_seq,
         "quality_signals": _q_quality_signals,
         "winnow_fingerprints": _q_winnow_fingerprints,
     }
@@ -775,6 +811,11 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n_events, min(value) AS min_value, "
             "max(value) AS max_value "
             "FROM events GROUP BY 1, 2"
+        ),
+        "event_seq": (
+            "SELECT event_id, CAST(row_number() OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) "
+            "AS seq FROM events"
         ),
         "hopping_window_counts": (
             "SELECT make_timestamp(ws) AS window_start, "

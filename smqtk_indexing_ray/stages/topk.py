@@ -23,12 +23,13 @@ import pyarrow.compute as pc
 
 
 def top_k_per_group(ds, *, group: str, order: str, tiebreak: str,
-                    k: int, descending: bool = True,
+                    k: int | None, descending: bool = True,
                     schema: pa.Schema | None = None):
     """Keep the ``k`` best rows per ``group`` ordered by ``order``
     (descending by default), ties broken by ascending ``tiebreak``.
     Output adds an int64 ``rank`` column (1-based).  ``group``/``order``/
-    ``tiebreak`` must be orderable scalar columns."""
+    ``tiebreak`` must be orderable scalar columns.  ``k=None`` keeps
+    every row — a distributed running ``row_number()`` per group."""
     import ray
     import ray.data as rd
 
@@ -90,6 +91,8 @@ def top_k_per_group(ds, *, group: str, order: str, tiebreak: str,
         off = carry.get(g[0] if not hasattr(g[0], "item")
                         else g[0].item(), 0)
         rank[seg_id == 0] += off
+        if k is None:
+            return t.append_column("rank", pa.array(rank))
         keep = rank <= k
         if not keep.any():
             return out_schema.empty_table()

@@ -99,6 +99,49 @@ def _q_top_docs_per_lang(sf_dir: str):
                            tiebreak="doc_id", k=5, schema=schema)
 
 
+def _q_contamination(sf_dir: str):
+    """Cross-split contamination check: for every 'eval' doc (odd
+    doc_id), its closest 'train' doc (even doc_id) by exact n-gram
+    Jaccard >= 0.5 — the train/test leakage scan an LLM data pipeline
+    runs before training.  Exact SQL window oracle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from smqtk_indexing_ray.pipelines.analysis import ngram_jaccard_pairs
+    from smqtk_indexing_ray.stages.topk import top_k_per_group
+
+    pairs = ngram_jaccard_pairs(_docs(sf_dir), k=3, threshold=0.5)
+    schema = pa.schema([("eval_doc", pa.int64()),
+                        ("train_doc", pa.int64()),
+                        ("jaccard", pa.float64())])
+
+    def orient(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_a" not in t.column_names:
+            return schema.empty_table()
+        import numpy as np
+        a = t["doc_a"].to_numpy(zero_copy_only=False)
+        b = t["doc_b"].to_numpy(zero_copy_only=False)
+        cross = (a % 2) != (b % 2)
+        a, b = a[cross], b[cross]
+        j = t["jaccard"].to_numpy(zero_copy_only=False)[cross]
+        a_odd = (a % 2) == 1
+        ev = np.where(a_odd, a, b)
+        tr = np.where(a_odd, b, a)
+        return pa.table({"eval_doc": pa.array(ev),
+                         "train_doc": pa.array(tr),
+                         "jaccard": pa.array(j)})
+
+    oriented = pairs.map_batches(orient, batch_format="pyarrow")
+    top1 = top_k_per_group(oriented, group="eval_doc", order="jaccard",
+                           tiebreak="train_doc", k=1, schema=schema)
+
+    def slim(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "eval_doc" not in t.column_names:
+            return schema.empty_table()
+        return t.select(["eval_doc", "train_doc", "jaccard"])
+
+    return top1.map_batches(slim, batch_format="pyarrow")
+
+
 def _q_stratified_sample(sf_dir: str):
     """Deterministic stratified sample: 20 docs per language, selected
     by a shared LCG rank so the draw is reproducible in SQL — the
@@ -529,6 +572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_quantiles": _q_token_quantiles,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "stratified_sample": _q_stratified_sample,
+        "contamination": _q_contamination,
         "lang_summary": _q_lang_summary,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "jaccard_cluster_labels": _q_jaccard_cluster_labels,
@@ -614,6 +658,20 @@ def oracle_sql() -> dict[str, str]:
             " / greatest(len(w), 1) AS stop_ratio, "
             "CAST(n_chars AS DOUBLE) / greatest(len(w), 1) "
             "AS chars_per_token FROM toks"
+        ),
+        "contamination": (
+            "WITH " + _TOKS + ", " + _SHINGLES + ", "
+            "crossp AS ("
+            "  SELECT CASE WHEN doc_a % 2 = 1 THEN doc_a ELSE doc_b END"
+            "   AS eval_doc,"
+            "  CASE WHEN doc_a % 2 = 1 THEN doc_b ELSE doc_a END"
+            "   AS train_doc, jaccard"
+            "  FROM jpairs WHERE (doc_a % 2) <> (doc_b % 2)"
+            "), r AS ("
+            "  SELECT *, row_number() OVER (PARTITION BY eval_doc"
+            "  ORDER BY jaccard DESC, train_doc) AS rn FROM crossp"
+            ") "
+            "SELECT eval_doc, train_doc, jaccard FROM r WHERE rn = 1"
         ),
         "stratified_sample": (
             "SELECT lang, doc_id, draw, rank FROM ("

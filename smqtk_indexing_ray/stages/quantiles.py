@@ -36,8 +36,12 @@ def column_quantiles(ds, col: str, qs: list[float]) -> pa.Table:
     blocks = [(ref, meta.num_rows)
               for bundle in srt.iter_internal_ref_bundles()
               for ref, meta in bundle.blocks]
-    counts = np.array([c if c is not None else 0 for _, c in blocks],
-                      dtype=np.int64)
+    if any(c is None for _, c in blocks):
+        # metadata row counts are always present on materialized
+        # datasets; silently treating unknown as 0 would shift indices
+        raise RuntimeError("column_quantiles: block metadata lacks row "
+                           "counts; cannot resolve quantile indices")
+    counts = np.array([c for _, c in blocks], dtype=np.int64)
     n = int(counts.sum())
     if n == 0:
         raise ValueError(f"column_quantiles: no rows in {col!r}")

@@ -261,16 +261,21 @@ def _shingle_explode(t: pa.Table, k: int) -> pa.Table:
 
 def ngram_jaccard_pairs(docs, *, k: int = 3, threshold: float = 0.5,
                         num_partitions: int = 16,
-                        max_shingle_freq: int | None = None):
+                        max_shingle_freq: int | None = 1000):
     """Exact n-gram-Jaccard near-duplicate pairs.
 
     shingle-explode -> self-join on shingle -> per-pair intersection count
     -> join per-doc set sizes -> jaccard = inter / (|A|+|B|-inter) >= thr.
 
-    At the 10^12-doc design scale the unfiltered self-join is quadratic in
-    shingle document-frequency; set ``max_shingle_freq`` to drop stop-
-    shingles (changes semantics — the MinHash/LSH pipeline is the scale
-    path, this operator is the exact verifier at test scale).
+    The self-join is quadratic in shingle document-frequency, so the
+    stop-shingle cap defaults ON: shingles appearing in more than
+    ``max_shingle_freq`` docs are dropped from the JOIN ONLY — per-doc
+    set sizes (the jaccard denominator) still count every shingle, so a
+    pair whose overlap is pure boilerplate scores low instead of
+    exploding the join.  This bounds per-shingle join input at
+    ``max_shingle_freq``^2 regardless of corpus skew.  Pass ``None`` to
+    disable (exact semantics, unbounded DF blowup — the MinHash/LSH
+    pipeline is the scale path either way).
     """
     from smqtk_indexing_ray.context import ensure_data_context
     ensure_data_context()
@@ -285,18 +290,33 @@ def ngram_jaccard_pairs(docs, *, k: int = 3, threshold: float = 0.5,
                              ("n_sh", pa.int64())]))
 
     if max_shingle_freq is not None:
+        # DF filter via the sort-merge attach (one task-based sort) rather
+        # than Dataset.join — join aggregator-actor spin-up dominates at
+        # every scale we measured (stages/attach.py module docstring).
+        from smqtk_indexing_ray.stages.attach import sort_attach
+        exp_schema = pa.schema([("shingle", pa.int64()),
+                                ("doc_id", pa.int64()),
+                                ("n_sh", pa.int64())])
+        exploded = exploded.materialize()
         freq = exploded.groupby("shingle").aggregate(
             Count(alias_name="df"))
         freq = stamp_schema(freq, pa.schema([("shingle", pa.int64()),
                                              ("df", pa.int64())]))
-        keep = freq.filter(expr=f"df <= {int(max_shingle_freq)}")
-        exploded = exploded.join(
-            keep.select_columns(["shingle"]), join_type="inner",
-            num_partitions=num_partitions, on=("shingle",))
+        attached = sort_attach(
+            exploded, freq, key="shingle", payload_key="shingle",
+            payload_cols=["df"], how="inner",
+            rows_schema=exp_schema,
+            payload_schema=pa.schema([("shingle", pa.int64()),
+                                      ("df", pa.int64())]))
+        kept = attached.filter(expr=f"df <= {int(max_shingle_freq)}")
+
+        def _drop_df(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "shingle" not in t.column_names:
+                return exp_schema.empty_table()
+            return t.select(["shingle", "doc_id", "n_sh"])
+
         exploded = drop_empty_blocks(
-            exploded, pa.schema([("shingle", pa.int64()),
-                                 ("doc_id", pa.int64()),
-                                 ("n_sh", pa.int64())]))
+            kept.map_batches(_drop_df, batch_format="pyarrow"), exp_schema)
 
     def _ren(t: pa.Table, names: tuple[str, str, str]) -> pa.Table:
         # select by NAME first: join output column order is not guaranteed

@@ -198,17 +198,35 @@ class _PairsAboveThreshold:
 
 
 def cosine_near_pairs(emb, *, threshold: float = 0.4,
-                      batch_size: int = 4096, concurrency=(1, 8)):
-    """All pairs with cosine similarity >= threshold (embedding near-dup)."""
+                      batch_size: int = 4096, concurrency=(1, 8),
+                      max_rows: int = 200_000):
+    """All pairs with cosine similarity >= threshold (embedding near-dup).
+
+    EXACT TEST-SCALE OP: broadcasts the full embedding matrix and scores
+    O(N^2) pairs — the SQL-oracle twin of :func:`srp_near_pairs` (the
+    10^12-row scale path: SRP codes -> banded hamming buckets -> exact
+    cosine re-verify).  Refuses inputs above ``max_rows`` rather than
+    silently melting the driver; raise the cap explicitly only for
+    offline verification runs.
+    """
     from smqtk_indexing_ray.context import ensure_data_context
     ensure_data_context()
 
     import ray
 
+    batches, n_seen = [], 0
+    for b in (emb.select_columns(["vec_id", "embedding"])
+              .iter_batches(batch_format="pyarrow")):
+        n_seen += b.num_rows
+        if n_seen > max_rows:
+            raise ValueError(
+                f"cosine_near_pairs is an exact O(N^2) test-scale oracle "
+                f"op; input has > {max_rows} rows. Use srp_near_pairs "
+                f"(SRP-LSH candidates + exact re-verify) at scale, or "
+                f"pass max_rows explicitly for an offline check.")
+        batches.append(b)
     tbl = pa.concat_tables(
-        [b for b in emb.select_columns(["vec_id", "embedding"])
-         .iter_batches(batch_format="pyarrow")]
-        or [pa.schema([("vec_id", pa.int64())]).empty_table()])
+        batches or [pa.schema([("vec_id", pa.int64())]).empty_table()])
     if tbl.num_rows:
         ids = tbl["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         m = _emb_matrix(tbl)

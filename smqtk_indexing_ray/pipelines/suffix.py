@@ -28,22 +28,35 @@ _CONT_SCHEMA = pa.schema([("contained", pa.int64()),
 
 
 def substring_containment(docs, *, batch_size: int = 1024,
-                          concurrency=(1, 8)):
+                          concurrency=(1, 8), max_rows: int = 100_000):
     """All pairs (contained, container) where one doc's full text occurs
     inside another's; ``container`` = min doc_id of any containing doc.
 
-    Test-scale exact op (broadcasts the whole corpus text once via
-    ``ray.put``); the cluster-scoped pass is the 10^12-doc path.
+    EXACT TEST-SCALE OP (broadcasts the whole corpus text once via
+    ``ray.put``; per-doc x per-corpus scan): the SQL-oracle twin of
+    :func:`cluster_containment`, the 10^12-doc path (containment only
+    matters within LSH clusters).  Refuses inputs above ``max_rows``
+    rather than silently broadcasting a corpus; raise the cap explicitly
+    only for offline verification runs.
     """
     import ray
     from smqtk_indexing_ray.context import ensure_data_context
     ensure_data_context()
 
+    batches, n_seen = [], 0
+    for b in (docs.select_columns(["doc_id", "text"])
+              .iter_batches(batch_format="pyarrow")):
+        n_seen += b.num_rows
+        if n_seen > max_rows:
+            raise ValueError(
+                f"substring_containment is an exact all-pairs test-scale "
+                f"oracle op; input has > {max_rows} rows. Use "
+                f"cluster_containment (suffix-array pass within LSH "
+                f"clusters) at scale, or pass max_rows explicitly.")
+        batches.append(b)
     tbl = pa.concat_tables(
-        [b for b in docs.select_columns(["doc_id", "text"])
-         .iter_batches(batch_format="pyarrow")]
-        or [pa.schema([("doc_id", pa.int64()),
-                       ("text", pa.string())]).empty_table()])
+        batches or [pa.schema([("doc_id", pa.int64()),
+                               ("text", pa.string())]).empty_table()])
     all_ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
     all_texts = tbl["text"].to_pylist()
     corpus_ref = ray.put((all_ids, all_texts))

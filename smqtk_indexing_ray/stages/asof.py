@@ -148,25 +148,35 @@ def asof_join(left, right, *, key: str, ts: str,
         if len(lsel) == 0:
             return out_schema.empty_table()
         take_idx = np.where(valid, fwd, -1)[lsel]
-        take = pa.array(take_idx, mask=take_idx < 0)
         cols = {key: t["_k"].take(pa.array(lsel)),
                 ts: pc.cast(t["_ts"].take(pa.array(lsel)), ts_type)}
         for nm in left_cols:
             cols[nm] = t[nm].take(pa.array(lsel))
         miss = np.flatnonzero(take_idx < 0)
+        # boundary-carry patch stays Arrow-native: append the (few) carry
+        # values to the source column and redirect their take indices
+        # past the block, instead of to_pylist()-ing the column
+        fix_rows = []
+        for i in miss:
+            ent = carry.get(int(k[lsel[i]]))
+            if ent is not None and ent[0] <= int(lts[lsel[i]]):
+                fix_rows.append((int(i), ent))
+        if fix_rows:
+            take_idx = take_idx.copy()
+            for j, (i, _) in enumerate(fix_rows):
+                take_idx[i] = n + j
+        take = pa.array(take_idx, mask=take_idx < 0)
         for ci, nm in enumerate(payload_cols):
-            col = t[nm].take(take)
-            fix_rows = []
-            for i in miss:
-                ent = carry.get(int(k[lsel[i]]))
-                if ent is not None and ent[0] <= int(lts[lsel[i]]):
-                    fix_rows.append((int(i), ent[ci + 1]))
+            src = t[nm]
             if fix_rows:
-                vals = col.to_pylist()
-                for i, v in fix_rows:
-                    vals[i] = v.as_py() if hasattr(v, "as_py") else v
-                col = pa.array(vals, type=schema.field(nm).type)
-            cols[nm] = col
+                extra = pa.array(
+                    [e[ci + 1].as_py() if hasattr(e[ci + 1], "as_py")
+                     else e[ci + 1] for _, e in fix_rows],
+                    type=schema.field(nm).type)
+                chunks = (list(src.chunks)
+                          if isinstance(src, pa.ChunkedArray) else [src])
+                src = pa.chunked_array(chunks + [extra])
+            cols[nm] = src.take(take)
         return pa.table({nm: cols[nm] for nm in out_names})
 
     # one raw task per block with its exact carry dict; blocks stay in the

@@ -169,22 +169,32 @@ def sort_attach(rows, payload, *, key: str, payload_key: str,
                     zero_copy_only=False)[dsel]
                 same &= cv[1:] == cv[:-1]
             dsel = dsel[np.concatenate([[True], ~same])]
-        take = pa.array(take_idx[dsel], mask=take_idx[dsel] < 0)
         cols = {key: t["_k"].take(pa.array(dsel))}
         for nm in row_cols:
             cols[nm] = t[nm].take(pa.array(dsel))
         miss = take_idx[dsel] < 0
         fix_rows = [i for i, m in enumerate(miss)
                     if m and int(k[dsel[i]]) in fix]
+        # boundary-straddle patch stays Arrow-native: append the (few)
+        # fixup values to the source column and redirect their take
+        # indices past the block, instead of to_pylist()-ing the column
+        tk = take_idx[dsel]
+        if fix_rows:
+            tk = tk.copy()
+            fix_vals = [fix[int(k[dsel[i]])] for i in fix_rows]
+            for j, i in enumerate(fix_rows):
+                tk[i] = n + j
+        take = pa.array(tk, mask=tk < 0)
         for ci, nm in enumerate(payload_cols):
-            col = t[nm].take(take)
+            src = t[nm]
             if fix_rows:
-                vals = col.to_pylist()
-                for i in fix_rows:
-                    v = fix[int(k[dsel[i]])][ci]
-                    vals[i] = v.as_py() if hasattr(v, "as_py") else v
-                col = pa.array(vals, type=schema.field(nm).type)
-            cols[nm] = col
+                extra = pa.array(
+                    [v[ci].as_py() if hasattr(v[ci], "as_py") else v[ci]
+                     for v in fix_vals], type=schema.field(nm).type)
+                chunks = (list(src.chunks)
+                          if isinstance(src, pa.ChunkedArray) else [src])
+                src = pa.chunked_array(chunks + [extra])
+            cols[nm] = src.take(take)
         out = pa.table({nm: cols[nm] for nm in out_names})
         if how == "inner":
             out = out.filter(pc.is_valid(out[payload_cols[0]]))

@@ -37,14 +37,21 @@ def extract_text_stage(batch: pa.Table) -> pa.Table:
     nulls = pc.is_null(text)
     if not pc.any(nulls).as_py():
         return batch
-    null_mask = nulls.to_numpy(zero_copy_only=False)
-    texts = text.to_pylist()
-    htmls = batch["html"].to_pylist()
-    for i in np.flatnonzero(null_mask):
-        texts[i] = extract_text_from_html(htmls[i])
+    # slice to the null minority BEFORE leaving Arrow: only those rows'
+    # html is pulled out (HTML extraction is inherently per-row), and the
+    # results are scattered back with one replace_with_mask
+    null_idx = np.flatnonzero(nulls.to_numpy(zero_copy_only=False))
+    htmls = batch["html"].take(pa.array(null_idx, pa.int64())).to_pylist()
+    extracted = pa.array([extract_text_from_html(h) for h in htmls],
+                         type=pa.string())
+    text_c = text.combine_chunks() if isinstance(text, pa.ChunkedArray) \
+        else text
+    new_text = pc.replace_with_mask(
+        text_c, nulls.combine_chunks() if isinstance(nulls, pa.ChunkedArray)
+        else nulls, extracted)
     return batch.set_column(
         batch.schema.get_field_index("text"), "text",
-        pa.array(texts, type=pa.string()))
+        pc.cast(new_text, pa.string()))
 
 
 def _u64_to_i64(a: np.ndarray) -> np.ndarray:

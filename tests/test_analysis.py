@@ -81,6 +81,36 @@ class TestTextAnalysis:
         assert pairs[(0, 2)] == pytest.approx(3 / 5)
         assert (3, 4) not in pairs and (0, 3) not in pairs
 
+    def test_ngram_stop_shingle_cap(self):
+        """Hot-shingle skew: shingles over the DF cap leave the JOIN but
+        stay in the per-doc set sizes, so hot-only pairs vanish while
+        genuine near-dups keep their exact jaccard."""
+        import ray.data as rd
+        from smqtk_indexing_ray.pipelines.analysis import ngram_jaccard_pairs
+        n_boiler = 20
+        texts = [f"c1 c2 c3 c4 u{i}" for i in range(n_boiler)]
+        ids = list(range(n_boiler))
+        # a clean near-dup pair sharing no hot shingle
+        texts += ["x1 x2 x3 x4 x5", "x1 x2 x3 x4 x5"]
+        ids += [100, 101]
+        docs = rd.from_arrow(pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts)}))
+        # uncapped: every boiler pair shares {c1c2c3, c2c3c4} -> j = 2/4
+        full = ngram_jaccard_pairs(docs, k=3, threshold=0.5,
+                                   max_shingle_freq=None).to_pandas()
+        fp = set(zip(full.doc_a, full.doc_b))
+        assert (0, 1) in fp and (100, 101) in fp
+        assert len(fp) == n_boiler * (n_boiler - 1) // 2 + 1
+        # capped below the boiler DF: hot-only pairs gone, per-shingle
+        # join input bounded at the cap; the clean pair is untouched
+        capped = ngram_jaccard_pairs(docs, k=3, threshold=0.5,
+                                     max_shingle_freq=10).to_pandas()
+        cp = {(a, b): j for a, b, j in
+              zip(capped.doc_a, capped.doc_b, capped.jaccard)}
+        assert set(cp) == {(100, 101)}
+        assert cp[(100, 101)] == 1.0  # denominator still the FULL set size
+
     def test_jaccard_cluster_labels(self):
         from smqtk_indexing_ray.pipelines.analysis import (
             jaccard_cluster_labels)
@@ -113,6 +143,11 @@ class TestTextAnalysis:
 
 @pytest.mark.usefixtures("ray_session")
 class TestAnn:
+    def test_cosine_near_pairs_row_cap_fires(self):
+        from smqtk_indexing_ray.pipelines.ann import cosine_near_pairs
+        with pytest.raises(ValueError, match="srp_near_pairs"):
+            cosine_near_pairs(_emb(), max_rows=10)
+
     def test_brute_force_topk_matches_numpy(self):
         from smqtk_indexing_ray.pipelines.ann import brute_force_topk
         emb = _emb()

@@ -80,6 +80,11 @@ class TestContainmentOps:
         df = substring_containment(self._docs()).to_pandas()
         assert dict(zip(df.contained, df.container)) == {1: 2}
 
+    def test_substring_containment_row_cap_fires(self):
+        from smqtk_indexing_ray.pipelines.suffix import substring_containment
+        with pytest.raises(ValueError, match="cluster_containment"):
+            substring_containment(self._docs(), max_rows=2)
+
     def test_cluster_containment(self):
         import ray.data as rd
         from smqtk_indexing_ray.pipelines.suffix import cluster_containment

@@ -241,6 +241,15 @@ def _q_hamming_topk(sf_dir: str):
     return hamming_topk(_emb(sf_dir), n_queries=8, k=10)
 
 
+def _q_hamming_topk_wide(sf_dir: str):
+    """128-bit SRP codes (fixed_size_binary, byte-wise popcount): the
+    arbitrary-width path of the reference's hash indexes (utils/bits.py).
+    Pinned by the 128-bit brute-force pytest oracle in
+    tests/test_analysis.py."""
+    from smqtk_indexing_ray.pipelines.ann import hamming_topk
+    return hamming_topk(_emb(sf_dir), n_queries=8, k=10, bits=128)
+
+
 def _q_srp_near_pairs(sf_dir: str):
     from smqtk_indexing_ray.pipelines.ann import srp_near_pairs
     return srp_near_pairs(_emb(sf_dir), max_hamming=24)
@@ -583,6 +592,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": _q_doc_fingerprints,
         "lang_id": _q_lang_id,
         "hamming_topk": _q_hamming_topk,
+        "hamming_topk_wide": _q_hamming_topk_wide,
         "srp_near_pairs": _q_srp_near_pairs,
         "substring_containment": _q_substring_containment,
         "cluster_containment": _q_cluster_containment,

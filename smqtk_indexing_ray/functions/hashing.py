@@ -75,6 +75,21 @@ def fold_rows_u64(mat: np.ndarray, salt: np.uint64 | int = 0) -> np.ndarray:
         return splitmix64(acc)
 
 
+def pack_bits_rows(bools: np.ndarray) -> np.ndarray:
+    """Pack an ``(n, bits)`` bool matrix into ``(n, ceil(bits/8))`` uint8,
+    bit 0 at the MSB of byte 0 — the same big-endian order as the
+    reference's arbitrary-width int packing (utils/bits.py:4-20, bit 0 is
+    the most significant), so ``int.from_bytes(row, 'big')`` reproduces
+    the reference's integer codes for ``bits % 8 == 0``."""
+    return np.packbits(np.ascontiguousarray(bools, dtype=np.uint8), axis=1)
+
+
+def unpack_bits_rows(packed: np.ndarray, bits: int) -> np.ndarray:
+    """Inverse of :func:`pack_bits_rows` — ``(n, nbytes)`` uint8 to
+    ``(n, bits)`` bool (reference: utils/bits.py:23-56)."""
+    return np.unpackbits(packed, axis=1)[:, :bits].astype(bool)
+
+
 def grouped_arange(counts: np.ndarray) -> np.ndarray:
     """``concatenate([arange(c) for c in counts])`` without the Python loop."""
     counts = np.asarray(counts, dtype=np.int64)

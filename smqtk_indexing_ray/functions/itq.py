@@ -164,21 +164,29 @@ def itq_fit(emb, *, bit_length: int = 32, n_iter: int = 50, seed: int = 42,
 
 def itq_codes(emb, model: ItqModel, *, id_col: str = "vec_id",
               vec_col: str = "embedding", concurrency=(1, 4)):
-    """Dataset of (vec_id, code) — packed uint64 of the ITQ bits
-    (bit 0 = MSB big-endian like the reference's bit packing,
-    utils/bits.py:4-20)."""
+    """Dataset of (vec_id, code) — the ITQ bits packed big-endian, bit 0
+    at the MSB, like the reference's bit packing (utils/bits.py:4-20).
+
+    ``bit_length <= 64`` packs into an ``int64`` column (the original
+    layout); wider codes (the reference supports any width — 512-bit
+    tests at tests/utils/test_bits.py:10-54) emit
+    ``fixed_size_binary[ceil(bits/8)]``, the layout the hamming kernels
+    (:func:`functions.metrics.popcount_bytes`) consume zero-copy.
+    """
     bits = model.rotation.shape[1]
-    if bits > 64:
-        raise ValueError("itq_codes packs into uint64: bit_length <= 64")
+    nbytes = (bits + 7) // 8
+    wide = bits > 64
 
     class _Coder:
         def __init__(self, mean, rot):
             self.model = ItqModel(mean, rot)
-            w = np.uint64(1) << np.arange(bits - 1, -1, -1, dtype=np.uint64)
-            self.weights = w
+            if not wide:
+                self.weights = (np.uint64(1) << np.arange(
+                    bits - 1, -1, -1, dtype=np.uint64))
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            schema = pa.schema([(id_col, pa.int64()), ("code", pa.int64())])
+            code_type = pa.binary(nbytes) if wide else pa.int64()
+            schema = pa.schema([(id_col, pa.int64()), ("code", code_type)])
             n = t.num_rows
             if n == 0:
                 return schema.empty_table()
@@ -188,11 +196,19 @@ def itq_codes(emb, model: ItqModel, *, id_col: str = "vec_id",
             m = arr.values.to_numpy(zero_copy_only=False).astype(
                 np.float64).reshape(n, -1)
             h = self.model.get_hash(m)
-            code = (h.astype(np.uint64) * self.weights[None, :]).sum(
-                axis=1, dtype=np.uint64)
+            if wide:
+                from smqtk_indexing_ray.functions.hashing import (
+                    pack_bits_rows)
+                from smqtk_indexing_ray.stages.signatures import (
+                    _bytes_to_binary)
+                code_arr = _bytes_to_binary(pack_bits_rows(h), nbytes)
+            else:
+                code = (h.astype(np.uint64) * self.weights[None, :]).sum(
+                    axis=1, dtype=np.uint64)
+                code_arr = pa.array(code.view(np.int64))
             return pa.table({
                 id_col: pa.compute.cast(t[id_col], pa.int64()),
-                "code": pa.array(code.view(np.int64)),
+                "code": code_arr,
             })
 
     return emb.select_columns([id_col, vec_col]).map_batches(

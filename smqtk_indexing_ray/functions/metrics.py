@@ -37,6 +37,26 @@ def hamming_u64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return popcount_u64(np.bitwise_xor(a.astype(np.uint64), b.astype(np.uint64)))
 
 
+# per-byte popcount lookup (256 entries) — the multi-word analog of
+# popcount_u64 for arbitrary-width codes stored as (n, nbytes) uint8
+_POP8 = popcount_u64(np.arange(256, dtype=np.uint64)).astype(np.uint8)
+
+
+def popcount_bytes(x: np.ndarray) -> np.ndarray:
+    """Popcount summed over the LAST axis of a uint8 array — one int64
+    count per leading-shape element.  Vectorized table lookup; supports
+    any code width (the reference's arbitrary-precision-int popcount is
+    ``bin(i).count('1')``, utils/metrics.py:140-155)."""
+    return _POP8[x].sum(axis=-1, dtype=np.int64)
+
+
+def hamming_bytes(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Hamming distance between byte-matrix codes; broadcasts like
+    ``a ^ b`` with the byte axis last (e.g. ``a[:, None, :]`` vs
+    ``b[None, :, :]`` for an all-pairs (nq, n) matrix)."""
+    return popcount_bytes(np.bitwise_xor(a, b))
+
+
 def est_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> np.ndarray:
     """Estimated Jaccard from row-aligned MinHash signature matrices.
 

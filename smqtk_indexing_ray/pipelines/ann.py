@@ -244,21 +244,30 @@ def cosine_near_pairs(emb, *, threshold: float = 0.4,
 # ---------------------------------------------------------------------------
 
 def srp_codes(emb, *, bits: int = 64, seed: int = 42, dim: int | None = None):
-    """64-bit signed-random-projection codes for every embedding.
+    """Signed-random-projection codes for every embedding.
+
+    ``bits <= 64`` packs into an ``int64`` column (bit j at weight 2^j,
+    the original layout); wider codes emit
+    ``fixed_size_binary[ceil(bits/8)]`` packed big-endian (bit 0 at the
+    MSB, reference utils/bits.py:4-20) for the byte-wise hamming kernels.
 
     The hyperplane matrix is a pure function of (seed, dim, bits) built in
     each actor's ``__init__`` — the reference persists its projection matrix
     as a model blob (simple_rp.py:116-117); here it is regenerated, which
     makes task retries value-stable with zero broadcast traffic.
     """
+    wide = bits > 64
+    nbytes = (bits + 7) // 8
+
     class _Coder:
         def __init__(self, bits: int, seed: int):
             self.bits, self.seed = bits, seed
             self.R: np.ndarray | None = None
 
         def __call__(self, t: pa.Table) -> pa.Table:
+            code_type = pa.binary(nbytes) if wide else pa.int64()
             schema = pa.schema([("vec_id", pa.int64()),
-                                ("code", pa.int64())])
+                                ("code", code_type)])
             if t.num_rows == 0:
                 return schema.empty_table()
             m = _emb_matrix(t)
@@ -266,12 +275,21 @@ def srp_codes(emb, *, bits: int = 64, seed: int = 42, dim: int | None = None):
                 rng = np.random.default_rng([self.seed, m.shape[1]])
                 self.R = rng.standard_normal((m.shape[1], self.bits))
             proj = m @ self.R >= 0
-            weights = (np.uint64(1) << np.arange(self.bits, dtype=np.uint64))
-            code = (proj.astype(np.uint64) * weights[None, :]).sum(
-                axis=1, dtype=np.uint64)
+            if wide:
+                from smqtk_indexing_ray.functions.hashing import (
+                    pack_bits_rows)
+                from smqtk_indexing_ray.stages.signatures import (
+                    _bytes_to_binary)
+                code_arr = _bytes_to_binary(pack_bits_rows(proj), nbytes)
+            else:
+                weights = (np.uint64(1)
+                           << np.arange(self.bits, dtype=np.uint64))
+                code = (proj.astype(np.uint64) * weights[None, :]).sum(
+                    axis=1, dtype=np.uint64)
+                code_arr = pa.array(code.view(np.int64))
             return pa.table({
                 "vec_id": pc.cast(t["vec_id"], pa.int64()),
-                "code": pa.array(code.view(np.int64)),
+                "code": code_arr,
             })
 
     return emb.select_columns(["vec_id", "embedding"]).map_batches(
@@ -279,11 +297,17 @@ def srp_codes(emb, *, bits: int = 64, seed: int = 42, dim: int | None = None):
         batch_format="pyarrow", concurrency=(1, 4))
 
 
-def hamming_topk(emb, *, n_queries: int = 8, k: int = 10, seed: int = 42):
+def hamming_topk(emb, *, n_queries: int = 8, k: int = 10, seed: int = 42,
+                 bits: int = 64):
     """LinearHashIndex.nn analog: exact top-k by hamming distance over SRP
     codes, normalized to [0,1] like the reference
     (/root/reference/smqtk_indexing/interfaces/hash_index.py:92-94;
     brute-force scan impls/hash_index/linear.py:206-244).
+
+    ``bits > 64`` runs the same scan over multi-word
+    ``fixed_size_binary`` codes with the byte-wise popcount kernel
+    (the reference's hash indexes accept any code width via
+    arbitrary-precision ints, utils/bits.py:4-56).
 
     Output: ``query_id, neighbor_id, rank, hamming (int), norm_hamming``.
     """
@@ -292,17 +316,27 @@ def hamming_topk(emb, *, n_queries: int = 8, k: int = 10, seed: int = 42):
 
     import ray
 
-    codes = srp_codes(emb, seed=seed).materialize()
+    wide = bits > 64
+    nbytes = (bits + 7) // 8
+
+    codes = srp_codes(emb, seed=seed, bits=bits).materialize()
     qt = pa.concat_tables(
         [b for b in codes.filter(expr=f"vec_id < {int(n_queries)}")
          .iter_batches(batch_format="pyarrow")]
         or [pa.schema([("vec_id", pa.int64())]).empty_table()])
     if qt.num_rows:
         qids = qt["vec_id"].to_numpy(zero_copy_only=False)
-        qcodes = qt["code"].to_numpy(zero_copy_only=False).view(np.uint64)
+        if wide:
+            from smqtk_indexing_ray.stages.signatures import (
+                fixed_binary_matrix)
+            qcodes = fixed_binary_matrix(qt["code"], nbytes).copy()
+        else:
+            qcodes = qt["code"].to_numpy(zero_copy_only=False).view(
+                np.uint64)
     else:
         qids = np.empty(0, np.int64)
-        qcodes = np.empty(0, np.uint64)
+        qcodes = (np.empty((0, nbytes), np.uint8) if wide
+                  else np.empty(0, np.uint64))
     q_ref = ray.put((qids, qcodes))
 
     schema = pa.schema([("query_id", pa.int64()), ("neighbor_id", pa.int64()),
@@ -317,18 +351,34 @@ def hamming_topk(emb, *, n_queries: int = 8, k: int = 10, seed: int = 42):
             n = t.num_rows
             if n == 0 or len(self.qids) == 0:
                 return schema.empty_table()
-            c = t["code"].to_numpy(zero_copy_only=False).view(np.uint64)
             v = t["vec_id"].to_numpy(zero_copy_only=False)
-            h = popcount_u64(
-                np.bitwise_xor(self.qcodes[:, None], c[None, :])
-            ).astype(np.int64)                      # (nq, B)
-            h = np.where(v[None, :] == self.qids[:, None], np.int64(65), h)
+            if wide:
+                from smqtk_indexing_ray.functions.metrics import (
+                    hamming_bytes)
+                from smqtk_indexing_ray.stages.signatures import (
+                    fixed_binary_matrix)
+                c = fixed_binary_matrix(t["code"], nbytes)
+                h = hamming_bytes(self.qcodes[:, None, :],
+                                  c[None, :, :])    # (nq, B)
+            else:
+                c = t["code"].to_numpy(zero_copy_only=False).view(np.uint64)
+                h = popcount_u64(
+                    np.bitwise_xor(self.qcodes[:, None], c[None, :])
+                ).astype(np.int64)                  # (nq, B)
+            h = np.where(v[None, :] == self.qids[:, None],
+                         np.int64(bits + 1), h)
             k = min(self.k, n)
-            part = np.argpartition(h, k - 1, axis=1)[:, :k]
+            # per-batch top-k tie-broken by (hamming, vec_id): stable
+            # argsort over id-ordered columns, so the candidate set (and
+            # thus the final top-k under ties) is independent of block
+            # layout — argpartition would keep arbitrary tie members
+            v_order = np.argsort(v, kind="stable")
+            part = np.argsort(h[:, v_order], axis=1,
+                              kind="stable")[:, :k]
             rows = np.repeat(np.arange(len(self.qids)), k)
-            cols = part.reshape(-1)
+            cols = v_order[part.reshape(-1)]
             hv = h[rows, cols]
-            ok = hv <= 64
+            ok = hv <= bits
             return pa.table({
                 "query_id": pa.array(self.qids[rows[ok]].astype(np.int64)),
                 "neighbor_id": pa.array(v[cols[ok]].astype(np.int64)),
@@ -354,7 +404,8 @@ def hamming_topk(emb, *, n_queries: int = 8, k: int = 10, seed: int = 42):
             "neighbor_id": t["neighbor_id"].take(pa.array(order)),
             "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
             "hamming": pa.array(h[order]),
-            "norm_hamming": pa.array(h[order].astype(np.float64) / 64.0),
+            "norm_hamming": pa.array(h[order].astype(np.float64)
+                                     / float(bits)),
         })
 
     out = cands.groupby("query_id").map_groups(

@@ -143,6 +143,37 @@ class TestTextAnalysis:
 
 @pytest.mark.usefixtures("ray_session")
 class TestAnn:
+    def test_hamming_topk_128bit_matches_bruteforce(self):
+        """Wide-code path: 128-bit SRP codes, exact top-k vs a driver-side
+        brute-force oracle with the same (seed, dim, bits) projection."""
+        from smqtk_indexing_ray.functions.hashing import pack_bits_rows
+        from smqtk_indexing_ray.functions.metrics import hamming_bytes
+        from smqtk_indexing_ray.pipelines.ann import hamming_topk
+        emb = _emb(n=60, d=8)
+        n_q, k, bits, seed = 4, 5, 128, 42
+        df = hamming_topk(emb, n_queries=n_q, k=k, seed=seed,
+                          bits=bits).to_pandas()
+        # oracle: regenerate the hyperplanes exactly as srp_codes does
+        tbl = pa.concat_tables(list(
+            emb.iter_batches(batch_format="pyarrow")))
+        ids = tbl["vec_id"].to_numpy(zero_copy_only=False)
+        m = np.stack([np.asarray(v, np.float64)
+                      for v in tbl["embedding"].to_pylist()])
+        order = np.argsort(ids)
+        ids, m = ids[order], m[order]
+        rng = np.random.default_rng([seed, m.shape[1]])
+        R = rng.standard_normal((m.shape[1], bits))
+        codes = pack_bits_rows(m @ R >= 0)
+        got = df.set_index(["query_id", "rank"])
+        for qi in range(n_q):
+            h = hamming_bytes(codes[qi][None, :], codes)
+            h[qi] = bits + 1
+            top = np.lexsort((ids, h))[:k]
+            for r, j in enumerate(top, start=1):
+                assert got.loc[(qi, r), "neighbor_id"] == ids[j]
+                assert got.loc[(qi, r), "hamming"] == h[j]
+                assert got.loc[(qi, r), "norm_hamming"] == h[j] / bits
+
     def test_cosine_near_pairs_row_cap_fires(self):
         from smqtk_indexing_ray.pipelines.ann import cosine_near_pairs
         with pytest.raises(ValueError, match="srp_near_pairs"):

@@ -145,6 +145,42 @@ class TestMetrics:
         b = np.array([0b0101, 0xFFFFFFFFFFFFFFFF], dtype=np.uint64)
         assert hamming_u64(a, b).tolist() == [4, 64]
 
+    def test_pack_bits_rows_matches_reference_big_endian(self):
+        """Reference parity: bit 0 is the integer MSB
+        (/root/reference/smqtk_indexing/utils/bits.py:4-20), so
+        int.from_bytes(packed_row, 'big') == int(bitstring, 2)."""
+        from smqtk_indexing_ray.functions.hashing import (
+            pack_bits_rows, unpack_bits_rows)
+        rng = np.random.default_rng(5)
+        for bits in (8, 64, 128, 512):
+            bools = rng.integers(0, 2, size=(7, bits)).astype(bool)
+            packed = pack_bits_rows(bools)
+            assert packed.shape == (7, bits // 8)
+            for row, brow in zip(packed, bools):
+                expect = int("".join("1" if b else "0" for b in brow), 2)
+                assert int.from_bytes(row.tobytes(), "big") == expect
+            np.testing.assert_array_equal(
+                unpack_bits_rows(packed, bits), bools)
+
+    def test_popcount_and_hamming_bytes(self):
+        from smqtk_indexing_ray.functions.metrics import (
+            hamming_bytes, popcount_bytes)
+        rng = np.random.default_rng(6)
+        a = rng.integers(0, 256, size=(20, 16)).astype(np.uint8)
+        b = rng.integers(0, 256, size=(20, 16)).astype(np.uint8)
+        # agree with the uint64 kernel on the same 128-bit payloads
+        au = a.copy().view(np.uint64)
+        bu = b.copy().view(np.uint64)
+        expect = hamming_u64(au[:, 0], bu[:, 0]).astype(np.int64) + \
+            hamming_u64(au[:, 1], bu[:, 1]).astype(np.int64)
+        np.testing.assert_array_equal(hamming_bytes(a, b), expect)
+        np.testing.assert_array_equal(
+            popcount_bytes(a), hamming_bytes(a, np.zeros_like(a)))
+        # broadcast form used by the wide top-k scan
+        m = hamming_bytes(a[:, None, :], b[None, :, :])
+        assert m.shape == (20, 20)
+        np.testing.assert_array_equal(np.diagonal(m), expect)
+
 
 class TestExtract:
     def test_pure_and_deterministic(self):

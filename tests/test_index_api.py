@@ -150,6 +150,36 @@ class TestItq:
         assert near <= 2
         assert np.mean(far) > near + 2
 
+    def test_wide_codes_256bit(self):
+        """Arbitrary-width codes: bit_length=256 emits
+        fixed_size_binary[32] that byte-for-byte equals the driver-side
+        pack of model.get_hash (reference supports any width via big-int
+        packing, utils/bits.py:4-56; 512-bit golden
+        tests/utils/test_bits.py:10-54)."""
+        import ray.data as rd
+        from smqtk_indexing_ray.functions.hashing import pack_bits_rows
+        from smqtk_indexing_ray.functions.itq import itq_codes, itq_fit
+        rng = np.random.default_rng(11)
+        pts = rng.standard_normal((120, 300)).astype(np.float32)
+        emb = rd.from_arrow(pa.table({
+            "vec_id": pa.array(np.arange(len(pts), dtype=np.int64)),
+            "embedding": pa.array([list(p) for p in pts],
+                                  pa.list_(pa.float32())),
+        }))
+        model = itq_fit(emb, bit_length=256, seed=2)
+        assert model.rotation.shape == (300, 256)
+        df = itq_codes(emb, model).to_pandas().set_index("vec_id")
+        assert len(df) == 120
+        codes = np.stack([np.frombuffer(c, np.uint8)
+                          for c in df.code.to_numpy()])
+        assert codes.shape == (120, 32)
+        expect = pack_bits_rows(model.get_hash(
+            pts[df.index.to_numpy()].astype(np.float64)))
+        np.testing.assert_array_equal(codes, expect)
+        # deterministic across runs
+        df2 = itq_codes(emb, model).to_pandas().set_index("vec_id")
+        assert df.code.to_dict() == df2.code.to_dict()
+
     def test_fit_empty_raises(self):
         import ray.data as rd
         from smqtk_indexing_ray.functions.itq import itq_fit

@@ -50,6 +50,13 @@ class DedupConfig:
     bucket_salt: int = 16
     salt_min_group: int = 0         # reserved (salting is size-oblivious)
 
+    # --- kernel selection (resolved by name from the registry, the analog
+    # of the reference's entry-point plugin strings, pyproject.toml:72-84;
+    # see smqtk_indexing_ray/registry.py) ----------------------------------
+    signature_kernel: str = "minhash-simhash"
+    verify_kernel: str = "est-jaccard-or-simhash"
+    select_kernel: str = "min_doc"
+
     # --- determinism -------------------------------------------------------
     seed: int = 42
     hash_key: str = "smqtk-ray-v1.0.0"  # 16-char key for string hashing

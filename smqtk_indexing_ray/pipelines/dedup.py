@@ -26,6 +26,7 @@ import pyarrow.compute as pc
 
 from smqtk_indexing_ray.context import NARROW_JOIN_HINT
 from smqtk_indexing_ray.config import DedupConfig
+from smqtk_indexing_ray.registry import register_kernel, resolve_kernel
 from smqtk_indexing_ray.stages.banding import band_stage
 from smqtk_indexing_ray.stages.buckets import star_edges
 from smqtk_indexing_ray.stages.components import connected_components
@@ -43,7 +44,13 @@ class DedupResult:
 
 
 def compute_signatures(pages, cfg: DedupConfig):
-    """pages -> signature table (extraction + actor-pool signing)."""
+    """pages -> signature table (extraction + actor-pool signing).
+
+    The signing actor class is resolved by name from the kernel registry
+    (``cfg.signature_kernel``, default the MinHash+SimHash stage) — the
+    analog of the reference resolving an LshFunctor impl from a plugin
+    string (lsh.py:60-158 via smqtk_core Configurable)."""
+    sig_cls = resolve_kernel("signature", cfg.signature_kernel)
     cols = [c for c in ("doc_id", "text", "html") if c in pages.columns()]
     ds = pages.select_columns(cols)
     ds = ds.map_batches(extract_text_stage, batch_format="pyarrow")
@@ -60,7 +67,7 @@ def compute_signatures(pages, cfg: DedupConfig):
             ray.is_initialized()) else 8
         conc = (max(1, cpus // 3), max(2, cpus - 2))
     return ds.map_batches(
-        SignatureStage,
+        sig_cls,
         fn_constructor_args=(cfg,),
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
@@ -204,9 +211,47 @@ def documents_as_pages(docs):
         adapt, batch_format="pyarrow")
 
 
+@register_kernel("select", "min_doc")
+def select_min_doc(labeled, *, labeled_cols, empty_fn, num_partitions):
+    """keep=True for the component's minimum doc_id.  cluster_id IS that
+    minimum (connected_components labels with the min), so the
+    representative needs no join at all."""
+    def keep_min_doc(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "cluster_id" not in t.column_names:
+            e = empty_fn(labeled_cols)
+            return e.append_column("keep", pa.array([], pa.bool_()))
+        return t.append_column(
+            "keep", pc.equal(t["doc_id"], t["cluster_id"]))
+
+    return labeled.map_batches(keep_min_doc, batch_format="pyarrow")
+
+
+@register_kernel("select", "earliest")
+def select_earliest(labeled, *, labeled_cols, empty_fn, num_partitions):
+    """keep=True for the earliest (warc_ts, doc_id) of the cluster — costs
+    one aggregate + two joins more than min_doc, so the labeled skeleton is
+    materialized to avoid executing its lineage twice."""
+    labeled = labeled.materialize()
+    reps = select_representatives(labeled, num_partitions=num_partitions)
+    out = labeled.join(reps, partition_size_hint=NARROW_JOIN_HINT,
+                       join_type="left_outer",
+                       num_partitions=num_partitions, on=("cluster_id",))
+
+    def keep_flag(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "rep_doc" not in t.column_names:
+            e = empty_fn(labeled_cols)
+            return e.append_column("keep", pa.array([], pa.bool_()))
+        keep = pc.or_kleene(pc.equal(t["doc_id"], t["rep_doc"]),
+                            pc.is_null(t["rep_doc"]))
+        t = t.append_column("keep", pc.fill_null(keep, True))
+        return t.drop_columns(["rep_doc"]).select(labeled_cols + ["keep"])
+
+    return out.map_batches(keep_flag, batch_format="pyarrow")
+
+
 def dedup_pipeline(pages, cfg: DedupConfig, *, num_partitions: int = 32,
                    include_text: bool = False,
-                   rep_strategy: str = "min_doc") -> DedupResult:
+                   rep_strategy: str | None = None) -> DedupResult:
     """Run the full near-duplicate pipeline; returns lazy Datasets.
 
     ``pages`` must carry doc_id, url, warc_ts, html, text, lang.  The
@@ -214,13 +259,14 @@ def dedup_pipeline(pages, cfg: DedupConfig, *, num_partitions: int = 32,
     and the final join); at 100 TB scale swap ``materialize()`` for a
     Parquet checkpoint via :mod:`smqtk_indexing_ray.state.checkpoint`.
 
-    ``rep_strategy``: which cluster member gets ``keep=True`` —
-    ``"min_doc"`` (default; the component's min doc_id, join-free) or
-    ``"earliest"`` (lexicographic min of (warc_ts, doc_id), one aggregate
-    + two narrow joins).
+    ``rep_strategy``: which cluster member gets ``keep=True`` — a name in
+    the ``"select"`` kernel registry.  Built-ins: ``"min_doc"`` (default;
+    the component's min doc_id, join-free) or ``"earliest"`` (lexicographic
+    min of (warc_ts, doc_id), one aggregate + two narrow joins).  ``None``
+    falls back to ``cfg.select_kernel``.
     """
-    if rep_strategy not in ("min_doc", "earliest"):
-        raise ValueError(f"unknown rep_strategy: {rep_strategy!r}")
+    select_fn = resolve_kernel(
+        "select", cfg.select_kernel if rep_strategy is None else rep_strategy)
     from smqtk_indexing_ray.context import ensure_data_context
     ensure_data_context()
 
@@ -293,38 +339,7 @@ def dedup_pipeline(pages, cfg: DedupConfig, *, num_partitions: int = 32,
 
     labeled = joined.map_batches(fill_cluster, batch_format="pyarrow")
 
-    if rep_strategy == "min_doc":
-        # cluster_id IS the component's minimum doc_id (connected_components
-        # labels with the min), so the representative needs no join at all.
-        def keep_min_doc(t: pa.Table) -> pa.Table:
-            if t.num_rows == 0 or "cluster_id" not in t.column_names:
-                e = _empty(labeled_cols)
-                return e.append_column("keep", pa.array([], pa.bool_()))
-            return t.append_column(
-                "keep", pc.equal(t["doc_id"], t["cluster_id"]))
-
-        output = labeled.map_batches(keep_min_doc, batch_format="pyarrow")
-        return DedupResult(signatures=sigs, edges=all_edges, labels=labels,
-                           output=output)
-
-    # rep_strategy == "earliest": earliest (warc_ts, doc_id) of the cluster
-    # wins — costs one aggregate + two joins more than min_doc, so the
-    # labeled skeleton is materialized to avoid executing its lineage twice.
-    labeled = labeled.materialize()
-    reps = select_representatives(labeled, num_partitions=num_partitions)
-    out = labeled.join(reps, partition_size_hint=NARROW_JOIN_HINT,
-                  join_type="left_outer",
-                       num_partitions=num_partitions, on=("cluster_id",))
-
-    def keep_flag(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "rep_doc" not in t.column_names:
-            e = _empty(labeled_cols)
-            return e.append_column("keep", pa.array([], pa.bool_()))
-        keep = pc.or_kleene(pc.equal(t["doc_id"], t["rep_doc"]),
-                            pc.is_null(t["rep_doc"]))
-        t = t.append_column("keep", pc.fill_null(keep, True))
-        return t.drop_columns(["rep_doc"]).select(labeled_cols + ["keep"])
-
-    output = out.map_batches(keep_flag, batch_format="pyarrow")
+    output = select_fn(labeled, labeled_cols=labeled_cols, empty_fn=_empty,
+                       num_partitions=num_partitions)
     return DedupResult(signatures=sigs, edges=all_edges, labels=labels,
                        output=output)

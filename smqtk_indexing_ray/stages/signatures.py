@@ -24,6 +24,7 @@ from smqtk_indexing_ray.functions.tokenize import (
     shingle_flat,
     tokenize_flat,
 )
+from smqtk_indexing_ray.registry import register_kernel
 
 
 def extract_text_stage(batch: pa.Table) -> pa.Table:
@@ -58,6 +59,7 @@ def _u64_to_i64(a: np.ndarray) -> np.ndarray:
     return a.view(np.int64)
 
 
+@register_kernel("signature", "minhash-simhash")
 class SignatureStage:
     """Callable class for ``map_batches(SignatureStage, fn_constructor_args=
     (cfg,), concurrency=N)`` — one seed-table build per actor."""

@@ -22,7 +22,32 @@ import pyarrow as pa
 
 from smqtk_indexing_ray.config import DedupConfig
 from smqtk_indexing_ray.functions.metrics import est_jaccard, hamming_u64
+from smqtk_indexing_ray.registry import register_kernel, resolve_kernel
 from smqtk_indexing_ray.stages.attach import sort_attach
+
+
+@register_kernel("verify", "est-jaccard-or-simhash")
+def keep_either(ej: np.ndarray, ham: np.ndarray,
+                cfg: DedupConfig) -> np.ndarray:
+    """Default edge gate: MinHash est-Jaccard above threshold OR SimHash
+    hamming at most the max (the pipeline's recall belt-and-braces)."""
+    return (ej >= cfg.verify_threshold) | (ham <= cfg.simhash_hamming_max)
+
+
+@register_kernel("verify", "est-jaccard")
+def keep_minhash_only(ej: np.ndarray, ham: np.ndarray,
+                      cfg: DedupConfig) -> np.ndarray:
+    """MinHash-only gate (ignore SimHash) — the reference's pure
+    LSH-functor verification path (lsh.py:499-518 re-ranks on one
+    metric)."""
+    return ej >= cfg.verify_threshold
+
+
+@register_kernel("verify", "simhash")
+def keep_simhash_only(ej: np.ndarray, ham: np.ndarray,
+                      cfg: DedupConfig) -> np.ndarray:
+    """SimHash-only gate."""
+    return ham <= cfg.simhash_hamming_max
 
 
 def _rename(mapping):
@@ -37,9 +62,12 @@ def _rename(mapping):
 def verify_edges(edges, signatures, cfg: DedupConfig, *,
                  num_partitions: int = 32):
     """edges(u, v) x signatures -> verified edges (u, v, est_jaccard,
-    hamming) with ``est_jaccard >= cfg.verify_threshold`` OR
-    ``hamming <= cfg.simhash_hamming_max``.  ``num_partitions`` kept for
-    API symmetry (sort_attach's sort picks its own partitioning)."""
+    hamming).  The keep mask comes from the ``cfg.verify_kernel`` registry
+    entry (default ``est-jaccard-or-simhash``: est_jaccard above threshold
+    OR hamming at most the max); resolution happens here at pipeline-build
+    time so test-local kernels ship in the task closure.  ``num_partitions``
+    kept for API symmetry (sort_attach's sort picks its own partitioning)."""
+    keep_fn = resolve_kernel("verify", cfg.verify_kernel)
     num_perms = cfg.num_perms
     mh8_type = pa.binary(num_perms)
 
@@ -68,9 +96,6 @@ def verify_edges(edges, signatures, cfg: DedupConfig, *,
     e2 = e2.map_batches(_rename({"mh8": "mh8_v", "simhash": "simhash_v"}),
                         batch_format="pyarrow")
 
-    thresh = cfg.verify_threshold
-    ham_max = cfg.simhash_hamming_max
-
     def u8_matrix(col, p):
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
@@ -93,7 +118,7 @@ def verify_edges(edges, signatures, cfg: DedupConfig, *,
         su = t["simhash_u"].to_numpy(zero_copy_only=False).view(np.uint64)
         sv = t["simhash_v"].to_numpy(zero_copy_only=False).view(np.uint64)
         ham = hamming_u64(su, sv).astype(np.int32)
-        keep = (ej >= thresh) | (ham <= ham_max)
+        keep = keep_fn(ej, ham, cfg)
         return pa.table({
             "u": t["u"].to_numpy(zero_copy_only=False)[keep],
             "v": t["v"].to_numpy(zero_copy_only=False)[keep],

@@ -405,7 +405,8 @@ def jaccard_cluster_labels(docs, *, k: int = 3, threshold: float = 0.5,
         if t.num_rows == 0 or "cluster_id" not in t.column_names:
             return pa.schema([("doc_id", pa.int64()),
                               ("cluster_id", pa.int64())]).empty_table()
-        cid = pc.coalesce(t["cluster_id"], t["doc_id"])
+        from smqtk_indexing_ray.stages._util import safe_coalesce
+        cid = safe_coalesce(t["cluster_id"], t["doc_id"])
         return pa.table({"doc_id": t["doc_id"], "cluster_id": cid})
 
     return stamp_schema(j.map_batches(fill, batch_format="pyarrow"),

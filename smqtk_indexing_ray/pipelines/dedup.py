@@ -59,13 +59,16 @@ def compute_signatures(pages, cfg: DedupConfig):
         # size the pool to the cluster, leaving headroom for the read task
         # and downstream shuffle aggregators.  min > 1 because an
         # autoscaling pool ramping from one actor leaves most CPUs idle
-        # for the first half of the stage; min = cpus/3 keeps enough CPUs
-        # free that upstream reads are never starved (a FULL fixed pool
-        # deadlocks the streaming executor).
+        # for the first half of the stage; min = 3/4 of the node starts
+        # near-full (the ramp from cpus/3 cost ~7 s AND most of the
+        # 32-CPU run-to-run variance at 8M docs) while the max = cpus - 2
+        # cap keeps CPUs free for the upstream read — a FULL fixed pool
+        # deadlocks the streaming executor.
         import ray
         cpus = int(ray.cluster_resources().get("CPU", 8)) if (
             ray.is_initialized()) else 8
-        conc = (max(1, cpus // 3), max(2, cpus - 2))
+        conc = (max(1, min((3 * cpus) // 4, cpus - 2)),
+                max(2, cpus - 2))
     return ds.map_batches(
         sig_cls,
         fn_constructor_args=(cfg,),
@@ -296,29 +299,42 @@ def dedup_pipeline(pages, cfg: DedupConfig, *, num_partitions: int = 32,
     near = verify_edges(cand, sigs, cfg, num_partitions=num_partitions)
     all_edges = near.select_columns(["u", "v"])
 
-    labels = connected_components(
+    labels_raw = connected_components(
         all_edges, num_partitions=num_partitions, max_iters=cfg.cc_max_iters)
-    labels = stamp_schema(labels, pa.schema([("doc_id", pa.int64()),
-                                             ("cluster_id", pa.int64())]))
+    n_labels = labels_raw.count()   # materialized -> metadata-cheap
+    labels = stamp_schema(labels_raw, pa.schema([("doc_id", pa.int64()),
+                                                 ("cluster_id", pa.int64())]))
 
     out_cols = ["doc_id", "url", "warc_ts", "lang"] + (
         ["text"] if include_text else [])
-    # the pages read can arrive as hundreds of file blocks; compact before
-    # the label attach so its sort doesn't pay O(blocks x partitions)
     meta = pages.select_columns(
-        [c for c in out_cols if c in pages.columns()]).repartition(n_blocks)
-    from smqtk_indexing_ray.stages.attach import sort_attach
+        [c for c in out_cols if c in pages.columns()])
+    from smqtk_indexing_ray.stages.attach import (
+        BROADCAST_ATTACH_MAX_ROWS, broadcast_attach, sort_attach)
     _TYPES = {"doc_id": pa.int64(), "url": pa.string(),
               "warc_ts": pa.timestamp("us"), "lang": pa.string(),
               "text": pa.string()}
     meta_schema = pa.schema([(c, _TYPES[c]) for c in out_cols
                              if c in pages.columns()])
-    joined = sort_attach(
-        meta, labels, key="doc_id", payload_key="doc_id",
-        payload_cols=["cluster_id"], how="left",
-        rows_schema=meta_schema,
-        payload_schema=pa.schema([("doc_id", pa.int64()),
-                                  ("cluster_id", pa.int64())]))
+    if n_labels <= BROADCAST_ATTACH_MAX_ROWS:
+        # label table fits the broadcast gate (clustered docs only, 16 B a
+        # row): one ray.put + streaming searchsorted map — no union sort
+        # over the whole corpus metadata.  Misses are filled with doc_id
+        # inline (null-free output; see broadcast_attach docstring).
+        joined = broadcast_attach(meta, labels_raw, key="doc_id",
+                                  payload_col="cluster_id",
+                                  fill_missing_with_key=True)
+    else:
+        # scale path: the pages read can arrive as thousands of file
+        # blocks; compact before the attach so its sort doesn't pay
+        # O(blocks x partitions)
+        joined = sort_attach(
+            meta.repartition(n_blocks), labels, key="doc_id",
+            payload_key="doc_id",
+            payload_cols=["cluster_id"], how="left",
+            rows_schema=meta_schema,
+            payload_schema=pa.schema([("doc_id", pa.int64()),
+                                      ("cluster_id", pa.int64())]))
 
     _FIELD_TYPES = {"doc_id": pa.int64(), "url": pa.string(),
                     "warc_ts": pa.timestamp("us"), "lang": pa.string(),
@@ -333,7 +349,8 @@ def dedup_pipeline(pages, cfg: DedupConfig, *, num_partitions: int = 32,
     def fill_cluster(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "cluster_id" not in t.column_names:
             return _empty(labeled_cols)
-        cid = pc.coalesce(t["cluster_id"], t["doc_id"])
+        from smqtk_indexing_ray.stages._util import safe_coalesce
+        cid = safe_coalesce(t["cluster_id"], t["doc_id"])
         return t.set_column(t.schema.get_field_index("cluster_id"),
                             "cluster_id", cid).select(labeled_cols)
 

@@ -18,6 +18,31 @@ def auto_blocks(cap: int = 64) -> int:
     return max(8, min(cap, cpus))
 
 
+def safe_coalesce(a, b):
+    """``pc.coalesce(a, b)`` hardened against a pyarrow 16.1 kernel bug.
+
+    When the first argument is a non-zero-offset slice carrying a validity
+    bitmap and the second has a DIFFERENT chunk layout, ``pc.coalesce``
+    misreads the validity offset and returns garbage for every null slot
+    (reproduced: every sliced window containing nulls is wrong; offset-0
+    inputs are fine).  Ray Data re-slices blocks between fused
+    ``map_batches`` stages, so any masked column built in one stage and
+    coalesced in the next can hit this.  ``combine_chunks()`` copies to
+    offset-0 single-chunk arrays, which the kernel handles correctly —
+    16 B/row for the int64 call sites, negligible.
+    """
+    import pyarrow.compute as pc
+
+    def _flat(x):
+        if isinstance(x, pa.ChunkedArray):
+            return x.combine_chunks()
+        if isinstance(x, pa.Array) and x.offset:
+            return pa.concat_arrays([x])
+        return x
+
+    return pc.coalesce(_flat(a), _flat(b))
+
+
 def stamp_schema(ds, schema: pa.Schema):
     """Schema passthrough marker (documents the intended output schema).
 

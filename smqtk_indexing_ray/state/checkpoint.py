@@ -281,7 +281,8 @@ def checkpointed_dedup(pages_path: str, cfg, ckpt_root: str, *,
                          "lang": pa.string(), "cluster_id": pa.int64(),
                          "keep": pa.bool_()}
                 return pa.schema([(c, types[c]) for c in want]).empty_table()
-            cid = pc.coalesce(t["cluster_id"], t["doc_id"])
+            from smqtk_indexing_ray.stages._util import safe_coalesce
+            cid = safe_coalesce(t["cluster_id"], t["doc_id"])
             t = t.set_column(t.schema.get_field_index("cluster_id"),
                              "cluster_id", cid)
             t = t.append_column("keep", pc.equal(t["doc_id"], cid))

@@ -101,3 +101,73 @@ class TestSortAttach:
             payload_schema=payload.schema).to_pandas()
         assert len(out2) == len(rows)
         assert out2.p1.isna().all()
+
+
+def test_safe_coalesce_sliced_masked_layout():
+    """Pin the pyarrow 16.1 kernel bug that corrupted the flagship label
+    attach: pc.coalesce on a NON-ZERO-OFFSET slice of a masked column,
+    paired with a differently-chunked second arg, returns garbage for
+    every null slot.  safe_coalesce must return the right answer on the
+    exact failing layout (and pc.coalesce documents the hazard)."""
+    from smqtk_indexing_ray.stages._util import safe_coalesce
+
+    n = 2000
+    doc = pa.chunked_array(
+        [pa.array(np.arange(i * 100, (i + 1) * 100)) for i in range(20)])
+    vals = np.arange(n) * 7
+    mask = np.zeros(n, bool)
+    mask[800:860] = True
+    cid = pa.array(vals, pa.int64(), mask=mask)
+    t = pa.table({"doc_id": doc, "cluster_id": cid})
+    for off, ln in [(0, 2000), (703, 100), (740, 131), (777, 256)]:
+        s = t.slice(off, ln)
+        got = safe_coalesce(s["cluster_id"], s["doc_id"]).to_numpy(
+            zero_copy_only=False)
+        exp = np.where(mask[off:off + ln], np.arange(off, off + ln),
+                       vals[off:off + ln])
+        np.testing.assert_array_equal(got, exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBroadcastAttach:
+    @pytest.mark.parametrize("seed", [0, 1])
+    @pytest.mark.parametrize("fill", [False, True])
+    def test_matches_pandas_merge(self, seed, fill):
+        import ray.data as rd
+        from smqtk_indexing_ray.stages.attach import broadcast_attach
+
+        rows, payload = _mk(seed)
+        payload = payload.select(["k", "p1"])
+        out = broadcast_attach(
+            rd.from_arrow(rows).repartition(5),
+            rd.from_arrow(payload).repartition(3).materialize(),
+            key="k", payload_col="p1", fill_missing_with_key=fill,
+        ).to_pandas().sort_values(["k", "val"], ignore_index=True)
+        want = rows.to_pandas().merge(payload.to_pandas(), on="k",
+                                      how="left")
+        if fill:
+            want["p1"] = want.p1.fillna(want.k)
+        want = want.sort_values(["k", "val"], ignore_index=True)
+        assert len(out) == len(want)
+        np.testing.assert_array_equal(out.k, want.k)
+        np.testing.assert_array_equal(
+            out.p1.fillna(-1).astype(np.int64),
+            want.p1.fillna(-1).astype(np.int64))
+        if fill:
+            assert not out.p1.isna().any()
+
+    def test_empty_payload(self):
+        import ray.data as rd
+        from smqtk_indexing_ray.stages.attach import broadcast_attach
+
+        rows, payload = _mk(7, n_rows=60)
+        empty = payload.select(["k", "p1"]).slice(0, 0)
+        out = broadcast_attach(
+            rd.from_arrow(rows), rd.from_arrow(empty).materialize(),
+            key="k", payload_col="p1").to_pandas()
+        assert len(out) == len(rows) and out.p1.isna().all()
+        out2 = broadcast_attach(
+            rd.from_arrow(rows), rd.from_arrow(empty).materialize(),
+            key="k", payload_col="p1",
+            fill_missing_with_key=True).to_pandas()
+        assert (out2.p1 == out2.k).all()

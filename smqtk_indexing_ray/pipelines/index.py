@@ -207,9 +207,15 @@ class DedupIndex:
         if n_keep == 0:
             return
         from smqtk_indexing_ray.stages._util import drop_empty_blocks
-        merged = self._signatures().union(
-            drop_empty_blocks(kept, sig_schema))
         v = self._version() + 1
+        # persist the new-doc signature subset as the version's delta —
+        # the incremental labels() path derives the touched subgraph from
+        # it (reference analog: the per-key bucket-set merge of
+        # lsh.py:350-383 instead of a rebuild)
+        delta_out = self._ck.write_stage(
+            drop_empty_blocks(kept, sig_schema), f"sig_delta_v{v}",
+            inputs=[self._sig_stage()])
+        merged = self._signatures().union(delta_out)
         out = self._ck.write_stage(merged, self._sig_stage(v))
         self._bump(v, out.count())
 
@@ -252,6 +258,12 @@ class DedupIndex:
         filtered = self._signatures().map_batches(
             anti, batch_format="pyarrow")
         v = self._version() + 1
+        # persist the removed-id set — the incremental labels() path
+        # recomputes only the components their buckets touch
+        import ray.data as rd
+        self._ck.write_stage(
+            rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64())})),
+            f"removed_v{v}", inputs=[self._sig_stage()])
         out = self._ck.write_stage(filtered, self._sig_stage(v))
         self._bump(v, out.count())
 
@@ -265,27 +277,348 @@ class DedupIndex:
 
     # -- derived artifacts -------------------------------------------------
     def labels(self):
-        """(doc_id, cluster_id) for clustered docs — recomputed from the
-        current signature version, cached per version."""
-        from smqtk_indexing_ray.pipelines import dedup as D
-        from smqtk_indexing_ray.stages.components import connected_components
+        """(doc_id, cluster_id) for clustered docs — derived from the
+        current signature version, cached per version, SORTED by doc_id
+        (so the next incremental pass can point-read it).
 
+        When the previous version's labels are checkpointed and the
+        v-1 -> v transition was a recorded update/remove delta, only the
+        TOUCHED subgraph is re-banded, re-verified and re-clustered (see
+        ``_labels_inc_update`` / ``_labels_inc_remove``); otherwise the
+        full rebuild runs.  ``self.labels_stats`` records which path ran
+        and how much it touched.
+        """
         v = self._version()
         if v == 0:
             raise ValueError("labels: index is empty")
+        name = f"labels_v{v}"
+        if self._ck.has_stage(name):
+            self.labels_stats = {"mode": "cached"}
+            return self._ck.read_stage(name)
+        made = self._labels_incremental(v)
+        if made is None:
+            made = self._labels_full()
+            self.labels_stats = {"mode": "full"}
+        return self._ck.write_stage(made.sort("doc_id"), name,
+                                    inputs=[self._sig_stage(v)],
+                                    mode=self.labels_stats["mode"])
 
-        def make():
-            sigs = self._signatures().materialize()
-            cand = D.candidate_edges(sigs, self.cfg)
-            near = D.verify_edges(cand, sigs, self.cfg,
-                                  num_partitions=self.num_partitions)
-            edges = near.select_columns(["u", "v"])
-            return connected_components(
-                edges, num_partitions=self.num_partitions,
-                max_iters=self.cfg.cc_max_iters)
+    def _labels_full(self):
+        from smqtk_indexing_ray.pipelines import dedup as D
+        from smqtk_indexing_ray.stages.components import connected_components
 
-        return self._ck.stage(f"labels_v{v}", make,
-                              inputs=[self._sig_stage()])
+        sigs = self._signatures().materialize()
+        cand = D.candidate_edges(sigs, self.cfg)
+        near = D.verify_edges(cand, sigs, self.cfg,
+                              num_partitions=self.num_partitions)
+        edges = near.select_columns(["u", "v"])
+        return connected_components(
+            edges, num_partitions=self.num_partitions,
+            max_iters=self.cfg.cc_max_iters)
+
+    def _labels_incremental(self, v: int):
+        """Dispatch to the affected-components path, or None for a full
+        rebuild (no base labels, no recorded delta, or delta above the
+        gates)."""
+        if not self._ck.has_stage(f"labels_v{v - 1}"):
+            return None
+        if self._ck.has_stage(f"sig_delta_v{v}"):
+            return self._labels_inc_update(v)
+        if self._ck.has_stage(f"removed_v{v}"):
+            return self._labels_inc_remove(v)
+        return None
+
+    # Gates for the incremental paths: beyond these the touched subgraph
+    # (held driver-side as sorted int64 arrays) stops being "small" and a
+    # full distributed rebuild is the honest choice.
+    INC_LABELS_MAX_DELTA = 2_000_000
+    INC_LABELS_MAX_FRAC = 0.25
+
+    def _sig_schema(self) -> pa.Schema:
+        from smqtk_indexing_ray.stages.signatures import (
+            _empty_signature_table)
+        return _empty_signature_table(self.cfg).schema
+
+    def _pruned_isin(self, dir_path: str, col: str, values,
+                     columns: list[str]) -> pa.Table:
+        """Row-group-pruned read + exact membership filter."""
+        tbl, _, _ = _pruned_read(dir_path, col, values, columns=columns)
+        if tbl.num_rows:
+            m = np.isin(tbl[col].to_numpy(zero_copy_only=False),
+                        np.asarray(values, dtype=np.int64))
+            tbl = tbl.filter(pa.array(m))
+        return tbl
+
+    def _subgraph_labels(self, bucket_rows: pa.Table, sigs_small,
+                         pinned_ids: np.ndarray, prev: int):
+        """Shared tail of both incremental paths: star + verify the
+        touched buckets, contract every non-pinned old endpoint to its
+        previous label, run CC on the contracted subgraph.
+
+        ``pinned_ids`` stay themselves in the contraction (new docs on
+        update; affected-cluster members on remove, whose components may
+        split).  Returns ``(cc_table, contracted_label_values)`` — cc is
+        (doc_id=node, cluster_id=final); None cc means no surviving
+        edges.
+        """
+        import ray.data as rd
+
+        from smqtk_indexing_ray.pipelines.dedup import dedup_edges
+        from smqtk_indexing_ray.stages._util import (collect_table,
+                                                     drop_empty_blocks)
+        from smqtk_indexing_ray.stages.buckets import star_edges
+        from smqtk_indexing_ray.stages.components import (
+            connected_components)
+        from smqtk_indexing_ray.stages.verify import verify_edges
+
+        cfg = self.cfg
+        bt_ds = rd.from_arrow(bucket_rows).repartition(
+            max(2, min(8, bucket_rows.num_rows // 200_000 + 1)))
+        edges_ds = dedup_edges(star_edges(bt_ds, ["bucket"], "doc_id",
+                                          salt=cfg.bucket_salt))
+        verified = verify_edges(edges_ds, sigs_small, cfg,
+                                num_partitions=4)
+        uv = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+        E = collect_table(verified.select_columns(["u", "v"]), uv)
+        self.labels_stats["verified_edges"] = int(E.num_rows)
+        if E.num_rows == 0:
+            return None, np.empty(0, np.int64)
+
+        u = E["u"].to_numpy(zero_copy_only=False)
+        w = E["v"].to_numpy(zero_copy_only=False)
+        ends = np.unique(np.concatenate([u, w]))
+        to_contract = ends[~np.isin(ends, pinned_ids)]
+        if len(to_contract):
+            ltbl = self._pruned_isin(
+                self._ck.stage_dir(f"labels_v{prev}"), "doc_id",
+                to_contract, ["doc_id", "cluster_id"])
+            lk = ltbl["doc_id"].to_numpy(zero_copy_only=False)
+            lv = ltbl["cluster_id"].to_numpy(zero_copy_only=False)
+            order = np.argsort(lk)
+            lk, lv = lk[order], lv[order]
+        else:
+            lk = lv = np.empty(0, np.int64)
+
+        def _map(arr: np.ndarray) -> np.ndarray:
+            if len(lk) == 0:
+                return arr
+            pos = np.clip(np.searchsorted(lk, arr), 0, len(lk) - 1)
+            hit = lk[pos] == arr
+            return np.where(hit, lv[pos], arr)
+
+        contracted = pa.table({"u": pa.array(_map(u), pa.int64()),
+                               "v": pa.array(_map(w), pa.int64())})
+        cc = connected_components(
+            rd.from_arrow(contracted).repartition(2), num_partitions=2,
+            max_iters=cfg.cc_max_iters)
+        cc_tbl = collect_table(cc, pa.schema([("doc_id", pa.int64()),
+                                              ("cluster_id", pa.int64())]))
+        self.labels_stats["cc_nodes"] = int(cc_tbl.num_rows)
+        return cc_tbl, np.unique(lv)
+
+    def _merge_labels(self, base_ds, cc_tbl: pa.Table,
+                      contracted_vals: np.ndarray):
+        """base labels + contracted-subgraph CC result -> next labels.
+
+        Rows of ``base_ds`` are remapped through the (node -> final)
+        mapping on ``cluster_id`` (merges); CC nodes that are plain docs
+        (not previous labels) become new rows.  Min-label parity holds
+        because previous labels ARE component minima, and minima compose.
+        """
+        import ray.data as rd
+
+        from smqtk_indexing_ray.stages.attach import broadcast_attach
+
+        node = cc_tbl["doc_id"].to_numpy(zero_copy_only=False)
+        fin = cc_tbl["cluster_id"].to_numpy(zero_copy_only=False)
+        mapping = rd.from_arrow(pa.table({
+            "cluster_id": pa.array(node, pa.int64()),
+            "final": pa.array(fin, pa.int64())})).materialize()
+        remapped = broadcast_attach(
+            base_ds, mapping, key="cluster_id", payload_col="final",
+            fill_missing_with_key=True)
+
+        def _set_final(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "final" not in t.column_names:
+                return pa.schema([("doc_id", pa.int64()),
+                                  ("cluster_id", pa.int64())]).empty_table()
+            return pa.table({"doc_id": t["doc_id"],
+                             "cluster_id": t["final"]})
+
+        remapped = remapped.map_batches(_set_final, batch_format="pyarrow")
+        fresh = ~np.isin(node, contracted_vals)
+        if not fresh.any():
+            return remapped
+        new_rows = pa.table({"doc_id": pa.array(node[fresh], pa.int64()),
+                             "cluster_id": pa.array(fin[fresh], pa.int64())})
+        return remapped.union(rd.from_arrow(new_rows))
+
+    def _labels_inc_update(self, v: int):
+        """Affected-components labels after an additive update: band the
+        NEW docs, point-read only the colliding old bucket rows and
+        signatures, verify + CC the touched subgraph with old docs
+        contracted to their previous cluster labels, then merge.
+
+        Reference semantics: lsh.py:350-383 merges per-key bucket sets
+        on update instead of rebuilding the multimap.  Label parity with
+        a from-scratch rebuild holds whenever verification is consistent
+        within colliding groups (planted-duplicate corpora; the general
+        caveat is the star-edge approximation's dependence on bucket
+        minima, shared by the rebuild itself).
+        """
+        import ray.data as rd
+
+        from smqtk_indexing_ray.stages._util import (collect_table,
+                                                     drop_empty_blocks)
+        from smqtk_indexing_ray.stages.banding import band_stage
+
+        cfg = self.cfg
+        prev = v - 1
+        n_delta = int(self._ck.manifest()[f"sig_delta_v{v}"]["rows"])
+        n_total = self.count()
+        if (n_delta > self.INC_LABELS_MAX_DELTA
+                or n_delta > max(1, n_total) * self.INC_LABELS_MAX_FRAC):
+            return None
+        delta = self._ck.read_stage(f"sig_delta_v{v}")
+        sig_schema = self._sig_schema()
+
+        bands_schema = pa.schema([("bucket", pa.int64()),
+                                  ("doc_id", pa.int64())])
+        bands_new = collect_table(
+            delta.map_batches(lambda t: band_stage(t, cfg),
+                              batch_format="pyarrow"), bands_schema)
+        new_ids = np.unique(collect_table(
+            delta.select_columns(["doc_id"]),
+            pa.schema([("doc_id", pa.int64())]))["doc_id"].to_numpy(
+                zero_copy_only=False))
+        touched = np.unique(bands_new["bucket"].to_numpy(
+            zero_copy_only=False))
+
+        old_rows = self._pruned_isin(self._buckets_dir(prev), "bucket",
+                                     touched, ["bucket", "doc_id"])
+        bucket_rows = (pa.concat_tables(
+            [old_rows.select(["bucket", "doc_id"]), bands_new])
+            if old_rows.num_rows else bands_new)
+
+        old_ids = (np.unique(old_rows["doc_id"].to_numpy(
+            zero_copy_only=False)) if old_rows.num_rows
+            else np.empty(0, np.int64))
+        self.labels_stats = {
+            "mode": "incremental_update", "delta_docs": int(n_delta),
+            "touched_buckets": int(len(touched)),
+            "subgraph_docs": int(len(old_ids) + n_delta),
+        }
+        sigs_small = delta
+        if len(old_ids):
+            stbl = self._pruned_isin(
+                self._ck.stage_dir(self._sig_stage(prev)), "doc_id",
+                old_ids, list(sig_schema.names))
+            if stbl.num_rows:
+                sigs_small = delta.union(rd.from_arrow(stbl))
+        sigs_small = drop_empty_blocks(sigs_small, sig_schema)
+
+        base = self._ck.read_stage(f"labels_v{prev}")
+        cc_tbl, contracted_vals = self._subgraph_labels(
+            bucket_rows, sigs_small, pinned_ids=new_ids, prev=prev)
+        if cc_tbl is None:
+            return base
+        return self._merge_labels(base, cc_tbl, contracted_vals)
+
+    def _labels_inc_remove(self, v: int):
+        """Affected-components labels after a removal.  Removal can both
+        SPLIT clusters (the removed doc bridged them) and MERGE/extend
+        them (a bucket's star center changed, so a previously-unverified
+        member pair now verifies), so every cluster touching a removed
+        doc's buckets is dissolved and re-derived from its members' full
+        bucket set, with untouched neighbors contracted to their labels.
+        """
+        import ray.data as rd
+
+        from smqtk_indexing_ray.stages._util import (collect_table,
+                                                     drop_empty_blocks)
+        from smqtk_indexing_ray.stages.banding import band_stage
+
+        cfg = self.cfg
+        prev = v - 1
+        sig_schema = self._sig_schema()
+        sig_cols = list(sig_schema.names)
+        removed = collect_table(
+            self._ck.read_stage(f"removed_v{v}"),
+            pa.schema([("doc_id", pa.int64())]))
+        rids = np.unique(removed["doc_id"].to_numpy(zero_copy_only=False))
+        if len(rids) > self.INC_LABELS_MAX_DELTA:
+            return None
+        sig_dir_prev = self._ck.stage_dir(self._sig_stage(prev))
+        labels_dir_prev = self._ck.stage_dir(f"labels_v{prev}")
+
+        rsigs = self._pruned_isin(sig_dir_prev, "doc_id", rids, sig_cols)
+        t0 = np.unique(band_stage(rsigs, cfg)["bucket"].to_numpy(
+            zero_copy_only=False))
+        bdir = self._buckets_dir(prev)
+        members = self._pruned_isin(bdir, "bucket", t0,
+                                    ["bucket", "doc_id"])
+        m0 = (np.unique(members["doc_id"].to_numpy(zero_copy_only=False))
+              if members.num_rows else np.empty(0, np.int64))
+        l0 = self._pruned_isin(labels_dir_prev, "doc_id", m0,
+                               ["doc_id", "cluster_id"])
+        affected_clusters = np.unique(
+            l0["cluster_id"].to_numpy(zero_copy_only=False))
+
+        base_all = self._ck.read_stage(f"labels_v{prev}")
+        c_arr = pa.array(affected_clusters, pa.int64())
+
+        def only_affected(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "cluster_id" not in t.column_names:
+                return pa.schema([("doc_id", pa.int64()),
+                                  ("cluster_id", pa.int64())]).empty_table()
+            return t.filter(pc.is_in(t["cluster_id"], value_set=c_arr))
+
+        aff = collect_table(
+            base_all.map_batches(only_affected, batch_format="pyarrow"),
+            pa.schema([("doc_id", pa.int64()), ("cluster_id", pa.int64())]))
+        if aff.num_rows > self.INC_LABELS_MAX_DELTA:
+            return None
+        pinned = np.unique(np.concatenate(
+            [aff["doc_id"].to_numpy(zero_copy_only=False), m0, rids]))
+        live = pinned[~np.isin(pinned, rids)]
+        self.labels_stats = {
+            "mode": "incremental_remove", "removed_docs": int(len(rids)),
+            "affected_clusters": int(len(affected_clusters)),
+            "subgraph_docs": int(len(live)),
+        }
+
+        asigs = self._pruned_isin(sig_dir_prev, "doc_id", live, sig_cols)
+        touched = t0
+        if asigs.num_rows:
+            touched = np.unique(np.concatenate(
+                [band_stage(asigs, cfg)["bucket"].to_numpy(
+                    zero_copy_only=False), t0]))
+        bt = self._pruned_isin(bdir, "bucket", touched,
+                               ["bucket", "doc_id"])
+        if bt.num_rows:
+            keep = ~np.isin(bt["doc_id"].to_numpy(zero_copy_only=False),
+                            rids)
+            bt = bt.filter(pa.array(keep))
+
+        def drop_affected(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "cluster_id" not in t.column_names:
+                return pa.schema([("doc_id", pa.int64()),
+                                  ("cluster_id", pa.int64())]).empty_table()
+            return t.filter(pc.invert(
+                pc.is_in(t["cluster_id"], value_set=c_arr)))
+
+        base = base_all.map_batches(drop_affected, batch_format="pyarrow")
+        if bt.num_rows == 0:
+            return base
+        docs_bt = np.unique(bt["doc_id"].to_numpy(zero_copy_only=False))
+        stbl = self._pruned_isin(sig_dir_prev, "doc_id", docs_bt, sig_cols)
+        sigs_small = drop_empty_blocks(rd.from_arrow(stbl), sig_schema)
+
+        cc_tbl, contracted_vals = self._subgraph_labels(
+            bt, sigs_small, pinned_ids=pinned, prev=prev)
+        if cc_tbl is None:
+            return base
+        return self._merge_labels(base, cc_tbl, contracted_vals)
 
     def nn(self, text: str, n: int = 10) -> tuple[list[int], list[float]]:
         """Top-n near duplicates of a query text: (doc_ids, distances),
@@ -366,7 +699,7 @@ class DedupIndex:
         return [d for _, d in top], [dist for dist, _ in top]
 
     # -- helpers -----------------------------------------------------------
-    def _buckets_dir(self) -> str:
+    def _buckets_dir(self, version: int | None = None) -> str:
         """Bucket table ``(bucket, doc_id)`` SORTED by bucket, built once
         per signature version — the hash-index analog whose sortedness
         gives the nn path its row-group pruning.
@@ -379,7 +712,7 @@ class DedupIndex:
         bands all miss still reaches docs whose 64-bit SimHash is within
         hamming 3 of the query's (e.g. token reorderings that destroy
         the shingle set but keep the token multiset)."""
-        v = self._version()
+        v = self._version() if version is None else version
         name = f"buckets_v{v}"
         cfg = self.cfg
 
@@ -399,8 +732,8 @@ class DedupIndex:
                         "bucket": pa.array(keys), "doc_id": t["doc_id"]}))
                 return pa.concat_tables(parts)
 
-            return self._signatures().map_batches(
+            return self._ck.read_stage(self._sig_stage(v)).map_batches(
                 explode, batch_format="pyarrow").sort("bucket")
 
-        self._ck.stage(name, make, inputs=[self._sig_stage()])
+        self._ck.stage(name, make, inputs=[self._sig_stage(v)])
         return self._ck.stage_dir(name)

@@ -106,6 +106,29 @@ def probe_blocks(mat_ds, fn) -> pa.Table:
     return pa.concat_tables(parts)
 
 
+def collect_table(ds, schema: pa.Schema) -> pa.Table:
+    """Pull a BOUNDED dataset to one driver-side Arrow table.
+
+    Zero-copy block fetch via the internal ref bundles (the
+    ``take_all()`` row-dict path copies per row).  Callers own the bound:
+    every call site is gated (delta caps, touched-subgraph sizes) — never
+    call this on a corpus-sized dataset.
+    """
+    import ray
+
+    mat = ds if type(ds).__name__ == "MaterializedDataset" \
+        else ds.materialize()
+    refs = [ref for bundle in mat.iter_internal_ref_bundles()
+            for ref, meta in bundle.blocks
+            if meta.num_rows is None or meta.num_rows > 0]
+    parts = [t.select(schema.names) for t in ray.get(refs)
+             if t.num_rows and all(c in t.column_names
+                                   for c in schema.names)]
+    if not parts:
+        return schema.empty_table()
+    return pa.concat_tables(parts).combine_chunks()
+
+
 def drop_empty_blocks(ds, schema: pa.Schema):
     """Rebuild a dataset without its empty blocks (join-input hygiene).
 

@@ -275,3 +275,84 @@ class TestNnPruning:
         idx.build(_pages(list(range(21)), [reordered] + others))
         ids, dists = idx.nn(query, n=5)
         assert 0 in ids, "reordered doc not reached via near-key expansion"
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestIncrementalLabels:
+    """VERDICT r2 #2: update/remove must recompute only the affected
+    components, and the result must equal a from-scratch rebuild."""
+
+    CFG = dict(signature_concurrency=2, batch_size=256)
+
+    def _labels_dict(self, idx):
+        lab = idx.labels().to_pandas()
+        return dict(zip(lab.doc_id.astype(int), lab.cluster_id.astype(int)))
+
+    def test_update_then_remove_match_scratch(self, tmp_path):
+        import ray.data as rd
+
+        from smqtk_indexing_ray.pipelines.index import DedupIndex
+        from smqtk_indexing_ray.sources.pages import (PagesSpec,
+                                                      generate_pages_table)
+
+        full = generate_pages_table(
+            PagesSpec(n_docs=1200, seed=7, hot_blocks=1))
+        n = full.num_rows
+        # split mid-block (950) so some planted duplicate groups straddle
+        # the build/update boundary
+        base, extra = full.slice(0, 950), full.slice(950)
+
+        idx = DedupIndex(str(tmp_path / "inc"), DedupConfig(**self.CFG))
+        idx.build(rd.from_arrow(base))
+        idx.labels()                      # checkpoint labels_v1 (full)
+        assert idx.labels_stats["mode"] == "full"
+
+        idx.update(rd.from_arrow(extra))
+        got = self._labels_dict(idx)
+        st = idx.labels_stats
+        assert st["mode"] == "incremental_update"
+        # the touched subgraph must be a small fraction of the corpus
+        assert st["subgraph_docs"] < n // 2
+        assert st["delta_docs"] == extra.num_rows
+
+        scratch = DedupIndex(str(tmp_path / "scr"), DedupConfig(**self.CFG))
+        scratch.build(rd.from_arrow(full))
+        assert got == self._labels_dict(scratch)
+
+        # ---- removal: drop a cluster representative (min doc) plus an
+        # unclustered doc — the dissolve-and-recluster hard cases
+        lab = idx.labels().to_pandas()
+        sizes = lab.groupby("cluster_id").size()
+        small = sizes[(sizes >= 2) & (sizes <= 4)]
+        rep = int(small.index[len(small) // 2])    # min doc == cluster_id
+        unclustered = sorted(set(range(n)) - set(lab.doc_id.astype(int)))
+        removed = [rep, unclustered[0]]
+
+        idx.remove(removed)
+        got2 = self._labels_dict(idx)
+        st2 = idx.labels_stats
+        assert st2["mode"] == "incremental_remove"
+        assert st2["subgraph_docs"] < n // 2
+
+        keep_mask = ~np.isin(np.arange(n), removed)
+        scratch2 = DedupIndex(str(tmp_path / "scr2"),
+                              DedupConfig(**self.CFG))
+        scratch2.build(rd.from_arrow(full.filter(pa.array(keep_mask))))
+        assert got2 == self._labels_dict(scratch2)
+
+    def test_update_without_base_labels_falls_back_full(self, tmp_path):
+        import ray.data as rd
+
+        from smqtk_indexing_ray.pipelines.index import DedupIndex
+        from smqtk_indexing_ray.sources.pages import (PagesSpec,
+                                                      generate_pages_table)
+
+        full = generate_pages_table(PagesSpec(n_docs=400, seed=3))
+        idx = DedupIndex(str(tmp_path / "nf"), DedupConfig(**self.CFG))
+        idx.build(rd.from_arrow(full.slice(0, 350)))
+        # no labels() before the update -> no labels_v1 baseline
+        idx.update(rd.from_arrow(full.slice(350)))
+        idx.labels()
+        assert idx.labels_stats["mode"] == "full"
+        idx.labels()
+        assert idx.labels_stats["mode"] == "cached"

@@ -63,10 +63,12 @@ class DedupConfig:
 
     # --- execution ----------------------------------------------------------
     batch_size: int = 2048          # docs per signature batch
-    # Autoscaling actor pool (min, max): a FIXED pool of num_cpus actors
-    # reserves every CPU and starves the upstream read task — the pipeline
-    # deadlocks.  (min=1, max=N) lets Ray grow the pool under load only.
-    # None = size to the cluster at pipeline build time: (1, total_cpus - 2).
+    # None (default) = task-pool signing fused with the parquet read (the
+    # kernel's seed-derived state is cached once per worker process).
+    # An int or (min, max) tuple forces an autoscaling ACTOR pool of that
+    # size — the right shape only when kernel setup is genuinely expensive
+    # (model load); a FIXED pool of num_cpus actors reserves every CPU and
+    # starves the upstream read task, deadlocking the streaming executor.
     signature_concurrency: int | tuple | None = None
     cc_max_iters: int = 25          # connected-components round cap
 

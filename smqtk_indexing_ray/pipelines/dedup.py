@@ -43,32 +43,56 @@ class DedupResult:
     output: object       # Dataset: pages cols + cluster_id + keep
 
 
-def compute_signatures(pages, cfg: DedupConfig):
-    """pages -> signature table (extraction + actor-pool signing).
+#: Per-worker-process cache of constructed signature kernels, keyed by
+#: (kernel name, config hash).  The kernels' state is seed-derived and
+#: tiny (permutation tables), so caching per PROCESS gives the same
+#: build-once property an actor pool would — without forcing an actor
+#: boundary between the parquet read and the signing compute.
+_SIG_KERNEL_CACHE: dict = {}
 
-    The signing actor class is resolved by name from the kernel registry
+
+def _signing_fn(kernel_name: str, cfg: DedupConfig):
+    def sign(batch: pa.Table) -> pa.Table:
+        key = (kernel_name, cfg.config_hash())
+        st = _SIG_KERNEL_CACHE.get(key)
+        if st is None:
+            if len(_SIG_KERNEL_CACHE) > 8:
+                _SIG_KERNEL_CACHE.clear()
+            cls = resolve_kernel("signature", kernel_name)
+            st = _SIG_KERNEL_CACHE[key] = cls(cfg)
+        return st(batch)
+
+    return sign
+
+
+def compute_signatures(pages, cfg: DedupConfig):
+    """pages -> signature table (extraction + signing).
+
+    The signing kernel is resolved by name from the kernel registry
     (``cfg.signature_kernel``, default the MinHash+SimHash stage) — the
     analog of the reference resolving an LshFunctor impl from a plugin
-    string (lsh.py:60-158 via smqtk_core Configurable)."""
-    sig_cls = resolve_kernel("signature", cfg.signature_kernel)
+    string (lsh.py:60-158 via smqtk_core Configurable).
+
+    Default execution is a TASK pool (one fused ReadParquet -> extract ->
+    sign task per block): the kernel's only state is seed-derived
+    permutation tables built once per worker process via a keyed cache,
+    so an actor pool buys nothing — and costs the read->actor block
+    handoff through the object store plus a multi-second pool ramp that
+    was most of the 32-CPU run-to-run variance at 8M docs.  Passing
+    ``cfg.signature_concurrency`` switches to an explicit actor pool
+    (the right shape for a kernel whose setup is genuinely expensive,
+    e.g. a model load)."""
     cols = [c for c in ("doc_id", "text", "html") if c in pages.columns()]
     ds = pages.select_columns(cols)
     ds = ds.map_batches(extract_text_stage, batch_format="pyarrow")
     conc = cfg.signature_concurrency
     if conc is None:
-        # size the pool to the cluster, leaving headroom for the read task
-        # and downstream shuffle aggregators.  min > 1 because an
-        # autoscaling pool ramping from one actor leaves most CPUs idle
-        # for the first half of the stage; min = 3/4 of the node starts
-        # near-full (the ramp from cpus/3 cost ~7 s AND most of the
-        # 32-CPU run-to-run variance at 8M docs) while the max = cpus - 2
-        # cap keeps CPUs free for the upstream read — a FULL fixed pool
-        # deadlocks the streaming executor.
-        import ray
-        cpus = int(ray.cluster_resources().get("CPU", 8)) if (
-            ray.is_initialized()) else 8
-        conc = (max(1, min((3 * cpus) // 4, cpus - 2)),
-                max(2, cpus - 2))
+        return ds.map_batches(
+            _signing_fn(cfg.signature_kernel, cfg),
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+        )
+    sig_cls = resolve_kernel("signature", cfg.signature_kernel)
     return ds.map_batches(
         sig_cls,
         fn_constructor_args=(cfg,),
@@ -93,10 +117,15 @@ def candidate_edges(signatures, cfg: DedupConfig):
     duplicate edge row carry ~136 dead bytes — ~9 GB of spill-inducing
     shuffle weight at 8M docs.  Two narrow sorts beat one wide one.
     """
-    from smqtk_indexing_ray.stages._util import auto_blocks
+    # NO repartition between banding and the bucket sort: ``signatures``
+    # is already materialized at ~total_cpus blocks (dedup_pipeline), so
+    # the band explode emits well-sized blocks (Ray splits >32 MiB map
+    # outputs itself) and a repartition here is a full extra AllToAll
+    # copy of the 16 B/row band table through the object store —
+    # measured 8M docs / 32 CPUs: dropping it cut the band+sort phase
+    # wall with identical output.
     bands = signatures.map_batches(
-        lambda t: band_stage(t, cfg), batch_format="pyarrow"
-    ).repartition(auto_blocks())
+        lambda t: band_stage(t, cfg), batch_format="pyarrow")
     edges = star_edges(bands, ["bucket"], "doc_id", salt=cfg.bucket_salt)
     return dedup_edges(edges)
 
@@ -287,7 +316,15 @@ def dedup_pipeline(pages, cfg: DedupConfig, *, num_partitions: int = 32,
     import ray
     n_blocks = max(8, min(64, int(ray.cluster_resources().get("CPU", 8))
                           if ray.is_initialized() else 8))
-    sigs = compute_signatures(pages, cfg).repartition(n_blocks).materialize()
+    sigs = compute_signatures(pages, cfg).materialize()
+    # Compact ONLY when the signing stage emitted far more blocks than
+    # CPUs (tiny input files / tiny batches): every downstream sort pays
+    # O(input_blocks x output_partitions) in task count, but a repartition
+    # is a full extra AllToAll copy of the signature table through the
+    # object store (3.4 GB at 8M docs) — not worth it below ~4x CPUs
+    # blocks (measured both ways at 1M and 8M docs).
+    if sigs.num_blocks() > 4 * n_blocks:
+        sigs = sigs.repartition(n_blocks).materialize()
     from smqtk_indexing_ray.stages._util import drop_empty_blocks
     from smqtk_indexing_ray.stages.signatures import _empty_signature_table
     sigs = drop_empty_blocks(sigs, _empty_signature_table(cfg).schema)

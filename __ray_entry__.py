@@ -572,6 +572,54 @@ def _q_itq_codes(sf_dir: str):
     return itq_codes(emb, model)
 
 
+def _q_repetition_signals(sf_dir: str):
+    """Gopher-style within-doc repetition signals (batch-local, no
+    shuffle); distinct counting via Arrow dictionary codes so parity
+    with count(distinct ...) is string-exact."""
+    from smqtk_indexing_ray.pipelines.terms import repetition_signals
+    return repetition_signals(_docs(sf_dir))
+
+
+def _q_term_frequencies(sf_dir: str):
+    """Corpus-wide term frequency + document frequency via the
+    partial-aggregate combiner shape (vocabulary-sized shuffle)."""
+    from smqtk_indexing_ray.pipelines.terms import term_frequencies
+    return term_frequencies(_docs(sf_dir))
+
+
+def _q_tfidf_top_terms(sf_dir: str):
+    """Per-doc top-3 terms by tf*N/df (ln-free tf-idf; score exactly
+    CAST(tf*N AS DOUBLE)/df on both sides), term-ascending tiebreak."""
+    from smqtk_indexing_ray.pipelines.terms import tfidf_top_terms
+    return tfidf_top_terms(_docs(sf_dir), k=3)
+
+
+def _q_line_dedup(sf_dir: str):
+    """CCNet-style corpus-wide duplicated-line scrub (min_df=2): hot
+    128-bit line hashes broadcast once, rebuild is one Arrow
+    binary_join per batch."""
+    from smqtk_indexing_ray.pipelines.terms import line_dedup
+    return line_dedup(_docs(sf_dir), min_df=2)
+
+
+def _q_novel_docs(sf_dir: str):
+    """Incremental ingest dedup: odd doc_ids are the 'new batch', even
+    doc_ids the existing corpus; keep new docs whose exact text is not
+    in the corpus (hash-only left_anti join)."""
+    import pyarrow.compute as pc
+    from smqtk_indexing_ray.pipelines.terms import novel_docs
+
+    def odd(t):
+        return t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), 1))
+
+    def even(t):
+        return t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0))
+
+    new_side = _docs(sf_dir).map_batches(odd, batch_format="pyarrow")
+    corpus = _docs(sf_dir).map_batches(even, batch_format="pyarrow")
+    return novel_docs(new_side, corpus)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "exact_dedup": _q_exact_dedup,
@@ -611,6 +659,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_seq": _q_event_seq,
         "quality_signals": _q_quality_signals,
         "winnow_fingerprints": _q_winnow_fingerprints,
+        "repetition_signals": _q_repetition_signals,
+        "term_frequencies": _q_term_frequencies,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "line_dedup": _q_line_dedup,
+        "novel_docs": _q_novel_docs,
     }
 
 
@@ -961,6 +1014,80 @@ def oracle_sql() -> dict[str, str]:
             "SELECT m.doc_id, m.cluster_id, "
             "CAST(coalesce(c.contained_in, -1) AS BIGINT) AS contained_in "
             "FROM multi m LEFT JOIN cont c ON c.doc_id = m.doc_id"
+        ),
+        "repetition_signals": (
+            "WITH " + _TOKS + ", per AS ("
+            "  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,"
+            "         count(DISTINCT term) AS n_distinct_tokens,"
+            "         max(c) AS top_token_count"
+            "  FROM ("
+            "    SELECT doc_id, term, count(*) AS c FROM ("
+            "      SELECT doc_id, unnest(w) AS term FROM toks)"
+            "    GROUP BY doc_id, term)"
+            "  GROUP BY doc_id"
+            ") "
+            "SELECT d.doc_id,"
+            " CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,"
+            " CAST(coalesce(p.n_distinct_tokens, 0) AS BIGINT)"
+            "   AS n_distinct_tokens,"
+            " CASE WHEN coalesce(p.n_tokens, 0) > 0 THEN"
+            "   CAST(p.n_tokens - p.n_distinct_tokens AS DOUBLE) / p.n_tokens"
+            "   ELSE 0.0 END AS dup_token_frac,"
+            " CAST(coalesce(p.top_token_count, 0) AS BIGINT)"
+            "   AS top_token_count,"
+            " CASE WHEN coalesce(p.n_tokens, 0) > 0 THEN"
+            "   CAST(p.top_token_count AS DOUBLE) / p.n_tokens"
+            "   ELSE 0.0 END AS top_token_frac "
+            "FROM documents d LEFT JOIN per p USING (doc_id)"
+        ),
+        "term_frequencies": (
+            "WITH " + _TOKS + " "
+            "SELECT term, count(*) AS cnt,"
+            " count(DISTINCT doc_id) AS df "
+            "FROM (SELECT doc_id, unnest(w) AS term FROM toks) "
+            "GROUP BY term"
+        ),
+        "tfidf_top_terms": (
+            "WITH " + _TOKS + ", tf AS ("
+            "  SELECT doc_id, term, count(*) AS tf FROM ("
+            "    SELECT doc_id, unnest(w) AS term FROM toks)"
+            "  GROUP BY doc_id, term"
+            "), dfs AS ("
+            "  SELECT term, count(DISTINCT doc_id) AS df FROM ("
+            "    SELECT doc_id, unnest(w) AS term FROM toks)"
+            "  GROUP BY term"
+            "), nn AS (SELECT count(*) AS n FROM documents), "
+            "scored AS ("
+            "  SELECT tf.doc_id, tf.term, tf.tf,"
+            "         CAST(tf.tf * nn.n AS DOUBLE) / dfs.df AS score"
+            "  FROM tf JOIN dfs USING (term) CROSS JOIN nn"
+            ") "
+            "SELECT doc_id, term, tf, score FROM ("
+            "  SELECT *, row_number() OVER ("
+            "    PARTITION BY doc_id ORDER BY score DESC, term) AS rn"
+            "  FROM scored) WHERE rn <= 3"
+        ),
+        "line_dedup": (
+            "WITH lines AS ("
+            "  SELECT doc_id,"
+            "         unnest(string_split(coalesce(text, ''), chr(10)))"
+            "           AS line,"
+            "         generate_subscripts("
+            "           string_split(coalesce(text, ''), chr(10)), 1) AS pos"
+            "  FROM documents"
+            "), df AS (SELECT line, count(*) AS c FROM lines GROUP BY line) "
+            "SELECT doc_id,"
+            " coalesce(string_agg(line, chr(10) ORDER BY pos)"
+            "   FILTER (WHERE c < 2), '') AS clean_text,"
+            " count(*) AS n_lines,"
+            " count(*) FILTER (WHERE c >= 2) AS n_removed "
+            "FROM lines JOIN df USING (line) GROUP BY doc_id"
+        ),
+        "novel_docs": (
+            "SELECT d.doc_id FROM documents d "
+            "WHERE d.doc_id % 2 = 1 AND NOT EXISTS ("
+            "  SELECT 1 FROM documents c WHERE c.doc_id % 2 = 0"
+            "  AND coalesce(c.text, '') = coalesce(d.text, ''))"
         ),
         # lsh_dedup, simhash_near_pairs, doc_fingerprints, hamming_topk,
         # srp_near_pairs, itq_codes, ivf_topk, mrpt_topk, cluster_dup_spans,

@@ -201,7 +201,7 @@ def run_sf_suite(sf_dir: str) -> dict[str, float]:
     """Time the sf-dir operator pipelines (documents + embeddings)."""
     import ray.data as rd
     from smqtk_indexing_ray.config import DedupConfig
-    from smqtk_indexing_ray.pipelines import analysis, ann
+    from smqtk_indexing_ray.pipelines import analysis, ann, terms
     from smqtk_indexing_ray.pipelines.dedup import (
         dedup_pipeline, documents_as_pages)
 
@@ -235,6 +235,7 @@ def run_sf_suite(sf_dir: str) -> dict[str, float]:
         "srp_near_pairs": lambda: ann.srp_near_pairs(emb(), max_hamming=24),
         "mrpt_topk": lambda: ann.mrpt_topk(emb(), n_queries=32, k=10),
         "window_agg": window_agg,
+        "line_dedup": lambda: terms.line_dedup(docs(), min_df=2),
     }
     times: dict[str, float] = {}
     for name, fn in suite.items():

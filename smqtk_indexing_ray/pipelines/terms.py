@@ -1,0 +1,460 @@
+"""Term-level corpus operators: repetition signals, global term
+frequencies, tf*(N/df) top terms, corpus-wide line dedup (CCNet-style)
+and incremental anti-join dedup of a new batch against a corpus.
+
+These extend the doc-level analysis pipelines (pipelines/analysis.py)
+down to the token/line granularity an LLM training-data pipeline works
+at: within-doc repetition is a Gopher-style quality gate, hot-line
+removal is the boilerplate scrub CCNet/RefinedWeb run before near-dup
+detection, and the anti-join is the "ingest a new crawl against an
+existing index" path (the streaming analog of the reference's
+update_index skip-present semantics,
+/root/reference/smqtk_indexing/interfaces/nn_index.py:103-118).
+
+Float parity with the DuckDB oracles: every emitted double is either a
+ratio of exact int64 counts or ``CAST(a*b AS DOUBLE)/c`` of int64s —
+bit-identical IEEE division on both sides (same contract as
+pipelines/analysis.py).
+
+Exactness: per-batch distinct/tf counting uses Arrow dictionary codes
+(string-exact, no hashing), so parity with SQL ``count(distinct ...)``
+cannot be broken by hash collisions.  The corpus-wide line-frequency
+pass uses a 128-bit line hash (two independent 64-bit keys), the same
+birthday-safe construction as the exact-dedup content hash.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from smqtk_indexing_ray.functions.hashing import grouped_arange, hash_strings_u64
+from smqtk_indexing_ray.functions.tokenize import tokens_flat
+from smqtk_indexing_ray.stages._util import stamp_schema
+
+_LK1 = "smqtk-ray-line-1"
+_LK2 = "smqtk-ray-line-2"
+
+REPETITION_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()),
+    ("n_tokens", pa.int64()),
+    ("n_distinct_tokens", pa.int64()),
+    ("dup_token_frac", pa.float64()),
+    ("top_token_count", pa.int64()),
+    ("top_token_frac", pa.float64()),
+])
+
+TERM_FREQ_SCHEMA = pa.schema([
+    ("term", pa.string()),
+    ("cnt", pa.int64()),
+    ("df", pa.int64()),
+])
+
+TFIDF_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()),
+    ("term", pa.string()),
+    ("tf", pa.int64()),
+    ("score", pa.float64()),
+])
+
+LINE_DEDUP_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()),
+    ("clean_text", pa.string()),
+    ("n_lines", pa.int64()),
+    ("n_removed", pa.int64()),
+])
+
+
+def _doc_term_runs(texts, n: int):
+    """Tokenize a batch and return per-(doc, term) run structure.
+
+    Returns ``(vocab, doc_rep, code, s_doc, s_code, run_starts, run_len,
+    run_doc, counts)`` where ``counts`` is tokens-per-doc and runs are
+    maximal (doc, term) groups after one lexsort.  Dictionary codes make
+    term identity string-exact.
+    """
+    toks, off = tokens_flat(texts, lowercase=False)
+    counts = np.diff(off)
+    doc_rep = np.repeat(np.arange(n, dtype=np.int64), counts)
+    d = pc.dictionary_encode(toks)
+    if isinstance(d, pa.ChunkedArray):
+        d = d.combine_chunks()
+    code = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = d.dictionary
+    order = np.lexsort((code, doc_rep))
+    s_doc = doc_rep[order]
+    s_code = code[order]
+    if len(s_doc):
+        new_run = np.empty(len(s_doc), dtype=bool)
+        new_run[0] = True
+        np.logical_or(s_doc[1:] != s_doc[:-1], s_code[1:] != s_code[:-1],
+                      out=new_run[1:])
+        run_starts = np.flatnonzero(new_run)
+        run_len = np.diff(np.append(run_starts, len(s_doc)))
+    else:
+        run_starts = np.empty(0, dtype=np.int64)
+        run_len = np.empty(0, dtype=np.int64)
+    run_doc = s_doc[run_starts] if len(run_starts) else run_starts
+    return vocab, doc_rep, code, s_doc, s_code, run_starts, run_len, \
+        run_doc, counts
+
+
+def _repetition_batch(t: pa.Table) -> pa.Table:
+    n = t.num_rows
+    if n == 0:
+        return REPETITION_SCHEMA.empty_table()
+    (_, _, _, _, _, run_starts, run_len, run_doc,
+     counts) = _doc_term_runs(t["text"], n)
+    n_distinct = np.bincount(run_doc, minlength=n).astype(np.int64) \
+        if len(run_doc) else np.zeros(n, dtype=np.int64)
+    top = np.zeros(n, dtype=np.int64)
+    if len(run_doc):
+        doc_first = np.empty(len(run_doc), dtype=bool)
+        doc_first[0] = True
+        np.not_equal(run_doc[1:], run_doc[:-1], out=doc_first[1:])
+        doc_run_starts = np.flatnonzero(doc_first)
+        top[run_doc[doc_run_starts]] = np.maximum.reduceat(
+            run_len, doc_run_starts)
+    counts = counts.astype(np.int64)
+    safe = np.where(counts > 0, counts, 1).astype(np.float64)
+    dup_frac = np.where(counts > 0, (counts - n_distinct) / safe, 0.0)
+    top_frac = np.where(counts > 0, top / safe, 0.0)
+    return pa.table({
+        "doc_id": t["doc_id"],
+        "n_tokens": pa.array(counts),
+        "n_distinct_tokens": pa.array(n_distinct),
+        "dup_token_frac": pa.array(dup_frac),
+        "top_token_count": pa.array(top),
+        "top_token_frac": pa.array(top_frac),
+    })
+
+
+def repetition_signals(docs):
+    """Gopher-style within-doc repetition: distinct-token and
+    most-frequent-token fractions, per document.
+
+    Purely batch-local (no shuffle): one tokenize + one lexsort per
+    batch; ratios are int64/int64 IEEE divisions matching the SQL
+    oracle bit-for-bit.
+    """
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+    out = docs.select_columns(["doc_id", "text"]).map_batches(
+        _repetition_batch, batch_format="pyarrow")
+    return stamp_schema(out, REPETITION_SCHEMA)
+
+
+def _term_freq_partial(t: pa.Table) -> pa.Table:
+    n = t.num_rows
+    if n == 0:
+        return TERM_FREQ_SCHEMA.empty_table()
+    (vocab, _, code, _, s_code, run_starts, run_len, _,
+     _) = _doc_term_runs(t["text"], n)
+    v = len(vocab)
+    if v == 0:
+        return TERM_FREQ_SCHEMA.empty_table()
+    cnt = np.bincount(code, minlength=v).astype(np.int64)
+    # df partial: number of (doc, term) runs per term
+    df = np.bincount(s_code[run_starts], minlength=v).astype(np.int64) \
+        if len(run_starts) else np.zeros(v, dtype=np.int64)
+    keep = cnt > 0
+    return pa.table({
+        "term": vocab.filter(pa.array(keep)),
+        "cnt": pa.array(cnt[keep]),
+        "df": pa.array(df[keep]),
+    })
+
+
+def term_frequencies(docs, *, min_count: int = 1):
+    """Corpus-wide term frequency + document frequency.
+
+    Partial-aggregate combiner shape: each batch emits one
+    (term, cnt, df) row per distinct term it saw, so the groupby
+    shuffles vocabulary-sized partials, never the token stream —
+    the same pre-aggregation pattern as the windowed event counts
+    (pipelines/events.py).
+    """
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+    from ray.data.aggregate import Sum
+
+    partial = docs.select_columns(["doc_id", "text"]).map_batches(
+        _term_freq_partial, batch_format="pyarrow")
+    g = partial.groupby("term").aggregate(
+        Sum("cnt", alias_name="cnt"),
+        Sum("df", alias_name="df"),
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return TERM_FREQ_SCHEMA.empty_table()
+        out = pa.table({
+            "term": t["term"],
+            "cnt": pc.cast(t["cnt"], pa.int64()),
+            "df": pc.cast(t["df"], pa.int64()),
+        })
+        if min_count > 1:
+            out = out.filter(pc.greater_equal(out["cnt"], min_count))
+        return out
+
+    return stamp_schema(g.map_batches(project, batch_format="pyarrow"),
+                        TERM_FREQ_SCHEMA)
+
+
+#: Broadcast-vocabulary gate for tfidf_top_terms: above this many
+#: distinct terms the df table no longer belongs in every worker's heap —
+#: prune with min_count/min_df first (the standard web-scale move is a
+#: bounded vocabulary).
+TFIDF_MAX_VOCAB = 4_000_000
+
+
+def tfidf_top_terms(docs, *, k: int = 3, max_vocab: int = TFIDF_MAX_VOCAB):
+    """Per-document top-k terms by ``tf * N / df`` (an ln-free tf-idf
+    whose score is exactly reproducible in SQL: ``CAST(tf*N AS
+    DOUBLE)/df``), ties broken by term ascending.
+
+    Two passes: a vocabulary-sized (term, df) table is aggregated once,
+    gated at ``max_vocab``, and broadcast via ``ray.put``; the scoring
+    pass is then batch-local (tokenize + lexsort + rank, no shuffle).
+    """
+    import ray
+
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+
+    tf_tab = term_frequencies(docs).materialize()
+    n_vocab = tf_tab.count()
+    if n_vocab > max_vocab:
+        raise ValueError(
+            f"tfidf_top_terms: vocabulary has {n_vocab} terms > max_vocab="
+            f"{max_vocab}; prune with term_frequencies(min_count=...) and "
+            "a bounded vocabulary before broadcasting")
+    if n_vocab:
+        vt = pa.concat_tables(
+            [b for b in tf_tab.iter_batches(batch_size=None,
+                                            batch_format="pyarrow")]
+        ).combine_chunks()
+    else:
+        vt = TERM_FREQ_SCHEMA.empty_table()
+    terms = vt["term"].to_numpy(zero_copy_only=False).astype(object)
+    dfs = vt["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(terms, kind="stable")
+    ref = ray.put((terms[order], dfs[order]))
+    n_docs = docs.count()
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return TFIDF_SCHEMA.empty_table()
+        sorted_terms, sorted_df = ray.get(ref)
+        (vocab, _, _, _, s_code, run_starts, run_len, run_doc,
+         _) = _doc_term_runs(t["text"], t.num_rows)
+        if not len(run_starts):
+            return TFIDF_SCHEMA.empty_table()
+        # one row per (doc, term): tf = run length
+        batch_terms = vocab.to_numpy(zero_copy_only=False).astype(object)
+        vidx = np.searchsorted(sorted_terms, batch_terms)
+        # every batch term exists in the corpus vocabulary by construction
+        term_df = sorted_df[vidx]
+        tf = run_len.astype(np.int64)
+        df_run = term_df[s_code[run_starts]]
+        sc = (tf * np.int64(n_docs)).astype(np.float64) / \
+            df_run.astype(np.float64)
+        # rank within doc by (score desc, term asc); the broadcast vocab
+        # index is lexicographic, so it doubles as the term tiebreak
+        tkey = vidx[s_code[run_starts]]
+        o = np.lexsort((tkey, -sc, run_doc))
+        rd, rsc, rtf = run_doc[o], sc[o], tf[o]
+        rterm = s_code[run_starts][o]
+        doc_first = np.empty(len(rd), dtype=bool)
+        doc_first[0] = True
+        np.not_equal(rd[1:], rd[:-1], out=doc_first[1:])
+        doc_sizes = np.diff(np.append(np.flatnonzero(doc_first), len(rd)))
+        rank = grouped_arange(doc_sizes)
+        keep = rank < k
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(doc_ids[rd[keep]]),
+            "term": vocab.take(pa.array(rterm[keep], pa.int64())),
+            "tf": pa.array(rtf[keep]),
+            "score": pa.array(rsc[keep]),
+        })
+
+    out = docs.select_columns(["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow")
+    return stamp_schema(out, TFIDF_SCHEMA)
+
+
+def _pair_member(hot1: np.ndarray, hot2: np.ndarray,
+                 a1: np.ndarray, a2: np.ndarray) -> np.ndarray:
+    """Vectorized membership of 128-bit pairs (a1, a2) in the
+    lexsorted hot set (hot1, hot2).  Runs of equal hot1 are collision
+    runs (nearly always length 1); only those rare longer runs take the
+    per-row fallback."""
+    member = np.zeros(len(a1), dtype=bool)
+    if not len(hot1) or not len(a1):
+        return member
+    lo = np.searchsorted(hot1, a1, side="left")
+    hi = np.searchsorted(hot1, a1, side="right")
+    span = hi - lo
+    one = span == 1
+    idx = np.where(one, lo, 0)
+    member[one] = hot2[idx[one]] == a2[one]
+    multi = np.flatnonzero(span > 1)
+    for i in multi:
+        member[i] = a2[i] in hot2[lo[i]:hi[i]]
+    return member
+
+
+#: Broadcast gate for the hot-line set: lines with df >= min_df are a
+#: tiny fraction of a web corpus (boilerplate), but an adversarial
+#: min_df=1 would broadcast every distinct line — refuse instead.
+LINE_DEDUP_MAX_HOT = 8_000_000
+
+
+def line_dedup(docs, *, min_df: int = 2, delim: str = "\n",
+               max_hot_lines: int = LINE_DEDUP_MAX_HOT):
+    """CCNet-style corpus-wide line dedup: drop every instance of any
+    line occurring >= ``min_df`` times across the corpus, preserving
+    line order within each doc.
+
+    Pass 1 counts line frequencies with a vocabulary-sized partial
+    aggregate (only 128-bit line hashes + counts cross the shuffle,
+    never line text); the df >= min_df survivors — boilerplate, a tiny
+    fraction by construction — are broadcast once via ``ray.put``
+    (gated at ``max_hot_lines``).  Pass 2 is batch-local: split, hash,
+    membership mask, rebuild with one Arrow ``binary_join``.
+    """
+    import ray
+
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+    from ray.data.aggregate import Sum
+
+    def _lines(texts) -> tuple[pa.ListArray, pa.Array, np.ndarray]:
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lists = pc.split_pattern(pc.fill_null(texts, ""), delim)
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = lists.values
+        off = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        return lists, flat, off
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("h1", pa.int64()), ("h2", pa.int64()),
+                            ("cnt", pa.int64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        _, flat, _ = _lines(t["text"])
+        h1 = hash_strings_u64(flat, hash_key=_LK1).view(np.int64)
+        h2 = hash_strings_u64(flat, hash_key=_LK2).view(np.int64)
+        order = np.lexsort((h2, h1))
+        s1, s2 = h1[order], h2[order]
+        if len(s1):
+            new = np.empty(len(s1), dtype=bool)
+            new[0] = True
+            np.logical_or(s1[1:] != s1[:-1], s2[1:] != s2[:-1], out=new[1:])
+            starts = np.flatnonzero(new)
+            cnt = np.diff(np.append(starts, len(s1)))
+        else:
+            starts = np.empty(0, dtype=np.int64)
+            cnt = starts
+        return pa.table({"h1": pa.array(s1[starts]),
+                         "h2": pa.array(s2[starts]),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    partial = docs.select_columns(["text"]).map_batches(
+        count_partial, batch_format="pyarrow")
+    hot = partial.groupby(["h1", "h2"]).aggregate(
+        Sum("cnt", alias_name="cnt"))
+    hot = hot.filter(expr=f"cnt >= {int(min_df)}").materialize()
+    n_hot = hot.count()
+    if n_hot > max_hot_lines:
+        raise ValueError(
+            f"line_dedup: {n_hot} hot lines > max_hot_lines="
+            f"{max_hot_lines}; raise min_df (boilerplate should be a "
+            "small fraction of distinct lines) or raise the gate")
+    if n_hot:
+        cols = {"h1": [], "h2": []}
+        for b in hot.iter_batches(batch_size=None, batch_format="pyarrow"):
+            cols["h1"].append(b["h1"].to_numpy(zero_copy_only=False))
+            cols["h2"].append(b["h2"].to_numpy(zero_copy_only=False))
+        hh1 = np.concatenate(cols["h1"]).astype(np.int64)
+        hh2 = np.concatenate(cols["h2"]).astype(np.int64)
+        o = np.lexsort((hh2, hh1))
+        hot_ref = ray.put((hh1[o], hh2[o]))
+    else:
+        hot_ref = ray.put((np.empty(0, np.int64), np.empty(0, np.int64)))
+
+    def scrub(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return LINE_DEDUP_SCHEMA.empty_table()
+        hot1, hot2 = ray.get(hot_ref)
+        _, flat, off = _lines(t["text"])
+        h1 = hash_strings_u64(flat, hash_key=_LK1).view(np.int64)
+        h2 = hash_strings_u64(flat, hash_key=_LK2).view(np.int64)
+        member = _pair_member(hot1, hot2, h1, h2)
+        keep = ~member
+        n = t.num_rows
+        n_lines = np.diff(off).astype(np.int64)
+        doc_rep = np.repeat(np.arange(n, dtype=np.int64), n_lines)
+        kept_per_doc = np.bincount(doc_rep[keep], minlength=n) \
+            .astype(np.int64)
+        new_off = np.concatenate(([0], np.cumsum(kept_per_doc)))
+        kept_lists = pa.ListArray.from_arrays(
+            pa.array(new_off, pa.int32()), flat.filter(pa.array(keep)))
+        clean = pc.binary_join(kept_lists, delim)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "clean_text": pc.cast(clean, pa.string()),
+            "n_lines": pa.array(n_lines),
+            "n_removed": pa.array(n_lines - kept_per_doc),
+        })
+
+    out = docs.select_columns(["doc_id", "text"]).map_batches(
+        scrub, batch_format="pyarrow")
+    return stamp_schema(out, LINE_DEDUP_SCHEMA)
+
+
+def novel_docs(new_docs, corpus, *, num_partitions: int = 16):
+    """Incremental ingest dedup: new docs whose exact text does not
+    already exist in the corpus (the batch-vs-index anti-join an
+    update_index call runs before adding,
+    /root/reference/smqtk_indexing/interfaces/nn_index.py:103-118).
+
+    Both sides are reduced to 128-bit content hashes before the
+    anti-join shuffle (16 B/row); the corpus side is first collapsed to
+    distinct hashes so the join's build side is bounded by distinct
+    texts, not corpus rows.
+    """
+    from smqtk_indexing_ray.context import NARROW_JOIN_HINT, \
+        ensure_data_context
+    ensure_data_context()
+    from ray.data.aggregate import Count
+
+    from smqtk_indexing_ray.pipelines.analysis import _hash_text
+    from smqtk_indexing_ray.stages._util import drop_empty_blocks
+
+    hash_schema = pa.schema([("doc_id", pa.int64()), ("h1", pa.int64()),
+                             ("h2", pa.int64())])
+    hn = new_docs.select_columns(["doc_id", "text"]).map_batches(
+        _hash_text, batch_format="pyarrow")
+    hn = drop_empty_blocks(hn, hash_schema)
+    hc = corpus.select_columns(["doc_id", "text"]).map_batches(
+        _hash_text, batch_format="pyarrow")
+    hc = hc.groupby(["h1", "h2"]).aggregate(Count(alias_name="n"))
+    hc = drop_empty_blocks(hc, pa.schema([("h1", pa.int64()),
+                                          ("h2", pa.int64()),
+                                          ("n", pa.int64())]))
+    j = hn.join(hc, join_type="left_anti", on=("h1", "h2"),
+                num_partitions=num_partitions,
+                partition_size_hint=NARROW_JOIN_HINT)
+
+    def project(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return pa.schema([("doc_id", pa.int64())]).empty_table()
+        return t.select(["doc_id"])
+
+    return stamp_schema(j.map_batches(project, batch_format="pyarrow"),
+                        pa.schema([("doc_id", pa.int64())]))

@@ -1,0 +1,209 @@
+"""Term/line-level operators: repetition signals, term frequencies,
+tf*N/df top terms, corpus line dedup, incremental anti-join dedup.
+
+Each test cross-checks the distributed pipeline against a brute-force
+(or DuckDB) oracle on an adversarial in-memory corpus: empty docs,
+within-doc duplicate lines, score ties, duplicate texts inside the
+"new" batch.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+DOCS = [
+    (0, "the cat sat on the mat", "en", "s0", 22),
+    (1, "", "en", "s0", 0),
+    (2, "cat cat cat cat", "en", "s1", 15),
+    (3, "the cat sat on the mat", "en", "s1", 22),  # exact dup of 0
+    (4, "one two three four five six", "en", "s2", 27),
+    (5, "alpha beta alpha beta gamma", "fr", "s2", 27),
+]
+
+LINE_DOCS = [
+    (0, "keep me\nBOILER\nunique line a", "en", "s0", 0),
+    (1, "BOILER\nonly here", "en", "s0", 0),
+    (2, "repeat\nrepeat\nsolo", "en", "s1", 0),   # within-doc dup
+    (3, "", "en", "s1", 0),                        # empty -> one '' line
+    (4, "", "en", "s2", 0),                        # '' line now df=2
+    (5, "keep me too", "en", "s2", 0),
+]
+
+
+def _ds(rows):
+    import ray.data as rd
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array([r[2] for r in rows], pa.string()),
+        "source": pa.array([r[3] for r in rows], pa.string()),
+        "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+    })
+    return rd.from_arrow(t).repartition(3)
+
+
+def _table(ds) -> pa.Table:
+    return pa.concat_tables(
+        [b for b in ds.iter_batches(batch_size=None,
+                                    batch_format="pyarrow")]
+    ).combine_chunks()
+
+
+def _duck(rows):
+    con = duckdb.connect()
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    })
+    con.register("documents", t)
+    return con
+
+
+def test_repetition_signals(ray_session):
+    from smqtk_indexing_ray.pipelines.terms import repetition_signals
+
+    out = _table(repetition_signals(_ds(DOCS))).to_pydict()
+    got = {d: (nt, nd, df, tc, tf) for d, nt, nd, df, tc, tf in zip(
+        out["doc_id"], out["n_tokens"], out["n_distinct_tokens"],
+        out["dup_token_frac"], out["top_token_count"],
+        out["top_token_frac"])}
+    assert got[0] == (6, 5, 1 / 6, 2, 2 / 6)      # "the" twice
+    assert got[1] == (0, 0, 0.0, 0, 0.0)          # empty doc
+    assert got[2] == (4, 1, 3 / 4, 4, 1.0)        # all same token
+    assert got[4] == (6, 6, 0.0, 1, 1 / 6)        # all distinct
+    assert got[5] == (5, 3, 2 / 5, 2, 2 / 5)
+
+
+def test_term_frequencies(ray_session):
+    from smqtk_indexing_ray.pipelines.terms import term_frequencies
+
+    out = _table(term_frequencies(_ds(DOCS))).to_pydict()
+    got = {t: (c, d) for t, c, d in zip(out["term"], out["cnt"],
+                                        out["df"])}
+    assert got["cat"] == (6, 3)      # docs 0, 2 (x4), 3
+    assert got["the"] == (4, 2)      # docs 0 and 3, twice each
+    assert got["alpha"] == (2, 1)
+    assert got["gamma"] == (1, 1)
+    # exactly the whitespace vocabulary, nothing else
+    total_tokens = sum(len(r[1].split()) for r in DOCS)
+    assert sum(out["cnt"]) == total_tokens
+
+
+def test_term_frequencies_min_count(ray_session):
+    from smqtk_indexing_ray.pipelines.terms import term_frequencies
+
+    out = _table(term_frequencies(_ds(DOCS), min_count=4)).to_pydict()
+    assert set(out["term"]) == {"cat", "the"}
+
+
+def test_tfidf_top_terms_matches_sql(ray_session):
+    from smqtk_indexing_ray.pipelines.terms import tfidf_top_terms
+
+    out = _table(tfidf_top_terms(_ds(DOCS), k=3))
+    con = _duck(DOCS)
+    want = con.execute("""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\\s+'),
+                             x -> x <> '') AS w
+          FROM documents),
+        t AS (SELECT doc_id, unnest(w) AS term FROM toks),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+               GROUP BY doc_id, term),
+        dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM t
+                GROUP BY term),
+        nn AS (SELECT count(*) AS n FROM documents)
+        SELECT doc_id, term, tf,
+               CAST(tf * nn.n AS DOUBLE) / df AS score
+        FROM (SELECT tf.*, dfs.df,
+                     row_number() OVER (PARTITION BY doc_id
+                       ORDER BY CAST(tf * (SELECT n FROM nn) AS DOUBLE)
+                                / df DESC, term) AS rn
+              FROM tf JOIN dfs USING (term)) CROSS JOIN nn
+        WHERE rn <= 3 ORDER BY doc_id, term
+    """).arrow()
+    got = out.sort_by([("doc_id", "ascending"), ("term", "ascending")])
+    assert got.num_rows == want.num_rows
+    assert got["doc_id"].to_pylist() == want["doc_id"].to_pylist()
+    assert got["term"].to_pylist() == want["term"].to_pylist()
+    assert got["tf"].to_pylist() == want["tf"].to_pylist()
+    assert got["score"].to_pylist() == want["score"].to_pylist()
+
+
+def test_tfidf_vocab_gate(ray_session):
+    from smqtk_indexing_ray.pipelines.terms import tfidf_top_terms
+
+    with pytest.raises(ValueError, match="max_vocab"):
+        tfidf_top_terms(_ds(DOCS), k=3, max_vocab=2)
+
+
+def test_line_dedup(ray_session):
+    from smqtk_indexing_ray.pipelines.terms import line_dedup
+
+    out = _table(line_dedup(_ds(LINE_DOCS), min_df=2)).to_pydict()
+    got = {d: (ct, nl, nr) for d, ct, nl, nr in zip(
+        out["doc_id"], out["clean_text"], out["n_lines"],
+        out["n_removed"])}
+    # BOILER appears in docs 0 and 1 -> removed everywhere
+    assert got[0] == ("keep me\nunique line a", 3, 1)
+    assert got[1] == ("only here", 2, 1)
+    # within-doc repeat counts toward df -> both instances removed
+    assert got[2] == ("solo", 3, 2)
+    # '' line has df=2 (docs 3 and 4) -> removed, doc becomes empty
+    assert got[3] == ("", 1, 1)
+    assert got[4] == ("", 1, 1)
+    assert got[5] == ("keep me too", 1, 0)
+
+
+def test_line_dedup_min_df_3_keeps_pairs(ray_session):
+    from smqtk_indexing_ray.pipelines.terms import line_dedup
+
+    out = _table(line_dedup(_ds(LINE_DOCS), min_df=3)).to_pydict()
+    got = dict(zip(out["doc_id"], out["clean_text"]))
+    assert got[0] == LINE_DOCS[0][1]          # df=2 lines survive
+    assert got[2] == LINE_DOCS[2][1]
+
+
+def test_line_dedup_hot_gate(ray_session):
+    from smqtk_indexing_ray.pipelines.terms import line_dedup
+
+    with pytest.raises(ValueError, match="max_hot_lines"):
+        line_dedup(_ds(LINE_DOCS), min_df=1, max_hot_lines=2)
+
+
+def test_novel_docs(ray_session):
+    import pyarrow.compute as pc
+    from smqtk_indexing_ray.pipelines.terms import novel_docs
+
+    rows = [
+        (0, "shared text", "en", "s", 0),     # corpus
+        (2, "corpus only", "en", "s", 0),     # corpus
+        (1, "shared text", "en", "s", 0),     # new, dup of corpus
+        (3, "brand new", "en", "s", 0),       # new, novel
+        (5, "brand new", "en", "s", 0),       # new, dup within new: kept
+        (7, "corpus only", "en", "s", 0),     # new, dup of corpus
+    ]
+    ds = _ds(rows)
+    new_side = ds.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), 1)),
+        batch_format="pyarrow")
+    corpus = ds.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0)),
+        batch_format="pyarrow")
+    out = _table(novel_docs(new_side, corpus)).to_pydict()
+    assert sorted(out["doc_id"]) == [3, 5]
+
+
+def test_pair_member_collision_runs():
+    from smqtk_indexing_ray.pipelines.terms import _pair_member
+
+    hot1 = np.array([1, 5, 5, 5, 9], dtype=np.int64)
+    hot2 = np.array([10, 2, 4, 8, 0], dtype=np.int64)
+    a1 = np.array([1, 5, 5, 5, 9, 7, 1], dtype=np.int64)
+    a2 = np.array([10, 4, 8, 3, 0, 7, 11], dtype=np.int64)
+    want = np.array([True, True, True, False, True, False, False])
+    assert (_pair_member(hot1, hot2, a1, a2) == want).all()

@@ -620,6 +620,28 @@ def _q_novel_docs(sf_dir: str):
     return novel_docs(new_side, corpus)
 
 
+_SCRUB_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "[IP]"),
+    ("boiler", r"\b(?:the|spark)\b", "[B]"),
+)
+
+
+def _q_pattern_scrub(sf_dir: str):
+    """PII + boilerplate redaction: chained RE2 count+replace per
+    pattern (both Arrow and DuckDB compile RE2, so the oracle is exact
+    on the chained output)."""
+    from smqtk_indexing_ray.pipelines.scrub import pattern_scrub
+    return pattern_scrub(_docs(sf_dir), patterns=_SCRUB_PATTERNS)
+
+
+def _q_embedding_cluster_labels(sf_dir: str):
+    """SemDeDup-style semantic near-dup clusters: cosine >= 0.4 pairs ->
+    connected components -> min-vec_id labels; singletons self-label."""
+    from smqtk_indexing_ray.pipelines.ann import embedding_cluster_labels
+    return embedding_cluster_labels(_emb(sf_dir), threshold=0.4)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "exact_dedup": _q_exact_dedup,
@@ -664,6 +686,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "line_dedup": _q_line_dedup,
         "novel_docs": _q_novel_docs,
+        "pattern_scrub": _q_pattern_scrub,
+        "embedding_cluster_labels": _q_embedding_cluster_labels,
     }
 
 
@@ -1088,6 +1112,47 @@ def oracle_sql() -> dict[str, str]:
             "WHERE d.doc_id % 2 = 1 AND NOT EXISTS ("
             "  SELECT 1 FROM documents c WHERE c.doc_id % 2 = 0"
             "  AND coalesce(c.text, '') = coalesce(d.text, ''))"
+        ),
+        "pattern_scrub": (
+            "WITH s0 AS (SELECT doc_id, coalesce(text, '') AS t"
+            "  FROM documents), "
+            "s1 AS (SELECT doc_id,"
+            "  CAST(len(regexp_extract_all(t,"
+            "    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))"
+            "    AS BIGINT) AS n_email,"
+            "  regexp_replace(t,"
+            "    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',"
+            "    '[EMAIL]', 'g') AS t FROM s0), "
+            "s2 AS (SELECT doc_id, n_email,"
+            "  CAST(len(regexp_extract_all(t,"
+            "    '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS BIGINT)"
+            "    AS n_ipv4,"
+            "  regexp_replace(t, '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b',"
+            "    '[IP]', 'g') AS t FROM s1), "
+            "s3 AS (SELECT doc_id, n_email, n_ipv4,"
+            "  CAST(len(regexp_extract_all(t, '\\b(?:the|spark)\\b'))"
+            "    AS BIGINT) AS n_boiler,"
+            "  regexp_replace(t, '\\b(?:the|spark)\\b', '[B]', 'g') AS t"
+            "  FROM s2) "
+            "SELECT doc_id, t AS clean_text, n_email, n_ipv4, n_boiler,"
+            " n_email + n_ipv4 + n_boiler AS n_redactions FROM s3"
+        ),
+        "embedding_cluster_labels": (
+            "WITH RECURSIVE pairs AS ("
+            "  SELECT a.vec_id AS va, b.vec_id AS vb FROM embeddings a"
+            "  JOIN embeddings b ON a.vec_id < b.vec_id"
+            "  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),"
+            "    CAST(b.embedding AS DOUBLE[])) >= 0.4"
+            "), edges AS ("
+            "  SELECT va AS src, vb AS dst FROM pairs"
+            "  UNION ALL SELECT vb, va FROM pairs"
+            "), reach(v, lab) AS ("
+            "  SELECT vec_id, vec_id FROM embeddings"
+            "  UNION"
+            "  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.v"
+            ") "
+            "SELECT v AS vec_id, min(lab) AS cluster_id FROM reach "
+            "GROUP BY v"
         ),
         # lsh_dedup, simhash_near_pairs, doc_fingerprints, hamming_topk,
         # srp_near_pairs, itq_codes, ivf_topk, mrpt_topk, cluster_dup_spans,

@@ -27,6 +27,12 @@ def make_perms(num_perms: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+#: Shingles per cache block: 2 x 512 KiB u64 working set (the shingle
+#: slice + the hash buffer) stays L2-resident, so the 128 permutation
+#: passes re-read cache, not DRAM.
+_SHINGLE_CHUNK = 1 << 16
+
+
 def minhash_signatures(shingles: np.ndarray, offsets: np.ndarray,
                        a: np.ndarray, b: np.ndarray,
                        perm_chunk: int | None = None) -> np.ndarray:
@@ -36,24 +42,55 @@ def minhash_signatures(shingles: np.ndarray, offsets: np.ndarray,
     the sentinel signature (all ``0xFFFFFFFF``) and must be excluded from
     near-dup banding by the caller (they remain exact-dup eligible).
 
-    Vectorization: one flat 1-D pass per permutation — hash the whole
-    shingle stream, then one 1-D ``np.minimum.reduceat`` per permutation.
-    Chunking permutations into a 2-D ``(total_shingles, chunk)`` temporary
-    is ~25x SLOWER (measured): the outer-product layout blows the cache
-    and ``reduceat`` along axis 0 of a 2-D array falls off NumPy's fast
-    path.  ``perm_chunk`` is accepted for backwards compatibility and
+    Vectorization: the flat shingle stream is processed in L2-sized
+    chunks; within a chunk every permutation runs over the cached slice
+    with a preallocated ``out=`` hash buffer (no per-perm allocation),
+    and per-doc partial minima fold into the signature with
+    ``np.minimum`` — bit-identical to the one-pass-per-perm form (min of
+    chunk minima == global min) while cutting the kernel's DRAM traffic
+    ~num_perms-fold.  The naive one-pass-per-perm layout re-streamed the
+    whole stream (plus three temporaries) from DRAM 128 times, which
+    saturated memory bandwidth when 32 workers ran concurrently — the
+    measured per-doc UDF cost DOUBLED at 32-way vs 8-way concurrency.
+    Chunking permutations into a 2-D ``(total_shingles, chunk)``
+    temporary is ~25x slower still (outer-product layout blows the
+    cache); ``perm_chunk`` is accepted for backwards compatibility and
     ignored.
     """
     num_perms = len(a)
     n_docs = len(offsets) - 1
-    sig = np.full((n_docs, num_perms), UINT32_MAX, dtype=np.uint32)
     counts = np.diff(offsets)
     nz = counts > 0
     if not nz.any():
-        return sig
-    starts_nz = offsets[:-1][nz]
+        return np.full((n_docs, num_perms), UINT32_MAX, dtype=np.uint32)
+    nz_docs = np.flatnonzero(nz)
+    starts_nz = offsets[:-1][nz]          # strictly increasing
+    total = int(offsets[-1])
+    # transposed accumulator: per-perm rows are contiguous for the
+    # per-chunk partial-min folds; one transpose at the end
+    sigT = np.full((num_perms, n_docs), UINT32_MAX, dtype=np.uint32)
+    buf = np.empty(min(_SHINGLE_CHUNK, total), dtype=np.uint64)
+    sh32 = np.uint64(32)
     with np.errstate(over="ignore"):
-        for i in range(num_perms):
-            v = (shingles * a[i] + b[i]) >> np.uint64(32)
-            sig[nz, i] = np.minimum.reduceat(v, starts_nz).astype(np.uint32)
-    return sig
+        for s0 in range(0, total, _SHINGLE_CHUNK):
+            s1 = min(total, s0 + _SHINGLE_CHUNK)
+            block = shingles[s0:s1]
+            vb = buf[:s1 - s0]
+            # segments (nonzero docs) intersecting [s0, s1)
+            j0 = max(0, np.searchsorted(starts_nz, s0, side="right") - 1)
+            j1 = np.searchsorted(starts_nz, s1, side="left")
+            local = np.clip(starts_nz[j0:j1], s0, s1) - s0
+            rows = nz_docs[j0:j1]
+            for i in range(num_perms):
+                np.multiply(block, a[i], out=vb)
+                np.add(vb, b[i], out=vb)
+                np.right_shift(vb, sh32, out=vb)
+                m = np.minimum.reduceat(vb, local).astype(np.uint32)
+                # only the chunk's FIRST segment can straddle the
+                # boundary and carry a prior partial min; the rest are
+                # whole-within-chunk and assign directly
+                row = sigT[i]
+                row[rows[1:]] = m[1:]
+                row[rows[0]] = min(row[rows[0]], m[0])
+    # zero-shingle docs' columns were never written: still the sentinel
+    return np.ascontiguousarray(sigT.T)

@@ -119,10 +119,17 @@ def shingle_flat(token_hashes: np.ndarray, offsets: np.ndarray, k: int,
         return (np.empty(0, dtype=np.uint64),
                 np.zeros(n_docs + 1, dtype=np.int64))
     with np.errstate(over="ignore"):
+        # out= buffers: the fold is 5 elementwise ops x k passes over the
+        # stream; letting each op allocate a fresh temporary doubles the
+        # memory traffic and churns mmap at high concurrency
         acc = np.zeros(m, dtype=np.uint64)
+        tmp = np.empty(m, dtype=np.uint64)
         for j in range(k):
-            rot = (acc << np.uint64(13)) | (acc >> np.uint64(51))
-            acc = (rot * _FNV_PRIME) ^ token_hashes[j:j + m]
+            np.left_shift(acc, np.uint64(13), out=tmp)
+            np.right_shift(acc, np.uint64(51), out=acc)
+            np.bitwise_or(tmp, acc, out=acc)
+            np.multiply(acc, _FNV_PRIME, out=acc)
+            np.bitwise_xor(acc, token_hashes[j:j + m], out=acc)
         acc = splitmix64(acc)
     starts = offsets[:-1]
     idx = np.repeat(starts, counts) + grouped_arange(counts)

@@ -239,6 +239,55 @@ def cosine_near_pairs(emb, *, threshold: float = 0.4,
         concurrency=concurrency)
 
 
+def embedding_cluster_labels(emb, *, threshold: float = 0.4,
+                             num_partitions: int = 16,
+                             max_rows: int = 200_000):
+    """SemDeDup-style semantic near-dup clusters: every embedding gets a
+    ``cluster_id`` = the min ``vec_id`` of its cosine-similarity
+    component at ``threshold``.
+
+    Pairs come from :func:`cosine_near_pairs` (the exact test-scale twin,
+    inheriting its ``max_rows`` refusal gate); components from the same
+    alternating-star CC the text flagship uses, so the labeling semantics
+    are identical to ``jaccard_cluster_labels`` with cosine edges.  At
+    scale, swap the pair source for :func:`srp_near_pairs` candidates +
+    exact re-verify — the CC and attach stages are unchanged.
+
+    Singletons (no pair above threshold) label themselves via the
+    broadcast attach's ``fill_missing_with_key``.
+    """
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+    from smqtk_indexing_ray.stages.attach import broadcast_attach
+    from smqtk_indexing_ray.stages.components import connected_components
+
+    pairs = cosine_near_pairs(emb, threshold=threshold, max_rows=max_rows)
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "vec_a" not in t.column_names:
+            return pa.schema([("u", pa.int64()),
+                              ("v", pa.int64())]).empty_table()
+        return pa.table({"u": pc.cast(t["vec_a"], pa.int64()),
+                         "v": pc.cast(t["vec_b"], pa.int64())})
+
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow")
+    labels = connected_components(edges, num_partitions=num_partitions)
+
+    def rename(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return pa.schema([("vec_id", pa.int64()),
+                              ("cluster_id", pa.int64())]).empty_table()
+        return t.rename_columns(["vec_id", "cluster_id"])
+
+    labels = labels.map_batches(rename, batch_format="pyarrow").materialize()
+    out = broadcast_attach(emb.select_columns(["vec_id"]), labels,
+                           key="vec_id", payload_col="cluster_id",
+                           fill_missing_with_key=True)
+    from smqtk_indexing_ray.stages._util import stamp_schema
+    return stamp_schema(out, pa.schema([("vec_id", pa.int64()),
+                                        ("cluster_id", pa.int64())]))
+
+
 # ---------------------------------------------------------------------------
 # SRP-SimHash hamming search (the scale path; rows-only oracle)
 # ---------------------------------------------------------------------------

@@ -594,6 +594,24 @@ def _q_tfidf_top_terms(sf_dir: str):
     return tfidf_top_terms(_docs(sf_dir), k=3)
 
 
+def _q_token_chunks(sf_dir: str):
+    """Fixed-token-budget shard assignment (budget=512): exact global
+    running token total in doc_id order via the O(blocks)
+    boundary-carry prefix sum — a narrow two-int64-column sort, text
+    never crosses the shuffle."""
+    from smqtk_indexing_ray.pipelines.terms import token_chunks
+    return token_chunks(_docs(sf_dir), budget=512)
+
+
+def _q_heavy_hitters(sf_dir: str):
+    """Exact heavy hitters (terms at >= 1 per 500 tokens corpus-wide)
+    via the two-pass candidate-then-verify sketch: Misra-Gries
+    pigeonhole candidates, broadcast, exact verify — the vocabulary
+    long tail never crosses a shuffle."""
+    from smqtk_indexing_ray.pipelines.terms import heavy_hitters
+    return heavy_hitters(_docs(sf_dir), one_in=500)
+
+
 def _q_line_dedup(sf_dir: str):
     """CCNet-style corpus-wide duplicated-line scrub (min_df=2): hot
     128-bit line hashes broadcast once, rebuild is one Arrow
@@ -684,6 +702,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_signals": _q_repetition_signals,
         "term_frequencies": _q_term_frequencies,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        "token_chunks": _q_token_chunks,
+        "heavy_hitters": _q_heavy_hitters,
         "line_dedup": _q_line_dedup,
         "novel_docs": _q_novel_docs,
         "pattern_scrub": _q_pattern_scrub,
@@ -1090,6 +1110,29 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT *, row_number() OVER ("
             "    PARTITION BY doc_id ORDER BY score DESC, term) AS rn"
             "  FROM scored) WHERE rn <= 3"
+        ),
+        "token_chunks": (
+            "WITH " + _TOKS + ", c AS ("
+            "  SELECT doc_id, CAST(coalesce(len(w), 0) AS BIGINT)"
+            "    AS n_tokens FROM toks"
+            "), p AS ("
+            "  SELECT doc_id, n_tokens,"
+            "    CAST(coalesce(sum(n_tokens) OVER ("
+            "      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING"
+            "      AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before"
+            "  FROM c"
+            ") "
+            "SELECT doc_id, n_tokens, tokens_before,"
+            " tokens_before // 512 AS chunk_id FROM p"
+        ),
+        "heavy_hitters": (
+            "WITH " + _TOKS + ", t AS ("
+            "  SELECT unnest(w) AS term FROM toks"
+            "), cnts AS ("
+            "  SELECT term, count(*) AS cnt FROM t GROUP BY term"
+            "), tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM cnts) "
+            "SELECT c.term, c.cnt FROM cnts c, tot "
+            "WHERE c.cnt * 500 >= tot.n"
         ),
         "line_dedup": (
             "WITH lines AS ("

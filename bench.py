@@ -285,6 +285,8 @@ def run_sf_suite(sf_dir: str) -> dict[str, float]:
         "mrpt_topk": lambda: ann.mrpt_topk(emb(), n_queries=32, k=10),
         "window_agg": window_agg,
         "line_dedup": lambda: terms.line_dedup(docs(), min_df=2),
+        "heavy_hitters": lambda: terms.heavy_hitters(docs(), one_in=500),
+        "token_chunks": lambda: terms.token_chunks(docs(), budget=4096),
     }
     times: dict[str, float] = {}
     for name, fn in suite.items():

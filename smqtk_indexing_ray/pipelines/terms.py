@@ -1,6 +1,8 @@
 """Term-level corpus operators: repetition signals, global term
-frequencies, tf*(N/df) top terms, corpus-wide line dedup (CCNet-style)
-and incremental anti-join dedup of a new batch against a corpus.
+frequencies, tf*(N/df) top terms, exact two-pass heavy hitters,
+fixed-token-budget chunk assignment, corpus-wide line dedup
+(CCNet-style) and incremental anti-join dedup of a new batch against
+a corpus.
 
 These extend the doc-level analysis pipelines (pipelines/analysis.py)
 down to the token/line granularity an LLM training-data pipeline works
@@ -415,6 +417,207 @@ def line_dedup(docs, *, min_df: int = 2, delim: str = "\n",
     out = docs.select_columns(["doc_id", "text"]).map_batches(
         scrub, batch_format="pyarrow")
     return stamp_schema(out, LINE_DEDUP_SCHEMA)
+
+
+TOKEN_CHUNKS_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()),
+    ("n_tokens", pa.int64()),
+    ("tokens_before", pa.int64()),
+    ("chunk_id", pa.int64()),
+])
+
+
+def token_chunks(docs, *, budget: int = 4096, num_partitions: int = 32):
+    """Assign every document to a fixed-token-budget training shard:
+    ``chunk_id = tokens_before // budget`` where ``tokens_before`` is
+    the exact corpus-wide running token total in ascending ``doc_id``
+    order — the deterministic sharding pass that turns a cleaned corpus
+    into ~budget-token chunks for sequence packing.
+
+    One narrow sort (two int64 columns — token counting happens BEFORE
+    the shuffle, so document text never moves) plus the O(blocks)
+    boundary-carry prefix sum of stages/prefix.py; both ``tokens_before``
+    and ``chunk_id`` are pure int64 arithmetic, bit-exact against the
+    SQL window oracle.
+    """
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+
+    from smqtk_indexing_ray.stages.prefix import running_total
+
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+
+    count_schema = pa.schema([("doc_id", pa.int64()),
+                              ("n_tokens", pa.int64())])
+
+    def count(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return count_schema.empty_table()
+        _, off = tokens_flat(t["text"], lowercase=False)
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_tokens": pa.array(np.diff(off).astype(np.int64)),
+        })
+
+    counts = docs.select_columns(["doc_id", "text"]).map_batches(
+        count, batch_format="pyarrow").repartition(num_partitions)
+    pref = running_total(counts, order="doc_id", value="n_tokens",
+                         out="tokens_before", schema=count_schema)
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return TOKEN_CHUNKS_SCHEMA.empty_table()
+        before = t["tokens_before"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "chunk_id", pa.array(before // np.int64(budget)))
+
+    return stamp_schema(pref.map_batches(finish, batch_format="pyarrow"),
+                        TOKEN_CHUNKS_SCHEMA)
+
+
+HEAVY_HITTERS_SCHEMA = pa.schema([
+    ("term", pa.string()),
+    ("cnt", pa.int64()),
+])
+
+#: Sentinel term for the per-batch token-total partial row.  Safe:
+#: ``tokens_flat`` never emits the empty string (whitespace split with
+#: empties filtered, same contract as the SQL ``x <> ''`` filter).
+_HH_TOTAL = ""
+
+#: Broadcast gate for the verified-candidate set.  The pigeonhole bound
+#: caps candidates at one_in * n_batches, so hitting this means one_in
+#: was set absurdly high for the corpus, not that the data is skewed.
+HH_MAX_CANDIDATES = 8_000_000
+
+
+def heavy_hitters(docs, *, one_in: int = 1000,
+                  max_candidates: int = HH_MAX_CANDIDATES):
+    """Exact corpus-wide heavy hitters: every term whose count clears
+    one occurrence per ``one_in`` tokens (``cnt * one_in >=
+    total_tokens``, pure int64 arithmetic — no float threshold).
+
+    Two bounded-memory passes, so the full vocabulary never crosses a
+    shuffle (unlike :func:`term_frequencies`, whose shuffle is
+    vocabulary-sized — the right tool below ~1e7 distinct terms, the
+    wrong one on a web crawl's long tail):
+
+    1. **Candidates** (Misra-Gries pigeonhole): each batch emits only
+       terms with ``cnt_b * one_in >= tokens_b`` — at most ``one_in``
+       rows per batch since those terms each hold >= 1/one_in of the
+       batch — plus one token-total row.  A term above the global
+       threshold must be above the batch threshold in >= 1 batch
+       (if ``cnt_b * one_in < tokens_b`` in every batch, summing gives
+       ``cnt * one_in < total``), so the union is a candidate
+       superset; the shuffle is O(one_in x n_batches) rows.
+    2. **Verify**: the distinct candidate terms are broadcast once
+       (``ray.put``, gated at ``max_candidates``); each batch emits
+       exact counts for candidate terms only, and a final
+       candidate-sized groupby-sum + integer filter keeps the true
+       heavy hitters.  Output counts are exact, not estimates.
+
+    The reference has no sketch operators; this is the §2.7
+    "aggregations" surface (SURVEY.md) extended with the
+    candidate-then-verify shape its `.nn` path uses for ANN
+    (/root/reference/smqtk_indexing/impls/nn_index/lsh.py:489-518:
+    approximate candidates, exact re-rank).
+    """
+    import ray
+
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+    from ray.data.aggregate import Sum
+
+    if one_in < 1:
+        raise ValueError(f"one_in must be >= 1, got {one_in}")
+
+    def candidates_partial(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("term", pa.string()), ("cnt", pa.int64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        (vocab, _, code, _, _, _, _, _, counts) = _doc_term_runs(
+            t["text"], t.num_rows)
+        total = int(counts.sum())
+        v = len(vocab)
+        if v == 0:
+            return pa.table({"term": pa.array([_HH_TOTAL]),
+                             "cnt": pa.array([total], pa.int64())})
+        cnt = np.bincount(code, minlength=v).astype(np.int64)
+        keep = cnt * one_in >= total
+        return pa.table({
+            "term": pa.concat_arrays(
+                [vocab.filter(pa.array(keep)).cast(pa.string()),
+                 pa.array([_HH_TOTAL], pa.string())]),
+            "cnt": pa.array(np.append(cnt[keep], total)),
+        })
+
+    partial = docs.select_columns(["doc_id", "text"]).map_batches(
+        candidates_partial, batch_format="pyarrow")
+    agg = partial.groupby("term").aggregate(
+        Sum("cnt", alias_name="cnt")).materialize()
+
+    total_tokens = 0
+    cand_chunks: list[np.ndarray] = []
+    n_cand = 0
+    for b in agg.iter_batches(batch_size=None, batch_format="pyarrow"):
+        terms = b["term"].to_numpy(zero_copy_only=False).astype(object)
+        is_total = terms == _HH_TOTAL
+        if is_total.any():
+            total_tokens += int(
+                b["cnt"].to_numpy(zero_copy_only=False)[is_total].sum())
+        cand_chunks.append(terms[~is_total])
+        n_cand += int((~is_total).sum())
+        if n_cand > max_candidates:
+            raise ValueError(
+                f"heavy_hitters: > {max_candidates} candidate terms; "
+                "one_in is far larger than the batch count supports — "
+                "lower one_in or raise max_candidates")
+    cand = np.sort(np.concatenate(cand_chunks)) if cand_chunks else \
+        np.empty(0, dtype=object)
+    cand_ref = ray.put(cand)
+
+    def verify_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return HEAVY_HITTERS_SCHEMA.empty_table()
+        sorted_cand = ray.get(cand_ref)
+        if not len(sorted_cand):
+            return HEAVY_HITTERS_SCHEMA.empty_table()
+        (vocab, _, code, _, _, _, _, _, _) = _doc_term_runs(
+            t["text"], t.num_rows)
+        v = len(vocab)
+        if v == 0:
+            return HEAVY_HITTERS_SCHEMA.empty_table()
+        batch_terms = vocab.to_numpy(zero_copy_only=False).astype(object)
+        pos = np.searchsorted(sorted_cand, batch_terms)
+        pos_c = np.minimum(pos, len(sorted_cand) - 1)
+        is_cand = sorted_cand[pos_c] == batch_terms
+        if not is_cand.any():
+            return HEAVY_HITTERS_SCHEMA.empty_table()
+        cnt = np.bincount(code, minlength=v).astype(np.int64)
+        keep = is_cand & (cnt > 0)
+        return pa.table({
+            "term": vocab.filter(pa.array(keep)).cast(pa.string()),
+            "cnt": pa.array(cnt[keep]),
+        })
+
+    verified = docs.select_columns(["doc_id", "text"]).map_batches(
+        verify_partial, batch_format="pyarrow")
+    out = verified.groupby("term").aggregate(Sum("cnt", alias_name="cnt"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return HEAVY_HITTERS_SCHEMA.empty_table()
+        cnt = pc.cast(t["cnt"], pa.int64())
+        tab = pa.table({"term": pc.cast(t["term"], pa.string()),
+                        "cnt": cnt})
+        mask = pc.greater_equal(
+            pc.multiply_checked(cnt, pa.scalar(one_in, pa.int64())),
+            pa.scalar(total_tokens, pa.int64()))
+        return tab.filter(mask)
+
+    return stamp_schema(out.map_batches(finish, batch_format="pyarrow"),
+                        HEAVY_HITTERS_SCHEMA)
 
 
 def novel_docs(new_docs, corpus, *, num_partitions: int = 16):

@@ -46,11 +46,16 @@ def _ds(rows):
     return rd.from_arrow(t).repartition(3)
 
 
-def _table(ds) -> pa.Table:
-    return pa.concat_tables(
-        [b for b in ds.iter_batches(batch_size=None,
-                                    batch_format="pyarrow")]
-    ).combine_chunks()
+def _table(ds, schema: pa.Schema | None = None) -> pa.Table:
+    batches = [b for b in ds.iter_batches(batch_size=None,
+                                          batch_format="pyarrow")]
+    if not batches:
+        if schema is None:
+            sch = ds.schema()
+            schema = (sch.base_schema
+                      if hasattr(sch, "base_schema") else sch)
+        return schema.empty_table()
+    return pa.concat_tables(batches).combine_chunks()
 
 
 def _duck(rows):
@@ -173,6 +178,63 @@ def test_line_dedup_hot_gate(ray_session):
 
     with pytest.raises(ValueError, match="max_hot_lines"):
         line_dedup(_ds(LINE_DOCS), min_df=1, max_hot_lines=2)
+
+
+@pytest.mark.parametrize("one_in", [1, 5, 7, 1000])
+def test_heavy_hitters_matches_brute_force(ray_session, one_in):
+    from collections import Counter
+
+    from smqtk_indexing_ray.pipelines.terms import heavy_hitters
+
+    toks = [w for r in DOCS for w in r[1].split()]
+    total = len(toks)
+    expect = {t: c for t, c in Counter(toks).items()
+              if c * one_in >= total}
+    from smqtk_indexing_ray.pipelines.terms import HEAVY_HITTERS_SCHEMA
+    out = _table(heavy_hitters(_ds(DOCS), one_in=one_in),
+                 schema=HEAVY_HITTERS_SCHEMA).to_pydict()
+    got = dict(zip(out["term"], out["cnt"]))
+    assert got == expect
+
+
+def test_heavy_hitters_exact_counts_across_batches(ray_session):
+    """A term heavy globally but below the batch threshold in some
+    batches must still come back with its EXACT global count (the
+    verify pass recounts candidates in every batch, not just the
+    batches that nominated them)."""
+    from smqtk_indexing_ray.pipelines.terms import heavy_hitters
+
+    # 'spread' is dense in doc 0 (4/10 tokens -> nominated by that
+    # batch) but sparse in docs 1-4 (1/50 each -> 1 * one_in < 50 and
+    # even 2 * one_in < 100, below every batch threshold there).
+    # Globally 8/210 with one_in=27: 8*27=216 >= 210, a true heavy
+    # hitter whose exact count needs recounts from the batches that
+    # did NOT nominate it.
+    rows = [(0, "spread spread spread spread a b c d e f", "en", "s", 0)]
+    rows += [(i, " ".join(["spread"] + [f"w{i}_{j}" for j in range(49)]),
+              "en", "s", 0) for i in range(1, 5)]
+    out = _table(heavy_hitters(_ds(rows), one_in=27)).to_pydict()
+    got = dict(zip(out["term"], out["cnt"]))
+    assert got == {"spread": 8}
+
+
+def test_heavy_hitters_candidate_gate(ray_session):
+    from smqtk_indexing_ray.pipelines.terms import heavy_hitters
+
+    with pytest.raises(ValueError, match="candidate"):
+        _table(heavy_hitters(_ds(DOCS), one_in=1000, max_candidates=2))
+
+
+def test_heavy_hitters_empty_and_one_in_validation(ray_session):
+    from smqtk_indexing_ray.pipelines.terms import heavy_hitters
+
+    empty = [(0, "", "en", "s0", 0), (1, "", "en", "s1", 0)]
+    from smqtk_indexing_ray.pipelines.terms import HEAVY_HITTERS_SCHEMA
+    out = _table(heavy_hitters(_ds(empty), one_in=10),
+                 schema=HEAVY_HITTERS_SCHEMA)
+    assert out.num_rows == 0
+    with pytest.raises(ValueError, match="one_in"):
+        heavy_hitters(_ds(DOCS), one_in=0)
 
 
 def test_novel_docs(ray_session):

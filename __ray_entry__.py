@@ -612,6 +612,22 @@ def _q_heavy_hitters(sf_dir: str):
     return heavy_hitters(_docs(sf_dir), one_in=500)
 
 
+def _q_vocab_stats(sf_dir: str):
+    """Exact one-row vocabulary summary (distinct terms, total tokens,
+    hapax legomena) folded from the term-frequency shuffle."""
+    from smqtk_indexing_ray.pipelines.terms import vocab_stats
+    return vocab_stats(_docs(sf_dir))
+
+
+def _q_distinct_terms_hll(sf_dir: str):
+    """HyperLogLog distinct-term estimate (p=14, ~0.8% standard error):
+    the bounded-memory scale twin of vocab_stats — <= 2^14 register
+    rows per batch cross the shuffle regardless of vocabulary size.
+    No SQL oracle (approximate); pytest pins accuracy vs exact counts."""
+    from smqtk_indexing_ray.pipelines.terms import distinct_terms_hll
+    return distinct_terms_hll(_docs(sf_dir))
+
+
 def _q_line_dedup(sf_dir: str):
     """CCNet-style corpus-wide duplicated-line scrub (min_df=2): hot
     128-bit line hashes broadcast once, rebuild is one Arrow
@@ -704,6 +720,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "token_chunks": _q_token_chunks,
         "heavy_hitters": _q_heavy_hitters,
+        "vocab_stats": _q_vocab_stats,
+        "distinct_terms_hll": _q_distinct_terms_hll,
         "line_dedup": _q_line_dedup,
         "novel_docs": _q_novel_docs,
         "pattern_scrub": _q_pattern_scrub,
@@ -1133,6 +1151,16 @@ def oracle_sql() -> dict[str, str]:
             "), tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM cnts) "
             "SELECT c.term, c.cnt FROM cnts c, tot "
             "WHERE c.cnt * 500 >= tot.n"
+        ),
+        "vocab_stats": (
+            "WITH " + _TOKS + ", t AS ("
+            "  SELECT unnest(w) AS term FROM toks"
+            "), cnts AS ("
+            "  SELECT term, count(*) AS cnt FROM t GROUP BY term) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_terms,"
+            " CAST(sum(cnt) AS BIGINT) AS n_tokens,"
+            " CAST(count(*) FILTER (WHERE cnt = 1) AS BIGINT)"
+            "   AS hapax_terms FROM cnts"
         ),
         "line_dedup": (
             "WITH lines AS ("

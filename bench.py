@@ -287,6 +287,7 @@ def run_sf_suite(sf_dir: str) -> dict[str, float]:
         "line_dedup": lambda: terms.line_dedup(docs(), min_df=2),
         "heavy_hitters": lambda: terms.heavy_hitters(docs(), one_in=500),
         "token_chunks": lambda: terms.token_chunks(docs(), budget=4096),
+        "distinct_terms_hll": lambda: terms.distinct_terms_hll(docs()),
     }
     times: dict[str, float] = {}
     for name, fn in suite.items():

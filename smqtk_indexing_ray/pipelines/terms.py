@@ -620,6 +620,152 @@ def heavy_hitters(docs, *, one_in: int = 1000,
                         HEAVY_HITTERS_SCHEMA)
 
 
+VOCAB_STATS_SCHEMA = pa.schema([
+    ("n_terms", pa.int64()),
+    ("n_tokens", pa.int64()),
+    ("hapax_terms", pa.int64()),
+])
+
+
+def vocab_stats(docs):
+    """Exact one-row corpus vocabulary summary: distinct terms, total
+    tokens, and hapax legomena (terms occurring exactly once — the
+    long-tail mass a tokenizer-training pass cares about).
+
+    Rides :func:`term_frequencies`' vocabulary-sized shuffle, then folds
+    to a single row with a bounded driver aggregate (three int64s).
+    This is the exact twin of :func:`distinct_terms_hll`; above ~1e7
+    distinct terms, the sketch is the right tool.
+    """
+    import ray.data as rd
+
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+    from ray.data.aggregate import Count, Sum
+
+    tf = term_frequencies(docs)
+
+    def add_hapax(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("cnt", pa.int64()), ("is_hapax", pa.int64())])
+        if t.num_rows == 0 or "cnt" not in t.column_names:
+            return sch.empty_table()
+        cnt = pc.cast(t["cnt"], pa.int64())
+        return pa.table({
+            "cnt": cnt,
+            "is_hapax": pc.cast(pc.equal(cnt, 1), pa.int64()),
+        })
+
+    agg = tf.map_batches(add_hapax, batch_format="pyarrow").aggregate(
+        Count(alias_name="n_terms"),
+        Sum("cnt", alias_name="n_tokens"),
+        Sum("is_hapax", alias_name="hapax_terms")) or {}
+    row = pa.table({
+        "n_terms": pa.array([int(agg.get("n_terms") or 0)], pa.int64()),
+        "n_tokens": pa.array([int(agg.get("n_tokens") or 0)], pa.int64()),
+        "hapax_terms": pa.array([int(agg.get("hapax_terms") or 0)],
+                                pa.int64()),
+    })
+    return rd.from_arrow(row)
+
+
+HLL_SCHEMA = pa.schema([
+    ("n_distinct_est", pa.int64()),
+    ("precision_p", pa.int64()),
+    ("rel_error_bound", pa.float64()),
+])
+
+#: 16-byte key for the HLL token hash (independent of every other
+#: hashing domain in the engine).
+_HLL_KEY = "smqtk-ray-hll-01"
+
+
+def _bit_length_u64(x: np.ndarray) -> np.ndarray:
+    """Exact vectorized bit_length for uint64 (float ``log2`` mis-rounds
+    near powers of two above 2**53)."""
+    x = x.astype(np.uint64, copy=True)
+    n = np.zeros(x.shape, dtype=np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        m = x >= (np.uint64(1) << np.uint64(s))
+        n[m] += s
+        x[m] >>= np.uint64(s)
+    return n + (x != 0)
+
+
+def distinct_terms_hll(docs, *, p: int = 14):
+    """Approximate corpus-wide distinct-term count via HyperLogLog with
+    ``2**p`` registers (Flajolet et al., AofA 2007) — the bounded-memory
+    scale twin of :func:`vocab_stats`: the shuffle carries at most
+    ``2**p`` (register, max-rank) int64 rows per batch regardless of
+    vocabulary size, where the exact path shuffles the full vocabulary
+    (a web crawl's long tail is billions of distinct terms).
+
+    Fully deterministic — keyed 64-bit token hash, no RNG — so retries
+    are value-stable.  Register = top ``p`` hash bits; rank = leading
+    zeros of the remaining ``w = 64-p`` bits + 1; merge = per-register
+    max (an associative groupby ``Max``, the same partial-aggregate
+    combiner shape as :func:`term_frequencies`).  Estimate uses the
+    standard bias-corrected harmonic mean with linear counting below
+    ``2.5m``; standard error ``1.04/sqrt(2**p)`` (~0.8% at p=14).
+
+    Returns one row ``(n_distinct_est, precision_p, rel_error_bound)``.
+    No SQL oracle (approximate by construction); pinned by a pytest
+    accuracy bound against known-cardinality corpora instead.
+    """
+    import ray.data as rd
+
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+    from ray.data.aggregate import Max
+
+    from smqtk_indexing_ray.functions.tokenize import tokenize_flat
+    from smqtk_indexing_ray.stages._util import collect_table
+
+    if not 4 <= p <= 18:
+        raise ValueError(f"p must be in [4, 18], got {p}")
+    m = 1 << p
+    w = 64 - p
+    reg_schema = pa.schema([("reg", pa.int64()), ("rank", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return reg_schema.empty_table()
+        h, _ = tokenize_flat(t["text"], lowercase=False,
+                             hash_key=_HLL_KEY)
+        if not len(h):
+            return reg_schema.empty_table()
+        idx = (h >> np.uint64(w)).astype(np.int64)
+        rest = h & ((np.uint64(1) << np.uint64(w)) - np.uint64(1))
+        rank = np.int64(w) + 1 - _bit_length_u64(rest)
+        reg = np.zeros(m, dtype=np.int64)
+        np.maximum.at(reg, idx, rank)
+        nz = np.flatnonzero(reg)
+        return pa.table({"reg": pa.array(nz),
+                         "rank": pa.array(reg[nz])})
+
+    g = (docs.select_columns(["doc_id", "text"])
+         .map_batches(partial, batch_format="pyarrow")
+         .groupby("reg").aggregate(Max("rank", alias_name="rank")))
+    # <= 2**p rows by construction: bounded driver collect
+    tab = collect_table(g, reg_schema)
+
+    regs = np.zeros(m, dtype=np.int64)
+    if tab.num_rows:
+        regs[tab["reg"].to_numpy(zero_copy_only=False)] = \
+            tab["rank"].to_numpy(zero_copy_only=False)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / float(np.sum(np.exp2(-regs.astype(np.float64))))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros > 0:
+        est = m * float(np.log(m / zeros))
+    row = pa.table({
+        "n_distinct_est": pa.array([int(round(est))], pa.int64()),
+        "precision_p": pa.array([p], pa.int64()),
+        "rel_error_bound": pa.array([1.04 / float(np.sqrt(m))],
+                                    pa.float64()),
+    })
+    return rd.from_arrow(row)
+
+
 def novel_docs(new_docs, corpus, *, num_partitions: int = 16):
     """Incremental ingest dedup: new docs whose exact text does not
     already exist in the corpus (the batch-vs-index anti-join an

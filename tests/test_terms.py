@@ -237,6 +237,66 @@ def test_heavy_hitters_empty_and_one_in_validation(ray_session):
         heavy_hitters(_ds(DOCS), one_in=0)
 
 
+def test_vocab_stats_matches_brute_force(ray_session):
+    from collections import Counter
+
+    from smqtk_indexing_ray.pipelines.terms import vocab_stats
+
+    cnt = Counter(w for r in DOCS for w in r[1].split())
+    out = _table(vocab_stats(_ds(DOCS))).to_pydict()
+    assert out["n_terms"] == [len(cnt)]
+    assert out["n_tokens"] == [sum(cnt.values())]
+    assert out["hapax_terms"] == [sum(1 for c in cnt.values() if c == 1)]
+
+
+def test_vocab_stats_empty(ray_session):
+    from smqtk_indexing_ray.pipelines.terms import vocab_stats
+
+    empty = [(0, "", "en", "s0", 0)]
+    out = _table(vocab_stats(_ds(empty))).to_pydict()
+    assert out == {"n_terms": [0], "n_tokens": [0], "hapax_terms": [0]}
+
+
+def test_distinct_terms_hll_accuracy_and_determinism(ray_session):
+    from smqtk_indexing_ray.pipelines.terms import distinct_terms_hll
+
+    # 3000 distinct tokens, each appearing 1-3 times across 150 docs
+    rng = np.random.default_rng(9)
+    toks = [f"w{i}" for i in range(3000)]
+    stream = toks + [toks[i] for i in rng.integers(0, 3000, size=2500)]
+    rng.shuffle(stream)
+    rows = [(d, " ".join(stream[d * 37:(d + 1) * 37]), "en", "s", 0)
+            for d in range(len(stream) // 37 + 1)]
+    exact = len(set(w for r in rows for w in r[1].split()))
+
+    est1 = _table(distinct_terms_hll(_ds(rows))).to_pydict()
+    est2 = _table(distinct_terms_hll(_ds(rows))).to_pydict()
+    assert est1 == est2, "HLL must be deterministic across runs"
+    assert est1["precision_p"] == [14]
+    got = est1["n_distinct_est"][0]
+    assert abs(got - exact) / exact < 0.05, (got, exact)
+
+
+def test_distinct_terms_hll_empty_and_validation(ray_session):
+    from smqtk_indexing_ray.pipelines.terms import distinct_terms_hll
+
+    empty = [(0, "", "en", "s0", 0)]
+    out = _table(distinct_terms_hll(_ds(empty))).to_pydict()
+    assert out["n_distinct_est"] == [0]
+    with pytest.raises(ValueError, match="p must"):
+        distinct_terms_hll(_ds(DOCS), p=3)
+
+
+def test_bit_length_u64_exact():
+    from smqtk_indexing_ray.pipelines.terms import _bit_length_u64
+
+    xs = np.array([0, 1, 2, 3, 4, (1 << 53) - 1, 1 << 53, (1 << 53) + 1,
+                   (1 << 63) - 1, 1 << 63, (1 << 64) - 1], dtype=np.uint64)
+    got = _bit_length_u64(xs)
+    expect = [int(x).bit_length() for x in xs.tolist()]
+    assert got.tolist() == expect
+
+
 def test_novel_docs(ray_session):
     import pyarrow.compute as pc
     from smqtk_indexing_ray.pipelines.terms import novel_docs

@@ -365,6 +365,17 @@ def _q_quality_signals(sf_dir: str):
     return quality_signals(_docs(sf_dir))
 
 
+def _q_funnel(sf_dir: str):
+    """Per-user ordered conversion funnel (view -> click -> purchase),
+    greedy earliest chain with strict (ts, event_id) ordering — one
+    sort + vectorized per-block state machine + O(blocks) carry fold.
+    Exact chained-row_number SQL oracle."""
+    import ray.data as rd
+    from smqtk_indexing_ray.pipelines.events import funnel
+    return funnel(rd.read_parquet(f"{sf_dir}/events.parquet"),
+                  steps=("view", "click", "purchase"))
+
+
 def _q_event_seq(sf_dir: str):
     """Running per-user sequence numbers over the event stream (a
     distributed row_number window) — exact SQL oracle."""
@@ -713,6 +724,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_user_counts": _q_window_user_counts,
         "hopping_window_counts": _q_hopping_window_counts,
         "event_seq": _q_event_seq,
+        "funnel": _q_funnel,
         "quality_signals": _q_quality_signals,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "repetition_signals": _q_repetition_signals,
@@ -901,6 +913,43 @@ def oracle_sql() -> dict[str, str]:
             "frac_long_words, (n_tokens >= 50 AND n_tokens <= 100000 AND "
             "mean_word_len >= 3.0 AND mean_word_len <= 10.0) "
             "AS passes_quality FROM m"
+        ),
+        "funnel": (
+            "WITH f AS ("
+            "  SELECT user_id, ts, event_id, event_type FROM events"
+            "  WHERE event_type IN ('view', 'click', 'purchase')"
+            "), u AS (SELECT DISTINCT user_id FROM f"
+            "), s1 AS ("
+            "  SELECT user_id, ts, event_id FROM ("
+            "    SELECT user_id, ts, event_id, row_number() OVER ("
+            "      PARTITION BY user_id ORDER BY ts, event_id) AS rn"
+            "    FROM f WHERE event_type = 'view') q1 WHERE rn = 1"
+            "), s2 AS ("
+            "  SELECT user_id, ts, event_id FROM ("
+            "    SELECT f.user_id, f.ts, f.event_id, row_number() OVER ("
+            "      PARTITION BY f.user_id ORDER BY f.ts, f.event_id) AS rn"
+            "    FROM f JOIN s1 ON f.user_id = s1.user_id"
+            "    WHERE f.event_type = 'click' AND (f.ts > s1.ts OR"
+            "      (f.ts = s1.ts AND f.event_id > s1.event_id))"
+            "  ) q2 WHERE rn = 1"
+            "), s3 AS ("
+            "  SELECT user_id, ts, event_id FROM ("
+            "    SELECT f.user_id, f.ts, f.event_id, row_number() OVER ("
+            "      PARTITION BY f.user_id ORDER BY f.ts, f.event_id) AS rn"
+            "    FROM f JOIN s2 ON f.user_id = s2.user_id"
+            "    WHERE f.event_type = 'purchase' AND (f.ts > s2.ts OR"
+            "      (f.ts = s2.ts AND f.event_id > s2.event_id))"
+            "  ) q3 WHERE rn = 1"
+            ") SELECT u.user_id,"
+            "  CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3"
+            "       WHEN s2.user_id IS NOT NULL THEN 2"
+            "       WHEN s1.user_id IS NOT NULL THEN 1"
+            "       ELSE 0 END AS BIGINT) AS steps_completed,"
+            "  epoch_us(s1.ts) AS t_first_us,"
+            "  epoch_us(coalesce(s3.ts, s2.ts, s1.ts)) AS t_last_us"
+            " FROM u LEFT JOIN s1 ON u.user_id = s1.user_id"
+            " LEFT JOIN s2 ON u.user_id = s2.user_id"
+            " LEFT JOIN s3 ON u.user_id = s3.user_id"
         ),
         "sessionize": (
             "WITH e AS ("

@@ -336,3 +336,243 @@ def hopping_window_counts(events, *, window_minutes: int = 60,
         })
 
     return agg.map_batches(clean, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Ordered conversion funnel
+# --------------------------------------------------------------------------
+
+def _funnel_runs(step: np.ndarray, ts: np.ndarray,
+                 run_starts: np.ndarray, run_ends: np.ndarray,
+                 k: int,
+                 entry0: tuple[int, int | None, int | None]) -> tuple:
+    """Vectorized greedy funnel over user runs of one sorted block.
+
+    ``step[i]`` is the funnel-step index of row i (rows sorted by
+    (user, ts, event_id), runs are contiguous per-user row ranges).
+    The greedy chain per run: the step-(j+1) event must come strictly
+    after the chosen step-j event in ROW order — row order is
+    (ts, event_id) lexicographic order, which is the strictness the SQL
+    oracle uses, and is what makes cross-block entry states independent
+    of timestamps (every row of a later block sorts strictly after
+    every same-user row of an earlier block; event_id is unique).
+
+    ``entry0`` seeds run 0 with ``(steps_done, t_first_us, t_last_us)``
+    carried from earlier blocks.  Returns per-run arrays
+    ``(steps, t_first, t_last, t_valid_first, t_valid_last)``.
+    """
+    n_runs = len(run_starts)
+    cur = np.zeros(n_runs, dtype=np.int64)
+    pos = run_starts.astype(np.int64) - 1
+    t_first = np.zeros(n_runs, dtype=np.int64)
+    t_last = np.zeros(n_runs, dtype=np.int64)
+    v_first = np.zeros(n_runs, dtype=bool)
+    v_last = np.zeros(n_runs, dtype=bool)
+    if n_runs:
+        e_steps, e_tf, e_tl = entry0
+        cur[0] = e_steps
+        if e_tf is not None:
+            t_first[0], v_first[0] = e_tf, True
+        if e_tl is not None:
+            t_last[0], v_last[0] = e_tl, True
+    step_idx = [np.flatnonzero(step == j) for j in range(k)]
+    for j in range(k):
+        idx_j = step_idx[j]
+        act = np.flatnonzero(cur == j)
+        if not len(act) or not len(idx_j):
+            continue
+        ins = np.searchsorted(idx_j, pos[act], side="right")
+        ok = ins < len(idx_j)
+        cand = np.where(ok, idx_j[np.minimum(ins, len(idx_j) - 1)], -1)
+        ok &= cand < run_ends[act]
+        hit = act[ok]
+        chosen = cand[ok]
+        cur[hit] = j + 1
+        pos[hit] = chosen
+        t_last[hit], v_last[hit] = ts[chosen], True
+        if j == 0:  # t_first = ts of the 0 -> 1 advance only
+            t_first[hit], v_first[hit] = ts[chosen], True
+    return cur, t_first, t_last, v_first, v_last
+
+
+def funnel(events, *, steps: tuple[str, ...] = ("view", "click",
+                                                "purchase")):
+    """Per-user ordered conversion funnel: how far each user progressed
+    through ``steps`` using the greedy earliest chain — the step-(j+1)
+    event must be strictly later than the chosen step-j event in
+    ``(ts, event_id)`` order.
+
+    Output one row per user having >= 1 event of any step type:
+    ``user_id, steps_completed, t_first_us, t_last_us`` (timestamps of
+    the first / latest completed step; null when ``steps_completed=0``).
+
+    Shape (SURVEY.md §4.2): ONE range-partitioning sort of the slimmed
+    (user_id, ts_us, event_id, step) stream, a vectorized multi-pass
+    state machine per block (k searchsorted passes over user runs, no
+    Python row loop), and an O(blocks) driver fold of per-block entry
+    carries.  A user's run crossing block boundaries is threaded through
+    the fold: each block's probe reports, for its first and last user
+    run, the exit state under every possible entry state (k+1 values,
+    independent of entry timestamps thanks to the lexicographic
+    strictness above), and the fill task for the block where the run
+    ends emits the composed row.  Cross-block state is O(1) per block;
+    nothing user-sized ever reaches the driver.
+
+    The reference is batch-only with no event semantics (SURVEY.md
+    §2.7); this extends the beyond-reference event surface
+    (sessionize / windows / as-of) with the sequential-pattern class.
+    Exact DuckDB oracle: chained row_number() CTEs (see
+    __ray_entry__.oracle_sql 'funnel').
+    """
+    import functools
+
+    import ray
+    import ray.data as rd
+
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+    from smqtk_indexing_ray.stages._util import _get_probe_task
+
+    k = len(steps)
+    if not 2 <= k <= 16:
+        raise ValueError(f"funnel needs 2..16 steps, got {k}")
+    if len(set(steps)) != k:
+        raise ValueError(f"funnel steps must be distinct, got {steps!r}")
+    step_of = {s: j for j, s in enumerate(steps)}
+
+    out_schema = pa.schema([
+        ("user_id", pa.int64()), ("steps_completed", pa.int64()),
+        ("t_first_us", pa.int64()), ("t_last_us", pa.int64()),
+    ])
+    slim_schema = pa.schema([
+        ("user_id", pa.int64()), ("ts_us", pa.int64()),
+        ("event_id", pa.int64()), ("step", pa.int64()),
+    ])
+
+    def slim(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "event_type" not in t.column_names:
+            return slim_schema.empty_table()
+        et = t["event_type"]
+        sidx = pc.index_in(et, value_set=pa.array(list(steps),
+                                                  pa.string()))
+        mask = pc.is_valid(sidx)
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()).filter(mask),
+            "ts_us": pc.cast(t["ts"], pa.int64()).filter(mask),
+            "event_id": pc.cast(t["event_id"], pa.int64()).filter(mask),
+            "step": pc.cast(sidx, pa.int64()).filter(mask),
+        })
+
+    srt = events.select_columns(["user_id", "ts", "event_id",
+                                 "event_type"]) \
+        .map_batches(slim, batch_format="pyarrow") \
+        .sort(["user_id", "ts_us", "event_id"]).materialize()
+
+    def _arrays(t: pa.Table):
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts_us"].to_numpy(zero_copy_only=False)
+        st = t["step"].to_numpy(zero_copy_only=False)
+        new = np.ones(len(u), dtype=bool)
+        if len(u) > 1:
+            np.not_equal(u[1:], u[:-1], out=new[1:])
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(u))
+        return u, ts, st, starts, ends
+
+    def probe(t: pa.Table):
+        cols = ("user_id", "ts_us", "event_id", "step")
+        if t.num_rows == 0 or any(c not in t.column_names for c in cols):
+            return None
+        u, ts, st, starts, ends = _arrays(t)
+
+        def run_exits(r: int) -> list:
+            """Exit (steps, t_first, t_last) of run r per entry state."""
+            s, e = int(starts[r]), int(ends[r])
+            sub_st, sub_ts = st[s:e], ts[s:e]
+            sub_start = np.array([0], dtype=np.int64)
+            sub_end = np.array([e - s], dtype=np.int64)
+            out = []
+            for j in range(k):
+                c, tf, tl, vf, vl = _funnel_runs(
+                    sub_st, sub_ts, sub_start, sub_end, k,
+                    (j, None, None))
+                out.append((int(c[0]),
+                            int(tf[0]) if vf[0] else None,
+                            int(tl[0]) if vl[0] else None))
+            return out
+
+        first_map = run_exits(0)
+        last_map = first_map if len(starts) == 1 else \
+            run_exits(len(starts) - 1)
+        return {
+            "u_first": int(u[0]), "u_last": int(u[-1]),
+            "n_runs": int(len(starts)),
+            "first_map": first_map, "last_exit0": last_map[0],
+        }
+
+    refs = [ref for bundle in srt.iter_internal_ref_bundles()
+            for ref, meta in bundle.blocks]
+    if not refs:
+        return rd.from_arrow(out_schema.empty_table())
+    task = _get_probe_task()
+    probes = ray.get([task.remote(probe, r) for r in refs])
+
+    nonempty = [i for i, p in enumerate(probes) if p is not None]
+    # continues[i]: block i's last run is continued by the next
+    # non-empty block
+    continues = {i: False for i in nonempty}
+    for a, b in zip(nonempty, nonempty[1:]):
+        continues[a] = probes[b]["u_first"] == probes[a]["u_last"]
+
+    def compose(state, m_entry):
+        """Apply one block's exit-map entry to a composed chain state."""
+        s, tf, tl = state
+        if s >= k:
+            return state
+        es, m_tf, m_tl = m_entry
+        if es == s:
+            return state
+        return (es, tf if s >= 1 else m_tf, m_tl)
+
+    ZERO = (0, None, None)
+    entries: dict[int, tuple] = {}
+    pending_user, pending = None, ZERO
+    for i in nonempty:
+        p = probes[i]
+        if pending_user is not None and pending_user == p["u_first"]:
+            entries[i] = pending
+        else:
+            entries[i] = ZERO
+        if p["n_runs"] == 1:
+            # the block's only run continues the chain (or starts one)
+            tail_entry = entries[i]
+            exit_state = tail_entry if tail_entry[0] >= k else compose(
+                tail_entry, p["first_map"][tail_entry[0]])
+        else:
+            # the last run starts fresh inside this block
+            exit_state = compose(ZERO, p["last_exit0"])
+        pending_user, pending = p["u_last"], exit_state
+
+    def fill(t: pa.Table, entry, cont: bool) -> pa.Table:
+        cols = ("user_id", "ts_us", "event_id", "step")
+        if t.num_rows == 0 or any(c not in t.column_names for c in cols):
+            return out_schema.empty_table()
+        u, ts, st, starts, ends = _arrays(t)
+        cur, tf, tl, vf, vl = _funnel_runs(st, ts, starts, ends, k, entry)
+        keep = np.ones(len(starts), dtype=bool)
+        if cont:
+            keep[-1] = False
+        return pa.table({
+            "user_id": pa.array(u[starts[keep]].astype(np.int64)),
+            "steps_completed": pa.array(cur[keep]),
+            "t_first_us": pa.array(np.where(vf[keep], tf[keep], 0),
+                                   pa.int64(), mask=~vf[keep]),
+            "t_last_us": pa.array(np.where(vl[keep], tl[keep], 0),
+                                  pa.int64(), mask=~vl[keep]),
+        })
+
+    filled = [task.remote(
+        functools.partial(fill, entry=entries.get(i, ZERO),
+                          cont=continues.get(i, False)), r)
+        for i, r in enumerate(refs)]
+    return rd.from_arrow_refs(filled)

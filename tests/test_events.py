@@ -246,3 +246,116 @@ def test_hopping_window_counts_matches_pandas():
         for w in (wmax - hop, wmax):
             want[w] = want.get(w, 0) + 1
     assert dict(got) == want
+
+
+def _funnel_brute(rows, steps):
+    """rows: (event_id, user_id, ts_us, event_type). Greedy earliest
+    chain with strict (ts, event_id) ordering between steps."""
+    by_user: dict[int, list] = {}
+    for eid, uid, ts, et in rows:
+        if et in steps:
+            by_user.setdefault(uid, []).append((ts, eid, et))
+    out = {}
+    for uid, evs in by_user.items():
+        evs.sort()
+        done, t_first, t_last = 0, None, None
+        pos = -1
+        for j, s in enumerate(steps):
+            nxt = next((i for i in range(pos + 1, len(evs))
+                        if evs[i][2] == s), None)
+            if nxt is None:
+                break
+            pos = nxt
+            done = j + 1
+            t_last = evs[nxt][0]
+            if j == 0:
+                t_first = evs[nxt][0]
+        out[uid] = (done, t_first, t_last)
+    return out
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFunnel:
+    STEPS = ("view", "click", "purchase")
+
+    def _ds(self, rows, n_blocks=1):
+        import ray.data as rd
+        t = pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([0.0] * len(rows), pa.float64()),
+        })
+        ds = rd.from_arrow(t)
+        return ds.repartition(n_blocks) if n_blocks > 1 else ds
+
+    def _run(self, rows, n_blocks=1):
+        from smqtk_indexing_ray.pipelines.events import funnel
+        out = funnel(self._ds(rows, n_blocks), steps=self.STEPS)
+        batches = list(out.iter_batches(batch_size=None,
+                                        batch_format="pyarrow"))
+        if not batches:
+            return {}
+        d = pa.concat_tables(batches).to_pydict()
+        if "user_id" not in d:
+            return {}
+        return {u: (s, tf, tl) for u, s, tf, tl in zip(
+            d["user_id"], d["steps_completed"], d["t_first_us"],
+            d["t_last_us"])}
+
+    def test_hand_built(self):
+        rows = [
+            # user 1 converts fully, out-of-order noise between steps
+            (0, 1, 100, "view"), (1, 1, 150, "error"),
+            (2, 1, 200, "click"), (3, 1, 300, "purchase"),
+            # user 2: purchase BEFORE view/click -> only view+click count
+            (4, 2, 50, "purchase"), (5, 2, 100, "view"),
+            (6, 2, 200, "click"),
+            # user 3: click only -> 0 steps (never viewed)
+            (7, 3, 10, "click"),
+            # user 4: tie timestamps; event_id breaks the tie:
+            # view(eid 8) and click(eid 9) at ts=500 -> click counts
+            (8, 4, 500, "view"), (9, 4, 500, "click"),
+            # click at SAME ts but SMALLER eid than view -> must not
+            (10, 5, 500, "click"), (11, 5, 500, "view"),
+            (12, 5, 400, "signup"),
+        ]
+        got = self._run(rows)
+        assert got[1] == (3, 100, 300)
+        assert got[2] == (2, 100, 200)
+        assert got[3] == (0, None, None)
+        assert got[4] == (2, 500, 500)
+        assert got[5] == (1, 500, 500)
+        assert got == _funnel_brute(
+            [(r[0], r[1], r[2], r[3]) for r in rows], self.STEPS)
+
+    def test_randomized_multiblock_vs_brute(self):
+        rng = np.random.default_rng(42)
+        types = list(self.STEPS) + ["error", "signup"]
+        rows = []
+        eid = 0
+        # 6 users incl. one hot user with 600 events -> guaranteed to
+        # straddle many of the 16 sorted blocks
+        for uid, n in [(1, 600), (2, 40), (3, 40), (4, 5), (5, 1),
+                       (6, 80)]:
+            for _ in range(n):
+                ts = int(rng.integers(0, 500))  # dense ts -> many ties
+                rows.append((eid, uid, ts,
+                             types[int(rng.integers(0, len(types)))]))
+                eid += 1
+        got = self._run(rows, n_blocks=16)
+        expect = _funnel_brute(rows, self.STEPS)
+        assert got == expect
+        # and single-block agrees (block-boundary machinery is a no-op)
+        assert self._run(rows, n_blocks=1) == expect
+
+    def test_validation_and_empty(self):
+        from smqtk_indexing_ray.pipelines.events import funnel
+        with pytest.raises(ValueError, match="2..16|distinct"):
+            funnel(self._ds([(0, 1, 1, "view")]), steps=("view",))
+        with pytest.raises(ValueError, match="distinct"):
+            funnel(self._ds([(0, 1, 1, "view")]),
+                   steps=("view", "view"))
+        got = self._run([(0, 1, 100, "error")])  # no step events at all
+        assert got == {}

@@ -273,6 +273,10 @@ def run_sf_suite(sf_dir: str) -> dict[str, float]:
         from smqtk_indexing_ray.pipelines.events import window_agg as wa
         return wa(events(), window_minutes=60)
 
+    def funnel():
+        from smqtk_indexing_ray.pipelines.events import funnel as fu
+        return fu(events(), steps=("view", "click", "purchase"))
+
     suite = {
         "lsh_dedup_documents": lambda: dedup_pipeline(
             documents_as_pages(docs()), DedupConfig(),
@@ -284,6 +288,7 @@ def run_sf_suite(sf_dir: str) -> dict[str, float]:
         "srp_near_pairs": lambda: ann.srp_near_pairs(emb(), max_hamming=24),
         "mrpt_topk": lambda: ann.mrpt_topk(emb(), n_queries=32, k=10),
         "window_agg": window_agg,
+        "funnel": funnel,
         "line_dedup": lambda: terms.line_dedup(docs(), min_df=2),
         "heavy_hitters": lambda: terms.heavy_hitters(docs(), one_in=500),
         "token_chunks": lambda: terms.token_chunks(docs(), budget=4096),

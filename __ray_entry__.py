@@ -639,6 +639,15 @@ def _q_distinct_terms_hll(sf_dir: str):
     return distinct_terms_hll(_docs(sf_dir))
 
 
+def _q_top_bigrams(sf_dir: str):
+    """Corpus-wide top-k bigram collocations with exact lift scores
+    (PMI without the log — int64-product-exact float parity).  Bigram
+    counts ride the term_frequencies combiner shape; per-block top-k
+    pruning bounds the final sort at k x blocks rows."""
+    from smqtk_indexing_ray.pipelines.terms import top_bigrams
+    return top_bigrams(_docs(sf_dir), k=100, min_count=2)
+
+
 def _q_line_dedup(sf_dir: str):
     """CCNet-style corpus-wide duplicated-line scrub (min_df=2): hot
     128-bit line hashes broadcast once, rebuild is one Arrow
@@ -734,6 +743,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": _q_heavy_hitters,
         "vocab_stats": _q_vocab_stats,
         "distinct_terms_hll": _q_distinct_terms_hll,
+        "top_bigrams": _q_top_bigrams,
         "line_dedup": _q_line_dedup,
         "novel_docs": _q_novel_docs,
         "pattern_scrub": _q_pattern_scrub,
@@ -1210,6 +1220,27 @@ def oracle_sql() -> dict[str, str]:
             " CAST(sum(cnt) AS BIGINT) AS n_tokens,"
             " CAST(count(*) FILTER (WHERE cnt = 1) AS BIGINT)"
             "   AS hapax_terms FROM cnts"
+        ),
+        "top_bigrams": (
+            "WITH " + _TOKS + ", t AS ("
+            "  SELECT unnest(w) AS term FROM toks"
+            "), uc AS ("
+            "  SELECT term, count(*) AS c FROM t GROUP BY term"
+            "), tot AS (SELECT count(*) AS n FROM t"
+            "), b AS ("
+            "  SELECT unnest(list_zip(w[:len(w)-1], w[2:])) AS p"
+            "  FROM toks WHERE len(w) >= 2"
+            "), pcnt AS ("
+            "  SELECT p[1] AS w1, p[2] AS w2, count(*) AS cnt FROM b"
+            "  GROUP BY 1, 2"
+            "), sel AS ("
+            "  SELECT w1, w2, cnt FROM pcnt WHERE cnt >= 2"
+            "  ORDER BY cnt DESC, w1, w2 LIMIT 100"
+            ") SELECT s.w1, s.w2, s.cnt,"
+            "  CAST(s.cnt * tot.n AS DOUBLE) / (u1.c * u2.c) AS lift"
+            " FROM sel s CROSS JOIN tot"
+            " JOIN uc u1 ON s.w1 = u1.term"
+            " JOIN uc u2 ON s.w2 = u2.term"
         ),
         "line_dedup": (
             "WITH lines AS ("

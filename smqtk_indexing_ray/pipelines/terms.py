@@ -807,3 +807,154 @@ def novel_docs(new_docs, corpus, *, num_partitions: int = 16):
 
     return stamp_schema(j.map_batches(project, batch_format="pyarrow"),
                         pa.schema([("doc_id", pa.int64())]))
+
+
+BIGRAM_SCHEMA = pa.schema([
+    ("w1", pa.string()),
+    ("w2", pa.string()),
+    ("cnt", pa.int64()),
+    ("lift", pa.float64()),
+])
+
+
+def top_bigrams(docs, *, k: int = 100, min_count: int = 2):
+    """Corpus-wide top-k bigram collocations by count, with the exact
+    lift score ``cnt(w1 w2) * N / (cnt(w1) * cnt(w2))`` — the
+    phrase-mining pass a tokenizer/vocabulary build runs over a corpus
+    (lift is PMI without the log, so the score stays a pure int64
+    product ratio and the SQL oracle is bit-exact: int64 -> double
+    conversion and one IEEE division round identically on both sides).
+
+    Shape: the bigram counts ride the same partial-aggregate combiner
+    as :func:`term_frequencies` (each batch emits one row per distinct
+    adjacent pair it saw — pairs never span documents — so the shuffle
+    is bigram-vocabulary-sized, never the token stream).  After the
+    ``min_count`` filter, each output block keeps only its local top-k
+    (the global top-k is a subset of the union of per-block top-ks),
+    so the final exact sort runs on <= k * blocks rows driver-side.
+    Unigram counts for the <= 2k surviving terms come from a filtered
+    scan of :func:`term_frequencies` — no second shuffle, no broadcast
+    of the full vocabulary.
+
+    Ties at the k-th count are broken by (w1, w2) ascending on both
+    sides, so the selected SET is deterministic.
+    """
+    import ray.data as rd
+
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+    from ray.data.aggregate import Sum
+
+    from smqtk_indexing_ray.stages._util import collect_table
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+
+    pair_schema = pa.schema([("w1", pa.string()), ("w2", pa.string()),
+                             ("cnt", pa.int64())])
+    from smqtk_indexing_ray.functions.tokenize import tokens_flat
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pair_schema.empty_table()
+        toks, off = tokens_flat(t["text"], lowercase=False)
+        total = len(toks)
+        if total < 2:
+            return pair_schema.empty_table()
+        valid = np.ones(total - 1, dtype=bool)
+        # pair (i, i+1) crosses a doc boundary when i+1 is a doc start
+        starts = np.asarray(off[1:-1], dtype=np.int64) - 1
+        starts = starts[(starts >= 0) & (starts < total - 1)]
+        valid[starts] = False
+        d = pc.dictionary_encode(toks)
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        code = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = d.dictionary
+        v = len(vocab)
+        c1, c2 = code[:-1][valid], code[1:][valid]
+        if not len(c1):
+            return pair_schema.empty_table()
+        key = c1 * v + c2
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "w1": vocab.take(pa.array(uk // v, pa.int64())).cast(
+                pa.string()),
+            "w2": vocab.take(pa.array(uk % v, pa.int64())).cast(
+                pa.string()),
+            "cnt": pa.array(cnt.astype(np.int64)),
+        })
+
+    g = (docs.select_columns(["doc_id", "text"])
+         .map_batches(partial, batch_format="pyarrow")
+         .groupby(["w1", "w2"]).aggregate(Sum("cnt", alias_name="cnt")))
+    if min_count > 1:
+        g = g.filter(expr=f"cnt >= {int(min_count)}")
+
+    sort_keys = [("cnt", "descending"), ("w1", "ascending"),
+                 ("w2", "ascending")]
+
+    def prune(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "cnt" not in t.column_names:
+            return pair_schema.empty_table()
+        t = pa.table({"w1": pc.cast(t["w1"], pa.string()),
+                      "w2": pc.cast(t["w2"], pa.string()),
+                      "cnt": pc.cast(t["cnt"], pa.int64())})
+        if t.num_rows <= k:
+            return t
+        idx = pc.sort_indices(t, sort_keys=sort_keys)
+        return t.take(idx.slice(0, k))
+
+    top = collect_table(g.map_batches(prune, batch_format="pyarrow"),
+                        pair_schema)
+    if top.num_rows > k:
+        idx = pc.sort_indices(top, sort_keys=sort_keys)
+        top = top.take(idx.slice(0, k))
+
+    tf = term_frequencies(docs).materialize()
+    n_tokens = int((tf.aggregate(Sum("cnt", alias_name="n")) or {})
+                   .get("n") or 0)
+    if top.num_rows == 0:
+        return rd.from_arrow(BIGRAM_SCHEMA.empty_table())
+
+    w1 = top["w1"].to_numpy(zero_copy_only=False).astype(object)
+    w2 = top["w2"].to_numpy(zero_copy_only=False).astype(object)
+    need = np.sort(np.unique(np.concatenate([w1, w2])))
+
+    def pick(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "term" not in t.column_names:
+            return TERM_FREQ_SCHEMA.empty_table()
+        terms = t["term"].to_numpy(zero_copy_only=False).astype(object)
+        pos = np.minimum(np.searchsorted(need, terms), len(need) - 1)
+        m = need[pos] == terms
+        if not m.any():
+            return TERM_FREQ_SCHEMA.empty_table()
+        return pa.table({
+            "term": pc.cast(t["term"], pa.string()).filter(pa.array(m)),
+            "cnt": pc.cast(t["cnt"], pa.int64()).filter(pa.array(m)),
+            "df": pc.cast(t["df"], pa.int64()).filter(pa.array(m)),
+        })
+
+    uc = collect_table(tf.map_batches(pick, batch_format="pyarrow"),
+                       TERM_FREQ_SCHEMA)
+    uterm = uc["term"].to_numpy(zero_copy_only=False).astype(object)
+    ucnt = uc["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(uterm, kind="stable")
+    uterm, ucnt = uterm[order], ucnt[order]
+
+    def lookup(ws: np.ndarray) -> np.ndarray:
+        pos = np.searchsorted(uterm, ws)
+        # every top-bigram term occurs in the corpus by construction
+        return ucnt[pos]
+
+    cnt12 = top["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    num = (cnt12 * np.int64(n_tokens)).astype(np.float64)
+    den = (lookup(w1) * lookup(w2)).astype(np.float64)
+    out = pa.table({
+        "w1": top["w1"], "w2": top["w2"],
+        "cnt": pa.array(cnt12),
+        "lift": pa.array(num / den),
+    })
+    return rd.from_arrow(out)

@@ -329,3 +329,60 @@ def test_pair_member_collision_runs():
     a2 = np.array([10, 4, 8, 3, 0, 7, 11], dtype=np.int64)
     want = np.array([True, True, True, False, True, False, False])
     assert (_pair_member(hot1, hot2, a1, a2) == want).all()
+
+
+def _bigram_brute(rows, k, min_count):
+    from collections import Counter
+    pair = Counter()
+    uni = Counter()
+    for r in rows:
+        ws = r[1].split()
+        uni.update(ws)
+        pair.update(zip(ws, ws[1:]))
+    n = sum(uni.values())
+    sel = sorted((p for p, c in pair.items() if c >= min_count),
+                 key=lambda p: (-pair[p], p[0], p[1]))[:k]
+    return {p: (pair[p], float(pair[p] * n) / float(uni[p[0]] * uni[p[1]]))
+            for p in sel}
+
+
+def test_top_bigrams_matches_brute_force(ray_session):
+    from smqtk_indexing_ray.pipelines.terms import top_bigrams
+
+    out = _table(top_bigrams(_ds(DOCS), k=5, min_count=1)).to_pydict()
+    got = {(a, b): (c, lf) for a, b, c, lf in zip(
+        out["w1"], out["w2"], out["cnt"], out["lift"])}
+    expect = _bigram_brute(DOCS, k=5, min_count=1)
+    assert got == expect
+    # "cat cat" (doc 2) must count 3, and "mat the" (doc 0 end -> doc 3
+    # start) must NOT exist: pairs never span documents
+    assert got[("cat", "cat")][0] == 3
+    full = _table(top_bigrams(_ds(DOCS), k=100, min_count=1)).to_pydict()
+    assert ("mat", "the") not in set(zip(full["w1"], full["w2"]))
+
+
+def test_top_bigrams_min_count_and_multiblock(ray_session):
+    from smqtk_indexing_ray.pipelines.terms import top_bigrams
+
+    rows = [(i, "x y " * (i % 3 + 1) + f"tail{i} x", "en", "s", 0)
+            for i in range(40)]
+    for n_blocks in (1, 8):
+        ds = _ds(rows)
+        if n_blocks > 1:
+            ds = ds.repartition(n_blocks)
+        out = _table(top_bigrams(ds, k=3, min_count=2)).to_pydict()
+        got = {(a, b): (c, lf) for a, b, c, lf in zip(
+            out["w1"], out["w2"], out["cnt"], out["lift"])}
+        assert got == _bigram_brute(rows, k=3, min_count=2)
+
+
+def test_top_bigrams_empty_and_validation(ray_session):
+    from smqtk_indexing_ray.pipelines.terms import top_bigrams
+
+    empty = [(0, "", "en", "s0", 0), (1, "solo", "en", "s0", 0)]
+    out = _table(top_bigrams(_ds(empty))).to_pydict()
+    assert out == {"w1": [], "w2": [], "cnt": [], "lift": []}
+    with pytest.raises(ValueError, match="k must"):
+        top_bigrams(_ds(DOCS), k=0)
+    with pytest.raises(ValueError, match="min_count"):
+        top_bigrams(_ds(DOCS), min_count=0)

@@ -182,6 +182,20 @@ def _q_lang_summary(sf_dir: str):
     return lang_summary(_docs(sf_dir))
 
 
+def _q_source_dup_stats(sf_dir: str):
+    """Per-source exact-dup audit: two-level exact distinct over
+    (source, 128-bit text hash); text never crosses a shuffle."""
+    from smqtk_indexing_ray.pipelines.analysis import source_dup_stats
+    return source_dup_stats(_docs(sf_dir))
+
+
+def _q_length_histogram(sf_dir: str):
+    """Docs per 100-char length bucket (partial-agg combiner; shuffle
+    bounded by buckets x batches)."""
+    from smqtk_indexing_ray.pipelines.analysis import length_histogram
+    return length_histogram(_docs(sf_dir), bucket_chars=100)
+
+
 def _q_ngram_jaccard_pairs(sf_dir: str):
     from smqtk_indexing_ray.pipelines.analysis import ngram_jaccard_pairs
     return ngram_jaccard_pairs(_docs(sf_dir), k=3, threshold=0.5)
@@ -707,6 +721,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "contamination": _q_contamination,
         "lang_summary": _q_lang_summary,
+        "source_dup_stats": _q_source_dup_stats,
+        "length_histogram": _q_length_histogram,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "jaccard_cluster_labels": _q_jaccard_cluster_labels,
         "cosine_near_pairs": _q_cosine_near_pairs,
@@ -865,6 +881,23 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(length(text)) AS BIGINT) AS total_chars, "
             "CAST(sum(length(text)) AS DOUBLE) / count(*) AS avg_chars "
             "FROM documents GROUP BY lang"
+        ),
+        "source_dup_stats": (
+            "WITH g AS ("
+            "  SELECT source, text, count(*) AS c FROM documents"
+            "  GROUP BY 1, 2"
+            ") SELECT source,"
+            "  CAST(sum(c) AS BIGINT) AS n_docs,"
+            "  count(*) AS n_unique,"
+            "  CAST(sum(c) - count(*) AS DOUBLE)"
+            "    / CAST(sum(c) AS DOUBLE) AS dup_ratio"
+            " FROM g GROUP BY source"
+        ),
+        "length_histogram": (
+            "SELECT CAST(length(text) // 100 AS BIGINT) AS bucket,"
+            "  CAST(length(text) // 100 * 100 AS BIGINT) AS lo_chars,"
+            "  count(*) AS n_docs"
+            " FROM documents GROUP BY 1, 2"
         ),
         "ngram_jaccard_pairs": (
             "WITH " + _TOKS + ", " + _SHINGLES + " "

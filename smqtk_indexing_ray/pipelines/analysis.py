@@ -656,3 +656,138 @@ def winnow_fingerprints(docs, *, k: int = 5, window: int = 4,
 
     return docs.select_columns(["doc_id", "text"]).map_batches(
         winnow, batch_format="pyarrow")
+
+
+SOURCE_DUP_SCHEMA = pa.schema([
+    ("source", pa.string()), ("n_docs", pa.int64()),
+    ("n_unique", pa.int64()), ("dup_ratio", pa.float64()),
+])
+
+
+def source_dup_stats(docs):
+    """Per-source exact-duplicate summary: doc count, distinct-text
+    count, and the duplicated fraction — the "which crawl source is
+    polluting the corpus" audit run before near-dup dedup.
+
+    Two-level exact distinct (same shape as
+    ``events.window_user_counts``): each batch pre-collapses
+    ``(source, h1, h2)`` triples with an in-batch Arrow group_by, the
+    shuffle then carries at most one 24-byte row per distinct text per
+    batch, a global groupby finishes the dedup, and a second
+    source-keyed groupby folds the per-source counts.  The text itself
+    never crosses a shuffle.  ``dup_ratio = (n_docs - n_unique) /
+    n_docs`` is a ratio of exact int64 counts, so the DuckDB oracle is
+    bit-exact.
+
+    Reference parity: this is the per-source rollup of the distinct-code
+    path of the reference's LinearHashIndex
+    (/root/reference/smqtk_indexing/impls/hash_index/linear.py:110).
+    """
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+
+    from ray.data.aggregate import Count, Sum
+
+    tri_schema = pa.schema([("source", pa.string()), ("h1", pa.int64()),
+                            ("h2", pa.int64()), ("cnt", pa.int64())])
+
+    def pre(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return tri_schema.empty_table()
+        h = _hash_text(t)
+        t2 = pa.table({"source": t["source"], "h1": h["h1"],
+                       "h2": h["h2"]})
+        g = t2.group_by(["source", "h1", "h2"]).aggregate(
+            [("source", "count")])
+        return pa.table({
+            "source": g["source"], "h1": g["h1"], "h2": g["h2"],
+            "cnt": pc.cast(g["source_count"], pa.int64()),
+        })
+
+    distinct = (docs.select_columns(["doc_id", "source", "text"])
+                .map_batches(pre, batch_format="pyarrow")
+                .groupby(["source", "h1", "h2"])
+                .aggregate(Sum("cnt", alias_name="cnt")))
+
+    def strip(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "source" not in t.column_names:
+            return pa.schema([("source", pa.string()),
+                              ("cnt", pa.int64())]).empty_table()
+        return pa.table({"source": t["source"],
+                         "cnt": pc.cast(t["cnt"], pa.int64())})
+
+    per_src = (distinct.map_batches(strip, batch_format="pyarrow")
+               .groupby("source")
+               .aggregate(Count(alias_name="n_unique"),
+                          Sum("cnt", alias_name="n_docs")))
+
+    def post(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "n_unique" not in t.column_names:
+            return SOURCE_DUP_SCHEMA.empty_table()
+        nd = pc.cast(t["n_docs"], pa.int64())
+        nu = pc.cast(t["n_unique"], pa.int64())
+        dup = pc.subtract(nd, nu)
+        ratio = pc.divide(pc.cast(dup, pa.float64()),
+                          pc.cast(nd, pa.float64()))
+        return pa.table({"source": t["source"], "n_docs": nd,
+                         "n_unique": nu, "dup_ratio": ratio})
+
+    return stamp_schema(per_src.map_batches(post, batch_format="pyarrow"),
+                        SOURCE_DUP_SCHEMA)
+
+
+LENGTH_HIST_SCHEMA = pa.schema([
+    ("bucket", pa.int64()), ("lo_chars", pa.int64()),
+    ("n_docs", pa.int64()),
+])
+
+
+def length_histogram(docs, *, bucket_chars: int = 100):
+    """Corpus length histogram: docs per ``bucket_chars``-wide character
+    bucket (``bucket = len(text) // bucket_chars``), only populated
+    buckets emitted.
+
+    Partial-aggregate combiner: each batch bincounts its own lengths and
+    emits one row per populated bucket, so the shuffle input is bounded
+    by ``buckets x batches`` — never the document stream.  Counts are
+    exact int64; character lengths come from the text itself
+    (``utf8_length``, matching DuckDB ``length``), not the stored
+    ``n_chars`` column.
+    """
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+
+    from ray.data.aggregate import Sum
+
+    if bucket_chars < 1:
+        raise ValueError(
+            f"bucket_chars must be >= 1, got {bucket_chars}")
+
+    part_schema = pa.schema([("bucket", pa.int64()), ("n_docs", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        n = pc.utf8_length(pc.fill_null(t["text"], "")).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        b = n // bucket_chars
+        ub, cnt = np.unique(b, return_counts=True)
+        return pa.table({"bucket": pa.array(ub),
+                         "n_docs": pa.array(cnt.astype(np.int64))})
+
+    g = (docs.select_columns(["text"])
+         .map_batches(partial, batch_format="pyarrow")
+         .groupby("bucket").aggregate(Sum("n_docs", alias_name="n_docs")))
+
+    def post(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "bucket" not in t.column_names:
+            return LENGTH_HIST_SCHEMA.empty_table()
+        b = pc.cast(t["bucket"], pa.int64())
+        return pa.table({
+            "bucket": b,
+            "lo_chars": pc.multiply(b, pa.scalar(bucket_chars, pa.int64())),
+            "n_docs": pc.cast(t["n_docs"], pa.int64()),
+        })
+
+    return stamp_schema(g.map_batches(post, batch_format="pyarrow"),
+                        LENGTH_HIST_SCHEMA)

@@ -479,3 +479,46 @@ def test_top_k_per_group_matches_pandas():
     want = df[df["rank"] <= 7].sort_values(["grp", "rank"],
                                            ignore_index=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_source_dup_stats_exact():
+    """Two-level distinct rollup vs a pandas groupby-nunique oracle,
+    with dup groups straddling block boundaries."""
+    import ray.data as rd
+    from smqtk_indexing_ray.pipelines.analysis import source_dup_stats
+    rng = np.random.default_rng(7)
+    n = 900
+    src = rng.choice(["cc", "wiki", "books"], n)
+    texts = [f"doc {i % 50} body" if s == "cc" else f"{s} doc {i}"
+             for i, s in enumerate(src)]          # cc heavily duplicated
+    t = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "source": pa.array(src), "text": pa.array(texts)})
+    got = source_dup_stats(rd.from_arrow(t).repartition(7)).to_pandas() \
+        .sort_values("source", ignore_index=True)
+    df = t.to_pandas()
+    want = df.groupby("source").agg(
+        n_docs=("text", "size"), n_unique=("text", "nunique")
+    ).reset_index()
+    want["dup_ratio"] = (want.n_docs - want.n_unique) / want.n_docs
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_length_histogram_exact():
+    """Partial-agg bincount vs a pandas value_counts oracle; only
+    populated buckets emitted."""
+    import ray.data as rd
+    from smqtk_indexing_ray.pipelines.analysis import length_histogram
+    rng = np.random.default_rng(11)
+    texts = ["x" * int(k) for k in rng.integers(0, 950, 1200)]
+    t = pa.table({"doc_id": pa.array(np.arange(1200, dtype=np.int64)),
+                  "text": pa.array(texts)})
+    got = length_histogram(rd.from_arrow(t).repartition(5),
+                           bucket_chars=100).to_pandas() \
+        .sort_values("bucket", ignore_index=True)
+    want = (pd.Series([len(s) // 100 for s in texts])
+            .value_counts().sort_index())
+    assert list(got.bucket) == list(want.index)
+    assert list(got.n_docs) == list(want.values)
+    assert list(got.lo_chars) == [b * 100 for b in want.index]

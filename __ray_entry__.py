@@ -196,6 +196,13 @@ def _q_length_histogram(sf_dir: str):
     return length_histogram(_docs(sf_dir), bucket_chars=100)
 
 
+def _q_doc_commonness(sf_dir: str):
+    """Unigram-frequency doc score (CCNet-style LM-quality proxy):
+    bounded vocab broadcast + batch-local lookup; exact int64 counts."""
+    from smqtk_indexing_ray.pipelines.terms import doc_commonness
+    return doc_commonness(_docs(sf_dir))
+
+
 def _q_ngram_jaccard_pairs(sf_dir: str):
     from smqtk_indexing_ray.pipelines.analysis import ngram_jaccard_pairs
     return ngram_jaccard_pairs(_docs(sf_dir), k=3, threshold=0.5)
@@ -723,6 +730,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_summary": _q_lang_summary,
         "source_dup_stats": _q_source_dup_stats,
         "length_histogram": _q_length_histogram,
+        "doc_commonness": _q_doc_commonness,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "jaccard_cluster_labels": _q_jaccard_cluster_labels,
         "cosine_near_pairs": _q_cosine_near_pairs,
@@ -898,6 +906,16 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(length(text) // 100 * 100 AS BIGINT) AS lo_chars,"
             "  count(*) AS n_docs"
             " FROM documents GROUP BY 1, 2"
+        ),
+        "doc_commonness": (
+            "WITH " + _TOKS + ", "
+            "tok AS (SELECT doc_id, unnest(w) AS term FROM toks), "
+            "tf AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term) "
+            "SELECT tok.doc_id, count(*) AS n_tokens,"
+            "  CAST(sum(cnt) AS BIGINT) AS sum_cnt,"
+            "  CAST(min(cnt) AS BIGINT) AS min_cnt,"
+            "  CAST(sum(cnt) AS DOUBLE) / count(*) AS mean_cnt"
+            " FROM tok JOIN tf USING (term) GROUP BY tok.doc_id"
         ),
         "ngram_jaccard_pairs": (
             "WITH " + _TOKS + ", " + _SHINGLES + " "

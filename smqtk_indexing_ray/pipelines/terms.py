@@ -211,6 +211,37 @@ def term_frequencies(docs, *, min_count: int = 1):
 TFIDF_MAX_VOCAB = 4_000_000
 
 
+def _collect_vocab(docs, max_vocab: int, *, caller: str):
+    """Aggregate the corpus (term, cnt, df) table, gate it at
+    ``max_vocab``, and return term-sorted numpy arrays ready for
+    ``np.searchsorted`` lookup inside a broadcast scoring stage.
+
+    The gate raises loudly instead of silently truncating: above it the
+    vocabulary no longer belongs in every worker's heap and the caller
+    must prune (``term_frequencies(min_count=...)``) or switch to the
+    token-level shuffle-join formulation.
+    """
+    tf_tab = term_frequencies(docs).materialize()
+    n_vocab = tf_tab.count()
+    if n_vocab > max_vocab:
+        raise ValueError(
+            f"{caller}: vocabulary has {n_vocab} terms > max_vocab="
+            f"{max_vocab}; prune with term_frequencies(min_count=...) and "
+            "a bounded vocabulary before broadcasting")
+    if n_vocab:
+        vt = pa.concat_tables(
+            [b for b in tf_tab.iter_batches(batch_size=None,
+                                            batch_format="pyarrow")]
+        ).combine_chunks()
+    else:
+        vt = TERM_FREQ_SCHEMA.empty_table()
+    terms = vt["term"].to_numpy(zero_copy_only=False).astype(object)
+    cnts = vt["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dfs = vt["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(terms, kind="stable")
+    return terms[order], cnts[order], dfs[order]
+
+
 def tfidf_top_terms(docs, *, k: int = 3, max_vocab: int = TFIDF_MAX_VOCAB):
     """Per-document top-k terms by ``tf * N / df`` (an ln-free tf-idf
     whose score is exactly reproducible in SQL: ``CAST(tf*N AS
@@ -225,24 +256,9 @@ def tfidf_top_terms(docs, *, k: int = 3, max_vocab: int = TFIDF_MAX_VOCAB):
     from smqtk_indexing_ray.context import ensure_data_context
     ensure_data_context()
 
-    tf_tab = term_frequencies(docs).materialize()
-    n_vocab = tf_tab.count()
-    if n_vocab > max_vocab:
-        raise ValueError(
-            f"tfidf_top_terms: vocabulary has {n_vocab} terms > max_vocab="
-            f"{max_vocab}; prune with term_frequencies(min_count=...) and "
-            "a bounded vocabulary before broadcasting")
-    if n_vocab:
-        vt = pa.concat_tables(
-            [b for b in tf_tab.iter_batches(batch_size=None,
-                                            batch_format="pyarrow")]
-        ).combine_chunks()
-    else:
-        vt = TERM_FREQ_SCHEMA.empty_table()
-    terms = vt["term"].to_numpy(zero_copy_only=False).astype(object)
-    dfs = vt["df"].to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.argsort(terms, kind="stable")
-    ref = ray.put((terms[order], dfs[order]))
+    sorted_terms, sorted_cnt, sorted_df = _collect_vocab(
+        docs, max_vocab, caller="tfidf_top_terms")
+    ref = ray.put((sorted_terms, sorted_df))
     n_docs = docs.count()
 
     def score(t: pa.Table) -> pa.Table:
@@ -958,3 +974,85 @@ def top_bigrams(docs, *, k: int = 100, min_count: int = 2):
         "lift": pa.array(num / den),
     })
     return rd.from_arrow(out)
+
+
+DOC_COMMONNESS_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()),
+    ("n_tokens", pa.int64()),
+    ("sum_cnt", pa.int64()),
+    ("min_cnt", pa.int64()),
+    ("mean_cnt", pa.float64()),
+])
+
+
+def doc_commonness(docs, *, max_vocab: int = TFIDF_MAX_VOCAB):
+    """Unigram-frequency document score: for each doc, the sum / min /
+    mean corpus frequency of its tokens — the exact-arithmetic cousin
+    of the CCNet/Gopher unigram-LM "perplexity" quality filter (a doc
+    of globally rare tokens scores low ``mean_cnt`` and has a tiny
+    ``min_cnt``; machine-generated common-word soup scores high).
+
+    Two passes, same shape as :func:`tfidf_top_terms`: the corpus
+    (term, cnt) table is aggregated from vocabulary-sized partials,
+    gated at ``max_vocab`` (loud ``ValueError`` above it — prune or use
+    the token-level shuffle-join formulation instead of broadcasting),
+    and broadcast once via ``ray.put``; the scoring pass is then
+    batch-local lookup (``np.searchsorted`` over the term-sorted vocab)
+    with zero shuffle.  Docs with no tokens emit no row (the SQL join
+    drops them the same way).
+
+    Every output is exact: counts are int64 end-to-end (per-doc sums
+    via ``np.add.reduceat`` over the doc-sorted run stream — no float
+    accumulator), and ``mean_cnt = CAST(sum_cnt AS DOUBLE)/n_tokens``
+    is a single IEEE division on both sides, so the DuckDB oracle is
+    bit-exact.
+
+    Reference parity: frequency-weighted scoring generalizes the
+    reference's descriptor-count statistics surface
+    (/root/reference/smqtk_indexing/interfaces/nn_index.py:60-74,
+    count()); the unigram-LM filter itself is the webtext analog.
+    """
+    import ray
+
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+
+    sorted_terms, sorted_cnt, _ = _collect_vocab(
+        docs, max_vocab, caller="doc_commonness")
+    ref = ray.put((sorted_terms, sorted_cnt))
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return DOC_COMMONNESS_SCHEMA.empty_table()
+        terms_sorted, cnt_sorted = ray.get(ref)
+        (vocab, _, _, _, s_code, run_starts, run_len, run_doc,
+         counts) = _doc_term_runs(t["text"], t.num_rows)
+        if not len(run_starts):
+            return DOC_COMMONNESS_SCHEMA.empty_table()
+        batch_terms = vocab.to_numpy(zero_copy_only=False).astype(object)
+        vidx = np.searchsorted(terms_sorted, batch_terms)
+        # every batch term exists in the corpus vocabulary by construction
+        cnt_run = cnt_sorted[vidx][s_code[run_starts]]
+        tf = run_len.astype(np.int64)
+        # run_doc is nondecreasing (lexsort is doc-primary): reduceat per doc
+        doc_first = np.empty(len(run_doc), dtype=bool)
+        doc_first[0] = True
+        np.not_equal(run_doc[1:], run_doc[:-1], out=doc_first[1:])
+        starts = np.flatnonzero(doc_first)
+        sum_cnt = np.add.reduceat(tf * cnt_run, starts)
+        min_cnt = np.minimum.reduceat(cnt_run, starts)
+        uniq_doc = run_doc[starts]
+        n_tok = counts[uniq_doc].astype(np.int64)
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(doc_ids[uniq_doc]),
+            "n_tokens": pa.array(n_tok),
+            "sum_cnt": pa.array(sum_cnt),
+            "min_cnt": pa.array(min_cnt),
+            "mean_cnt": pa.array(sum_cnt.astype(np.float64)
+                                 / n_tok.astype(np.float64)),
+        })
+
+    out = docs.select_columns(["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow")
+    return stamp_schema(out, DOC_COMMONNESS_SCHEMA)

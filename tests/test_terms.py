@@ -386,3 +386,36 @@ def test_top_bigrams_empty_and_validation(ray_session):
         top_bigrams(_ds(DOCS), k=0)
     with pytest.raises(ValueError, match="min_count"):
         top_bigrams(_ds(DOCS), min_count=0)
+
+
+def test_doc_commonness_matches_sql(ray_session):
+    """Broadcast-vocab frequency scoring vs the exact DuckDB join
+    oracle; empty doc emits no row."""
+    from smqtk_indexing_ray.pipelines.terms import doc_commonness
+
+    got = _table(doc_commonness(_ds(DOCS))).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    con = _duck(DOCS)
+    want = con.sql(r"""
+        WITH toks AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+          FROM documents),
+        tok AS (SELECT doc_id, unnest(w) AS term FROM toks),
+        tf AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term)
+        SELECT tok.doc_id, count(*) AS n_tokens,
+          CAST(sum(cnt) AS BIGINT) AS sum_cnt,
+          CAST(min(cnt) AS BIGINT) AS min_cnt,
+          CAST(sum(cnt) AS DOUBLE) / count(*) AS mean_cnt
+        FROM tok JOIN tf USING (term) GROUP BY tok.doc_id
+        ORDER BY tok.doc_id
+    """).df()
+    assert 1 not in set(got.doc_id)           # empty doc dropped
+    import pandas as pd
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_doc_commonness_vocab_gate(ray_session):
+    from smqtk_indexing_ray.pipelines.terms import doc_commonness
+    with pytest.raises(ValueError, match="max_vocab"):
+        doc_commonness(_ds(DOCS), max_vocab=3)

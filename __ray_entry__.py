@@ -71,6 +71,41 @@ def _q_token_quantiles(sf_dir: str):
     return column_quantiles(token_stats(_docs(sf_dir)), "n_tokens", qs)
 
 
+def _q_group_quantiles(sf_dir: str):
+    """Exact per-language discrete quantiles of doc length: one narrow
+    (lang, n_chars) sort + run-length probes (output-proportional
+    driver state) + point reads; per-group index rule bit-matches
+    DuckDB quantile_disc."""
+    from smqtk_indexing_ray.stages.quantiles import group_quantiles
+    return group_quantiles(_docs(sf_dir), group="lang", col="n_chars",
+                           qs=[0.1, 0.25, 0.5, 0.75, 0.9])
+
+
+def _q_quality_buckets(sf_dir: str):
+    """CCNet-style per-language quality tiers: NTILE(3) over doc length
+    (head/middle/tail) — the bucketing step a pretraining pipeline uses
+    to keep only the best tier per language.  Exact NTILE window
+    oracle."""
+    import pyarrow as pa
+    from smqtk_indexing_ray.stages.topk import ntile_per_group
+
+    schema = pa.schema([("lang", pa.string()), ("doc_id", pa.int64()),
+                        ("n_chars", pa.int64())])
+    ds = _docs(sf_dir).select_columns(["lang", "doc_id", "n_chars"])
+    out = ntile_per_group(ds, group="lang", order="n_chars",
+                          tiebreak="doc_id", nb=3, schema=schema)
+
+    out_schema = pa.schema(list(schema)
+                           + [pa.field("bucket", pa.int64())])
+
+    def slim(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "bucket" not in t.column_names:
+            return out_schema.empty_table()
+        return t.select(["lang", "doc_id", "n_chars", "bucket"])
+
+    return out.map_batches(slim, batch_format="pyarrow")
+
+
 def _q_top_docs_per_lang(sf_dir: str):
     """Per-group top-k (5 longest docs per language): one sort +
     per-block rank with boundary carries — row_number() oracle."""
@@ -724,6 +759,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": _q_token_stats,
         "token_counts": _q_token_counts,
         "token_quantiles": _q_token_quantiles,
+        "group_quantiles": _q_group_quantiles,
+        "quality_buckets": _q_quality_buckets,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "stratified_sample": _q_stratified_sample,
         "contamination": _q_contamination,
@@ -875,6 +912,21 @@ def oracle_sql() -> dict[str, str]:
             ") "
             "SELECT unnest(CAST([0.1, 0.25, 0.5, 0.75, 0.9, 0.99]"
             " AS DOUBLE[])) AS q, unnest(ql) AS n_tokens FROM agg"
+        ),
+        "group_quantiles": (
+            "WITH g AS ("
+            "  SELECT lang, quantile_disc(n_chars,"
+            "  [0.1, 0.25, 0.5, 0.75, 0.9]) AS v"
+            "  FROM documents GROUP BY lang"
+            ") "
+            "SELECT lang, unnest(CAST([0.1, 0.25, 0.5, 0.75, 0.9]"
+            " AS DOUBLE[])) AS q, unnest(v) AS n_chars FROM g"
+        ),
+        "quality_buckets": (
+            "SELECT lang, doc_id, n_chars, "
+            "CAST(ntile(3) OVER (PARTITION BY lang"
+            " ORDER BY n_chars DESC, doc_id) AS BIGINT) AS bucket "
+            "FROM documents"
         ),
         "token_counts": (
             r"SELECT doc_id, "

@@ -23,6 +23,113 @@ import numpy as np
 import pyarrow as pa
 
 
+def group_quantiles(ds, *, group: str, col: str,
+                    qs: list[float]) -> pa.Table:
+    """Exact per-group discrete quantiles -> table ``(group, q, col)``.
+
+    Same machinery as :func:`column_quantiles`, generalized: one narrow
+    ``(group, col)`` sort (the group key co-locates and orders every
+    group's values), a run-length probe per block whose TOTAL output is
+    O(#groups + #blocks) rows (each group spans contiguous blocks in a
+    sorted dataset, so it contributes one run per block it touches),
+    driver-side run stitching, and O(#groups x #quantiles) point reads
+    batched per block.  Driver memory is proportional to the OUTPUT
+    size, never the input.  Per-group index rule matches DuckDB
+    ``quantile_disc`` bit-exactly (element at ``ceil(q*n_g) - 1`` within
+    the group's sorted slice).
+
+    Reference analog: the per-tree median split of the MRPT builder
+    (/root/reference/smqtk_indexing/impls/nn_index/mrpt.py:333-345)
+    is the single-group, q=0.5 form of this primitive.
+    """
+    import ray
+
+    from smqtk_indexing_ray.stages._util import _get_probe_task
+
+    srt = ds.select_columns([group, col]).sort([group, col]).materialize()
+    sch = srt.schema()
+    sch = sch.base_schema if hasattr(sch, "base_schema") else sch
+    gtype = sch.field(group).type
+    ctype = sch.field(col).type
+
+    blocks = [(ref, meta.num_rows)
+              for bundle in srt.iter_internal_ref_bundles()
+              for ref, meta in bundle.blocks]
+    if any(c is None for _, c in blocks):
+        raise RuntimeError("group_quantiles: block metadata lacks row "
+                           "counts; cannot resolve quantile indices")
+    counts = np.array([c for _, c in blocks], dtype=np.int64)
+    n = int(counts.sum())
+    if n == 0:
+        raise ValueError(f"group_quantiles: no rows in {col!r}")
+    cum = np.concatenate([[0], np.cumsum(counts)])
+
+    def rle(t: pa.Table) -> pa.Table:
+        psch = pa.schema([("k", gtype), ("cnt", pa.int64())])
+        if t.num_rows == 0 or group not in t.column_names:
+            return psch.empty_table()
+        g = t[group].to_numpy(zero_copy_only=False)
+        starts = np.concatenate([[0],
+                                 np.flatnonzero(g[1:] != g[:-1]) + 1])
+        lens = np.diff(np.concatenate([starts, [t.num_rows]]))
+        return pa.table({
+            "k": t[group].take(pa.array(starts, pa.int64())),
+            "cnt": pa.array(lens.astype(np.int64)),
+        })
+
+    task = _get_probe_task()
+    per_block = ray.get([task.remote(rle, ref) for ref, _ in blocks])
+
+    # stitch runs across block boundaries (blocks arrive in sort order)
+    keys: list = []
+    gcounts: list[int] = []
+    for tbl in per_block:
+        if tbl is None or tbl.num_rows == 0:
+            continue
+        for kk, cc in zip(tbl["k"].to_pylist(), tbl["cnt"].to_pylist()):
+            if keys and keys[-1] == kk:
+                gcounts[-1] += int(cc)
+            else:
+                keys.append(kk)
+                gcounts.append(int(cc))
+    gstarts = np.concatenate([[0], np.cumsum(gcounts)])[:-1]
+
+    out_group: list = []
+    out_q: list[float] = []
+    want: dict[int, list[tuple[int, int]]] = {}
+    row = 0
+    for kk, ng, sg in zip(keys, gcounts, gstarts):
+        for q in qs:
+            gidx = int(sg) + min(ng - 1,
+                                 max(0, math.ceil(float(q) * ng) - 1))
+            b = int(np.searchsorted(cum, gidx, side="right") - 1)
+            want.setdefault(b, []).append((row, gidx - int(cum[b])))
+            out_group.append(kk)
+            out_q.append(float(q))
+            row += 1
+
+    futs = {}
+    for b, pairs in want.items():
+        offs = tuple(o for _, o in pairs)
+
+        def take(t: pa.Table, _offs=offs) -> pa.Table:
+            return t.take(pa.array(list(_offs), pa.int64()))
+
+        futs[b] = task.remote(take, blocks[b][0])
+    got = {b: ray.get(f) for b, f in futs.items()}
+
+    vals: list = [None] * row
+    for b, pairs in want.items():
+        tbl = got[b]
+        for i, (r, _) in enumerate(pairs):
+            vals[r] = tbl[col][i].as_py()
+    return pa.table({
+        group: pa.array(out_group, gtype),
+        "q": pa.array(out_q, pa.float64()),
+        col: pa.array(vals, ctype),
+    })
+
+
 def column_quantiles(ds, col: str, qs: list[float]) -> pa.Table:
     """Exact discrete quantiles of ``ds[col]`` -> table ``(q, col)``.
 

@@ -22,6 +22,92 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def ntile_per_group(ds, *, group: str, order: str, tiebreak: str,
+                    nb: int, descending: bool = True,
+                    schema: pa.Schema | None = None):
+    """``NTILE(nb) OVER (PARTITION BY group ORDER BY order, tiebreak)``
+    — CCNet-style per-group quantile bucketing (e.g. head/middle/tail
+    quality tiers per language).
+
+    Rides :func:`top_k_per_group` (k=None) for the per-group running
+    rank, then needs only each group's TOTAL size: a per-block partial
+    ``max(rank)`` probe (output O(#groups x #blocks), reduced on the
+    driver to one histogram-sized map) broadcast via ``ray.put`` into a
+    vectorized bucket assignment.  Assumes the group-size map fits in a
+    broadcast object — it is the size of a group histogram, never the
+    corpus.  Bucket rule matches DuckDB/ANSI NTILE bit-exactly: the
+    first ``n_g % nb`` buckets get ``n_g // nb + 1`` rows, the rest get
+    ``n_g // nb``.
+
+    Output adds int64 ``rank`` and ``bucket`` (both 1-based).
+    """
+    import ray
+
+    from smqtk_indexing_ray.stages._util import probe_blocks
+
+    def _arrow_schema(d) -> pa.Schema:
+        s = d.schema()
+        return s.base_schema if hasattr(s, "base_schema") else s
+
+    sch = schema or _arrow_schema(ds)
+    gtype = sch.field(group).type
+    ranked = top_k_per_group(ds, group=group, order=order,
+                             tiebreak=tiebreak, k=None,
+                             descending=descending,
+                             schema=sch).materialize()
+
+    def pmax(t: pa.Table) -> pa.Table:
+        psch = pa.schema([("k", gtype), ("mx", pa.int64())])
+        if t.num_rows == 0 or group not in t.column_names:
+            return psch.empty_table()
+        g = t[group].to_numpy(zero_copy_only=False)
+        r = t["rank"].to_numpy(zero_copy_only=False)
+        starts = np.concatenate([[0],
+                                 np.flatnonzero(g[1:] != g[:-1]) + 1])
+        ends = np.concatenate([starts[1:], [t.num_rows]]) - 1
+        return pa.table({
+            "k": t[group].take(pa.array(starts, pa.int64())),
+            "mx": pa.array(r[ends].astype(np.int64)),
+        })
+
+    part = probe_blocks(ranked, pmax)
+    sizes: dict = {}
+    if part.num_rows:
+        for kk, mx in zip(part["k"].to_pylist(), part["mx"].to_pylist()):
+            if int(mx) > sizes.get(kk, 0):
+                sizes[kk] = int(mx)
+    sizes_ref = ray.put(sizes)
+
+    out_schema = pa.schema(list(sch) + [pa.field("rank", pa.int64()),
+                                        pa.field("bucket", pa.int64())])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or group not in t.column_names:
+            return out_schema.empty_table()
+        smap = ray.get(sizes_ref)
+        g = t[group].to_numpy(zero_copy_only=False)
+        rank = t["rank"].to_numpy(zero_copy_only=False)
+        starts = np.concatenate([[0],
+                                 np.flatnonzero(g[1:] != g[:-1]) + 1])
+        lens = np.diff(np.concatenate([starts, [t.num_rows]]))
+        ng = np.repeat(
+            np.array([smap[g[s] if not hasattr(g[s], "item")
+                           else g[s].item()] for s in starts],
+                     dtype=np.int64), lens)
+        qq = ng // nb
+        rr = ng % nb
+        cut = rr * (qq + 1)
+        big = np.maximum(qq + 1, 1)
+        small = np.maximum(qq, 1)
+        bucket = np.where(rank <= cut,
+                          (rank - 1) // big + 1,
+                          rr + (rank - cut - 1) // small + 1)
+        return t.append_column("bucket",
+                               pa.array(bucket.astype(np.int64)))
+
+    return ranked.map_batches(bucketize, batch_format="pyarrow")
+
+
 def top_k_per_group(ds, *, group: str, order: str, tiebreak: str,
                     k: int | None, descending: bool = True,
                     schema: pa.Schema | None = None):

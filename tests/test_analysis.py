@@ -482,6 +482,65 @@ def test_top_k_per_group_matches_pandas():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_group_quantiles_matches_duckdb():
+    """Per-group run-length stitching + point reads vs DuckDB
+    quantile_disc GROUP BY, with skewed group sizes so one hot group
+    spans several blocks and tiny groups sit inside one."""
+    import duckdb
+    import ray.data as rd
+    from smqtk_indexing_ray.stages.quantiles import group_quantiles
+    rng = np.random.default_rng(53)
+    n = 4000
+    g = rng.integers(0, 8, n)
+    g[:2200] = 3                      # hot group straddles blocks
+    vals = rng.integers(0, 1000, n).astype(np.int64)
+    ds = rd.from_arrow(pa.table({
+        "grp": pa.array(g.astype(np.int64)), "x": pa.array(vals),
+    })).repartition(13)
+    qs = [0.0, 0.1, 0.5, 0.9, 1.0]
+    got = group_quantiles(ds, group="grp", col="x", qs=qs).to_pandas()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT unnest(?) AS grp, "
+                "unnest(?) AS x",
+                [[int(v) for v in g], [int(v) for v in vals]])
+    want = con.execute(
+        "WITH a AS (SELECT grp, quantile_disc(x, ?) AS v FROM t"
+        " GROUP BY grp) SELECT grp, unnest(v) AS x FROM a"
+        " ORDER BY grp", [qs]).df()
+    got = got.sort_values(["grp", "q"], ignore_index=True)
+    assert list(got.grp) == list(want.grp)
+    assert list(got.x) == list(want.x)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ntile_per_group_matches_duckdb():
+    """NTILE bucket rule (first n%nb buckets one row larger) vs the
+    DuckDB window function, including groups smaller than nb."""
+    import duckdb
+    import ray.data as rd
+    from smqtk_indexing_ray.stages.topk import ntile_per_group
+    rng = np.random.default_rng(59)
+    n = 2000
+    g = rng.integers(0, 7, n)
+    g[:5] = 99                        # a 5-row group with nb=4
+    sc = rng.integers(0, 300, n).astype(np.int64)
+    t = pa.table({"grp": pa.array(g.astype(np.int64)),
+                  "score": pa.array(sc),
+                  "rid": pa.array(np.arange(n, dtype=np.int64))})
+    got = ntile_per_group(
+        rd.from_arrow(t).repartition(9), group="grp", order="score",
+        tiebreak="rid", nb=4, schema=t.schema,
+    ).to_pandas().sort_values("rid", ignore_index=True)
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    want = con.execute(
+        "SELECT rid, ntile(4) OVER (PARTITION BY grp"
+        " ORDER BY score DESC, rid) AS bucket FROM t ORDER BY rid"
+    ).df()
+    assert list(got.bucket) == list(want.bucket)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_source_dup_stats_exact():
     """Two-level distinct rollup vs a pandas groupby-nunique oracle,
     with dup groups straddling block boundaries."""

@@ -134,17 +134,15 @@ def _q_top_docs_per_lang(sf_dir: str):
                            tiebreak="doc_id", k=5, schema=schema)
 
 
-def _q_contamination(sf_dir: str):
-    """Cross-split contamination check: for every 'eval' doc (odd
-    doc_id), its closest 'train' doc (even doc_id) by exact n-gram
-    Jaccard >= 0.5 — the train/test leakage scan an LLM data pipeline
-    runs before training.  Exact SQL window oracle."""
+def _contamination_from(docs):
+    """Shared tail of the contamination scans: exact jaccard pairs over
+    ``docs`` -> keep cross-split (odd=eval vs even=train) pairs -> per
+    eval doc the single closest train doc."""
     import pyarrow as pa
-    import pyarrow.compute as pc
     from smqtk_indexing_ray.pipelines.analysis import ngram_jaccard_pairs
     from smqtk_indexing_ray.stages.topk import top_k_per_group
 
-    pairs = ngram_jaccard_pairs(_docs(sf_dir), k=3, threshold=0.5)
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.5)
     schema = pa.schema([("eval_doc", pa.int64()),
                         ("train_doc", pa.int64()),
                         ("jaccard", pa.float64())])
@@ -175,6 +173,39 @@ def _q_contamination(sf_dir: str):
         return t.select(["eval_doc", "train_doc", "jaccard"])
 
     return top1.map_batches(slim, batch_format="pyarrow")
+
+
+def _q_contamination(sf_dir: str):
+    """Cross-split contamination check: for every 'eval' doc (odd
+    doc_id), its closest 'train' doc (even doc_id) by exact n-gram
+    Jaccard >= 0.5 — the train/test leakage scan an LLM data pipeline
+    runs before training.  Exact SQL window oracle."""
+    return _contamination_from(_docs(sf_dir))
+
+
+def _q_bloom_contamination(sf_dir: str):
+    """Scale path of ``contamination``: the eval split's shingles build
+    a ~1 MiB Bloom sketch, broadcast once; the train corpus is
+    prefiltered inside map_batches (zero shuffle on the big side) and
+    only the surviving candidates enter exact jaccard verification.
+    Bloom has no false negatives, so the output is identical to the
+    exact scan — same SQL oracle.  (Post-prefilter shingle DF can sit
+    under the stop-shingle cap where full-corpus DF would not; at the
+    cap's default 1000 this needs a >1000-doc boilerplate shingle to
+    matter, and the exact scan is the semantics anchor.)"""
+    import pyarrow.compute as pc
+    from smqtk_indexing_ray.pipelines.analysis import bloom_prefilter
+
+    def odd(t):
+        return t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), 1))
+
+    def even(t):
+        return t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0))
+
+    eval_side = _docs(sf_dir).map_batches(odd, batch_format="pyarrow")
+    train_side = _docs(sf_dir).map_batches(even, batch_format="pyarrow")
+    kept_train = bloom_prefilter(train_side, eval_side, k=3)
+    return _contamination_from(eval_side.union(kept_train))
 
 
 def _q_stratified_sample(sf_dir: str):
@@ -764,6 +795,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_lang": _q_top_docs_per_lang,
         "stratified_sample": _q_stratified_sample,
         "contamination": _q_contamination,
+        "bloom_contamination": _q_bloom_contamination,
         "lang_summary": _q_lang_summary,
         "source_dup_stats": _q_source_dup_stats,
         "length_histogram": _q_length_histogram,
@@ -852,7 +884,7 @@ sh AS (
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    sql = {
         "exact_dedup": (
             "SELECT min(doc_id) AS rep_doc, count(*) AS n_copies "
             "FROM documents GROUP BY text"
@@ -1415,3 +1447,7 @@ def oracle_sql() -> dict[str, str]:
         # checks (each has a pytest oracle: brute-force recall, golden
         # values, or structural contracts).
     }
+    # the Bloom prefilter is lossless (no false negatives), so the scale
+    # path must reproduce the exact scan bit-for-bit
+    sql["bloom_contamination"] = sql["contamination"]
+    return sql

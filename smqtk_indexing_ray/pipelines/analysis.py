@@ -259,6 +259,51 @@ def _shingle_explode(t: pa.Table, k: int) -> pa.Table:
     })
 
 
+def bloom_prefilter(docs, reference_docs, *, k: int = 3,
+                    m_bits: int = 1 << 23, hashes: int = 2):
+    """Keep only ``docs`` rows that (possibly) share at least one
+    k-token shingle with ``reference_docs`` — the broadcast gate a
+    cross-split decontamination scan runs over the huge train corpus
+    before any exact work.
+
+    The reference split's shingle hashes build one ``m_bits`` Bloom
+    filter (per-block partials + log-depth OR tree, ~1 MiB at the
+    default size), broadcast once via ``ray.put`` and tested inside
+    ``map_batches`` — the train side never enters a shuffle here.  A
+    Bloom filter has no false negatives, so the prefilter is LOSSLESS
+    for any downstream exact check; false positives only pass extra
+    docs through to verification.
+    """
+    import ray
+
+    from smqtk_indexing_ray.stages.bloom import (
+        bloom_test,
+        build_bloom,
+    )
+
+    ref_sh = reference_docs.select_columns(["doc_id", "text"]).map_batches(
+        lambda t: _shingle_explode(t, k), batch_format="pyarrow")
+    bloom = build_bloom(ref_sh, hash_col="shingle", m_bits=m_bits,
+                        k=hashes)
+    bref = ray.put(bloom)
+
+    def keep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "text" not in t.column_names:
+            return t
+        blm = ray.get(bref)
+        tok, off = tokenize_flat(t["text"], lowercase=False)
+        sh, soff = shingle_flat(tok, off, k)
+        n = t.num_rows
+        if len(sh) == 0:
+            return t.slice(0, 0)
+        hit = bloom_test(blm, sh, m_bits=m_bits, k=hashes)
+        doc_idx = np.repeat(np.arange(n), np.diff(soff))
+        anyhit = np.bincount(doc_idx[hit], minlength=n) > 0
+        return t.filter(pa.array(anyhit))
+
+    return docs.map_batches(keep, batch_format="pyarrow")
+
+
 def ngram_jaccard_pairs(docs, *, k: int = 3, threshold: float = 0.5,
                         num_partitions: int = 16,
                         max_shingle_freq: int | None = 1000):

@@ -541,6 +541,50 @@ def test_ntile_per_group_matches_duckdb():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_bloom_no_false_negatives_and_low_fp():
+    """Every inserted hash must test positive (losslessness of the
+    prefilter rests on this); disjoint probes must mostly test
+    negative at the designed fill rate."""
+    import ray.data as rd
+    from smqtk_indexing_ray.stages.bloom import bloom_test, build_bloom
+    rng = np.random.default_rng(61)
+    ins = rng.integers(0, 2**63, 20_000).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"h": pa.array(ins)})).repartition(7)
+    m_bits = 1 << 18
+    bloom = build_bloom(ds, hash_col="h", m_bits=m_bits, k=2)
+    assert bloom_test(bloom, ins, m_bits=m_bits, k=2).all()
+    probe = rng.integers(0, 2**63, 20_000).astype(np.int64)
+    fresh = probe[~np.isin(probe, ins)]
+    fp = bloom_test(bloom, fresh, m_bits=m_bits, k=2).mean()
+    # n/m ~ 0.076, k=2 -> theoretical fp ~ (1-e^-0.153)^2 ~ 2%
+    assert fp < 0.05, fp
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bloom_prefilter_lossless():
+    """Docs sharing a shingle with the reference split must ALL
+    survive the prefilter (no false negatives); unrelated docs mostly
+    do not."""
+    import ray.data as rd
+    from smqtk_indexing_ray.pipelines.analysis import bloom_prefilter
+    ref_texts = [f"alpha beta gamma delta epsilon {i}" for i in range(40)]
+    share = [f"alpha beta gamma shared {i}" for i in range(30)]
+    other = [f"zeta eta theta iota kappa unique words {i} {i+1} {i+2}"
+             for i in range(30)]
+    ref = pa.table({"doc_id": pa.array(np.arange(40, dtype=np.int64)),
+                    "text": pa.array(ref_texts)})
+    docs = pa.table({
+        "doc_id": pa.array(np.arange(100, 160, dtype=np.int64)),
+        "text": pa.array(share + other)})
+    kept = bloom_prefilter(
+        rd.from_arrow(docs).repartition(5), rd.from_arrow(ref),
+        k=3).to_pandas()
+    kept_ids = set(kept.doc_id)
+    assert set(range(100, 130)) <= kept_ids      # sharers all survive
+    assert len(kept_ids - set(range(100, 130))) <= 3  # few FPs pass
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_source_dup_stats_exact():
     """Two-level distinct rollup vs a pandas groupby-nunique oracle,
     with dup groups straddling block boundaries."""

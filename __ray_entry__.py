@@ -106,6 +106,15 @@ def _q_quality_buckets(sf_dir: str):
     return out.map_batches(slim, batch_format="pyarrow")
 
 
+def _q_length_outliers(sf_dir: str):
+    """Robust per-language length-outlier flags (median/MAD, all-int64
+    arithmetic): the skew-tolerant corpus-QA gate.  Exact two-pass
+    quantile_disc oracle."""
+    from smqtk_indexing_ray.pipelines.analysis import robust_outliers
+    return robust_outliers(_docs(sf_dir), group="lang", col="n_chars",
+                           keep=["doc_id"], c=3)
+
+
 def _q_top_docs_per_lang(sf_dir: str):
     """Per-group top-k (5 longest docs per language): one sort +
     per-block rank with boundary carries — row_number() oracle."""
@@ -792,6 +801,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_quantiles": _q_token_quantiles,
         "group_quantiles": _q_group_quantiles,
         "quality_buckets": _q_quality_buckets,
+        "length_outliers": _q_length_outliers,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "stratified_sample": _q_stratified_sample,
         "contamination": _q_contamination,
@@ -953,6 +963,22 @@ def oracle_sql() -> dict[str, str]:
             ") "
             "SELECT lang, unnest(CAST([0.1, 0.25, 0.5, 0.75, 0.9]"
             " AS DOUBLE[])) AS q, unnest(v) AS n_chars FROM g"
+        ),
+        "length_outliers": (
+            "WITH m AS ("
+            "  SELECT lang, quantile_disc(n_chars, 0.5) AS med"
+            "  FROM documents GROUP BY lang"
+            "), d AS ("
+            "  SELECT doc_id, documents.lang AS lang, n_chars, med,"
+            "  abs(n_chars - med) AS dev"
+            "  FROM documents JOIN m ON documents.lang = m.lang"
+            "), md AS ("
+            "  SELECT lang, quantile_disc(dev, 0.5) AS mad"
+            "  FROM d GROUP BY lang"
+            ") "
+            "SELECT doc_id, d.lang AS lang, n_chars, med, mad, "
+            "CAST(dev > 3 * mad AS BIGINT) AS outlier "
+            "FROM d JOIN md ON d.lang = md.lang"
         ),
         "quality_buckets": (
             "SELECT lang, doc_id, n_chars, "

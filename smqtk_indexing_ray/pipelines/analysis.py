@@ -304,6 +304,80 @@ def bloom_prefilter(docs, reference_docs, *, k: int = 3,
     return docs.map_batches(keep, batch_format="pyarrow")
 
 
+def robust_outliers(docs, *, group: str, col: str, keep: list[str],
+                    c: int = 3):
+    """Median/MAD robust outlier flags per group — the skew-tolerant
+    anomaly gate a corpus-QA pass runs on per-doc statistics (document
+    lengths here; any int64 metric works).
+
+    Two exact per-group order-statistic passes (:func:`group_quantiles`
+    at q=0.5 for the median, then again over the absolute deviations
+    for the MAD), each one narrow sort; both per-group maps are
+    histogram-sized and broadcast via ``ray.put``.  All arithmetic is
+    int64 (`c`*MAD comparison included), so the SQL oracle is
+    bit-exact.  Output: ``keep`` columns + ``(med, mad, outlier)``.
+    """
+    import ray
+
+    from smqtk_indexing_ray.stages.quantiles import group_quantiles
+
+    med_tbl = group_quantiles(docs, group=group, col=col, qs=[0.5])
+    med = dict(zip(med_tbl[group].to_pylist(), med_tbl[col].to_pylist()))
+    mref = ray.put(med)
+
+    def _per_row(t: pa.Table, m: dict) -> np.ndarray:
+        enc = pc.dictionary_encode(t[group]).combine_chunks()
+        vals = np.array([m[d] for d in enc.dictionary.to_pylist()],
+                        dtype=np.int64)
+        return vals[enc.indices.to_numpy(zero_copy_only=False)]
+
+    dev_schema = pa.schema([(k, pa.int64()) for k in keep]
+                           + [(group, pa.string()), (col, pa.int64()),
+                              ("med", pa.int64()), ("dev", pa.int64())])
+
+    def add_dev(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or group not in t.column_names:
+            return dev_schema.empty_table()
+        medv = _per_row(t, ray.get(mref))
+        x = t[col].to_numpy(zero_copy_only=False)
+        cols = {k: t[k] for k in keep}
+        cols[group] = t[group]
+        cols[col] = t[col]
+        cols["med"] = pa.array(medv)
+        cols["dev"] = pa.array(np.abs(x - medv).astype(np.int64))
+        return pa.table(cols)
+
+    devs = docs.map_batches(add_dev, batch_format="pyarrow")
+    mad_tbl = group_quantiles(devs, group=group, col="dev", qs=[0.5])
+    mad = dict(zip(mad_tbl[group].to_pylist(),
+                   mad_tbl["dev"].to_pylist()))
+    dref = ray.put(mad)
+
+    out_schema = pa.schema([(k, pa.int64()) for k in keep]
+                           + [(group, pa.string()), (col, pa.int64()),
+                              ("med", pa.int64()), ("mad", pa.int64()),
+                              ("outlier", pa.int64())])
+
+    def flag(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or group not in t.column_names:
+            return out_schema.empty_table()
+        madv = _per_row(t, ray.get(dref))
+        dev = t["dev"].to_numpy(zero_copy_only=False)
+        cols = {k: t[k] for k in keep}
+        cols[group] = t[group]
+        cols[col] = t[col]
+        cols["med"] = t["med"]
+        cols["mad"] = pa.array(madv)
+        cols["outlier"] = pa.array(
+            (dev > c * madv).astype(np.int64))
+        return pa.table(cols)
+
+    # `devs` stays lazy: the MAD pass sorted its own narrow copy, and
+    # re-running the slim projection beats materializing a corpus-wide
+    # intermediate
+    return devs.map_batches(flag, batch_format="pyarrow")
+
+
 def ngram_jaccard_pairs(docs, *, k: int = 3, threshold: float = 0.5,
                         num_partitions: int = 16,
                         max_shingle_freq: int | None = 1000):

@@ -541,6 +541,46 @@ def test_ntile_per_group_matches_duckdb():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_robust_outliers_matches_duckdb():
+    """Median/MAD flags vs a two-pass DuckDB quantile_disc oracle,
+    with planted extreme rows and a group whose MAD is zero (constant
+    values -> every deviating row is an outlier)."""
+    import duckdb
+    import ray.data as rd
+    from smqtk_indexing_ray.pipelines.analysis import robust_outliers
+    rng = np.random.default_rng(67)
+    n = 1500
+    g = rng.integers(0, 4, n)
+    x = rng.integers(90, 110, n).astype(np.int64)
+    x[g == 2] = 100                      # constant group: MAD == 0
+    x[:8] = 100_000                      # planted extremes
+    t = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "lang": pa.array([f"g{v}" for v in g]),
+                  "n_chars": pa.array(x)})
+    got = robust_outliers(
+        rd.from_arrow(t).repartition(7), group="lang", col="n_chars",
+        keep=["doc_id"], c=3).to_pandas().sort_values(
+        "doc_id", ignore_index=True)
+    con = duckdb.connect()
+    con.register("documents", t.to_pandas())
+    want = con.execute(
+        "WITH m AS (SELECT lang, quantile_disc(n_chars, 0.5) AS med"
+        " FROM documents GROUP BY lang),"
+        " d AS (SELECT doc_id, documents.lang AS lang, n_chars, med,"
+        " abs(n_chars - med) AS dev FROM documents"
+        " JOIN m ON documents.lang = m.lang),"
+        " md AS (SELECT lang, quantile_disc(dev, 0.5) AS mad"
+        " FROM d GROUP BY lang) "
+        "SELECT doc_id, med, mad,"
+        " CAST(dev > 3 * mad AS BIGINT) AS outlier"
+        " FROM d JOIN md ON d.lang = md.lang ORDER BY doc_id").df()
+    assert list(got.med) == list(want.med)
+    assert list(got.mad) == list(want.mad)
+    assert list(got.outlier) == list(want.outlier)
+    assert got.outlier.sum() >= 8        # extremes flagged
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_bloom_no_false_negatives_and_low_fp():
     """Every inserted hash must test positive (losslessness of the
     prefilter rests on this); disjoint probes must mostly test

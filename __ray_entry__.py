@@ -785,6 +785,23 @@ def _q_pattern_scrub(sf_dir: str):
     return pattern_scrub(_docs(sf_dir), patterns=_SCRUB_PATTERNS)
 
 
+def _q_semantic_contamination(sf_dir: str):
+    """Embedding-space leakage scan: per odd vec_id (eval) the top-3
+    even vec_ids (train) by exact cosine — broadcast eval matrix,
+    streaming train side.  Exact window oracle (same float discipline
+    as ann_topk)."""
+    from smqtk_indexing_ray.pipelines.ann import semantic_contamination
+    return semantic_contamination(_emb(sf_dir), k=3)
+
+
+def _q_label_centroids(sf_dir: str):
+    """Per-label mean embeddings (class prototypes), dim-exploded;
+    combiner-shaped partial sums so the shuffle carries labels, not
+    vectors.  Exact aggregate oracle via round6."""
+    from smqtk_indexing_ray.pipelines.ann import label_centroids
+    return label_centroids(_emb(sf_dir))
+
+
 def _q_embedding_cluster_labels(sf_dir: str):
     """SemDeDup-style semantic near-dup clusters: cosine >= 0.4 pairs ->
     connected components -> min-vec_id labels; singletons self-label."""
@@ -851,6 +868,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "novel_docs": _q_novel_docs,
         "pattern_scrub": _q_pattern_scrub,
         "embedding_cluster_labels": _q_embedding_cluster_labels,
+        "semantic_contamination": _q_semantic_contamination,
+        "label_centroids": _q_label_centroids,
     }
 
 
@@ -1064,6 +1083,32 @@ def oracle_sql() -> dict[str, str]:
             "  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id "
             "  WHERE q.vec_id < 32"
             ") WHERE rank <= 10"
+        ),
+        "semantic_contamination": (
+            "SELECT eval_vec, train_vec, rank, round(cs, 6) AS cos_sim "
+            "FROM ("
+            "  SELECT q.vec_id AS eval_vec, c.vec_id AS train_vec, "
+            "  list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
+            "  CAST(c.embedding AS DOUBLE[])) AS cs, "
+            "  CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+            "  list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
+            "  CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS BIGINT)"
+            "  AS rank "
+            "  FROM embeddings q JOIN embeddings c "
+            "  ON q.vec_id % 2 = 1 AND c.vec_id % 2 = 0"
+            ") WHERE rank <= 3"
+        ),
+        "label_centroids": (
+            "WITH e AS ("
+            "  SELECT CAST(label AS BIGINT) AS label, "
+            "  unnest(list_transform(generate_series(1, len(embedding)),"
+            "  i -> CAST(i - 1 AS BIGINT))) AS dim, "
+            "  unnest(list_transform(generate_series(1, len(embedding)),"
+            "  i -> CAST(embedding[i] AS DOUBLE))) AS v"
+            "  FROM embeddings"
+            ") "
+            "SELECT label, dim, round(sum(v) / count(*), 6) AS centroid,"
+            " count(*) AS n_vecs FROM e GROUP BY label, dim"
         ),
         "quality_signals": (
             "WITH toks AS ("

@@ -168,6 +168,128 @@ def brute_force_topk(emb, *, n_queries: int = 32, k: int = 10,
     return out.map_batches(round_sim, batch_format="pyarrow")
 
 
+def semantic_contamination(emb, *, k: int = 1, batch_size: int = 4096,
+                           concurrency=(1, 8)):
+    """Cross-split embedding leakage scan: for every odd ``vec_id``
+    (eval split), its top-k even ``vec_id`` (train split) neighbors by
+    exact cosine — the vector-space twin of the shingle contamination
+    check (SemDeDup-style decontamination).
+
+    Same broadcast shape as :func:`brute_force_topk`: the eval split's
+    matrix is collected once and ``ray.put`` (bounded-eval assumption —
+    an eval set is test-set-sized, not corpus-sized), the train corpus
+    streams through the actor pool with no shuffle; the only exchange
+    is the candidate top-k reduce, O(n_eval * k) rows per batch.
+
+    Output: ``eval_vec, train_vec, rank, cos_sim`` (round6 doubles).
+    """
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+
+    import ray
+
+    def odd(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(pc.bit_wise_and(t["vec_id"], 1), 1))
+
+    def even(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(pc.bit_wise_and(t["vec_id"], 1), 0))
+
+    sel = emb.select_columns(["vec_id", "embedding"])
+    qt = sel.map_batches(odd, batch_format="pyarrow")
+    qtbl = pa.concat_tables(
+        [b for b in qt.iter_batches(batch_format="pyarrow")]
+        or [pa.schema([("vec_id", pa.int64())]).empty_table()])
+    if qtbl.num_rows:
+        qids = qtbl["vec_id"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        qm = _emb_matrix(qtbl)
+    else:
+        qids, qm = np.empty(0, np.int64), np.zeros((0, 0))
+    q_ref = ray.put((qids, qm))
+
+    cands = sel.map_batches(even, batch_format="pyarrow").map_batches(
+        _BatchTopK, fn_constructor_args=(q_ref, k),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+    out = _final_topk(cands, k)
+
+    out_schema = pa.schema([("eval_vec", pa.int64()),
+                            ("train_vec", pa.int64()),
+                            ("rank", pa.int64()),
+                            ("cos_sim", pa.float64())])
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "query_id" not in t.column_names:
+            return out_schema.empty_table()
+        return pa.table({
+            "eval_vec": t["query_id"],
+            "train_vec": t["neighbor_id"],
+            "rank": t["rank"],
+            "cos_sim": pa.array(_round6(
+                t["cos_sim"].to_numpy(zero_copy_only=False))),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def label_centroids(emb):
+    """Per-label mean embedding vector (class prototypes / the k-means
+    E-step over a labeled corpus), dim-exploded for the SQL oracle.
+
+    Combiner shape: each batch reduces to one partial-sum row per label
+    it contains (``label, cnt, sums``), so the groupby shuffles
+    O(#labels x #batches) tiny rows — never an embedding-table-sized
+    exchange.  Centroid doubles are exact float64 partial sums divided
+    by exact int64 counts, emitted through round6 for oracle parity.
+
+    Output: ``label, dim, centroid, n_vecs``.
+    """
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+
+    part_schema = pa.schema([("label", pa.int64()), ("cnt", pa.int64()),
+                             ("sums", pa.list_(pa.float64()))])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "label" not in t.column_names:
+            return part_schema.empty_table()
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _emb_matrix(t)
+        uniq, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(uniq), m.shape[1]), np.float64)
+        np.add.at(sums, inv, m)
+        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table({
+            "label": pa.array(uniq),
+            "cnt": pa.array(cnt),
+            "sums": pa.array(sums.tolist(), pa.list_(pa.float64())),
+        })
+
+    out_schema = pa.schema([("label", pa.int64()), ("dim", pa.int64()),
+                            ("centroid", pa.float64()),
+                            ("n_vecs", pa.int64())])
+
+    def reduce_group(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        cnt = int(t["cnt"].to_numpy(zero_copy_only=False).sum())
+        s = np.array(t["sums"].to_pylist(), np.float64).sum(axis=0)
+        d = len(s)
+        return pa.table({
+            "label": pa.array(np.full(d, t["label"][0].as_py(),
+                                      np.int64)),
+            "dim": pa.array(np.arange(d, dtype=np.int64)),
+            "centroid": pa.array(_round6(s / cnt)),
+            "n_vecs": pa.array(np.full(d, cnt, np.int64)),
+        })
+
+    parts = emb.select_columns(["label", "embedding"]).map_batches(
+        partial, batch_format="pyarrow")
+    out = parts.groupby("label").map_groups(
+        reduce_group, batch_format="pyarrow")
+    return stamp_schema(out, out_schema)
+
+
 class _PairsAboveThreshold:
     """Emit (vec_a < vec_b, cos_sim) pairs >= threshold for one corpus batch
     against the broadcast full matrix.  Test-scale exact op; the scale path

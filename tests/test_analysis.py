@@ -580,6 +580,62 @@ def test_robust_outliers_matches_duckdb():
     assert got.outlier.sum() >= 8        # extremes flagged
 
 
+def _rand_emb_table(n: int, d: int, seed: int) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    m = rng.normal(size=(n, d)).astype(np.float32)
+    return pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(m.tolist(), pa.list_(pa.float32())),
+        "label": pa.array((np.arange(n) % 4).astype(np.int32)),
+    })
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_semantic_contamination_matches_bruteforce():
+    """Cross-split top-k vs a numpy full-matrix oracle: every eval
+    (odd) vector's nearest train (even) vectors, ranks included."""
+    import ray.data as rd
+    from smqtk_indexing_ray.pipelines.ann import semantic_contamination
+    t = _rand_emb_table(120, 16, 71)
+    got = semantic_contamination(
+        rd.from_arrow(t).repartition(5), k=2).to_pandas().sort_values(
+        ["eval_vec", "rank"], ignore_index=True)
+    m = np.array(t["embedding"].to_pylist(), np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    odd = np.arange(120) % 2 == 1
+    sims = m[odd] @ m[~odd].T
+    eids = np.flatnonzero(odd)
+    tids = np.flatnonzero(~odd)
+    rows = []
+    for i, e in enumerate(eids):
+        order = np.lexsort((tids, -sims[i]))[:2]
+        rows += [(e, tids[j], r + 1) for r, j in enumerate(order)]
+    want = sorted(rows)
+    assert sorted(map(tuple, got[["eval_vec", "train_vec",
+                                  "rank"]].to_numpy())) == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_label_centroids_matches_numpy():
+    """Combiner-shaped partial sums vs a direct per-label mean."""
+    import ray.data as rd
+    from smqtk_indexing_ray.functions.metrics import round6
+    from smqtk_indexing_ray.pipelines.ann import label_centroids
+    t = _rand_emb_table(200, 8, 73)
+    got = label_centroids(
+        rd.from_arrow(t).repartition(7)).to_pandas().sort_values(
+        ["label", "dim"], ignore_index=True)
+    m = np.array(t["embedding"].to_pylist(), np.float64)
+    lab = np.asarray(t["label"].to_pylist())
+    assert len(got) == 4 * 8
+    for lb in range(4):
+        mine = got[got.label == lb]
+        assert (mine.n_vecs == (lab == lb).sum()).all()
+        want = round6(m[lab == lb].mean(axis=0))
+        np.testing.assert_allclose(mine.centroid.to_numpy(), want,
+                                   atol=2e-6)
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_bloom_no_false_negatives_and_low_fp():
     """Every inserted hash must test positive (losslessness of the

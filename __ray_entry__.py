@@ -115,6 +115,29 @@ def _q_length_outliers(sf_dir: str):
                            keep=["doc_id"], c=3)
 
 
+def _q_length_pareto(sf_dir: str):
+    """Corpus Pareto layout: every doc ranked by length (desc), with
+    the exact char total of all strictly-earlier docs — the distributed
+    prefix sum (`stages/prefix.py`), one sort + O(blocks) carries.
+    Exact window oracle."""
+    import pyarrow as pa
+    from smqtk_indexing_ray.stages.prefix import running_total
+
+    schema = pa.schema([("doc_id", pa.int64()), ("n_chars", pa.int64())])
+    ds = _docs(sf_dir).select_columns(["doc_id", "n_chars"])
+    return running_total(ds, order=["n_chars", "doc_id"],
+                         value="n_chars", out="chars_before",
+                         descending=[True, False], schema=schema)
+
+
+def _q_corpus_rollup(sf_dir: str):
+    """GROUPING SETS corpus census over (source, lang) in one input
+    pass — per-batch cell pre-aggregation expanded to all four levels.
+    Exact int64 oracle."""
+    from smqtk_indexing_ray.pipelines.analysis import corpus_rollup
+    return corpus_rollup(_docs(sf_dir))
+
+
 def _q_top_docs_per_lang(sf_dir: str):
     """Per-group top-k (5 longest docs per language): one sort +
     per-block rank with boundary carries — row_number() oracle."""
@@ -819,6 +842,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_quantiles": _q_group_quantiles,
         "quality_buckets": _q_quality_buckets,
         "length_outliers": _q_length_outliers,
+        "length_pareto": _q_length_pareto,
+        "corpus_rollup": _q_corpus_rollup,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "stratified_sample": _q_stratified_sample,
         "contamination": _q_contamination,
@@ -982,6 +1007,20 @@ def oracle_sql() -> dict[str, str]:
             ") "
             "SELECT lang, unnest(CAST([0.1, 0.25, 0.5, 0.75, 0.9]"
             " AS DOUBLE[])) AS q, unnest(v) AS n_chars FROM g"
+        ),
+        "length_pareto": (
+            "SELECT doc_id, n_chars, "
+            "CAST(coalesce(sum(n_chars) OVER (ORDER BY n_chars DESC,"
+            " doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),"
+            " 0) AS BIGINT) AS chars_before FROM documents"
+        ),
+        "corpus_rollup": (
+            "SELECT coalesce(source, 'ALL') AS source, "
+            "coalesce(lang, 'ALL') AS lang, count(*) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS total_chars "
+            "FROM documents "
+            "GROUP BY GROUPING SETS ((source, lang), (source),"
+            " (lang), ())"
         ),
         "length_outliers": (
             "WITH m AS ("

@@ -304,6 +304,73 @@ def bloom_prefilter(docs, reference_docs, *, k: int = 3,
     return docs.map_batches(keep, batch_format="pyarrow")
 
 
+def corpus_rollup(docs):
+    """One-pass multi-level corpus census: GROUPING SETS rollup over
+    ``(source, lang)`` — the per-slice + marginal + grand-total counts
+    a corpus report wants, without running four separate aggregations
+    over the input.
+
+    Each batch pre-aggregates into its distinct ``(source, lang)``
+    cells (vectorized dictionary-encode + bincount), then expands those
+    CELLS — never rows — into the four grouping levels with an ``ALL``
+    sentinel; the final groupby shuffles O(#cells x #batches) partial
+    rows.  All outputs are exact int64 sums.  Assumes group values do
+    not contain the 0x1f separator (true of any sane source/lang tag).
+    """
+    from ray.data.aggregate import Sum
+
+    part_schema = pa.schema([("source", pa.string()),
+                             ("lang", pa.string()),
+                             ("n_docs", pa.int64()),
+                             ("total_chars", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "source" not in t.column_names:
+            return part_schema.empty_table()
+        comb = pc.binary_join_element_wise(t["source"], t["lang"],
+                                           "\x1f")
+        enc = pc.dictionary_encode(comb).combine_chunks()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        nch = t["n_chars"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        ncells = len(enc.dictionary)
+        cnt = np.bincount(idx, minlength=ncells).astype(np.int64)
+        tot = np.zeros(ncells, np.int64)
+        np.add.at(tot, idx, nch)
+        pairs = [k.split("\x1f") for k in enc.dictionary.to_pylist()]
+
+        # expand cells into the 4 grouping levels (loop over distinct
+        # cells, not rows)
+        srcs: list[str] = []
+        langs: list[str] = []
+        n_docs: list[int] = []
+        chars: list[int] = []
+        lvl: dict[tuple[str, str], tuple[int, int]] = {}
+        for (s, lg), c, ch in zip(pairs, cnt, tot):
+            for key in ((s, lg), (s, "ALL"), ("ALL", lg),
+                        ("ALL", "ALL")):
+                c0, ch0 = lvl.get(key, (0, 0))
+                lvl[key] = (c0 + int(c), ch0 + int(ch))
+        for (s, lg), (c, ch) in lvl.items():
+            srcs.append(s)
+            langs.append(lg)
+            n_docs.append(c)
+            chars.append(ch)
+        return pa.table({
+            "source": pa.array(srcs, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "n_docs": pa.array(n_docs, pa.int64()),
+            "total_chars": pa.array(chars, pa.int64()),
+        })
+
+    parts = docs.select_columns(["source", "lang", "n_chars"]) \
+        .map_batches(partial, batch_format="pyarrow")
+    out = parts.groupby(["source", "lang"]).aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("total_chars", alias_name="total_chars"))
+    return stamp_schema(out, part_schema)
+
+
 def robust_outliers(docs, *, group: str, col: str, keep: list[str],
                     c: int = 3):
     """Median/MAD robust outlier flags per group — the skew-tolerant

@@ -26,11 +26,14 @@ import numpy as np
 import pyarrow as pa
 
 
-def running_total(ds, *, order: str, value: str, out: str = "before",
+def running_total(ds, *, order: str | list[str], value: str,
+                  out: str = "before",
+                  descending: bool | list[bool] = False,
                   schema: pa.Schema | None = None):
     """Append int64 column ``out`` = sum of ``value`` over all rows
-    strictly before this one in ascending ``order``.  ``order`` must be
-    a unique orderable key (ties would make the prefix nondeterministic
+    strictly before this one in ``order`` (a column name or a list of
+    columns with per-column ``descending`` flags).  The combined order
+    key must be unique (ties would make the prefix nondeterministic
     across retries); ``value`` must be integral and non-negative."""
     import ray
     import ray.data as rd
@@ -43,7 +46,7 @@ def running_total(ds, *, order: str, value: str, out: str = "before",
 
     sch = schema or _arrow_schema(ds)
     out_schema = pa.schema(list(sch) + [pa.field(out, pa.int64())])
-    srt = ds.sort(order).materialize()
+    srt = ds.sort(order, descending=descending).materialize()
 
     def probe(t: pa.Table) -> pa.Table:
         psch = pa.schema([("total", pa.int64())])

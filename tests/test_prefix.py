@@ -56,6 +56,60 @@ def test_running_total_randomized(ray_session):
         assert got[int(k)] == int(b)
 
 
+def test_running_total_multikey_descending(ray_session):
+    """Composite (value DESC, id ASC) order with heavy ties on the
+    primary key — the Pareto-layout shape."""
+    import ray.data as rd
+
+    from smqtk_indexing_ray.stages.prefix import running_total
+
+    rng = np.random.default_rng(13)
+    n = 400
+    vals = rng.integers(0, 5, size=n).astype(np.int64)   # many ties
+    ids = np.arange(n, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"id": ids, "v": vals})).repartition(9)
+    out = _table(running_total(ds, order=["v", "id"], value="v",
+                               descending=[True, False])).to_pydict()
+    got = dict(zip(out["id"], out["before"]))
+    order = np.lexsort((ids, -vals))
+    expect = np.concatenate(
+        ([0], np.cumsum(vals[order][:-1], dtype=np.int64)))
+    for i, b in zip(ids[order], expect):
+        assert got[int(i)] == int(b)
+
+
+def test_corpus_rollup_matches_duckdb(ray_session):
+    """All four grouping levels vs DuckDB GROUPING SETS, with cells
+    split across blocks."""
+    import duckdb
+    import ray.data as rd
+
+    from smqtk_indexing_ray.pipelines.analysis import corpus_rollup
+
+    rng = np.random.default_rng(17)
+    n = 900
+    t = pa.table({
+        "source": pa.array(rng.choice(["cc", "wiki", "books"], n)),
+        "lang": pa.array(rng.choice(["en", "fr", "zh"], n)),
+        "n_chars": pa.array(rng.integers(1, 500, n).astype(np.int64)),
+    })
+    got = corpus_rollup(
+        rd.from_arrow(t).repartition(7)).to_pandas().sort_values(
+        ["source", "lang"], ignore_index=True)
+    con = duckdb.connect()
+    con.register("documents", t.to_pandas())
+    want = con.execute(
+        "SELECT coalesce(source, 'ALL') AS source,"
+        " coalesce(lang, 'ALL') AS lang, count(*) AS n_docs,"
+        " CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents"
+        " GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())"
+        " ORDER BY source, lang").df()
+    assert list(got.source) == list(want.source)
+    assert list(got.lang) == list(want.lang)
+    assert list(got.n_docs) == list(want.n_docs)
+    assert list(got.total_chars) == list(want.total_chars)
+
+
 def test_running_total_empty(ray_session):
     import ray.data as rd
 

@@ -825,6 +825,19 @@ def _q_label_centroids(sf_dir: str):
     return label_centroids(_emb(sf_dir))
 
 
+def _q_top_customer_revenue(sf_dir: str):
+    """Classic warehouse rollup over the relational tables: lineitem ->
+    order -> customer revenue, top-10 per market segment — the general
+    join/aggregate path on fact/dimension data.  Exact window oracle
+    (round6 revenue, full-precision ordering)."""
+    import ray.data as rd
+    from smqtk_indexing_ray.pipelines.warehouse import top_customer_revenue
+    return top_customer_revenue(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet"),
+        rd.read_parquet(f"{sf_dir}/orders.parquet"),
+        rd.read_parquet(f"{sf_dir}/customer.parquet"), k=10)
+
+
 def _q_embedding_cluster_labels(sf_dir: str):
     """SemDeDup-style semantic near-dup clusters: cosine >= 0.4 pairs ->
     connected components -> min-vec_id labels; singletons self-label."""
@@ -894,6 +907,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pattern_scrub": _q_pattern_scrub,
         "embedding_cluster_labels": _q_embedding_cluster_labels,
         "semantic_contamination": _q_semantic_contamination,
+        "top_customer_revenue": _q_top_customer_revenue,
         "label_centroids": _q_label_centroids,
     }
 
@@ -1122,6 +1136,24 @@ def oracle_sql() -> dict[str, str]:
             "  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id "
             "  WHERE q.vec_id < 32"
             ") WHERE rank <= 10"
+        ),
+        "top_customer_revenue": (
+            "WITH orev AS ("
+            "  SELECT l_orderkey,"
+            "  sum(l_extendedprice * (1 - l_discount)) AS rev"
+            "  FROM lineitem GROUP BY l_orderkey"
+            "), crev AS ("
+            "  SELECT o_custkey, sum(rev) AS rev FROM orev"
+            "  JOIN orders ON o_orderkey = l_orderkey"
+            "  GROUP BY o_custkey"
+            "), r AS ("
+            "  SELECT c_mktsegment, c_custkey, rev,"
+            "  CAST(row_number() OVER (PARTITION BY c_mktsegment"
+            "  ORDER BY rev DESC, c_custkey) AS BIGINT) AS rank"
+            "  FROM crev JOIN customer ON c_custkey = o_custkey"
+            ") "
+            "SELECT c_mktsegment, c_custkey, round(rev, 6) AS revenue,"
+            " rank FROM r WHERE rank <= 10"
         ),
         "semantic_contamination": (
             "SELECT eval_vec, train_vec, rank, round(cs, 6) AS cos_sim "

@@ -1,0 +1,65 @@
+"""Warehouse rollups (pipelines/warehouse.py) vs DuckDB window oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_top_customer_revenue_matches_duckdb():
+    """lineitem -> order -> customer revenue rollup + per-segment top-k
+    vs the exact SQL window oracle, with order groups straddling
+    blocks."""
+    import duckdb
+    import ray.data as rd
+
+    from smqtk_indexing_ray.pipelines.warehouse import top_customer_revenue
+
+    rng = np.random.default_rng(79)
+    n_li, n_ord, n_cust = 4000, 900, 60
+    li = pa.table({
+        "l_orderkey": pa.array(
+            rng.integers(0, n_ord, n_li).astype(np.int64)),
+        "l_extendedprice": pa.array(
+            rng.uniform(100, 5000, n_li).round(2)),
+        "l_discount": pa.array(rng.uniform(0, 0.1, n_li).round(2)),
+    })
+    orders = pa.table({
+        "o_orderkey": pa.array(np.arange(n_ord, dtype=np.int64)),
+        "o_custkey": pa.array(
+            rng.integers(0, n_cust, n_ord).astype(np.int64)),
+    })
+    cust = pa.table({
+        "c_custkey": pa.array(np.arange(n_cust, dtype=np.int64)),
+        "c_mktsegment": pa.array(
+            rng.choice(["AUTO", "HOUSE", "MACH"], n_cust)),
+    })
+    got = top_customer_revenue(
+        rd.from_arrow(li).repartition(9),
+        rd.from_arrow(orders).repartition(3),
+        rd.from_arrow(cust), k=5).to_pandas().sort_values(
+        ["c_mktsegment", "rank"], ignore_index=True)
+    con = duckdb.connect()
+    con.register("lineitem", li.to_pandas())
+    con.register("orders", orders.to_pandas())
+    con.register("customer", cust.to_pandas())
+    want = con.execute(
+        "WITH orev AS (SELECT l_orderkey,"
+        " sum(l_extendedprice * (1 - l_discount)) AS rev"
+        " FROM lineitem GROUP BY l_orderkey),"
+        " crev AS (SELECT o_custkey, sum(rev) AS rev FROM orev"
+        " JOIN orders ON o_orderkey = l_orderkey GROUP BY o_custkey),"
+        " r AS (SELECT c_mktsegment, c_custkey, rev,"
+        " row_number() OVER (PARTITION BY c_mktsegment"
+        " ORDER BY rev DESC, c_custkey) AS rank"
+        " FROM crev JOIN customer ON c_custkey = o_custkey) "
+        "SELECT c_mktsegment, c_custkey, round(rev, 6) AS revenue,"
+        " rank FROM r WHERE rank <= 5"
+        " ORDER BY c_mktsegment, rank").df()
+    assert list(got.c_mktsegment) == list(want.c_mktsegment)
+    assert list(got.c_custkey) == list(want.c_custkey)
+    assert list(got["rank"]) == list(want["rank"])
+    np.testing.assert_allclose(got.revenue.to_numpy(),
+                               want.revenue.to_numpy(), atol=2e-6)

@@ -838,6 +838,20 @@ def _q_top_customer_revenue(sf_dir: str):
         rd.read_parquet(f"{sf_dir}/customer.parquet"), k=10)
 
 
+def _q_supplier_nation_volume(sf_dir: str):
+    """Broadcast-dimension join: supplier->nation->region chain composed
+    driver-side, ray.put once, looked up per batch — revenue volume per
+    (region, nation).  Exact oracle (round6 revenue, int64 counts)."""
+    import ray.data as rd
+    from smqtk_indexing_ray.pipelines.warehouse import (
+        supplier_nation_volume)
+    return supplier_nation_volume(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet"),
+        rd.read_parquet(f"{sf_dir}/supplier.parquet"),
+        rd.read_parquet(f"{sf_dir}/nation.parquet"),
+        rd.read_parquet(f"{sf_dir}/region.parquet"))
+
+
 def _q_embedding_cluster_labels(sf_dir: str):
     """SemDeDup-style semantic near-dup clusters: cosine >= 0.4 pairs ->
     connected components -> min-vec_id labels; singletons self-label."""
@@ -908,6 +922,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_cluster_labels": _q_embedding_cluster_labels,
         "semantic_contamination": _q_semantic_contamination,
         "top_customer_revenue": _q_top_customer_revenue,
+        "supplier_nation_volume": _q_supplier_nation_volume,
         "label_centroids": _q_label_centroids,
     }
 
@@ -1137,23 +1152,38 @@ def oracle_sql() -> dict[str, str]:
             "  WHERE q.vec_id < 32"
             ") WHERE rank <= 10"
         ),
+        # revenue in exact int64 units of 1e-4 dollars (cents x
+        # discount basis points) — no float-summation-order dependence
         "top_customer_revenue": (
             "WITH orev AS ("
             "  SELECT l_orderkey,"
-            "  sum(l_extendedprice * (1 - l_discount)) AS rev"
+            "  sum(CAST(round(l_extendedprice * 100) AS BIGINT)"
+            "  * (100 - CAST(round(l_discount * 100) AS BIGINT)))"
+            "  AS units"
             "  FROM lineitem GROUP BY l_orderkey"
             "), crev AS ("
-            "  SELECT o_custkey, sum(rev) AS rev FROM orev"
-            "  JOIN orders ON o_orderkey = l_orderkey"
+            "  SELECT o_custkey, CAST(sum(units) AS BIGINT) AS units"
+            "  FROM orev JOIN orders ON o_orderkey = l_orderkey"
             "  GROUP BY o_custkey"
             "), r AS ("
-            "  SELECT c_mktsegment, c_custkey, rev,"
+            "  SELECT c_mktsegment, c_custkey, units,"
             "  CAST(row_number() OVER (PARTITION BY c_mktsegment"
-            "  ORDER BY rev DESC, c_custkey) AS BIGINT) AS rank"
+            "  ORDER BY units DESC, c_custkey) AS BIGINT) AS rank"
             "  FROM crev JOIN customer ON c_custkey = o_custkey"
             ") "
-            "SELECT c_mktsegment, c_custkey, round(rev, 6) AS revenue,"
-            " rank FROM r WHERE rank <= 10"
+            "SELECT c_mktsegment, c_custkey, units / 10000.0"
+            " AS revenue, rank FROM r WHERE rank <= 10"
+        ),
+        "supplier_nation_volume": (
+            "SELECT r_name, n_name, "
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)"
+            " * (100 - CAST(round(l_discount * 100) AS BIGINT)))"
+            " AS BIGINT) / 10000.0 AS revenue, count(*) AS n_items "
+            "FROM lineitem "
+            "JOIN supplier ON s_suppkey = l_suppkey "
+            "JOIN nation ON n_nationkey = s_nationkey "
+            "JOIN region ON r_regionkey = n_regionkey "
+            "GROUP BY r_name, n_name"
         ),
         "semantic_contamination": (
             "SELECT eval_vec, train_vec, rank, round(cs, 6) AS cos_sim "

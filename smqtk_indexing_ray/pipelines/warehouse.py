@@ -25,46 +25,153 @@ import pyarrow as pa
 from smqtk_indexing_ray.stages._util import stamp_schema
 
 
+def _revenue_units(t: pa.Table) -> np.ndarray:
+    """``l_extendedprice * (1 - l_discount)`` in exact int64 units of
+    1e-4 dollars (price cents x discount-complement basis points).
+
+    The TPC-H-shaped columns are cents-quantized doubles, so
+    ``rint(x*100)`` recovers the exact decimal; all downstream sums are
+    int64 and the final ``units / 10000.0`` division is bit-identical
+    IEEE on both the Ray and SQL sides — no float-summation-order
+    dependence anywhere (a float64 revenue sum differs from DuckDB's
+    in the 6th decimal at 1e8 magnitudes, measured)."""
+    ep = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+    disc = t["l_discount"].to_numpy(zero_copy_only=False)
+    cents = np.rint(ep * 100.0).astype(np.int64)
+    bp = 100 - np.rint(disc * 100.0).astype(np.int64)
+    return cents * bp
+
+
+def supplier_nation_volume(lineitem, supplier, nation, region):
+    """Revenue volume per (region, nation) — the broadcast-dimension
+    join shape: the fact table pre-reduces per batch to its distinct
+    supplier keys, and the supplier->nation->region dimension chain
+    (hundreds of rows) is composed DRIVER-SIDE into one small map,
+    ``ray.put`` once and looked up inside ``map_batches`` — no shuffle
+    ever sees a dimension row, and the only exchange is the
+    #suppliers-per-batch partial aggregate.
+
+    This is the documented broadcast path for small-side joins (vs the
+    sort-merge ``sort_attach`` used when the payload side is large —
+    see :func:`top_customer_revenue` for that shape).
+
+    Output: ``r_name, n_name, revenue, n_items`` (exact unit-division
+    doubles, exact int64 counts).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from smqtk_indexing_ray.stages._util import collect_table
+
+    # dimension chain -> one suppkey -> (region, nation) map; bounded
+    # by the supplier dimension (the reference scale for TPC-H dims)
+    sup = collect_table(supplier.select_columns(
+        ["s_suppkey", "s_nationkey"]),
+        pa.schema([("s_suppkey", pa.int64()),
+                   ("s_nationkey", pa.int64())]))
+    nat = collect_table(nation.select_columns(
+        ["n_nationkey", "n_name", "n_regionkey"]),
+        pa.schema([("n_nationkey", pa.int64()), ("n_name", pa.string()),
+                   ("n_regionkey", pa.int64())]))
+    reg = collect_table(region.select_columns(
+        ["r_regionkey", "r_name"]),
+        pa.schema([("r_regionkey", pa.int64()),
+                   ("r_name", pa.string())]))
+    rmap = dict(zip(reg["r_regionkey"].to_pylist(),
+                    reg["r_name"].to_pylist()))
+    nmap = {k: (rmap[rk], nm) for k, nm, rk in zip(
+        nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist(),
+        nat["n_regionkey"].to_pylist())}
+    smap = {k: nmap[nk] for k, nk in zip(
+        sup["s_suppkey"].to_pylist(), sup["s_nationkey"].to_pylist())}
+    smap_ref = ray.put(smap)
+
+    part_schema = pa.schema([("r_name", pa.string()),
+                             ("n_name", pa.string()),
+                             ("units", pa.int64()),
+                             ("n_items", pa.int64())])
+    out_schema = pa.schema([("r_name", pa.string()),
+                            ("n_name", pa.string()),
+                            ("revenue", pa.float64()),
+                            ("n_items", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_suppkey" not in t.column_names:
+            return part_schema.empty_table()
+        m = ray.get(smap_ref)
+        skey = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        units = _revenue_units(t)
+        uniq, inv = np.unique(skey, return_inverse=True)
+        out = np.zeros(len(uniq), np.int64)
+        np.add.at(out, inv, units)
+        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        names = [m[int(s)] for s in uniq]     # distinct keys, not rows
+        return pa.table({
+            "r_name": pa.array([r for r, _ in names], pa.string()),
+            "n_name": pa.array([n for _, n in names], pa.string()),
+            "units": pa.array(out),
+            "n_items": pa.array(cnt),
+        })
+
+    parts = lineitem.select_columns(
+        ["l_suppkey", "l_extendedprice", "l_discount"]).map_batches(
+        partial, batch_format="pyarrow")
+    out = parts.groupby(["r_name", "n_name"]).aggregate(
+        Sum("units", alias_name="units"),
+        Sum("n_items", alias_name="n_items"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "units" not in t.column_names:
+            return out_schema.empty_table()
+        u = t["units"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "r_name": t["r_name"],
+            "n_name": t["n_name"],
+            "revenue": pa.array(u / 10000.0),
+            "n_items": t["n_items"],
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def top_customer_revenue(lineitem, orders, customer, *, k: int = 10):
     """Top-k customers by revenue within each market segment.
 
     ``revenue = sum(l_extendedprice * (1 - l_discount))`` rolled up
     lineitem -> order -> customer, segment attached from the dimension
     table, then per-segment top-k.  Two combiner-shaped aggregations +
-    two sort-merge attaches + one top-k sort.  Revenue doubles are
-    emitted through round6 (ordering happens at full precision, same
-    as the SQL window oracle).
+    two sort-merge attaches + one top-k sort.  All revenue arithmetic
+    is exact int64 units (:func:`_revenue_units`) — ranking compares
+    integers, so ties and float-order artifacts cannot diverge from
+    the SQL window oracle.
 
     Output: ``c_mktsegment, c_custkey, revenue, rank``.
     """
     from ray.data.aggregate import Sum
 
-    from smqtk_indexing_ray.functions.metrics import round6
     from smqtk_indexing_ray.stages.attach import sort_attach
     from smqtk_indexing_ray.stages.topk import top_k_per_group
 
     orev_schema = pa.schema([("l_orderkey", pa.int64()),
-                             ("rev", pa.float64())])
+                             ("units", pa.int64())])
 
     def lpart(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "l_orderkey" not in t.column_names:
             return orev_schema.empty_table()
         okey = t["l_orderkey"].to_numpy(zero_copy_only=False)
-        ep = t["l_extendedprice"].to_numpy(zero_copy_only=False)
-        disc = t["l_discount"].to_numpy(zero_copy_only=False)
-        rev = ep * (1.0 - disc)
+        units = _revenue_units(t)
         uniq, inv = np.unique(okey, return_inverse=True)
-        out = np.zeros(len(uniq), np.float64)
-        np.add.at(out, inv, rev)
+        out = np.zeros(len(uniq), np.int64)
+        np.add.at(out, inv, units)
         return pa.table({"l_orderkey": pa.array(uniq.astype(np.int64)),
-                         "rev": pa.array(out)})
+                         "units": pa.array(out)})
 
     lrev = lineitem.select_columns(
         ["l_orderkey", "l_extendedprice", "l_discount"]).map_batches(
         lpart, batch_format="pyarrow")
     orev = stamp_schema(
         lrev.groupby("l_orderkey").aggregate(
-            Sum("rev", alias_name="rev")), orev_schema)
+            Sum("units", alias_name="units")), orev_schema)
 
     with_cust = sort_attach(
         orev, orders.select_columns(["o_orderkey", "o_custkey"]),
@@ -75,22 +182,23 @@ def top_customer_revenue(lineitem, orders, customer, *, k: int = 10):
                                   ("o_custkey", pa.int64())]))
 
     crev_schema = pa.schema([("o_custkey", pa.int64()),
-                             ("rev", pa.float64())])
+                             ("units", pa.int64())])
 
     def cpart(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "o_custkey" not in t.column_names:
             return crev_schema.empty_table()
         ckey = t["o_custkey"].to_numpy(zero_copy_only=False)
-        rev = t["rev"].to_numpy(zero_copy_only=False)
+        units = t["units"].to_numpy(zero_copy_only=False)
         uniq, inv = np.unique(ckey, return_inverse=True)
-        out = np.zeros(len(uniq), np.float64)
-        np.add.at(out, inv, rev)
+        out = np.zeros(len(uniq), np.int64)
+        np.add.at(out, inv, units)
         return pa.table({"o_custkey": pa.array(uniq.astype(np.int64)),
-                         "rev": pa.array(out)})
+                         "units": pa.array(out)})
 
     crev = stamp_schema(
         with_cust.map_batches(cpart, batch_format="pyarrow")
-        .groupby("o_custkey").aggregate(Sum("rev", alias_name="rev")),
+        .groupby("o_custkey").aggregate(
+            Sum("units", alias_name="units")),
         crev_schema)
 
     with_seg = sort_attach(
@@ -102,10 +210,11 @@ def top_customer_revenue(lineitem, orders, customer, *, k: int = 10):
                                   ("c_mktsegment", pa.string())]))
 
     seg_schema = pa.schema([("o_custkey", pa.int64()),
-                            ("rev", pa.float64()),
+                            ("units", pa.int64()),
                             ("c_mktsegment", pa.string())])
-    top = top_k_per_group(with_seg, group="c_mktsegment", order="rev",
-                          tiebreak="o_custkey", k=k, schema=seg_schema)
+    top = top_k_per_group(with_seg, group="c_mktsegment",
+                          order="units", tiebreak="o_custkey", k=k,
+                          schema=seg_schema)
 
     out_schema = pa.schema([("c_mktsegment", pa.string()),
                             ("c_custkey", pa.int64()),
@@ -113,13 +222,13 @@ def top_customer_revenue(lineitem, orders, customer, *, k: int = 10):
                             ("rank", pa.int64())])
 
     def finish(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "rev" not in t.column_names:
+        if t.num_rows == 0 or "units" not in t.column_names:
             return out_schema.empty_table()
+        u = t["units"].to_numpy(zero_copy_only=False)
         return pa.table({
             "c_mktsegment": t["c_mktsegment"],
             "c_custkey": t["o_custkey"],
-            "revenue": pa.array(round6(
-                t["rev"].to_numpy(zero_copy_only=False))),
+            "revenue": pa.array(u / 10000.0),
             "rank": t["rank"],
         })
 

@@ -47,19 +47,21 @@ def test_top_customer_revenue_matches_duckdb():
     con.register("customer", cust.to_pandas())
     want = con.execute(
         "WITH orev AS (SELECT l_orderkey,"
-        " sum(l_extendedprice * (1 - l_discount)) AS rev"
+        " sum(CAST(round(l_extendedprice * 100) AS BIGINT)"
+        " * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS units"
         " FROM lineitem GROUP BY l_orderkey),"
-        " crev AS (SELECT o_custkey, sum(rev) AS rev FROM orev"
+        " crev AS (SELECT o_custkey, CAST(sum(units) AS BIGINT)"
+        " AS units FROM orev"
         " JOIN orders ON o_orderkey = l_orderkey GROUP BY o_custkey),"
-        " r AS (SELECT c_mktsegment, c_custkey, rev,"
+        " r AS (SELECT c_mktsegment, c_custkey, units,"
         " row_number() OVER (PARTITION BY c_mktsegment"
-        " ORDER BY rev DESC, c_custkey) AS rank"
+        " ORDER BY units DESC, c_custkey) AS rank"
         " FROM crev JOIN customer ON c_custkey = o_custkey) "
-        "SELECT c_mktsegment, c_custkey, round(rev, 6) AS revenue,"
+        "SELECT c_mktsegment, c_custkey, units / 10000.0 AS revenue,"
         " rank FROM r WHERE rank <= 5"
         " ORDER BY c_mktsegment, rank").df()
     assert list(got.c_mktsegment) == list(want.c_mktsegment)
     assert list(got.c_custkey) == list(want.c_custkey)
     assert list(got["rank"]) == list(want["rank"])
-    np.testing.assert_allclose(got.revenue.to_numpy(),
-                               want.revenue.to_numpy(), atol=2e-6)
+    # exact-int-unit arithmetic: revenues must match bit-for-bit
+    assert list(got.revenue) == list(want.revenue)

@@ -852,6 +852,15 @@ def _q_supplier_nation_volume(sf_dir: str):
         rd.read_parquet(f"{sf_dir}/region.parquet"))
 
 
+def _q_cohort_retention(sf_dir: str):
+    """Cohort retention matrix over the events stream: first-seen-day
+    cohorts x activity days, exact distinct users + int-ratio
+    retention.  Exact SQL oracle."""
+    import ray.data as rd
+    from smqtk_indexing_ray.pipelines.events import cohort_retention
+    return cohort_retention(rd.read_parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_embedding_cluster_labels(sf_dir: str):
     """SemDeDup-style semantic near-dup clusters: cosine >= 0.4 pairs ->
     connected components -> min-vec_id labels; singletons self-label."""
@@ -906,6 +915,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window_counts": _q_hopping_window_counts,
         "event_seq": _q_event_seq,
         "funnel": _q_funnel,
+        "cohort_retention": _q_cohort_retention,
         "quality_signals": _q_quality_signals,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "repetition_signals": _q_repetition_signals,
@@ -1210,6 +1220,27 @@ def oracle_sql() -> dict[str, str]:
             ") "
             "SELECT label, dim, round(sum(v) / count(*), 6) AS centroid,"
             " count(*) AS n_vecs FROM e GROUP BY label, dim"
+        ),
+        "cohort_retention": (
+            "WITH f AS ("
+            "  SELECT user_id, epoch_us(ts) // 86400000000 AS day"
+            "  FROM events"
+            "), c AS ("
+            "  SELECT user_id, min(day) AS cohort_day FROM f"
+            "  GROUP BY user_id"
+            "), act AS ("
+            "  SELECT DISTINCT c.cohort_day, f.day AS activity_day,"
+            "  f.user_id FROM f JOIN c ON f.user_id = c.user_id"
+            "), sz AS ("
+            "  SELECT cohort_day, count(*) AS n FROM c"
+            "  GROUP BY cohort_day"
+            "), g AS ("
+            "  SELECT cohort_day, activity_day, count(*) AS n_users"
+            "  FROM act GROUP BY 1, 2"
+            ") "
+            "SELECT g.cohort_day, g.activity_day, g.n_users, "
+            "CAST(g.n_users AS DOUBLE) / sz.n AS retention "
+            "FROM g JOIN sz ON g.cohort_day = sz.cohort_day"
         ),
         "quality_signals": (
             "WITH toks AS ("

@@ -284,6 +284,142 @@ def window_user_counts(events, *, window_minutes: int = 60):
     return counts.map_batches(clean, batch_format="pyarrow")
 
 
+def cohort_retention(events, *, day_us: int = 86_400_000_000):
+    """Cohort retention matrix: users bucketed by first-seen day, then
+    counted distinct on every activity day, with the exact retention
+    ratio vs cohort size — the product-analytics staple.
+
+    Scale shape: (1) per-user first-seen day is a per-batch
+    ``(user, min_day)`` partial + groupby Min (the shuffle carries one
+    row per user per batch, not events); (2) the cohort day joins back
+    onto the slimmed event stream via the sort-merge attach keyed by
+    user_id (user cardinality is unbounded — no broadcast);
+    (3) ``(cohort_day, activity_day, user_id)`` goes through the
+    two-level exact distinct (in-batch Arrow group_by pre-dedup, then a
+    global groupby); (4) cohort sizes are a histogram-sized map
+    broadcast into the final ratio.  ``retention`` is an exact
+    int64/int64 IEEE division — bit-identical to the SQL oracle.
+
+    Output: ``cohort_day, activity_day, n_users, retention`` (day =
+    int64 days since epoch).
+    """
+    import ray
+    from ray.data.aggregate import Count, Min, Sum
+
+    from smqtk_indexing_ray.stages._util import (
+        collect_table,
+        stamp_schema,
+    )
+    from smqtk_indexing_ray.stages.attach import sort_attach
+
+    ud_schema = pa.schema([("user_id", pa.int64()),
+                           ("day", pa.int64())])
+
+    def slim(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "ts" not in t.column_names:
+            return ud_schema.empty_table()
+        ts = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": t["user_id"],
+            "day": pa.array((ts // day_us).astype(np.int64)),
+        })
+
+    days = events.select_columns(["ts", "user_id"]).map_batches(
+        slim, batch_format="pyarrow")
+
+    def first_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return ud_schema.empty_table()
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        d = t["day"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(u, return_inverse=True)
+        md = np.full(len(uniq), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(md, inv, d)
+        return pa.table({"user_id": pa.array(uniq.astype(np.int64)),
+                         "day": pa.array(md)})
+
+    cohort_schema = pa.schema([("user_id", pa.int64()),
+                               ("cohort_day", pa.int64())])
+    firsts = stamp_schema(
+        days.map_batches(first_partial, batch_format="pyarrow")
+        .groupby("user_id").aggregate(Min("day",
+                                          alias_name="cohort_day")),
+        cohort_schema).materialize()
+
+    # cohort sizes: combiner partial counts -> tiny groupby -> broadcast
+    size_schema = pa.schema([("cohort_day", pa.int64()),
+                             ("n", pa.int64())])
+
+    def size_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "cohort_day" not in t.column_names:
+            return size_schema.empty_table()
+        d = t["cohort_day"].to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(d, return_counts=True)
+        return pa.table({"cohort_day": pa.array(uniq.astype(np.int64)),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    sizes_tbl = collect_table(
+        firsts.map_batches(size_partial, batch_format="pyarrow")
+        .groupby("cohort_day").aggregate(Sum("n", alias_name="n")),
+        size_schema)
+    sizes = dict(zip(sizes_tbl["cohort_day"].to_pylist(),
+                     sizes_tbl["n"].to_pylist()))
+    sizes_ref = ray.put(sizes)
+
+    att = sort_attach(days, firsts, key="user_id",
+                      payload_key="user_id",
+                      payload_cols=["cohort_day"], how="inner",
+                      rows_schema=ud_schema,
+                      payload_schema=cohort_schema)
+
+    triple_schema = pa.schema([("cohort_day", pa.int64()),
+                               ("activity_day", pa.int64()),
+                               ("user_id", pa.int64())])
+
+    def triple_dedup(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "cohort_day" not in t.column_names:
+            return triple_schema.empty_table()
+        t2 = pa.table({"cohort_day": t["cohort_day"],
+                       "activity_day": t["day"],
+                       "user_id": t["user_id"]})
+        return t2.group_by(["cohort_day", "activity_day",
+                            "user_id"]).aggregate([])
+
+    distinct = att.map_batches(triple_dedup, batch_format="pyarrow") \
+        .groupby(["cohort_day", "activity_day", "user_id"]) \
+        .aggregate(Count(alias_name="_c"))
+
+    def strip(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "cohort_day" not in t.column_names:
+            return triple_schema.empty_table()
+        return t.select(["cohort_day", "activity_day", "user_id"])
+
+    cells = distinct.map_batches(strip, batch_format="pyarrow") \
+        .groupby(["cohort_day", "activity_day"]) \
+        .aggregate(Count(alias_name="n_users"))
+
+    out_schema = pa.schema([("cohort_day", pa.int64()),
+                            ("activity_day", pa.int64()),
+                            ("n_users", pa.int64()),
+                            ("retention", pa.float64())])
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "n_users" not in t.column_names:
+            return out_schema.empty_table()
+        smap = ray.get(sizes_ref)
+        cd = t["cohort_day"].to_numpy(zero_copy_only=False)
+        n = t["n_users"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sz = np.array([smap[int(c)] for c in cd], np.int64)
+        return pa.table({
+            "cohort_day": t["cohort_day"],
+            "activity_day": t["activity_day"],
+            "n_users": pa.array(n),
+            "retention": pa.array(n / sz),
+        })
+
+    return cells.map_batches(finish, batch_format="pyarrow")
+
+
 def hopping_window_counts(events, *, window_minutes: int = 60,
                           hop_minutes: int = 30):
     """Sliding (hopping) window event counts: every window of length

@@ -359,3 +359,50 @@ class TestFunnel:
                    steps=("view", "view"))
         got = self._run([(0, 1, 100, "error")])  # no step events at all
         assert got == {}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cohort_retention_matches_duckdb():
+    """First-seen cohorts x activity-day distinct users vs the exact
+    SQL oracle, with users and days straddling blocks."""
+    import duckdb
+    import ray.data as rd
+
+    from smqtk_indexing_ray.pipelines.events import cohort_retention
+
+    rng = np.random.default_rng(83)
+    n = 3000
+    day_us = 86_400_000_000
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(
+            (rng.integers(0, 14, n) * day_us
+             + rng.integers(0, day_us, n)).astype("datetime64[us]")),
+        "user_id": pa.array(rng.integers(0, 200, n).astype(np.int64)),
+        "event_type": pa.array(["x"] * n),
+        "value": pa.array(np.zeros(n)),
+    })
+    got = cohort_retention(
+        rd.from_arrow(t).repartition(7)).to_pandas().sort_values(
+        ["cohort_day", "activity_day"], ignore_index=True)
+    con = duckdb.connect()
+    con.register("events", t.to_pandas())
+    want = con.execute(
+        "WITH f AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day"
+        " FROM events),"
+        " c AS (SELECT user_id, min(day) AS cohort_day FROM f"
+        " GROUP BY user_id),"
+        " act AS (SELECT DISTINCT c.cohort_day, f.day AS activity_day,"
+        " f.user_id FROM f JOIN c ON f.user_id = c.user_id),"
+        " sz AS (SELECT cohort_day, count(*) AS n FROM c"
+        " GROUP BY cohort_day),"
+        " g AS (SELECT cohort_day, activity_day, count(*) AS n_users"
+        " FROM act GROUP BY 1, 2) "
+        "SELECT g.cohort_day, g.activity_day, g.n_users,"
+        " CAST(g.n_users AS DOUBLE) / sz.n AS retention"
+        " FROM g JOIN sz ON g.cohort_day = sz.cohort_day"
+        " ORDER BY g.cohort_day, g.activity_day").df()
+    assert list(got.cohort_day) == list(want.cohort_day)
+    assert list(got.activity_day) == list(want.activity_day)
+    assert list(got.n_users) == list(want.n_users)
+    assert list(got.retention) == list(want.retention)

@@ -138,6 +138,14 @@ def _q_corpus_rollup(sf_dir: str):
     return corpus_rollup(_docs(sf_dir))
 
 
+def _q_trimmed_length_mean(sf_dir: str):
+    """Per-language 5-95% trimmed mean of doc length — quantile cuts
+    broadcast, combiner-shaped aggregation, exact int-ratio mean."""
+    from smqtk_indexing_ray.pipelines.analysis import trimmed_mean
+    return trimmed_mean(_docs(sf_dir), group="lang", col="n_chars",
+                        lo=0.05, hi=0.95)
+
+
 def _q_top_docs_per_lang(sf_dir: str):
     """Per-group top-k (5 longest docs per language): one sort +
     per-block rank with boundary carries — row_number() oracle."""
@@ -880,6 +888,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_outliers": _q_length_outliers,
         "length_pareto": _q_length_pareto,
         "corpus_rollup": _q_corpus_rollup,
+        "trimmed_length_mean": _q_trimmed_length_mean,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "stratified_sample": _q_stratified_sample,
         "contamination": _q_contamination,
@@ -1060,6 +1069,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents "
             "GROUP BY GROUPING SETS ((source, lang), (source),"
             " (lang), ())"
+        ),
+        "trimmed_length_mean": (
+            "WITH q AS ("
+            "  SELECT lang, quantile_disc(n_chars, 0.05) AS lo,"
+            "  quantile_disc(n_chars, 0.95) AS hi"
+            "  FROM documents GROUP BY lang"
+            ") "
+            "SELECT d.lang AS lang, count(*) AS n_kept, "
+            "CAST(sum(n_chars) AS BIGINT) AS total, "
+            "CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean "
+            "FROM documents d JOIN q ON d.lang = q.lang "
+            "WHERE n_chars BETWEEN lo AND hi GROUP BY d.lang"
         ),
         "length_outliers": (
             "WITH m AS ("

@@ -304,6 +304,85 @@ def bloom_prefilter(docs, reference_docs, *, k: int = 3,
     return docs.map_batches(keep, batch_format="pyarrow")
 
 
+def trimmed_mean(docs, *, group: str, col: str, lo: float = 0.05,
+                 hi: float = 0.95):
+    """Per-group trimmed mean: drop each group's tails outside the
+    ``[lo, hi]`` discrete quantiles, then average what remains — the
+    outlier-insensitive center a corpus report quotes instead of a raw
+    mean.
+
+    One :func:`group_quantiles` pass (narrow sort) for the cut points,
+    broadcast as a histogram-sized map; the filter + per-group partial
+    sums run inside ``map_batches`` (the groupby shuffles one row per
+    group per batch).  ``mean`` is an exact int64/int64 IEEE division.
+
+    Output: ``group, n_kept, total, mean``.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from smqtk_indexing_ray.stages.quantiles import group_quantiles
+
+    qt = group_quantiles(docs, group=group, col=col, qs=[lo, hi])
+    cuts: dict = {}
+    for kk, q, v in zip(qt[group].to_pylist(), qt["q"].to_pylist(),
+                        qt[col].to_pylist()):
+        lo_v, hi_v = cuts.get(kk, (None, None))
+        cuts[kk] = (v, hi_v) if q == lo else (lo_v, v)
+    cuts_ref = ray.put(cuts)
+
+    part_schema = pa.schema([(group, pa.string()),
+                             ("n_kept", pa.int64()),
+                             ("total", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or group not in t.column_names:
+            return part_schema.empty_table()
+        m = ray.get(cuts_ref)
+        enc = pc.dictionary_encode(t[group]).combine_chunks()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        keys = enc.dictionary.to_pylist()
+        lo_v = np.array([m[k][0] for k in keys], np.int64)[idx]
+        hi_v = np.array([m[k][1] for k in keys], np.int64)[idx]
+        x = t[col].to_numpy(zero_copy_only=False)
+        keep = (x >= lo_v) & (x <= hi_v)
+        cnt = np.zeros(len(keys), np.int64)
+        tot = np.zeros(len(keys), np.int64)
+        np.add.at(cnt, idx[keep], 1)
+        np.add.at(tot, idx[keep], x[keep])
+        nz = cnt > 0
+        return pa.table({
+            group: pa.array([k for k, z in zip(keys, nz) if z],
+                            pa.string()),
+            "n_kept": pa.array(cnt[nz]),
+            "total": pa.array(tot[nz]),
+        })
+
+    agg = docs.select_columns([group, col]).map_batches(
+        partial, batch_format="pyarrow").groupby(group).aggregate(
+        Sum("n_kept", alias_name="n_kept"),
+        Sum("total", alias_name="total"))
+
+    out_schema = pa.schema([(group, pa.string()),
+                            ("n_kept", pa.int64()),
+                            ("total", pa.int64()),
+                            ("mean", pa.float64())])
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "n_kept" not in t.column_names:
+            return out_schema.empty_table()
+        n = t["n_kept"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tot = t["total"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            group: t[group],
+            "n_kept": pa.array(n),
+            "total": pa.array(tot),
+            "mean": pa.array(tot / n),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def corpus_rollup(docs):
     """One-pass multi-level corpus census: GROUPING SETS rollup over
     ``(source, lang)`` — the per-slice + marginal + grand-total counts

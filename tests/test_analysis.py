@@ -637,6 +637,43 @@ def test_label_centroids_matches_numpy():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_trimmed_mean_matches_duckdb():
+    """Quantile-cut broadcast + combiner aggregation vs the SQL oracle,
+    with planted extremes that the trim must exclude."""
+    import duckdb
+    import ray.data as rd
+    from smqtk_indexing_ray.pipelines.analysis import trimmed_mean
+    rng = np.random.default_rng(89)
+    n = 1200
+    g = rng.integers(0, 3, n)
+    x = rng.integers(50, 150, n).astype(np.int64)
+    x[:6] = 10_000_000                  # extremes to trim
+    t = pa.table({"lang": pa.array([f"g{v}" for v in g]),
+                  "n_chars": pa.array(x)})
+    got = trimmed_mean(
+        rd.from_arrow(t).repartition(7), group="lang", col="n_chars",
+        lo=0.05, hi=0.95).to_pandas().sort_values(
+        "lang", ignore_index=True)
+    con = duckdb.connect()
+    con.register("documents", t.to_pandas())
+    want = con.execute(
+        "WITH q AS (SELECT lang, quantile_disc(n_chars, 0.05) AS lo,"
+        " quantile_disc(n_chars, 0.95) AS hi FROM documents"
+        " GROUP BY lang) "
+        "SELECT d.lang AS lang, count(*) AS n_kept,"
+        " CAST(sum(n_chars) AS BIGINT) AS total,"
+        " CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean"
+        " FROM documents d JOIN q ON d.lang = q.lang"
+        " WHERE n_chars BETWEEN lo AND hi GROUP BY d.lang"
+        " ORDER BY lang").df()
+    assert list(got.lang) == list(want.lang)
+    assert list(got.n_kept) == list(want.n_kept)
+    assert list(got.total) == list(want.total)
+    assert list(got["mean"]) == list(want["mean"])
+    assert got["mean"].max() < 1000     # extremes actually trimmed
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_bloom_no_false_negatives_and_low_fp():
     """Every inserted hash must test positive (losslessness of the
     prefilter rests on this); disjoint probes must mostly test

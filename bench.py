@@ -246,6 +246,34 @@ def run_headline(n_docs: int) -> dict:
             "cpu_pct": _cpu_delta(ticks0, _cpu_ticks())}
 
 
+def _bloom_contamination_fn(sf_dir: str):
+    def fn():
+        import __ray_entry__ as e
+        return e.queries()["bloom_contamination"](sf_dir)
+    return fn
+
+
+def _cohort_retention_fn(sf_dir: str):
+    def fn():
+        import ray.data as rd
+        from smqtk_indexing_ray.pipelines.events import cohort_retention
+        return cohort_retention(
+            rd.read_parquet(f"{sf_dir}/events.parquet"))
+    return fn
+
+
+def _revenue_fn(sf_dir: str):
+    def fn():
+        import ray.data as rd
+        from smqtk_indexing_ray.pipelines.warehouse import (
+            top_customer_revenue)
+        return top_customer_revenue(
+            rd.read_parquet(f"{sf_dir}/lineitem.parquet"),
+            rd.read_parquet(f"{sf_dir}/orders.parquet"),
+            rd.read_parquet(f"{sf_dir}/customer.parquet"), k=10)
+    return fn
+
+
 def run_sf_suite(sf_dir: str) -> dict[str, float]:
     """Time the sf-dir operator pipelines (documents + embeddings)."""
     import ray.data as rd
@@ -293,6 +321,9 @@ def run_sf_suite(sf_dir: str) -> dict[str, float]:
         "heavy_hitters": lambda: terms.heavy_hitters(docs(), one_in=500),
         "token_chunks": lambda: terms.token_chunks(docs(), budget=4096),
         "distinct_terms_hll": lambda: terms.distinct_terms_hll(docs()),
+        "bloom_contamination": _bloom_contamination_fn(sf_dir),
+        "cohort_retention": _cohort_retention_fn(sf_dir),
+        "top_customer_revenue": _revenue_fn(sf_dir),
     }
     times: dict[str, float] = {}
     for name, fn in suite.items():

@@ -338,13 +338,23 @@ def cohort_retention(events, *, day_us: int = 86_400_000_000):
         return pa.table({"user_id": pa.array(uniq.astype(np.int64)),
                          "day": pa.array(md)})
 
+    # sort-based grouped min — a hash groupby's aggregator-actor
+    # spin-up costs ~5 s at this shape (stages/agg.py docstring)
     cohort_schema = pa.schema([("user_id", pa.int64()),
                                ("cohort_day", pa.int64())])
-    firsts = stamp_schema(
-        days.map_batches(first_partial, batch_format="pyarrow")
-        .groupby("user_id").aggregate(Min("day",
-                                          alias_name="cohort_day")),
-        cohort_schema).materialize()
+    from smqtk_indexing_ray.stages.agg import sorted_group_agg
+    firsts_raw = sorted_group_agg(
+        days.map_batches(first_partial, batch_format="pyarrow"),
+        key="user_id", aggs={"day": "min"},
+        schema=ud_schema)
+
+    def _ren(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return cohort_schema.empty_table()
+        return t.rename_columns(["user_id", "cohort_day"])
+
+    firsts = firsts_raw.map_batches(
+        _ren, batch_format="pyarrow").materialize()
 
     # cohort sizes: combiner partial counts -> tiny groupby -> broadcast
     size_schema = pa.schema([("cohort_day", pa.int64()),

@@ -22,8 +22,6 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from smqtk_indexing_ray.stages._util import stamp_schema
-
 
 def _revenue_units(t: pa.Table) -> np.ndarray:
     """``l_extendedprice * (1 - l_discount)`` in exact int64 units of
@@ -147,8 +145,7 @@ def top_customer_revenue(lineitem, orders, customer, *, k: int = 10):
 
     Output: ``c_mktsegment, c_custkey, revenue, rank``.
     """
-    from ray.data.aggregate import Sum
-
+    from smqtk_indexing_ray.stages.agg import sorted_group_agg
     from smqtk_indexing_ray.stages.attach import sort_attach
     from smqtk_indexing_ray.stages.topk import top_k_per_group
 
@@ -169,9 +166,11 @@ def top_customer_revenue(lineitem, orders, customer, *, k: int = 10):
     lrev = lineitem.select_columns(
         ["l_orderkey", "l_extendedprice", "l_discount"]).map_batches(
         lpart, batch_format="pyarrow")
-    orev = stamp_schema(
-        lrev.groupby("l_orderkey").aggregate(
-            Sum("units", alias_name="units")), orev_schema)
+    # sort-based grouped sum: a hash groupby here costs ~5 s of
+    # aggregator-actor spin-up where the sort costs <1 s (measured,
+    # stages/agg.py module docstring)
+    orev = sorted_group_agg(lrev, key="l_orderkey",
+                            aggs={"units": "sum"}, schema=orev_schema)
 
     with_cust = sort_attach(
         orev, orders.select_columns(["o_orderkey", "o_custkey"]),
@@ -195,11 +194,9 @@ def top_customer_revenue(lineitem, orders, customer, *, k: int = 10):
         return pa.table({"o_custkey": pa.array(uniq.astype(np.int64)),
                          "units": pa.array(out)})
 
-    crev = stamp_schema(
-        with_cust.map_batches(cpart, batch_format="pyarrow")
-        .groupby("o_custkey").aggregate(
-            Sum("units", alias_name="units")),
-        crev_schema)
+    crev = sorted_group_agg(
+        with_cust.map_batches(cpart, batch_format="pyarrow"),
+        key="o_custkey", aggs={"units": "sum"}, schema=crev_schema)
 
     with_seg = sort_attach(
         crev, customer.select_columns(["c_custkey", "c_mktsegment"]),

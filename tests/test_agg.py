@@ -1,0 +1,61 @@
+"""Sort-based grouped aggregation (stages/agg.py) vs pandas oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sorted_group_agg_matches_pandas():
+    """sum/min/max/count vs a pandas groupby, with a hot key spanning
+    many blocks (the carry/handoff path) and singleton keys."""
+    import ray.data as rd
+
+    from smqtk_indexing_ray.stages.agg import sorted_group_agg
+
+    rng = np.random.default_rng(97)
+    n = 5000
+    k = rng.integers(0, 400, n)
+    k[:2600] = 7                        # hot key spans several blocks
+    v = rng.integers(-50, 50, n).astype(np.int64)
+    t = pa.table({"k": pa.array(k.astype(np.int64)),
+                  "v": pa.array(v),
+                  "w": pa.array(v * 2)})
+    got = sorted_group_agg(
+        rd.from_arrow(t).repartition(13), key="k",
+        aggs={"v": "sum", "w": "min", "k2": "count"},
+        schema=pa.schema([("k", pa.int64()), ("v", pa.int64()),
+                          ("w", pa.int64()),
+                          ("k2", pa.int64())])).to_pandas()
+    # the count column sources a missing col name on purpose: count
+    # ignores values
+    df = t.to_pandas()
+    want = df.groupby("k").agg(v=("v", "sum"), w=("w", "min"),
+                               k2=("v", "count")).reset_index()
+    got = got.sort_values("k", ignore_index=True)
+    want = want.sort_values("k", ignore_index=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sorted_group_agg_string_keys_and_empty():
+    import ray.data as rd
+
+    from smqtk_indexing_ray.stages.agg import sorted_group_agg
+
+    t = pa.table({"k": pa.array(["b", "a", "b", "c", "a", "b"]),
+                  "v": pa.array([1, 2, 3, 4, 5, 6], pa.int64())})
+    got = sorted_group_agg(
+        rd.from_arrow(t).repartition(4), key="k",
+        aggs={"v": "sum"}).to_pandas().sort_values(
+        "k", ignore_index=True)
+    assert list(got.k) == ["a", "b", "c"]
+    assert list(got.v) == [7, 10, 4]
+
+    sch = pa.schema([("k", pa.string()), ("v", pa.int64())])
+    empty = sorted_group_agg(rd.from_arrow(sch.empty_table()), key="k",
+                             aggs={"v": "sum"}, schema=sch)
+    assert empty.count() == 0

@@ -529,23 +529,26 @@ def ngram_jaccard_pairs(docs, *, k: int = 3, threshold: float = 0.5,
                         max_shingle_freq: int | None = 1000):
     """Exact n-gram-Jaccard near-duplicate pairs.
 
-    shingle-explode -> self-join on shingle -> per-pair intersection count
-    -> join per-doc set sizes -> jaccard = inter / (|A|+|B|-inter) >= thr.
+    shingle-explode -> within-shingle pair emission (join-free: one
+    (shingle, doc) sort + per-run pair walk, stages/pairs.py) ->
+    per-pair intersection count (sort-based grouped agg) -> jaccard =
+    inter / (|A|+|B|-inter) >= thr.  No Dataset.join and no hash
+    aggregate anywhere on the path (measured: the old df-groupby +
+    sort_attach + acero self-join chain cost 29-38 s at sf0.1 where
+    this costs 4-7 s).
 
-    The self-join is quadratic in shingle document-frequency, so the
-    stop-shingle cap defaults ON: shingles appearing in more than
-    ``max_shingle_freq`` docs are dropped from the JOIN ONLY — per-doc
-    set sizes (the jaccard denominator) still count every shingle, so a
-    pair whose overlap is pure boilerplate scores low instead of
-    exploding the join.  This bounds per-shingle join input at
+    Pair emission is quadratic in shingle document-frequency, so the
+    stop-shingle cap defaults ON: shingles whose COMPLETE run exceeds
+    ``max_shingle_freq`` docs emit no pairs — per-doc set sizes (the
+    jaccard denominator) still count every shingle, so a pair whose
+    overlap is pure boilerplate scores low instead of exploding the
+    pass.  This bounds per-shingle pair output at
     ``max_shingle_freq``^2 regardless of corpus skew.  Pass ``None`` to
-    disable (exact semantics, unbounded DF blowup — the MinHash/LSH
+    disable (exact semantics, unbounded blowup — the MinHash/LSH
     pipeline is the scale path either way).
     """
     from smqtk_indexing_ray.context import ensure_data_context
     ensure_data_context()
-
-    from ray.data.aggregate import Count, Min
 
     from smqtk_indexing_ray.stages._util import drop_empty_blocks
     exploded = docs.select_columns(["doc_id", "text"]).map_batches(
@@ -554,65 +557,41 @@ def ngram_jaccard_pairs(docs, *, k: int = 3, threshold: float = 0.5,
         exploded, pa.schema([("shingle", pa.int64()), ("doc_id", pa.int64()),
                              ("n_sh", pa.int64())]))
 
-    if max_shingle_freq is not None:
-        # DF filter via the sort-merge attach (one task-based sort) rather
-        # than Dataset.join — join aggregator-actor spin-up dominates at
-        # every scale we measured (stages/attach.py module docstring).
-        from smqtk_indexing_ray.stages.attach import sort_attach
-        exp_schema = pa.schema([("shingle", pa.int64()),
-                                ("doc_id", pa.int64()),
-                                ("n_sh", pa.int64())])
-        exploded = exploded.materialize()
-        freq = exploded.groupby("shingle").aggregate(
-            Count(alias_name="df"))
-        freq = stamp_schema(freq, pa.schema([("shingle", pa.int64()),
-                                             ("df", pa.int64())]))
-        attached = sort_attach(
-            exploded, freq, key="shingle", payload_key="shingle",
-            payload_cols=["df"], how="inner",
-            rows_schema=exp_schema,
-            payload_schema=pa.schema([("shingle", pa.int64()),
-                                      ("df", pa.int64())]))
-        kept = attached.filter(expr=f"df <= {int(max_shingle_freq)}")
+    # join-free pair generation: one (shingle, doc_id) sort + per-run
+    # pair emission, with the stop-shingle DF cap applied to complete
+    # run lengths INSIDE the same pass — replaces the old
+    # df-groupby + sort_attach + self-Dataset.join chain (three
+    # aggregator-actor launches) with one task-based sort.
+    from smqtk_indexing_ray.stages.agg import sorted_group_agg
+    from smqtk_indexing_ray.stages.pairs import sorted_self_pairs
 
-        def _drop_df(t: pa.Table) -> pa.Table:
-            if t.num_rows == 0 or "shingle" not in t.column_names:
-                return exp_schema.empty_table()
-            return t.select(["shingle", "doc_id", "n_sh"])
+    exp_schema = pa.schema([("shingle", pa.int64()),
+                            ("doc_id", pa.int64()),
+                            ("n_sh", pa.int64())])
+    raw_pairs = sorted_self_pairs(
+        exploded, key="shingle", item="doc_id", carry=["n_sh"],
+        max_group=max_shingle_freq,
+        cap=10_000_000 if max_shingle_freq is None else 100_000,
+        schema=exp_schema)
 
-        exploded = drop_empty_blocks(
-            kept.map_batches(_drop_df, batch_format="pyarrow"), exp_schema)
+    pair_schema = pa.schema([("doc_a", pa.int64()),
+                             ("doc_b", pa.int64()),
+                             ("na", pa.int64()), ("nb", pa.int64())])
 
-    def _ren(t: pa.Table, names: tuple[str, str, str]) -> pa.Table:
-        # select by NAME first: join output column order is not guaranteed
-        # and empty blocks can arrive zero-column (ADVICE r1)
-        src = ("shingle", "doc_id", "n_sh")
+    def _ren_pairs(t: pa.Table) -> pa.Table:
+        src = ("doc_id_a", "doc_id_b", "n_sh_a", "n_sh_b")
         if t.num_rows == 0 or any(c not in t.column_names for c in src):
-            return pa.schema([(c, pa.int64()) for c in names]).empty_table()
-        return t.select(list(src)).rename_columns(list(names))
+            return pair_schema.empty_table()
+        return t.select(list(src)).rename_columns(
+            ["doc_a", "doc_b", "na", "nb"])
 
-    right = exploded.map_batches(
-        lambda t: _ren(t, ("shingle", "doc_b", "nb")),
-        batch_format="pyarrow")
-    left = exploded.map_batches(
-        lambda t: _ren(t, ("shingle", "doc_a", "na")),
-        batch_format="pyarrow")
-    joined = left.join(right, partition_size_hint=NARROW_JOIN_HINT,
-                  join_type="inner",
-                       num_partitions=num_partitions, on=("shingle",))
-
-    def ordered(t: pa.Table) -> pa.Table:
-        cols = ("doc_a", "doc_b", "na", "nb")
-        if t.num_rows == 0 or any(c not in t.column_names for c in cols):
-            return pa.schema([(c, pa.int64()) for c in cols]).empty_table()
-        t = t.filter(pc.less(t["doc_a"], t["doc_b"]))
-        return t.select(list(cols))
-
-    # n_sh rides along; Min is a no-op combiner (all rows of a pair agree)
-    inter = joined.map_batches(ordered, batch_format="pyarrow").groupby(
-        ["doc_a", "doc_b"]).aggregate(
-            Count(alias_name="n_inter"),
-            Min("na", alias_name="na"), Min("nb", alias_name="nb"))
+    # per-pair intersection count via the sort-based grouped agg (na/nb
+    # ride along; min is a no-op combiner — all rows of a pair agree)
+    inter = sorted_group_agg(
+        raw_pairs.map_batches(_ren_pairs, batch_format="pyarrow"),
+        key=["doc_a", "doc_b"],
+        aggs={"n_inter": "count", "na": "min", "nb": "min"},
+        schema=pair_schema)
 
     out_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
                             ("n_inter", pa.int64()),

@@ -41,6 +41,36 @@ def test_sorted_group_agg_matches_pandas():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_sorted_group_agg_multikey():
+    """Composite (a, b) keys with hot tuples spanning blocks."""
+    import ray.data as rd
+
+    from smqtk_indexing_ray.stages.agg import sorted_group_agg
+
+    rng = np.random.default_rng(101)
+    n = 4000
+    a = rng.integers(0, 30, n)
+    b = rng.integers(0, 30, n)
+    a[:1800] = 5
+    b[:1800] = 9                        # hot (5, 9) tuple
+    v = rng.integers(0, 100, n).astype(np.int64)
+    t = pa.table({"a": pa.array(a.astype(np.int64)),
+                  "b": pa.array(b.astype(np.int64)),
+                  "v": pa.array(v)})
+    got = sorted_group_agg(
+        rd.from_arrow(t).repartition(11), key=["a", "b"],
+        aggs={"v": "sum", "n": "count"},
+        schema=pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                          ("v", pa.int64()),
+                          ("n", pa.int64())])).to_pandas()
+    want = t.to_pandas().groupby(["a", "b"]).agg(
+        v=("v", "sum"), n=("v", "count")).reset_index()
+    got = got.sort_values(["a", "b"], ignore_index=True)
+    want = want.sort_values(["a", "b"], ignore_index=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_sorted_group_agg_string_keys_and_empty():
     import ray.data as rd
 

@@ -62,22 +62,31 @@ def exact_dedup(docs, *, num_partitions: int = 16):
     from smqtk_indexing_ray.context import ensure_data_context
     ensure_data_context()
 
-    from ray.data.aggregate import Count, Min
+    from smqtk_indexing_ray.stages.agg import sorted_group_agg
+
+    hash_schema = pa.schema([("rep_doc", pa.int64()),
+                             ("h1", pa.int64()), ("h2", pa.int64())])
+
+    def hash_ren(t: pa.Table) -> pa.Table:
+        h = _hash_text(t)
+        if h.num_rows == 0:
+            return hash_schema.empty_table()
+        return pa.table({"rep_doc": h["doc_id"], "h1": h["h1"],
+                         "h2": h["h2"]})
 
     hashed = docs.select_columns(["doc_id", "text"]).map_batches(
-        _hash_text, batch_format="pyarrow")
-    g = hashed.groupby(["h1", "h2"]).aggregate(
-        Min("doc_id", alias_name="rep_doc"),
-        Count(alias_name="n_copies"),
-    )
+        hash_ren, batch_format="pyarrow")
+    # sort-based grouped min/count over the 128-bit key (stages/agg.py:
+    # the hash aggregate's actor spin-up costs 5x the sort)
+    g = sorted_group_agg(hashed, key=["h1", "h2"],
+                         aggs={"rep_doc": "min", "n_copies": "count"},
+                         schema=hash_schema)
 
     def project(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "rep_doc": pc.cast(t["rep_doc"], pa.int64()) if t.num_rows else
-            pa.array([], pa.int64()),
-            "n_copies": pc.cast(t["n_copies"], pa.int64()) if t.num_rows else
-            pa.array([], pa.int64()),
-        })
+        if t.num_rows == 0 or "rep_doc" not in t.column_names:
+            return pa.schema([("rep_doc", pa.int64()),
+                              ("n_copies", pa.int64())]).empty_table()
+        return t.select(["rep_doc", "n_copies"])
 
     return stamp_schema(g.map_batches(project, batch_format="pyarrow"),
                         pa.schema([("rep_doc", pa.int64()),
@@ -89,19 +98,17 @@ def exact_cluster_labels(docs, *, num_partitions: int = 16):
     from smqtk_indexing_ray.context import ensure_data_context
     ensure_data_context()
 
-    from ray.data.aggregate import Min
+    from smqtk_indexing_ray.stages.agg import sorted_first_attach
 
     hashed = docs.select_columns(["doc_id", "text"]).map_batches(
         _hash_text, batch_format="pyarrow")
-    from smqtk_indexing_ray.stages._util import drop_empty_blocks
-    reps = hashed.groupby(["h1", "h2"]).aggregate(
-        Min("doc_id", alias_name="cluster_id"))
-    reps = drop_empty_blocks(reps, pa.schema([("h1", pa.int64()),
-                                              ("h2", pa.int64()),
-                                              ("cluster_id", pa.int64())]))
-    j = hashed.join(reps, partition_size_hint=NARROW_JOIN_HINT,
-                  join_type="inner", num_partitions=num_partitions,
-                    on=("h1", "h2"))
+    # min doc_id per 128-bit text hash attached to every row in ONE
+    # sort (stages/agg.sorted_first_attach) — replaces the old
+    # groupby + Dataset.join pair of aggregator-actor launches
+    att = sorted_first_attach(
+        hashed, key=["h1", "h2"], value="doc_id", out="cluster_id",
+        schema=pa.schema([("doc_id", pa.int64()), ("h1", pa.int64()),
+                          ("h2", pa.int64())]))
 
     def project(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "cluster_id" not in t.column_names:
@@ -109,7 +116,7 @@ def exact_cluster_labels(docs, *, num_partitions: int = 16):
                               ("cluster_id", pa.int64())]).empty_table()
         return t.select(["doc_id", "cluster_id"])
 
-    return stamp_schema(j.map_batches(project, batch_format="pyarrow"),
+    return stamp_schema(att.map_batches(project, batch_format="pyarrow"),
                         pa.schema([("doc_id", pa.int64()),
                                    ("cluster_id", pa.int64())]))
 

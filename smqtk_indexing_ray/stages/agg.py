@@ -1,24 +1,24 @@
-"""Sort-based grouped aggregation over a single key column.
+"""Sort-based grouped aggregation over one or more key columns.
 
 Ray Data's hash ``groupby().aggregate()`` spins up aggregator actors
 that reserve CPU + logical memory per operator; measured on this host a
 147k-key aggregate over 590k partial rows costs 5.2 s where the SAME
 data sorts in 0.8 s (see stages/attach.py module docstring for the join
-form of the measurement).  For single-key aggregations on the hot path
+form of the measurement).  For key-grouped aggregations on the hot path
 this stage replaces the hash shuffle with one range-partitioning sort +
 a vectorized per-block segment reduce, using the boundary-carry
 machinery shared with stages/topk and stages/prefix:
 
-- a tiny probe per sorted block returns its first/last key and the
-  aggregate of its LAST run;
-- the driver folds those into per-block carries (O(blocks) int64s) and
+- a tiny probe per sorted block returns its first/last key tuple and
+  the aggregate of its LAST run;
+- the driver folds those into per-block carries (O(blocks) scalars) and
   a ``drop_last`` flag for blocks whose final key continues into the
-  next block (the continuing block owns the merged segment);
+  next non-empty block (the continuing block owns the merged segment);
 - a fill task segment-reduces each block (``np.add.reduceat`` /
   ``minimum`` / ``maximum``), merges the carry into its first segment,
   and drops the handed-off last segment.
 
-Exact int64/float64 semantics identical to ``GROUP BY key`` with
+Exact semantics identical to ``GROUP BY keys`` with
 ``sum/min/max/count`` — the carry combine is the same associative op as
 the segment reduce, so block layout cannot change results (int sums are
 exact; float sums associate differently than a hash aggregate would,
@@ -45,19 +45,126 @@ _OPS = {
 }
 
 
-def sorted_group_agg(ds, *, key: str, aggs: dict[str, str],
-                     schema: pa.Schema | None = None):
-    """``GROUP BY key`` with per-column ``sum|min|max|count`` aggs via
-    one sort instead of a hash shuffle.  ``aggs`` maps value-column ->
-    op; ``count`` counts group rows into an int64 column of that name
-    (the source column's values are ignored).  Output columns:
-    ``key`` + the agg columns, one row per distinct key.
+def sorted_first_attach(ds, *, key: str | list[str], value: str,
+                        out: str, schema: pa.Schema | None = None):
+    """Attach each group's FIRST ``value`` in ``(keys..., value)`` sort
+    order to every row of the group (= the group min for an ascending
+    orderable column) — ``min(value) OVER (PARTITION BY keys)`` in one
+    sort, replacing the hash-groupby + join the label-attach pattern
+    would otherwise pay (two aggregator-actor launches).
+
+    Works because sorting by ``value`` inside the group puts the group
+    minimum at the run's global head: rows in later blocks only ever
+    need a FORWARD carry (the head value from the block where the run
+    began), the same chain the other stages in this module use.
     """
     import ray
     import ray.data as rd
 
-    from smqtk_indexing_ray.stages._util import _get_probe_task
+    from smqtk_indexing_ray.stages._util import (
+        _get_probe_task,
+        auto_blocks,
+    )
 
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def _arrow_schema(d) -> pa.Schema:
+        s = d.schema()
+        return s.base_schema if hasattr(s, "base_schema") else s
+
+    sch = schema or _arrow_schema(ds)
+    vtype = sch.field(value).type
+    out_schema = pa.schema(list(sch) + [pa.field(out, vtype)])
+
+    srt = ds.repartition(auto_blocks()).sort(
+        keys + [value]).materialize()
+    refs = [ref for bundle in srt.iter_internal_ref_bundles()
+            for ref, _meta in bundle.blocks]
+    if not refs:
+        return rd.from_arrow(out_schema.empty_table())
+    task = _get_probe_task()
+
+    def _segments(t: pa.Table):
+        n = t.num_rows
+        change = np.zeros(n - 1, bool) if n > 1 else np.zeros(0, bool)
+        for k in keys:
+            col = t[k].to_numpy(zero_copy_only=False)
+            if n > 1:
+                change |= col[1:] != col[:-1]
+        starts = np.concatenate([[0], np.flatnonzero(change) + 1])
+        ends = np.concatenate([starts[1:], [n]])
+        return starts, ends
+
+    def probe(t: pa.Table) -> pa.Table:
+        psch = pa.schema(
+            [pa.field(f"fk_{k}", sch.field(k).type) for k in keys]
+            + [pa.field(f"lk_{k}", sch.field(k).type) for k in keys]
+            + [pa.field("last_first_v", vtype)])
+        if t.num_rows == 0 or any(k not in t.column_names
+                                  for k in keys):
+            return psch.empty_table()
+        starts, _ = _segments(t)
+        data = {}
+        for k in keys:
+            data[f"fk_{k}"] = t[k].slice(0, 1)
+            data[f"lk_{k}"] = t[k].slice(t.num_rows - 1, 1)
+        data["last_first_v"] = t[value].slice(int(starts[-1]), 1)
+        return pa.table(data, schema=psch)
+
+    per_block = ray.get([task.remote(probe, r) for r in refs])
+
+    carries: list[tuple | None] = []   # (key_tuple, head_value)
+    acc_key: tuple | None = None
+    acc_val = None
+    for tbl in per_block:
+        carries.append(None if acc_key is None else (acc_key, acc_val))
+        if tbl is None or tbl.num_rows == 0:
+            continue
+        lk = tuple(tbl[f"lk_{k}"][0].as_py() for k in keys)
+        if acc_key != lk:
+            # the last run STARTS in this block: its head value is here
+            acc_key = lk
+            acc_val = tbl["last_first_v"][0].as_py()
+        # else: the whole block continues the chained run — the head
+        # value stays from the originating block
+
+    def fill(t: pa.Table, carry: tuple | None) -> pa.Table:
+        if t.num_rows == 0 or any(k not in t.column_names
+                                  for k in keys):
+            return out_schema.empty_table()
+        starts, ends = _segments(t)
+        v = t[value].to_numpy(zero_copy_only=False)
+        heads = v[starts].copy()
+        if carry is not None:
+            first_key = tuple(t[k][0].as_py() for k in keys)
+            if carry[0] == first_key:
+                heads[0] = carry[1]
+        outv = np.repeat(heads, ends - starts)
+        return t.append_column(out, pa.array(outv, vtype))
+
+    filled = [task.remote(
+        functools.partial(fill, carry=carries[i]), r)
+        for i, r in enumerate(refs)]
+    return rd.from_arrow_refs(filled)
+
+
+def sorted_group_agg(ds, *, key: str | list[str], aggs: dict[str, str],
+                     schema: pa.Schema | None = None):
+    """``GROUP BY key(s)`` with per-column ``sum|min|max|count`` aggs
+    via one sort instead of a hash shuffle.  ``aggs`` maps value-column
+    -> op; ``count`` counts group rows into an int64 column of that
+    name (no source column needed).  Output columns: the key columns +
+    the agg columns, one row per distinct key tuple.
+    """
+    import ray
+    import ray.data as rd
+
+    from smqtk_indexing_ray.stages._util import (
+        _get_probe_task,
+        auto_blocks,
+    )
+
+    keys = [key] if isinstance(key, str) else list(key)
     for col, op in aggs.items():
         if op not in _OPS:
             raise ValueError(f"unsupported agg {op!r} for {col!r}")
@@ -67,18 +174,18 @@ def sorted_group_agg(ds, *, key: str, aggs: dict[str, str],
         return s.base_schema if hasattr(s, "base_schema") else s
 
     sch = schema or _arrow_schema(ds)
-    ktype = sch.field(key).type
-    out_fields = [pa.field(key, ktype)]
+    ktypes = {k: sch.field(k).type for k in keys}
+    out_fields = [pa.field(k, ktypes[k]) for k in keys]
     for col, op in aggs.items():
         out_fields.append(pa.field(
             col, pa.int64() if op == "count" else sch.field(col).type))
     out_schema = pa.schema(out_fields)
 
-    # inputs here are per-batch partial aggregates: many tiny blocks.
-    # Sorts cost O(input_blocks x output_partitions) merge tasks, so
-    # coalesce to ~CPUs first (the measured r2 lever, _util.auto_blocks)
-    from smqtk_indexing_ray.stages._util import auto_blocks
-    srt = ds.repartition(auto_blocks()).sort(key).materialize()
+    # inputs here are per-batch partial aggregates or narrow pair
+    # streams: many tiny blocks.  Sorts cost O(input_blocks x
+    # output_partitions) merge tasks, so coalesce to ~CPUs first (the
+    # measured r2 lever, _util.auto_blocks)
+    srt = ds.repartition(auto_blocks()).sort(keys).materialize()
     refs = [ref for bundle in srt.iter_internal_ref_bundles()
             for ref, _meta in bundle.blocks]
     if not refs:
@@ -86,36 +193,43 @@ def sorted_group_agg(ds, *, key: str, aggs: dict[str, str],
     task = _get_probe_task()
 
     def _segments(t: pa.Table):
-        k = t[key].to_numpy(zero_copy_only=False)
-        starts = np.concatenate([[0],
-                                 np.flatnonzero(k[1:] != k[:-1]) + 1])
-        ends = np.concatenate([starts[1:], [t.num_rows]])
-        return k, starts, ends
+        """Run starts/ends over the composite key (change-mask OR)."""
+        n = t.num_rows
+        change = np.zeros(n - 1, bool) if n > 1 else np.zeros(0, bool)
+        for k in keys:
+            col = t[k].to_numpy(zero_copy_only=False)
+            if n > 1:
+                change |= col[1:] != col[:-1]
+        starts = np.concatenate([[0], np.flatnonzero(change) + 1])
+        ends = np.concatenate([starts[1:], [n]])
+        return starts, ends
 
     def _reduce_run(t: pa.Table, col: str, op: str, starts, ends):
         if op == "count":
             return (ends - starts).astype(np.int64)
         v = t[col].to_numpy(zero_copy_only=False)
         fn, _ = _OPS[op]
-        out = fn.reduceat(v, starts)
-        # reduceat with a start index == len-1 handles fine; segments
-        # are non-empty by construction
-        return out
+        return fn.reduceat(v, starts)
+
+    def _key_tuple(t: pa.Table, row: int) -> tuple:
+        return tuple(t[k][row].as_py() for k in keys)
 
     def probe(t: pa.Table) -> pa.Table:
-        cols = {"fk": None, "lk": None}
-        psch = pa.schema([("fk", ktype), ("lk", ktype)]
-                         + [pa.field(f"last_{c}",
-                                     pa.int64() if o == "count"
-                                     else sch.field(c).type)
-                            for c, o in aggs.items()])
-        if t.num_rows == 0 or key not in t.column_names:
+        psch = pa.schema(
+            [pa.field(f"fk_{k}", ktypes[k]) for k in keys]
+            + [pa.field(f"lk_{k}", ktypes[k]) for k in keys]
+            + [pa.field(f"last_{c}",
+                        pa.int64() if o == "count"
+                        else sch.field(c).type)
+               for c, o in aggs.items()])
+        if t.num_rows == 0 or any(k not in t.column_names
+                                  for k in keys):
             return psch.empty_table()
-        k, starts, ends = _segments(t)
-        data = {
-            "fk": t[key].slice(0, 1),
-            "lk": t[key].slice(t.num_rows - 1, 1),
-        }
+        starts, ends = _segments(t)
+        data = {}
+        for k in keys:
+            data[f"fk_{k}"] = t[k].slice(0, 1)
+            data[f"lk_{k}"] = t[k].slice(t.num_rows - 1, 1)
         for c, o in aggs.items():
             vals = _reduce_run(t, c, o, starts, ends)
             data[f"last_{c}"] = pa.array([vals[-1]],
@@ -124,14 +238,16 @@ def sorted_group_agg(ds, *, key: str, aggs: dict[str, str],
 
     per_block = ray.get([task.remote(probe, r) for r in refs])
 
-    # driver fold: carry[i] = the agg of block i's FIRST key over all
-    # earlier blocks (same chain as stages/topk); drop_last[i] = block
-    # i's last key continues into block i+1, which owns the merge
+    # driver fold: carry[i] = the agg of block i's FIRST key tuple over
+    # all earlier blocks (same chain as stages/topk); drop_last[i] =
+    # block i's last key continues into the next NON-EMPTY block, which
+    # owns the merged segment (empty range-partition blocks in between
+    # must not break the handoff)
     carries: list[dict | None] = []
-    acc_key = None
+    acc_key: tuple | None = None
     acc: dict = {}
-    first_keys: list = []         # block's OWN first key (None if empty)
-    last_keys: list = []          # block's OWN last key (None if empty)
+    first_keys: list = []
+    last_keys: list = []
     for tbl in per_block:
         carries.append(None if acc_key is None
                        else {"k": acc_key, **acc})
@@ -139,8 +255,8 @@ def sorted_group_agg(ds, *, key: str, aggs: dict[str, str],
             first_keys.append(None)
             last_keys.append(None)
             continue
-        fk = tbl["fk"][0].as_py()
-        lk = tbl["lk"][0].as_py()
+        fk = tuple(tbl[f"fk_{k}"][0].as_py() for k in keys)
+        lk = tuple(tbl[f"lk_{k}"][0].as_py() for k in keys)
         first_keys.append(fk)
         last_keys.append(lk)
         last_vals = {c: tbl[f"last_{c}"][0].as_py() for c in aggs}
@@ -152,9 +268,6 @@ def sorted_group_agg(ds, *, key: str, aggs: dict[str, str],
         else:
             acc_key = lk
             acc = last_vals
-    # drop the last segment iff the NEXT NON-EMPTY block starts with the
-    # same key (empty range-partition blocks in between must not break
-    # the handoff — a double-emit would double-count the carry)
     n_b = len(refs)
     next_fk: list = [None] * n_b
     nxt = None
@@ -166,23 +279,25 @@ def sorted_group_agg(ds, *, key: str, aggs: dict[str, str],
                  for i in range(n_b)]
 
     def fill(t: pa.Table, carry: dict | None, drop: bool) -> pa.Table:
-        if t.num_rows == 0 or key not in t.column_names:
+        if t.num_rows == 0 or any(k not in t.column_names
+                                  for k in keys):
             return out_schema.empty_table()
-        k, starts, ends = _segments(t)
+        starts, ends = _segments(t)
         nseg = len(starts)
-        data = {key: t[key].take(pa.array(starts, pa.int64()))}
+        idx = pa.array(starts, pa.int64())
+        data = {k: t[k].take(idx) for k in keys}
         reduced = {}
         for c, o in aggs.items():
             reduced[c] = _reduce_run(t, c, o, starts, ends)
-        if carry is not None and carry["k"] == (
-                k[0].item() if hasattr(k[0], "item") else k[0]):
+        if carry is not None and carry["k"] == _key_tuple(t, 0):
             for c, o in aggs.items():
                 fn, _ = _OPS[o]
                 reduced[c][0] = fn(reduced[c][0], carry[c])
         stop = nseg - 1 if (drop and nseg) else nseg
         if stop <= 0:
             return out_schema.empty_table()
-        data[key] = data[key].slice(0, stop)
+        for k in keys:
+            data[k] = data[k].slice(0, stop)
         for c in aggs:
             data[c] = pa.array(reduced[c][:stop],
                                out_schema.field(c).type)

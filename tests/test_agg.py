@@ -71,6 +71,34 @@ def test_sorted_group_agg_multikey():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_sorted_first_attach_matches_window_min():
+    """min(value) OVER (PARTITION BY keys) in one sort, with a hot
+    group spanning blocks (forward-carry path)."""
+    import ray.data as rd
+
+    from smqtk_indexing_ray.stages.agg import sorted_first_attach
+
+    rng = np.random.default_rng(107)
+    n = 3000
+    a = rng.integers(0, 50, n)
+    b = rng.integers(0, 4, n)
+    a[:1500] = 13
+    b[:1500] = 2                        # hot (13, 2) group
+    v = rng.permutation(n).astype(np.int64)
+    t = pa.table({"a": pa.array(a.astype(np.int64)),
+                  "b": pa.array(b.astype(np.int64)),
+                  "v": pa.array(v)})
+    got = sorted_first_attach(
+        rd.from_arrow(t).repartition(11), key=["a", "b"], value="v",
+        out="mn").to_pandas()
+    df = t.to_pandas()
+    df["mn"] = df.groupby(["a", "b"])["v"].transform("min")
+    got = got.sort_values(["a", "b", "v"], ignore_index=True)
+    df = df.sort_values(["a", "b", "v"], ignore_index=True)
+    assert list(got.mn) == list(df.mn)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_sorted_group_agg_string_keys_and_empty():
     import ray.data as rd
 

@@ -66,6 +66,27 @@ def test_sorted_self_pairs_matches_bruteforce():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_sorted_self_pairs_max_group_skips_hot_key():
+    """A hot key spanning several blocks and exceeding max_group emits
+    NO pairs (complete-run semantics: the cap must count rows across
+    block boundaries, not per-block), while normal keys still emit."""
+    import ray.data as rd
+
+    from smqtk_indexing_ray.stages.pairs import sorted_self_pairs
+
+    hot = [(7, i) for i in range(300)]          # run of 300, cap 100
+    cold = [(1, 10), (1, 11), (2, 5), (2, 6), (2, 7)]
+    rows = hot + cold
+    t = pa.table({"key": pa.array([k for k, _ in rows], pa.int64()),
+                  "item": pa.array([v for _, v in rows], pa.int64())})
+    got = sorted_self_pairs(
+        rd.from_arrow(t).repartition(9), key="key", item="item",
+        max_group=100).to_pandas()
+    pairs = set(zip(got.item_a, got.item_b))
+    assert pairs == {(10, 11), (5, 6), (5, 7), (6, 7)}
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_sorted_self_pairs_cap_fires():
     import ray.data as rd
 

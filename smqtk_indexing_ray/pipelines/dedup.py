@@ -260,25 +260,38 @@ def select_min_doc(labeled, *, labeled_cols, empty_fn, num_partitions):
 
 @register_kernel("select", "earliest")
 def select_earliest(labeled, *, labeled_cols, empty_fn, num_partitions):
-    """keep=True for the earliest (warc_ts, doc_id) of the cluster — costs
-    one aggregate + two joins more than min_doc, so the labeled skeleton is
-    materialized to avoid executing its lineage twice."""
-    labeled = labeled.materialize()
-    reps = select_representatives(labeled, num_partitions=num_partitions)
-    out = labeled.join(reps, partition_size_hint=NARROW_JOIN_HINT,
-                       join_type="left_outer",
-                       num_partitions=num_partitions, on=("cluster_id",))
+    """keep=True for the earliest (warc_ts, doc_id) of the cluster — the
+    lexicographic group minimum attached in ONE sort
+    (stages/agg.sorted_first_attach), replacing the old
+    aggregate + two Dataset.joins (three shuffles, two of them
+    aggregator-actor launches)."""
+    from smqtk_indexing_ray.stages.agg import sorted_first_attach
+
+    def add_ts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "warc_ts" not in t.column_names:
+            e = empty_fn(labeled_cols)
+            return e.append_column("ts_us", pa.array([], pa.int64()))
+        return t.append_column("ts_us",
+                               pc.cast(t["warc_ts"], pa.int64()))
+
+    # materialize so sorted_first_attach's schema() lookup is free and
+    # the labeled lineage runs once
+    aug = labeled.map_batches(add_ts,
+                              batch_format="pyarrow").materialize()
+    att = sorted_first_attach(aug, key="cluster_id",
+                              value=["ts_us", "doc_id"],
+                              out=["mn_ts", "mn_doc"])
 
     def keep_flag(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "rep_doc" not in t.column_names:
+        if t.num_rows == 0 or "mn_doc" not in t.column_names:
             e = empty_fn(labeled_cols)
             return e.append_column("keep", pa.array([], pa.bool_()))
-        keep = pc.or_kleene(pc.equal(t["doc_id"], t["rep_doc"]),
-                            pc.is_null(t["rep_doc"]))
-        t = t.append_column("keep", pc.fill_null(keep, True))
-        return t.drop_columns(["rep_doc"]).select(labeled_cols + ["keep"])
+        keep = pc.and_(pc.equal(t["ts_us"], t["mn_ts"]),
+                       pc.equal(t["doc_id"], t["mn_doc"]))
+        t = t.append_column("keep", keep)
+        return t.select(labeled_cols + ["keep"])
 
-    return out.map_batches(keep_flag, batch_format="pyarrow")
+    return att.map_batches(keep_flag, batch_format="pyarrow")
 
 
 def dedup_pipeline(pages, cfg: DedupConfig, *, num_partitions: int = 32,

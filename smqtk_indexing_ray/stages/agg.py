@@ -45,18 +45,22 @@ _OPS = {
 }
 
 
-def sorted_first_attach(ds, *, key: str | list[str], value: str,
-                        out: str, schema: pa.Schema | None = None):
-    """Attach each group's FIRST ``value`` in ``(keys..., value)`` sort
-    order to every row of the group (= the group min for an ascending
-    orderable column) — ``min(value) OVER (PARTITION BY keys)`` in one
-    sort, replacing the hash-groupby + join the label-attach pattern
-    would otherwise pay (two aggregator-actor launches).
+def sorted_first_attach(ds, *, key: str | list[str],
+                        value: str | list[str],
+                        out: str | list[str],
+                        schema: pa.Schema | None = None):
+    """Attach each group's FIRST row's ``value`` column(s) in
+    ``(keys..., values...)`` sort order to every row of the group — the
+    lexicographic group minimum, i.e. ``min(values) OVER (PARTITION BY
+    keys)`` in one sort, replacing the hash-groupby + join the
+    label-attach pattern would otherwise pay (two aggregator-actor
+    launches).
 
-    Works because sorting by ``value`` inside the group puts the group
-    minimum at the run's global head: rows in later blocks only ever
-    need a FORWARD carry (the head value from the block where the run
-    began), the same chain the other stages in this module use.
+    Works because sorting by the value columns inside the group puts
+    the group minimum at the run's global head: rows in later blocks
+    only ever need a FORWARD carry (the head values from the block
+    where the run began), the same chain the other stages in this
+    module use.
     """
     import ray
     import ray.data as rd
@@ -67,17 +71,22 @@ def sorted_first_attach(ds, *, key: str | list[str], value: str,
     )
 
     keys = [key] if isinstance(key, str) else list(key)
+    values = [value] if isinstance(value, str) else list(value)
+    outs = [out] if isinstance(out, str) else list(out)
+    if len(values) != len(outs):
+        raise ValueError("value/out length mismatch")
 
     def _arrow_schema(d) -> pa.Schema:
         s = d.schema()
         return s.base_schema if hasattr(s, "base_schema") else s
 
     sch = schema or _arrow_schema(ds)
-    vtype = sch.field(value).type
-    out_schema = pa.schema(list(sch) + [pa.field(out, vtype)])
+    vtypes = [sch.field(v).type for v in values]
+    out_schema = pa.schema(list(sch) + [pa.field(o, vt)
+                                        for o, vt in zip(outs, vtypes)])
 
     srt = ds.repartition(auto_blocks()).sort(
-        keys + [value]).materialize()
+        keys + values).materialize()
     refs = [ref for bundle in srt.iter_internal_ref_bundles()
             for ref, _meta in bundle.blocks]
     if not refs:
@@ -99,7 +108,8 @@ def sorted_first_attach(ds, *, key: str | list[str], value: str,
         psch = pa.schema(
             [pa.field(f"fk_{k}", sch.field(k).type) for k in keys]
             + [pa.field(f"lk_{k}", sch.field(k).type) for k in keys]
-            + [pa.field("last_first_v", vtype)])
+            + [pa.field(f"last_first_{v}", vt)
+               for v, vt in zip(values, vtypes)])
         if t.num_rows == 0 or any(k not in t.column_names
                                   for k in keys):
             return psch.empty_table()
@@ -108,39 +118,45 @@ def sorted_first_attach(ds, *, key: str | list[str], value: str,
         for k in keys:
             data[f"fk_{k}"] = t[k].slice(0, 1)
             data[f"lk_{k}"] = t[k].slice(t.num_rows - 1, 1)
-        data["last_first_v"] = t[value].slice(int(starts[-1]), 1)
+        for v in values:
+            data[f"last_first_{v}"] = t[v].slice(int(starts[-1]), 1)
         return pa.table(data, schema=psch)
 
     per_block = ray.get([task.remote(probe, r) for r in refs])
 
-    carries: list[tuple | None] = []   # (key_tuple, head_value)
+    carries: list[tuple | None] = []   # (key_tuple, head_values)
     acc_key: tuple | None = None
-    acc_val = None
+    acc_val: tuple | None = None
     for tbl in per_block:
         carries.append(None if acc_key is None else (acc_key, acc_val))
         if tbl is None or tbl.num_rows == 0:
             continue
         lk = tuple(tbl[f"lk_{k}"][0].as_py() for k in keys)
         if acc_key != lk:
-            # the last run STARTS in this block: its head value is here
+            # the last run STARTS in this block: its head values are here
             acc_key = lk
-            acc_val = tbl["last_first_v"][0].as_py()
+            acc_val = tuple(tbl[f"last_first_{v}"][0].as_py()
+                            for v in values)
         # else: the whole block continues the chained run — the head
-        # value stays from the originating block
+        # values stay from the originating block
 
     def fill(t: pa.Table, carry: tuple | None) -> pa.Table:
         if t.num_rows == 0 or any(k not in t.column_names
                                   for k in keys):
             return out_schema.empty_table()
         starts, ends = _segments(t)
-        v = t[value].to_numpy(zero_copy_only=False)
-        heads = v[starts].copy()
+        use_carry = False
         if carry is not None:
             first_key = tuple(t[k][0].as_py() for k in keys)
-            if carry[0] == first_key:
-                heads[0] = carry[1]
-        outv = np.repeat(heads, ends - starts)
-        return t.append_column(out, pa.array(outv, vtype))
+            use_carry = carry[0] == first_key
+        for vi, (v, o, vt) in enumerate(zip(values, outs, vtypes)):
+            col = t[v].to_numpy(zero_copy_only=False)
+            heads = col[starts].copy()
+            if use_carry:
+                heads[0] = carry[1][vi]
+            t = t.append_column(
+                o, pa.array(np.repeat(heads, ends - starts), vt))
+        return t
 
     filled = [task.remote(
         functools.partial(fill, carry=carries[i]), r)

@@ -648,9 +648,15 @@ def jaccard_cluster_labels(docs, *, k: int = 3, threshold: float = 0.5,
     labels = stamp_schema(labels, pa.schema([("doc_id", pa.int64()),
                                              ("cluster_id", pa.int64())]))
     ids = docs.select_columns(["doc_id"])
-    j = ids.join(labels, partition_size_hint=NARROW_JOIN_HINT,
-                  join_type="left_outer",
-                 num_partitions=num_partitions, on=("doc_id",))
+    # label fill via the task-based sort-merge attach (Dataset.join's
+    # aggregator-actor spin-up dominates; stages/attach.py docstring)
+    from smqtk_indexing_ray.stages.attach import sort_attach
+    j = sort_attach(
+        ids, labels, key="doc_id", payload_key="doc_id",
+        payload_cols=["cluster_id"], how="left",
+        rows_schema=pa.schema([("doc_id", pa.int64())]),
+        payload_schema=pa.schema([("doc_id", pa.int64()),
+                                  ("cluster_id", pa.int64())]))
 
     def fill(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "cluster_id" not in t.column_names:

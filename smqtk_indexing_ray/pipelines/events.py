@@ -259,19 +259,25 @@ def window_user_counts(events, *, window_minutes: int = 60):
         g = t2.group_by(["window_start", "user_id"]).aggregate([])
         return g.select(["window_start", "user_id"])
 
+    pair_schema = pa.schema([("window_start", pa.timestamp("us")),
+                             ("user_id", pa.int64())])
     pairs = events.select_columns(["ts", "user_id"]).map_batches(
         pair_dedup, batch_format="pyarrow")
-    distinct = pairs.groupby(["window_start", "user_id"]).aggregate(
-        Count(alias_name="_c"))
+    # two-level exact distinct on the sorted-agg path (stages/agg.py)
+    from smqtk_indexing_ray.stages.agg import sorted_group_agg
+    distinct = sorted_group_agg(
+        pairs, key=["window_start", "user_id"],
+        aggs={"_c": "count"}, schema=pair_schema)
 
     def strip(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "window_start" not in t.column_names:
-            return pa.schema([("window_start", pa.timestamp("us")),
-                              ("user_id", pa.int64())]).empty_table()
+            return pair_schema.empty_table()
         return t.select(["window_start", "user_id"])
 
-    counts = distinct.map_batches(strip, batch_format="pyarrow").groupby(
-        "window_start").aggregate(Count(alias_name="n_users"))
+    counts = sorted_group_agg(
+        distinct.map_batches(strip, batch_format="pyarrow"),
+        key="window_start", aggs={"n_users": "count"},
+        schema=pair_schema)
 
     def clean(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "n_users" not in t.column_names:
@@ -395,18 +401,23 @@ def cohort_retention(events, *, day_us: int = 86_400_000_000):
         return t2.group_by(["cohort_day", "activity_day",
                             "user_id"]).aggregate([])
 
-    distinct = att.map_batches(triple_dedup, batch_format="pyarrow") \
-        .groupby(["cohort_day", "activity_day", "user_id"]) \
-        .aggregate(Count(alias_name="_c"))
+    # two-level exact distinct on the sorted-agg path (stages/agg.py):
+    # the global dedup and the per-cell count are each one narrow sort
+    from smqtk_indexing_ray.stages.agg import sorted_group_agg
+    distinct = sorted_group_agg(
+        att.map_batches(triple_dedup, batch_format="pyarrow"),
+        key=["cohort_day", "activity_day", "user_id"],
+        aggs={"_c": "count"}, schema=triple_schema)
 
     def strip(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "cohort_day" not in t.column_names:
             return triple_schema.empty_table()
         return t.select(["cohort_day", "activity_day", "user_id"])
 
-    cells = distinct.map_batches(strip, batch_format="pyarrow") \
-        .groupby(["cohort_day", "activity_day"]) \
-        .aggregate(Count(alias_name="n_users"))
+    cells = sorted_group_agg(
+        distinct.map_batches(strip, batch_format="pyarrow"),
+        key=["cohort_day", "activity_day"],
+        aggs={"n_users": "count"}, schema=triple_schema)
 
     out_schema = pa.schema([("cohort_day", pa.int64()),
                             ("activity_day", pa.int64()),

@@ -150,6 +150,10 @@ def sorted_first_attach(ds, *, key: str | list[str],
             first_key = tuple(t[k][0].as_py() for k in keys)
             use_carry = carry[0] == first_key
         for vi, (v, o, vt) in enumerate(zip(values, outs, vtypes)):
+            if t[v].null_count:
+                raise ValueError(
+                    f"sorted_first_attach: {v!r} contains nulls; fill "
+                    f"or filter them upstream")
             col = t[v].to_numpy(zero_copy_only=False)
             heads = col[starts].copy()
             if use_carry:
@@ -223,6 +227,12 @@ def sorted_group_agg(ds, *, key: str | list[str], aggs: dict[str, str],
     def _reduce_run(t: pa.Table, col: str, op: str, starts, ends):
         if op == "count":
             return (ends - starts).astype(np.int64)
+        if t[col].null_count:
+            # to_numpy silently promotes nullable ints to float/NaN,
+            # which would corrupt the reduce — fail loudly instead
+            raise ValueError(
+                f"sorted_group_agg: {col!r} contains nulls; fill or "
+                f"filter them upstream")
         v = t[col].to_numpy(zero_copy_only=False)
         fn, _ = _OPS[op]
         return fn.reduceat(v, starts)

@@ -71,6 +71,21 @@ def test_sorted_group_agg_multikey():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_sorted_group_agg_rejects_null_values():
+    """Nullable value columns must fail loudly — to_numpy would
+    silently promote them to float/NaN and corrupt the reduce."""
+    import ray.data as rd
+
+    from smqtk_indexing_ray.stages.agg import sorted_group_agg
+
+    t = pa.table({"k": pa.array([1, 1, 2], pa.int64()),
+                  "v": pa.array([1, None, 3], pa.int64())})
+    with pytest.raises(Exception, match="null"):
+        sorted_group_agg(rd.from_arrow(t), key="k",
+                         aggs={"v": "sum"}).materialize()
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_sorted_first_attach_matches_window_min():
     """min(value) OVER (PARTITION BY keys) in one sort, with a hot
     group spanning blocks (forward-carry path)."""

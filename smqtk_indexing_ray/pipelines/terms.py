@@ -181,12 +181,13 @@ def term_frequencies(docs, *, min_count: int = 1):
     ensure_data_context()
     from ray.data.aggregate import Sum
 
+    from smqtk_indexing_ray.stages.agg import sorted_group_agg
     partial = docs.select_columns(["doc_id", "text"]).map_batches(
         _term_freq_partial, batch_format="pyarrow")
-    g = partial.groupby("term").aggregate(
-        Sum("cnt", alias_name="cnt"),
-        Sum("df", alias_name="df"),
-    )
+    g = sorted_group_agg(
+        partial, key="term", aggs={"cnt": "sum", "df": "sum"},
+        schema=pa.schema([("term", pa.string()), ("cnt", pa.int64()),
+                          ("df", pa.int64())]))
 
     def project(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -382,10 +383,13 @@ def line_dedup(docs, *, min_df: int = 2, delim: str = "\n",
                          "h2": pa.array(s2[starts]),
                          "cnt": pa.array(cnt.astype(np.int64))})
 
+    from smqtk_indexing_ray.stages.agg import sorted_group_agg
     partial = docs.select_columns(["text"]).map_batches(
         count_partial, batch_format="pyarrow")
-    hot = partial.groupby(["h1", "h2"]).aggregate(
-        Sum("cnt", alias_name="cnt"))
+    hot = sorted_group_agg(
+        partial, key=["h1", "h2"], aggs={"cnt": "sum"},
+        schema=pa.schema([("h1", pa.int64()), ("h2", pa.int64()),
+                          ("cnt", pa.int64())]))
     hot = hot.filter(expr=f"cnt >= {int(min_df)}").materialize()
     n_hot = hot.count()
     if n_hot > max_hot_lines:
@@ -568,10 +572,13 @@ def heavy_hitters(docs, *, one_in: int = 1000,
             "cnt": pa.array(np.append(cnt[keep], total)),
         })
 
+    from smqtk_indexing_ray.stages.agg import sorted_group_agg
     partial = docs.select_columns(["doc_id", "text"]).map_batches(
         candidates_partial, batch_format="pyarrow")
-    agg = partial.groupby("term").aggregate(
-        Sum("cnt", alias_name="cnt")).materialize()
+    agg = sorted_group_agg(
+        partial, key="term", aggs={"cnt": "sum"},
+        schema=pa.schema([("term", pa.string()),
+                          ("cnt", pa.int64())])).materialize()
 
     total_tokens = 0
     cand_chunks: list[np.ndarray] = []
@@ -619,7 +626,9 @@ def heavy_hitters(docs, *, one_in: int = 1000,
 
     verified = docs.select_columns(["doc_id", "text"]).map_batches(
         verify_partial, batch_format="pyarrow")
-    out = verified.groupby("term").aggregate(Sum("cnt", alias_name="cnt"))
+    out = sorted_group_agg(
+        verified, key="term", aggs={"cnt": "sum"},
+        schema=pa.schema([("term", pa.string()), ("cnt", pa.int64())]))
 
     def finish(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -903,9 +912,13 @@ def top_bigrams(docs, *, k: int = 100, min_count: int = 2):
             "cnt": pa.array(cnt.astype(np.int64)),
         })
 
-    g = (docs.select_columns(["doc_id", "text"])
-         .map_batches(partial, batch_format="pyarrow")
-         .groupby(["w1", "w2"]).aggregate(Sum("cnt", alias_name="cnt")))
+    from smqtk_indexing_ray.stages.agg import sorted_group_agg
+    g = sorted_group_agg(
+        docs.select_columns(["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow"),
+        key=["w1", "w2"], aggs={"cnt": "sum"},
+        schema=pa.schema([("w1", pa.string()), ("w2", pa.string()),
+                          ("cnt", pa.int64())]))
     if min_count > 1:
         g = g.filter(expr=f"cnt >= {int(min_count)}")
 

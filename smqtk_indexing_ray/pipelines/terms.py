@@ -179,7 +179,6 @@ def term_frequencies(docs, *, min_count: int = 1):
     """
     from smqtk_indexing_ray.context import ensure_data_context
     ensure_data_context()
-    from ray.data.aggregate import Sum
 
     from smqtk_indexing_ray.stages.agg import sorted_group_agg
     partial = docs.select_columns(["doc_id", "text"]).map_batches(
@@ -348,7 +347,6 @@ def line_dedup(docs, *, min_df: int = 2, delim: str = "\n",
 
     from smqtk_indexing_ray.context import ensure_data_context
     ensure_data_context()
-    from ray.data.aggregate import Sum
 
     def _lines(texts) -> tuple[pa.ListArray, pa.Array, np.ndarray]:
         if isinstance(texts, pa.ChunkedArray):
@@ -547,7 +545,6 @@ def heavy_hitters(docs, *, one_in: int = 1000,
 
     from smqtk_indexing_ray.context import ensure_data_context
     ensure_data_context()
-    from ray.data.aggregate import Sum
 
     if one_in < 1:
         raise ValueError(f"one_in must be >= 1, got {one_in}")

@@ -115,6 +115,15 @@ def _q_length_outliers(sf_dir: str):
                            keep=["doc_id"], c=3)
 
 
+def _q_dedup_tier_summary(sf_dir: str):
+    """Tiered-dedup attribution funnel (the graft's namesake report):
+    every doc charged to the first tier that removes it — exact, near
+    (3-gram jaccard clusters), or unique — with per-tier counts.
+    Exact recursive-CTE oracle."""
+    from smqtk_indexing_ray.pipelines.analysis import dedup_tier_summary
+    return dedup_tier_summary(_docs(sf_dir))
+
+
 def _q_length_pareto(sf_dir: str):
     """Corpus Pareto layout: every doc ranked by length (desc), with
     the exact char total of all strictly-earlier docs — the distributed
@@ -887,6 +896,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_buckets": _q_quality_buckets,
         "length_outliers": _q_length_outliers,
         "length_pareto": _q_length_pareto,
+        "dedup_tier_summary": _q_dedup_tier_summary,
         "corpus_rollup": _q_corpus_rollup,
         "trimmed_length_mean": _q_trimmed_length_mean,
         "top_docs_per_lang": _q_top_docs_per_lang,
@@ -1161,6 +1171,31 @@ def oracle_sql() -> dict[str, str]:
             ") "
             "SELECT doc AS doc_id, min(lab) AS cluster_id FROM reach "
             "GROUP BY doc"
+        ),
+        "dedup_tier_summary": (
+            "WITH RECURSIVE " + _TOKS + ", " + _SHINGLES + ", "
+            "edges AS ("
+            "  SELECT doc_a AS src, doc_b AS dst FROM jpairs"
+            "  UNION ALL SELECT doc_b, doc_a FROM jpairs"
+            "), reach(doc, lab) AS ("
+            "  SELECT doc_id, doc_id FROM documents"
+            "  UNION"
+            "  SELECT e.dst, r.lab FROM reach r JOIN edges e"
+            "  ON e.src = r.doc"
+            "), jlab AS ("
+            "  SELECT doc AS doc_id, min(lab) AS near_cid FROM reach"
+            "  GROUP BY doc"
+            "), elab AS ("
+            "  SELECT doc_id, min(doc_id) OVER (PARTITION BY text)"
+            "  AS exact_cid FROM documents"
+            "), tiers AS ("
+            "  SELECT e.doc_id,"
+            "  CASE WHEN e.exact_cid <> e.doc_id THEN 'exact'"
+            "       WHEN j.near_cid <> e.doc_id THEN 'near'"
+            "       ELSE 'unique' END AS tier"
+            "  FROM elab e JOIN jlab j ON e.doc_id = j.doc_id"
+            ") "
+            "SELECT tier, count(*) AS n_docs FROM tiers GROUP BY tier"
         ),
         "cosine_near_pairs": (
             "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "

@@ -671,6 +671,72 @@ def jaccard_cluster_labels(docs, *, k: int = 3, threshold: float = 0.5,
                                    ("cluster_id", pa.int64())]))
 
 
+def dedup_tier_summary(docs, *, k: int = 3, threshold: float = 0.5):
+    """Tiered-dedup attribution funnel: every document is charged to
+    the FIRST tier that would remove it — ``exact`` (byte-identical
+    text, not the copy kept), ``near`` (survives exact but is a
+    non-representative member of a k-gram-Jaccard cluster), or
+    ``unique`` (kept) — with per-tier doc counts.  This is the
+    one-table report a tiered dedup pipeline publishes after a run.
+
+    Composition: the exact and near label pipelines (each one sorted
+    pass + CC), one sort-merge attach on doc_id, a vectorized tier
+    CASE, and a 3-group sorted count.  Exact int64 everywhere.
+    """
+    from smqtk_indexing_ray.stages.agg import sorted_group_agg
+    from smqtk_indexing_ray.stages.attach import sort_attach
+
+    exact = exact_cluster_labels(docs)
+    near = jaccard_cluster_labels(docs, k=k, threshold=threshold)
+
+    ex_schema = pa.schema([("doc_id", pa.int64()),
+                           ("exact_cid", pa.int64())])
+
+    def _ren_exact(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "cluster_id" not in t.column_names:
+            return ex_schema.empty_table()
+        return t.select(["doc_id", "cluster_id"]).rename_columns(
+            ["doc_id", "exact_cid"])
+
+    near_schema = pa.schema([("doc_id", pa.int64()),
+                             ("near_cid", pa.int64())])
+
+    def _ren_near(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "cluster_id" not in t.column_names:
+            return near_schema.empty_table()
+        return t.select(["doc_id", "cluster_id"]).rename_columns(
+            ["doc_id", "near_cid"])
+
+    att = sort_attach(
+        exact.map_batches(_ren_exact, batch_format="pyarrow"),
+        near.map_batches(_ren_near, batch_format="pyarrow"),
+        key="doc_id", payload_key="doc_id",
+        payload_cols=["near_cid"], how="inner",
+        rows_schema=ex_schema, payload_schema=near_schema)
+
+    tier_schema = pa.schema([("tier", pa.string()),
+                             ("n_docs", pa.int64())])
+
+    def to_tier(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "near_cid" not in t.column_names:
+            return pa.schema([("tier", pa.string())]).empty_table()
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        e = t["exact_cid"].to_numpy(zero_copy_only=False)
+        nc = t["near_cid"].to_numpy(zero_copy_only=False)
+        tier = np.where(e != d, "exact",
+                        np.where(nc != d, "near", "unique"))
+        return pa.table({"tier": pa.array(tier.astype(object),
+                                          pa.string())})
+
+    return sorted_group_agg(
+        att.map_batches(to_tier, batch_format="pyarrow"),
+        key="tier", aggs={"n_docs": "count"},
+        schema=pa.schema([("tier", pa.string())])) \
+        .map_batches(lambda t: t if t.num_rows else
+                     tier_schema.empty_table(),
+                     batch_format="pyarrow")
+
+
 def doc_fingerprints(docs, *, hash_key: str = "smqtk-ray-v1.0.0"):
     """Order-sensitive content fingerprint + SimHash per document.
 

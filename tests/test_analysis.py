@@ -637,6 +637,36 @@ def test_label_centroids_matches_numpy():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_dedup_tier_summary_all_tiers():
+    """Planted exact copies, near-duplicates, and uniques must land in
+    their respective tiers with first-tier-wins attribution."""
+    import ray.data as rd
+    from smqtk_indexing_ray.pipelines.analysis import dedup_tier_summary
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota "
+            "kappa lambda mu")
+    rows = []
+    # 3 exact copies of doc 0 -> tier exact; doc 0 itself is the rep
+    for i in range(4):
+        rows.append((i, base))
+    # 2 near-dups of base (one token changed) -> tier near
+    rows.append((4, base.replace("mu", "nu")))
+    rows.append((5, base.replace("alpha", "omega")))
+    # uniques
+    for i in range(6, 12):
+        rows.append((i, f"totally different text number {i} "
+                        f"with its own words {i * 7} {i * 11}"))
+    t = pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "text": pa.array([r[1] for r in rows])})
+    got = dedup_tier_summary(
+        rd.from_arrow(t).repartition(4)).to_pandas()
+    tiers = dict(zip(got.tier, got.n_docs))
+    # doc 0 is rep (unique side of exact), 1-3 exact copies,
+    # 4-5 near, 6-11 unique -> unique = 1 + 6
+    assert tiers == {"exact": 3, "near": 2, "unique": 7}
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_trimmed_mean_matches_duckdb():
     """Quantile-cut broadcast + combiner aggregation vs the SQL oracle,
     with planted extremes that the trim must exclude."""

@@ -124,6 +124,27 @@ def _q_dedup_tier_summary(sf_dir: str):
     return dedup_tier_summary(_docs(sf_dir))
 
 
+def _q_cluster_size_histogram(sf_dir: str):
+    """Distribution of near-dup cluster sizes (how much of the corpus
+    sits in 2-member vs giant clusters) — two chained sorted counts
+    over the jaccard labels.  Exact recursive-CTE oracle."""
+    import pyarrow as pa
+    from smqtk_indexing_ray.pipelines.analysis import (
+        jaccard_cluster_labels)
+    from smqtk_indexing_ray.stages.agg import sorted_group_agg
+
+    labels = jaccard_cluster_labels(_docs(sf_dir))
+    sizes = sorted_group_agg(
+        labels, key="cluster_id", aggs={"size": "count"},
+        schema=pa.schema([("doc_id", pa.int64()),
+                          ("cluster_id", pa.int64())]))
+    hist = sorted_group_agg(
+        sizes, key="size", aggs={"n_clusters": "count"},
+        schema=pa.schema([("cluster_id", pa.int64()),
+                          ("size", pa.int64())]))
+    return hist
+
+
 def _q_length_pareto(sf_dir: str):
     """Corpus Pareto layout: every doc ranked by length (desc), with
     the exact char total of all strictly-earlier docs — the distributed
@@ -897,6 +918,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_outliers": _q_length_outliers,
         "length_pareto": _q_length_pareto,
         "dedup_tier_summary": _q_dedup_tier_summary,
+        "cluster_size_histogram": _q_cluster_size_histogram,
         "corpus_rollup": _q_corpus_rollup,
         "trimmed_length_mean": _q_trimmed_length_mean,
         "top_docs_per_lang": _q_top_docs_per_lang,
@@ -1171,6 +1193,26 @@ def oracle_sql() -> dict[str, str]:
             ") "
             "SELECT doc AS doc_id, min(lab) AS cluster_id FROM reach "
             "GROUP BY doc"
+        ),
+        "cluster_size_histogram": (
+            "WITH RECURSIVE " + _TOKS + ", " + _SHINGLES + ", "
+            "edges AS ("
+            "  SELECT doc_a AS src, doc_b AS dst FROM jpairs"
+            "  UNION ALL SELECT doc_b, doc_a FROM jpairs"
+            "), reach(doc, lab) AS ("
+            "  SELECT doc_id, doc_id FROM documents"
+            "  UNION"
+            "  SELECT e.dst, r.lab FROM reach r JOIN edges e"
+            "  ON e.src = r.doc"
+            "), jlab AS ("
+            "  SELECT doc AS doc_id, min(lab) AS cluster_id FROM reach"
+            "  GROUP BY doc"
+            "), csizes AS ("
+            "  SELECT cluster_id, count(*) AS size FROM jlab"
+            "  GROUP BY cluster_id"
+            ") "
+            "SELECT size, count(*) AS n_clusters FROM csizes"
+            " GROUP BY size"
         ),
         "dedup_tier_summary": (
             "WITH RECURSIVE " + _TOKS + ", " + _SHINGLES + ", "

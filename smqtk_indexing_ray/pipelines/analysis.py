@@ -22,7 +22,6 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from smqtk_indexing_ray.context import NARROW_JOIN_HINT
 from smqtk_indexing_ray.functions.hashing import hash_strings_u64
 from smqtk_indexing_ray.functions.metrics import popcount_u64
 from smqtk_indexing_ray.functions.simhash import simhash_fingerprints

@@ -23,7 +23,6 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from smqtk_indexing_ray.context import NARROW_JOIN_HINT
 from smqtk_indexing_ray.functions.metrics import popcount_u64
 from smqtk_indexing_ray.functions.metrics import round6 as _round6
 from smqtk_indexing_ray.stages._util import stamp_schema

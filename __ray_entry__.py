@@ -124,6 +124,15 @@ def _q_dedup_tier_summary(sf_dir: str):
     return dedup_tier_summary(_docs(sf_dir))
 
 
+def _q_curation_report(sf_dir: str):
+    """Per-doc curation audit: the first gate that rejects each doc
+    (lang -> quality -> exact_dup -> near_dup) or 'kept' — four
+    sort-merge attaches over the existing gate pipelines.  Exact
+    composite oracle."""
+    from smqtk_indexing_ray.pipelines.analysis import curation_report
+    return curation_report(_docs(sf_dir))
+
+
 def _q_cluster_size_histogram(sf_dir: str):
     """Distribution of near-dup cluster sizes (how much of the corpus
     sits in 2-member vs giant clusters) — two chained sorted counts
@@ -919,6 +928,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_pareto": _q_length_pareto,
         "dedup_tier_summary": _q_dedup_tier_summary,
         "cluster_size_histogram": _q_cluster_size_histogram,
+        "curation_report": _q_curation_report,
         "corpus_rollup": _q_corpus_rollup,
         "trimmed_length_mean": _q_trimmed_length_mean,
         "top_docs_per_lang": _q_top_docs_per_lang,
@@ -1193,6 +1203,39 @@ def oracle_sql() -> dict[str, str]:
             ") "
             "SELECT doc AS doc_id, min(lab) AS cluster_id FROM reach "
             "GROUP BY doc"
+        ),
+        "curation_report": (
+            "WITH RECURSIVE " + _TOKS + ", " + _SHINGLES + ", "
+            "edges AS ("
+            "  SELECT doc_a AS src, doc_b AS dst FROM jpairs"
+            "  UNION ALL SELECT doc_b, doc_a FROM jpairs"
+            "), reach(doc, lab) AS ("
+            "  SELECT doc_id, doc_id FROM documents"
+            "  UNION"
+            "  SELECT e.dst, r.lab FROM reach r JOIN edges e"
+            "  ON e.src = r.doc"
+            "), jlab AS ("
+            "  SELECT doc AS doc_id, min(lab) AS near_cid FROM reach"
+            "  GROUP BY doc"
+            "), elab AS ("
+            "  SELECT doc_id, min(doc_id) OVER (PARTITION BY text)"
+            "  AS exact_cid FROM documents"
+            "), qual AS ("
+            "  SELECT doc_id, len(w) AS nt,"
+            "  CAST(list_sum(list_transform(w, x -> length(x)))"
+            "  AS DOUBLE) / greatest(len(w), 1) AS mwl FROM toks"
+            ") "
+            "SELECT d.doc_id, "
+            "CASE WHEN d.lang <> 'en' THEN 'lang'"
+            " WHEN NOT (q.nt >= 50 AND q.nt <= 100000"
+            "  AND q.mwl >= 3.0 AND q.mwl <= 10.0) THEN 'quality'"
+            " WHEN e.exact_cid <> d.doc_id THEN 'exact_dup'"
+            " WHEN j.near_cid <> d.doc_id THEN 'near_dup'"
+            " ELSE 'kept' END AS reason "
+            "FROM documents d "
+            "JOIN qual q ON q.doc_id = d.doc_id "
+            "JOIN elab e ON e.doc_id = d.doc_id "
+            "JOIN jlab j ON j.doc_id = d.doc_id"
         ),
         "cluster_size_histogram": (
             "WITH RECURSIVE " + _TOKS + ", " + _SHINGLES + ", "

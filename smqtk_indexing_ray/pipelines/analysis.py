@@ -736,6 +736,95 @@ def dedup_tier_summary(docs, *, k: int = 3, threshold: float = 0.5):
                      batch_format="pyarrow")
 
 
+def curation_report(docs, *, keep_lang: str = "en", k: int = 3,
+                    threshold: float = 0.5):
+    """End-to-end corpus-curation audit: every document labeled with
+    the FIRST gate that rejects it — ``lang`` (not the kept language),
+    ``quality`` (fails the Gopher-style rules), ``exact_dup``
+    (non-representative byte-identical copy), ``near_dup``
+    (non-representative k-gram-Jaccard cluster member) — or ``kept``.
+    This is the per-doc attribution column a production curation run
+    writes next to its output so removals are explainable.
+
+    Gates are evaluated independently over the full corpus and
+    attributed first-match (documented semantics shared with the SQL
+    oracle); the composition is four sort-merge attaches on doc_id
+    over the existing gate pipelines — no joins, no hash aggregates.
+
+    Output: ``doc_id, reason``.
+    """
+    from smqtk_indexing_ray.stages.attach import sort_attach
+
+    base_schema = pa.schema([("doc_id", pa.int64()),
+                             ("lang", pa.string())])
+    base = docs.select_columns(["doc_id", "lang"])
+
+    q_schema = pa.schema([("doc_id", pa.int64()),
+                          ("passes_quality", pa.bool_())])
+
+    def _slim_q(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "passes_quality" not in t.column_names:
+            return q_schema.empty_table()
+        return t.select(["doc_id", "passes_quality"])
+
+    q = quality_signals(docs).map_batches(_slim_q,
+                                          batch_format="pyarrow")
+
+    def _ren(col: str, schema: pa.Schema):
+        def f(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "cluster_id" not in t.column_names:
+                return schema.empty_table()
+            return t.select(["doc_id", "cluster_id"]).rename_columns(
+                ["doc_id", col])
+        return f
+
+    e_schema = pa.schema([("doc_id", pa.int64()),
+                          ("exact_cid", pa.int64())])
+    n_schema = pa.schema([("doc_id", pa.int64()),
+                          ("near_cid", pa.int64())])
+    e = exact_cluster_labels(docs).map_batches(
+        _ren("exact_cid", e_schema), batch_format="pyarrow")
+    n = jaccard_cluster_labels(docs, k=k, threshold=threshold) \
+        .map_batches(_ren("near_cid", n_schema),
+                     batch_format="pyarrow")
+
+    att = sort_attach(base, q, key="doc_id", payload_key="doc_id",
+                      payload_cols=["passes_quality"], how="inner",
+                      rows_schema=base_schema, payload_schema=q_schema)
+    s2 = pa.schema(list(base_schema)
+                   + [pa.field("passes_quality", pa.bool_())])
+    att = sort_attach(att, e, key="doc_id", payload_key="doc_id",
+                      payload_cols=["exact_cid"], how="inner",
+                      rows_schema=s2, payload_schema=e_schema)
+    s3 = pa.schema(list(s2) + [pa.field("exact_cid", pa.int64())])
+    att = sort_attach(att, n, key="doc_id", payload_key="doc_id",
+                      payload_cols=["near_cid"], how="inner",
+                      rows_schema=s3, payload_schema=n_schema)
+
+    out_schema = pa.schema([("doc_id", pa.int64()),
+                            ("reason", pa.string())])
+
+    def attribute(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "near_cid" not in t.column_names:
+            return out_schema.empty_table()
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        lg = t["lang"].to_numpy(zero_copy_only=False)
+        ok = t["passes_quality"].to_numpy(zero_copy_only=False)
+        e_ = t["exact_cid"].to_numpy(zero_copy_only=False)
+        n_ = t["near_cid"].to_numpy(zero_copy_only=False)
+        reason = np.where(
+            lg != keep_lang, "lang",
+            np.where(~ok, "quality",
+                     np.where(e_ != d, "exact_dup",
+                              np.where(n_ != d, "near_dup", "kept"))))
+        return pa.table({
+            "doc_id": pa.array(d.astype(np.int64)),
+            "reason": pa.array(reason.astype(object), pa.string()),
+        })
+
+    return att.map_batches(attribute, batch_format="pyarrow")
+
+
 def doc_fingerprints(docs, *, hash_key: str = "smqtk-ray-v1.0.0"):
     """Order-sensitive content fingerprint + SimHash per document.
 

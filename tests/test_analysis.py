@@ -667,6 +667,32 @@ def test_dedup_tier_summary_all_tiers():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_curation_report_all_reasons():
+    """Planted docs must hit every gate with first-match attribution:
+    lang beats quality beats exact beats near beats kept."""
+    import ray.data as rd
+    from smqtk_indexing_ray.pipelines.analysis import curation_report
+
+    body = " ".join(f"tok{i % 37}xx" for i in range(80))  # passes rules
+    rows = [
+        (0, body, "en"),                 # kept (rep of exact group)
+        (1, body, "en"),                 # exact_dup
+        (2, body.replace("tok1xx", "tok999xx", 1), "en"),  # near_dup
+        (3, body, "fr"),                 # lang (even though exact dup)
+        (4, "short text", "en"),         # quality (too few tokens)
+        (5, " ".join(f"u{i}word" for i in range(90)), "en"),  # kept
+    ]
+    t = pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "text": pa.array([r[1] for r in rows]),
+                  "lang": pa.array([r[2] for r in rows])})
+    got = curation_report(
+        rd.from_arrow(t).repartition(3)).to_pandas().sort_values(
+        "doc_id", ignore_index=True)
+    assert list(got.reason) == ["kept", "exact_dup", "near_dup",
+                                "lang", "quality", "kept"]
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_trimmed_mean_matches_duckdb():
     """Quantile-cut broadcast + combiner aggregation vs the SQL oracle,
     with planted extremes that the trim must exclude."""

@@ -76,9 +76,13 @@ def exact_dedup(docs, *, num_partitions: int = 16):
     hashed = docs.select_columns(["doc_id", "text"]).map_batches(
         hash_ren, batch_format="pyarrow")
     # sort-based grouped min/count over the 128-bit key (stages/agg.py:
-    # the hash aggregate's actor spin-up costs 5x the sort)
+    # the hash aggregate's actor spin-up costs 5x the sort); the input
+    # is CORPUS-sized, so the pre-sort block target scales with the
+    # caller's num_partitions rather than the tiny-partials default
+    from smqtk_indexing_ray.stages._util import auto_blocks
     g = sorted_group_agg(hashed, key=["h1", "h2"],
                          aggs={"rep_doc": "min", "n_copies": "count"},
+                         num_blocks=max(num_partitions, auto_blocks()),
                          schema=hash_schema)
 
     def project(t: pa.Table) -> pa.Table:
@@ -103,9 +107,12 @@ def exact_cluster_labels(docs, *, num_partitions: int = 16):
         _hash_text, batch_format="pyarrow")
     # min doc_id per 128-bit text hash attached to every row in ONE
     # sort (stages/agg.sorted_first_attach) — replaces the old
-    # groupby + Dataset.join pair of aggregator-actor launches
+    # groupby + Dataset.join pair of aggregator-actor launches;
+    # corpus-sized input, so blocks scale with num_partitions
+    from smqtk_indexing_ray.stages._util import auto_blocks
     att = sorted_first_attach(
         hashed, key=["h1", "h2"], value="doc_id", out="cluster_id",
+        num_blocks=max(num_partitions, auto_blocks()),
         schema=pa.schema([("doc_id", pa.int64()), ("h1", pa.int64()),
                           ("h2", pa.int64())]))
 
@@ -574,11 +581,13 @@ def ngram_jaccard_pairs(docs, *, k: int = 3, threshold: float = 0.5,
     exp_schema = pa.schema([("shingle", pa.int64()),
                             ("doc_id", pa.int64()),
                             ("n_sh", pa.int64())])
+    from smqtk_indexing_ray.stages._util import auto_blocks
+    nb = max(num_partitions, auto_blocks())   # shingle-stream-sized
     raw_pairs = sorted_self_pairs(
         exploded, key="shingle", item="doc_id", carry=["n_sh"],
         max_group=max_shingle_freq,
         cap=10_000_000 if max_shingle_freq is None else 100_000,
-        schema=exp_schema)
+        num_blocks=nb, schema=exp_schema)
 
     pair_schema = pa.schema([("doc_a", pa.int64()),
                              ("doc_b", pa.int64()),
@@ -597,7 +606,7 @@ def ngram_jaccard_pairs(docs, *, k: int = 3, threshold: float = 0.5,
         raw_pairs.map_batches(_ren_pairs, batch_format="pyarrow"),
         key=["doc_a", "doc_b"],
         aggs={"n_inter": "count", "na": "min", "nb": "min"},
-        schema=pair_schema)
+        num_blocks=nb, schema=pair_schema)
 
     out_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
                             ("n_inter", pa.int64()),

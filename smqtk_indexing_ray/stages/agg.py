@@ -48,6 +48,7 @@ _OPS = {
 def sorted_first_attach(ds, *, key: str | list[str],
                         value: str | list[str],
                         out: str | list[str],
+                        num_blocks: int | None = None,
                         schema: pa.Schema | None = None):
     """Attach each group's FIRST row's ``value`` column(s) in
     ``(keys..., values...)`` sort order to every row of the group — the
@@ -85,7 +86,7 @@ def sorted_first_attach(ds, *, key: str | list[str],
     out_schema = pa.schema(list(sch) + [pa.field(o, vt)
                                         for o, vt in zip(outs, vtypes)])
 
-    srt = ds.repartition(auto_blocks()).sort(
+    srt = ds.repartition(num_blocks or auto_blocks()).sort(
         keys + values).materialize()
     refs = [ref for bundle in srt.iter_internal_ref_bundles()
             for ref, _meta in bundle.blocks]
@@ -169,12 +170,21 @@ def sorted_first_attach(ds, *, key: str | list[str],
 
 
 def sorted_group_agg(ds, *, key: str | list[str], aggs: dict[str, str],
+                     num_blocks: int | None = None,
                      schema: pa.Schema | None = None):
     """``GROUP BY key(s)`` with per-column ``sum|min|max|count`` aggs
     via one sort instead of a hash shuffle.  ``aggs`` maps value-column
     -> op; ``count`` counts group rows into an int64 column of that
     name (no source column needed).  Output columns: the key columns +
     the agg columns, one row per distinct key tuple.
+
+    ``num_blocks``: pre-sort repartition target.  The default
+    (~total CPUs, ``_util.auto_blocks``) is right for the common
+    caller shape — per-batch PARTIAL aggregates, many tiny blocks.  A
+    CORPUS-SIZED input (one row per document, e.g. exact dedup at the
+    design scale) must pass a data-proportional value instead so
+    blocks stay ~100 MB; every corpus-scale call site in this repo
+    threads its ``num_partitions`` through.
     """
     import ray
     import ray.data as rd
@@ -201,11 +211,10 @@ def sorted_group_agg(ds, *, key: str | list[str], aggs: dict[str, str],
             col, pa.int64() if op == "count" else sch.field(col).type))
     out_schema = pa.schema(out_fields)
 
-    # inputs here are per-batch partial aggregates or narrow pair
-    # streams: many tiny blocks.  Sorts cost O(input_blocks x
-    # output_partitions) merge tasks, so coalesce to ~CPUs first (the
-    # measured r2 lever, _util.auto_blocks)
-    srt = ds.repartition(auto_blocks()).sort(keys).materialize()
+    # sorts cost O(input_blocks x output_partitions) merge tasks, so
+    # coalesce fan-out inputs first (the measured r2 lever)
+    srt = ds.repartition(num_blocks or auto_blocks()).sort(
+        keys).materialize()
     refs = [ref for bundle in srt.iter_internal_ref_bundles()
             for ref, _meta in bundle.blocks]
     if not refs:

@@ -86,6 +86,7 @@ def sorted_self_pairs(ds, *, key: str, item: str,
                       carry: list[str] | None = None,
                       cap: int = 100_000,
                       max_group: int | None = None,
+                      num_blocks: int | None = None,
                       schema: pa.Schema | None = None):
     """Emit every ordered pair of ``item`` values sharing a ``key``
     (rows must be unique per ``(key, item)``), with per-item ``carry``
@@ -122,7 +123,8 @@ def sorted_self_pairs(ds, *, key: str, item: str,
            for f in (pa.field(f"{c}_a", sch.field(c).type),
                      pa.field(f"{c}_b", sch.field(c).type))])
 
-    srt = ds.repartition(auto_blocks()).sort([key, item]).materialize()
+    srt = ds.repartition(num_blocks or auto_blocks()).sort(
+        [key, item]).materialize()
     refs = [ref for bundle in srt.iter_internal_ref_bundles()
             for ref, _meta in bundle.blocks]
     if not refs:

@@ -114,6 +114,33 @@ def test_sorted_first_attach_matches_window_min():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_sorted_first_attach_multivalue_lexicographic():
+    """Two value columns: the attached pair must be the LEXICOGRAPHIC
+    group minimum of (v1, v2), not the per-column minima."""
+    import ray.data as rd
+
+    from smqtk_indexing_ray.stages.agg import sorted_first_attach
+
+    rng = np.random.default_rng(109)
+    n = 2000
+    g = rng.integers(0, 20, n)
+    g[:1100] = 3                        # hot group spans blocks
+    v1 = rng.integers(0, 5, n).astype(np.int64)   # heavy ties on v1
+    v2 = rng.permutation(n).astype(np.int64)
+    t = pa.table({"g": pa.array(g.astype(np.int64)),
+                  "v1": pa.array(v1), "v2": pa.array(v2)})
+    got = sorted_first_attach(
+        rd.from_arrow(t).repartition(9), key="g",
+        value=["v1", "v2"], out=["m1", "m2"]).to_pandas()
+    df = t.to_pandas()
+    lex = df.sort_values(["g", "v1", "v2"]).groupby("g").first()
+    got = got.sort_values(["g", "v1", "v2"], ignore_index=True)
+    for gg, grp in got.groupby("g"):
+        assert (grp.m1 == lex.loc[gg, "v1"]).all()
+        assert (grp.m2 == lex.loc[gg, "v2"]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_sorted_group_agg_string_keys_and_empty():
     import ray.data as rd
 

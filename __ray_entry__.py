@@ -213,7 +213,7 @@ def _q_top_docs_per_lang(sf_dir: str):
                            tiebreak="doc_id", k=5, schema=schema)
 
 
-def _contamination_from(docs):
+def _contamination_from(docs, stop_shingles_ref=None):
     """Shared tail of the contamination scans: exact jaccard pairs over
     ``docs`` -> keep cross-split (odd=eval vs even=train) pairs -> per
     eval doc the single closest train doc."""
@@ -221,7 +221,8 @@ def _contamination_from(docs):
     from smqtk_indexing_ray.pipelines.analysis import ngram_jaccard_pairs
     from smqtk_indexing_ray.stages.topk import top_k_per_group
 
-    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.5)
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.5,
+                                stop_shingles_ref=stop_shingles_ref)
     schema = pa.schema([("eval_doc", pa.int64()),
                         ("train_doc", pa.int64()),
                         ("jaccard", pa.float64())])
@@ -268,12 +269,14 @@ def _q_bloom_contamination(sf_dir: str):
     prefiltered inside map_batches (zero shuffle on the big side) and
     only the surviving candidates enter exact jaccard verification.
     Bloom has no false negatives, so the output is identical to the
-    exact scan — same SQL oracle.  (Post-prefilter shingle DF can sit
-    under the stop-shingle cap where full-corpus DF would not; at the
-    cap's default 1000 this needs a >1000-doc boilerplate shingle to
-    matter, and the exact scan is the semantics anchor.)"""
+    exact scan — same SQL oracle, UNCONDITIONALLY: the stop-shingle
+    cap is enforced against the FULL corpus's shingle DF (a broadcast
+    hot-shingle set from `hot_shingles`), not the DF of the filtered
+    subset, so a full-corpus-hot shingle can never sneak pairs in just
+    because the prefilter thinned its run."""
     import pyarrow.compute as pc
-    from smqtk_indexing_ray.pipelines.analysis import bloom_prefilter
+    from smqtk_indexing_ray.pipelines.analysis import (
+        bloom_prefilter, hot_shingles)
 
     def odd(t):
         return t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), 1))
@@ -281,10 +284,12 @@ def _q_bloom_contamination(sf_dir: str):
     def even(t):
         return t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0))
 
+    stop_ref = hot_shingles(_docs(sf_dir), k=3, max_df=1000)
     eval_side = _docs(sf_dir).map_batches(odd, batch_format="pyarrow")
     train_side = _docs(sf_dir).map_batches(even, batch_format="pyarrow")
     kept_train = bloom_prefilter(train_side, eval_side, k=3)
-    return _contamination_from(eval_side.union(kept_train))
+    return _contamination_from(eval_side.union(kept_train),
+                               stop_shingles_ref=stop_ref)
 
 
 def _q_stratified_sample(sf_dir: str):

@@ -272,6 +272,48 @@ def _shingle_explode(t: pa.Table, k: int) -> pa.Table:
     })
 
 
+def hot_shingles(docs, *, k: int = 3, max_df: int = 1000,
+                 max_hot: int = 1_000_000, num_partitions: int = 16):
+    """Full-corpus stop-shingle set: the k-token shingle hashes whose
+    document frequency exceeds ``max_df``, returned as a ``ray.put``
+    ref to a SORTED int64 array for broadcast membership tests.
+
+    This is how a subset scan (e.g. the Bloom-prefiltered
+    contamination pass) reproduces the full scan's stop-shingle
+    semantics EXACTLY: the cap must be judged against full-corpus DF,
+    not the DF of whatever subset survives a prefilter.  Combiner
+    shape: one sorted count over the shingle stream; only the
+    boilerplate-sized hot tail is collected (loud gate at
+    ``max_hot``).
+    """
+    import ray
+
+    from smqtk_indexing_ray.stages._util import collect_table
+    from smqtk_indexing_ray.stages.agg import sorted_group_agg
+
+    exploded = docs.select_columns(["doc_id", "text"]).map_batches(
+        lambda t: _shingle_explode(t, k), batch_format="pyarrow")
+    df_schema = pa.schema([("shingle", pa.int64()),
+                           ("df", pa.int64())])
+    from smqtk_indexing_ray.stages._util import auto_blocks
+    df = sorted_group_agg(
+        exploded, key="shingle", aggs={"df": "count"},
+        num_blocks=max(num_partitions, auto_blocks()),
+        schema=pa.schema([("shingle", pa.int64()),
+                          ("doc_id", pa.int64()),
+                          ("n_sh", pa.int64())]))
+    hot = df.filter(expr=f"df > {int(max_df)}")
+    tbl = collect_table(hot, df_schema)
+    if tbl.num_rows > max_hot:
+        raise RuntimeError(
+            f"hot_shingles: {tbl.num_rows} shingles over df={max_df} "
+            f"exceeds max_hot={max_hot}; boilerplate should be a small "
+            "fraction of the shingle vocabulary")
+    arr = np.sort(tbl["shingle"].to_numpy(zero_copy_only=False)
+                  .astype(np.int64))
+    return ray.put(arr)
+
+
 def bloom_prefilter(docs, reference_docs, *, k: int = 3,
                     m_bits: int = 1 << 23, hashes: int = 2):
     """Keep only ``docs`` rows that (possibly) share at least one
@@ -419,8 +461,13 @@ def corpus_rollup(docs):
     def partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "source" not in t.column_names:
             return part_schema.empty_table()
-        comb = pc.binary_join_element_wise(t["source"], t["lang"],
-                                           "\x1f")
+        # null tags fold into the ALL sentinel instead of crashing the
+        # dictionary-encode path (a null join emits null -> NaN indices);
+        # note this differs from a NULL-grouping SQL rollup, which keeps
+        # null-tag rows as their own coalesce-labeled group
+        comb = pc.binary_join_element_wise(
+            pc.fill_null(t["source"], "ALL"),
+            pc.fill_null(t["lang"], "ALL"), "\x1f")
         enc = pc.dictionary_encode(comb).combine_chunks()
         idx = enc.indices.to_numpy(zero_copy_only=False)
         nch = t["n_chars"].to_numpy(zero_copy_only=False).astype(
@@ -539,7 +586,8 @@ def robust_outliers(docs, *, group: str, col: str, keep: list[str],
 
 def ngram_jaccard_pairs(docs, *, k: int = 3, threshold: float = 0.5,
                         num_partitions: int = 16,
-                        max_shingle_freq: int | None = 1000):
+                        max_shingle_freq: int | None = 1000,
+                        stop_shingles_ref=None):
     """Exact n-gram-Jaccard near-duplicate pairs.
 
     shingle-explode -> within-shingle pair emission (join-free: one
@@ -559,6 +607,13 @@ def ngram_jaccard_pairs(docs, *, k: int = 3, threshold: float = 0.5,
     ``max_shingle_freq``^2 regardless of corpus skew.  Pass ``None`` to
     disable (exact semantics, unbounded blowup — the MinHash/LSH
     pipeline is the scale path either way).
+
+    ``stop_shingles_ref``: optional ``ray.put`` ref to a SORTED int64
+    array of banned shingle hashes (see :func:`hot_shingles`).  A
+    caller running over a SUBSET of a corpus passes the full corpus's
+    hot set here so the stop-shingle semantics match the full scan
+    exactly — subset DF under-counts and would let full-corpus-hot
+    shingles through.  Denominators (``n_sh``) are never affected.
     """
     from smqtk_indexing_ray.context import ensure_data_context
     ensure_data_context()
@@ -569,6 +624,22 @@ def ngram_jaccard_pairs(docs, *, k: int = 3, threshold: float = 0.5,
     exploded = drop_empty_blocks(
         exploded, pa.schema([("shingle", pa.int64()), ("doc_id", pa.int64()),
                              ("n_sh", pa.int64())]))
+
+    if stop_shingles_ref is not None:
+        import ray
+
+        def drop_hot(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "shingle" not in t.column_names:
+                return t
+            hs = ray.get(stop_shingles_ref)
+            if not len(hs):
+                return t
+            sh = t["shingle"].to_numpy(zero_copy_only=False)
+            pos = np.minimum(np.searchsorted(hs, sh), len(hs) - 1)
+            return t.filter(pa.array(hs[pos] != sh))
+
+        exploded = exploded.map_batches(drop_hot,
+                                        batch_format="pyarrow")
 
     # join-free pair generation: one (shingle, doc_id) sort + per-run
     # pair emission, with the stop-shingle DF cap applied to complete

@@ -271,16 +271,26 @@ def select_earliest(labeled, *, labeled_cols, empty_fn, num_partitions):
         if t.num_rows == 0 or "warc_ts" not in t.column_names:
             e = empty_fn(labeled_cols)
             return e.append_column("ts_us", pa.array([], pa.int64()))
-        return t.append_column("ts_us",
-                               pc.cast(t["warc_ts"], pa.int64()))
+        # null warc_ts (read_pages fills missing timestamp columns with
+        # typed nulls) sorts as +inf: undated rows lose "earliest" to
+        # any dated clustermate, and an all-undated cluster still keeps
+        # exactly its min doc_id
+        ts = pc.fill_null(pc.cast(t["warc_ts"], pa.int64()),
+                          np.iinfo(np.int64).max)
+        return t.append_column("ts_us", ts)
 
     # materialize so sorted_first_attach's schema() lookup is free and
     # the labeled lineage runs once
     aug = labeled.map_batches(add_ts,
                               batch_format="pyarrow").materialize()
+    # corpus-sized (and text-wide) input: thread the caller's partition
+    # count into the pre-sort block target (stages/agg.py contract)
+    from smqtk_indexing_ray.stages._util import auto_blocks
     att = sorted_first_attach(aug, key="cluster_id",
                               value=["ts_us", "doc_id"],
-                              out=["mn_ts", "mn_doc"])
+                              out=["mn_ts", "mn_doc"],
+                              num_blocks=max(num_partitions,
+                                             auto_blocks()))
 
     def keep_flag(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "mn_doc" not in t.column_names:

@@ -245,8 +245,6 @@ def window_user_counts(events, *, window_minutes: int = 60):
     (window, user) per batch, and a global groupby finishes the dedup
     before the per-window count — the scale-safe exact COUNT DISTINCT.
     """
-    from ray.data.aggregate import Count
-
     out_schema = pa.schema([("window_start", pa.timestamp("us")),
                             ("n_users", pa.int64())])
 
@@ -310,7 +308,7 @@ def cohort_retention(events, *, day_us: int = 86_400_000_000):
     int64 days since epoch).
     """
     import ray
-    from ray.data.aggregate import Count, Min, Sum
+    from ray.data.aggregate import Sum
 
     from smqtk_indexing_ray.stages._util import (
         collect_table,
@@ -403,7 +401,6 @@ def cohort_retention(events, *, day_us: int = 86_400_000_000):
 
     # two-level exact distinct on the sorted-agg path (stages/agg.py):
     # the global dedup and the per-cell count are each one narrow sort
-    from smqtk_indexing_ray.stages.agg import sorted_group_agg
     distinct = sorted_group_agg(
         att.map_batches(triple_dedup, batch_format="pyarrow"),
         key=["cohort_day", "activity_day", "user_id"],

@@ -35,7 +35,8 @@ _CHUNK = 4_000_000
 def _emit_run_pairs(tbl: pa.Table, item: str, carry: list[str],
                     starts: np.ndarray, ends: np.ndarray,
                     out_schema: pa.Schema,
-                    max_group: int | None) -> list[pa.Table]:
+                    max_group: int | None,
+                    chunk_cells: int = _CHUNK) -> list[pa.Table]:
     """All ordered within-run pairs for the given run boundaries,
     chunked so index scratch stays ~bounded.  Runs longer than
     ``max_group`` emit nothing (the stop-shingle semantics)."""
@@ -48,12 +49,45 @@ def _emit_run_pairs(tbl: pa.Table, item: str, carry: list[str],
     starts = starts[use]
     m = m[use]
     sq = m * m
+
     out: list[pa.Table] = []
+
+    def emit(a_idx: np.ndarray, b_idx: np.ndarray) -> None:
+        if not len(a_idx):
+            return
+        pa_a = pa.array(a_idx, pa.int64())
+        pa_b = pa.array(b_idx, pa.int64())
+        data = {
+            f"{item}_a": tbl[item].take(pa_a),
+            f"{item}_b": tbl[item].take(pa_b),
+        }
+        for c in carry:
+            data[f"{c}_a"] = tbl[c].take(pa_a)
+            data[f"{c}_b"] = tbl[c].take(pa_b)
+        out.append(pa.table(data, schema=out_schema))
+
+    # runs whose own m^2 exceeds the chunk bound are sliced WITHIN the
+    # run (a-row stripes of <= _CHUNK cells) — without this, one hot
+    # key in the uncapped exact mode would allocate O(m^2) scratch in
+    # a single task
+    big = sq > chunk_cells
+    for s0, mm in zip(starts[big], m[big]):
+        step = max(1, chunk_cells // int(mm))
+        for a0 in range(0, int(mm) - 1, step):
+            a1 = min(a0 + step, int(mm) - 1)
+            ai = np.repeat(np.arange(a0, a1), int(mm))
+            bi = np.tile(np.arange(int(mm)), a1 - a0)
+            keep = ai < bi
+            emit((s0 + ai)[keep], (s0 + bi)[keep])
+
+    starts = starts[~big]
+    m = m[~big]
+    sq = sq[~big]
     i = 0
     while i < len(m):
         j = i
         tot = 0
-        while j < len(m) and (tot + sq[j] <= _CHUNK or j == i):
+        while j < len(m) and (tot + sq[j] <= chunk_cells or j == i):
             tot += sq[j]
             j += 1
         mm = m[i:j]
@@ -65,19 +99,7 @@ def _emit_run_pairs(tbl: pa.Table, item: str, carry: list[str],
         ai = within // mm[run_id]
         bi = within % mm[run_id]
         keep = ai < bi
-        a_idx = (ss[run_id] + ai)[keep]
-        b_idx = (ss[run_id] + bi)[keep]
-        if len(a_idx):
-            pa_a = pa.array(a_idx, pa.int64())
-            pa_b = pa.array(b_idx, pa.int64())
-            data = {
-                f"{item}_a": tbl[item].take(pa_a),
-                f"{item}_b": tbl[item].take(pa_b),
-            }
-            for c in carry:
-                data[f"{c}_a"] = tbl[c].take(pa_a)
-                data[f"{c}_b"] = tbl[c].take(pa_b)
-            out.append(pa.table(data, schema=out_schema))
+        emit((ss[run_id] + ai)[keep], (ss[run_id] + bi)[keep])
         i = j
     return out
 
@@ -87,6 +109,7 @@ def sorted_self_pairs(ds, *, key: str, item: str,
                       cap: int = 100_000,
                       max_group: int | None = None,
                       num_blocks: int | None = None,
+                      chunk_cells: int = _CHUNK,
                       schema: pa.Schema | None = None):
     """Emit every ordered pair of ``item`` values sharing a ``key``
     (rows must be unique per ``(key, item)``), with per-item ``carry``
@@ -245,7 +268,7 @@ def sorted_self_pairs(ds, *, key: str, item: str,
         if len(starts) == 0:
             return out_schema.empty_table()
         parts = _emit_run_pairs(body, item, carry, starts, ends,
-                                out_schema, max_group)
+                                out_schema, max_group, chunk_cells)
         if not parts:
             return out_schema.empty_table()
         return pa.concat_tables(parts)

@@ -730,6 +730,37 @@ def test_trimmed_mean_matches_duckdb():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_stop_shingles_enforce_full_corpus_df_on_subsets():
+    """A shingle hot in the FULL corpus but rare in a subset must stay
+    banned when the subset scan gets the full-corpus hot set —
+    otherwise a prefiltered pass would emit pairs the full scan (and
+    its oracle) suppress."""
+    import ray.data as rd
+    from smqtk_indexing_ray.pipelines.analysis import (
+        hot_shingles, ngram_jaccard_pairs)
+
+    boiler = "common boiler plate phrase"
+    n_hot = 40
+    rows = [(i, f"{boiler} unique tail {i} {i * 3} {i * 7}")
+            for i in range(n_hot)]
+    full = pa.table({"doc_id": pa.array([r[0] for r in rows],
+                                        pa.int64()),
+                     "text": pa.array([r[1] for r in rows])})
+    # subset: just docs 0 and 1 — the boiler shingles have subset DF 2
+    sub = full.slice(0, 2)
+    stop_ref = hot_shingles(rd.from_arrow(full), k=3, max_df=10)
+    # without the full-corpus set, the subset scan would pair 0 and 1
+    # via boiler shingles (their only overlap)
+    naive = ngram_jaccard_pairs(rd.from_arrow(sub), k=3, threshold=0.1,
+                                max_shingle_freq=10).to_pandas()
+    assert len(naive) == 1
+    banned = ngram_jaccard_pairs(rd.from_arrow(sub), k=3,
+                                 threshold=0.1, max_shingle_freq=10,
+                                 stop_shingles_ref=stop_ref).to_pandas()
+    assert len(banned) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_bloom_no_false_negatives_and_low_fp():
     """Every inserted hash must test positive (losslessness of the
     prefilter rests on this); disjoint probes must mostly test

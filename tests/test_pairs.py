@@ -66,6 +66,24 @@ def test_sorted_self_pairs_matches_bruteforce():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_sorted_self_pairs_big_run_chunked_path():
+    """A single run whose m^2 exceeds the chunk bound must go through
+    the within-run striping and still emit exactly C(m, 2) pairs."""
+    import ray.data as rd
+
+    from smqtk_indexing_ray.stages.pairs import sorted_self_pairs
+
+    m = 120                            # m^2 = 14400 > chunk_cells
+    t = pa.table({"key": pa.array([9] * m, pa.int64()),
+                  "item": pa.array(np.arange(m, dtype=np.int64))})
+    got = sorted_self_pairs(rd.from_arrow(t), key="key", item="item",
+                            chunk_cells=1000).to_pandas()
+    assert len(got) == m * (m - 1) // 2
+    assert (got.item_a < got.item_b).all()
+    assert len(set(zip(got.item_a, got.item_b))) == len(got)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_sorted_self_pairs_max_group_skips_hot_key():
     """A hot key spanning several blocks and exceeding max_group emits
     NO pairs (complete-run semantics: the cap must count rows across

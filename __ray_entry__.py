@@ -142,9 +142,13 @@ def _q_cluster_size_histogram(sf_dir: str):
         jaccard_cluster_labels)
     from smqtk_indexing_ray.stages.agg import sorted_group_agg
 
+    from smqtk_indexing_ray.stages._util import auto_blocks
     labels = jaccard_cluster_labels(_docs(sf_dir))
+    # labels are corpus-sized (one row per doc): scale the pre-sort
+    # block target per the stages/agg.py contract
     sizes = sorted_group_agg(
         labels, key="cluster_id", aggs={"size": "count"},
+        num_blocks=max(16, auto_blocks()),
         schema=pa.schema([("doc_id", pa.int64()),
                           ("cluster_id", pa.int64())]))
     hist = sorted_group_agg(

@@ -116,3 +116,38 @@ class TestNameOnlySwap:
         b = b.sort_values("doc_id").reset_index(drop=True)
         assert (a["cluster_id"] == b["cluster_id"]).all()
         assert (a["keep"] == b["keep"]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_earliest_select_tolerates_null_timestamps():
+    """read_pages fills missing warc_ts with typed nulls; the earliest
+    strategy must treat them as +inf (lose to any dated clustermate)
+    and still keep exactly one doc per cluster — the sorted-attach
+    rewrite initially crashed here (review regression)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from smqtk_indexing_ray.config import DedupConfig
+    from smqtk_indexing_ray.pipelines import dedup_pipeline
+
+    n = 60
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "url": pa.array([f"u://{i}" for i in range(n)]),
+        "warc_ts": pa.array([None] * n, pa.timestamp("us")),
+        "html": pa.array([None] * n, pa.binary()),
+        "text": pa.array([f"doc body shared {i % 20} words here "
+                          f"repeated tokens" for i in range(n)]),
+        "lang": pa.array(["en"] * n),
+    })
+    res = dedup_pipeline(rd.from_arrow(t), DedupConfig(),
+                         num_partitions=4, rep_strategy="earliest")
+    df = res.output.to_pandas()
+    assert len(df) == n
+    per = df.groupby("cluster_id")["keep"].sum()
+    assert (per == 1).all()
+    # undated rows fall back to min-doc_id representatives
+    reps = df[df.keep]
+    assert (reps.doc_id.to_numpy()
+            == reps.cluster_id.to_numpy()).all()

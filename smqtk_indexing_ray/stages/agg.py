@@ -169,6 +169,133 @@ def sorted_first_attach(ds, *, key: str | list[str],
     return rd.from_arrow_refs(filled)
 
 
+def sorted_run_length_attach(ds, *, key: str | list[str],
+                             out: str = "run_len",
+                             num_blocks: int | None = None,
+                             schema: pa.Schema | None = None):
+    """Attach each group's COMPLETE size to every row of the group —
+    ``count(*) OVER (PARTITION BY keys)`` in one sort.
+
+    Interior runs of a sorted block know their own length locally; only
+    the (at most two) runs touching a block boundary can continue into
+    neighboring blocks.  A tiny probe per block returns its first/last
+    key tuples and their local run lengths; the driver folds those into
+    per-boundary-key TOTALS (O(blocks) scalars — a sorted run spans
+    consecutive blocks, so each block just adds its edge-run lengths to
+    the shared key's total) and hands each fill task the totals for its
+    own first and last keys.
+
+    Reference analog: the per-bucket size accounting of the LSH bucket
+    map (/root/reference/smqtk_indexing/impls/nn_index/lsh.py:315-323,
+    count() at interfaces/nn_index.py:60-74) attached at row grain.
+    """
+    import ray
+    import ray.data as rd
+
+    from smqtk_indexing_ray.stages._util import (
+        _get_probe_task,
+        auto_blocks,
+    )
+
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def _arrow_schema(d) -> pa.Schema:
+        s = d.schema()
+        return s.base_schema if hasattr(s, "base_schema") else s
+
+    sch = schema or _arrow_schema(ds)
+    out_schema = pa.schema(list(sch) + [pa.field(out, pa.int64())])
+
+    srt = ds.repartition(num_blocks or auto_blocks()).sort(
+        keys).materialize()
+    refs = [ref for bundle in srt.iter_internal_ref_bundles()
+            for ref, _meta in bundle.blocks]
+    if not refs:
+        return rd.from_arrow(out_schema.empty_table())
+    task = _get_probe_task()
+
+    def _segments(t: pa.Table):
+        n = t.num_rows
+        change = np.zeros(n - 1, bool) if n > 1 else np.zeros(0, bool)
+        for k in keys:
+            if t[k].null_count:
+                raise ValueError(
+                    f"sorted_run_length_attach: key {k!r} contains "
+                    f"nulls; fill or filter them upstream")
+            col = t[k].to_numpy(zero_copy_only=False)
+            if n > 1:
+                change |= col[1:] != col[:-1]
+        starts = np.concatenate([[0], np.flatnonzero(change) + 1])
+        ends = np.concatenate([starts[1:], [n]])
+        return starts, ends
+
+    def probe(t: pa.Table) -> pa.Table:
+        psch = pa.schema(
+            [pa.field(f"fk_{k}", sch.field(k).type) for k in keys]
+            + [pa.field(f"lk_{k}", sch.field(k).type) for k in keys]
+            + [pa.field("first_len", pa.int64()),
+               pa.field("last_len", pa.int64())])
+        if t.num_rows == 0 or any(k not in t.column_names
+                                  for k in keys):
+            return psch.empty_table()
+        starts, ends = _segments(t)
+        data = {}
+        for k in keys:
+            data[f"fk_{k}"] = t[k].slice(0, 1)
+            data[f"lk_{k}"] = t[k].slice(t.num_rows - 1, 1)
+        data["first_len"] = pa.array([int(ends[0] - starts[0])],
+                                     pa.int64())
+        data["last_len"] = pa.array([int(ends[-1] - starts[-1])],
+                                    pa.int64())
+        return pa.table(data, schema=psch)
+
+    per_block = ray.get([task.remote(probe, r) for r in refs])
+
+    # boundary-key totals: every block adds its edge-run local lengths
+    # to the shared dict; keys fully interior to one block never enter
+    totals: dict[tuple, int] = {}
+    edges: list[tuple | None] = []   # (fk_tuple, lk_tuple) per block
+    for tbl in per_block:
+        if tbl is None or tbl.num_rows == 0:
+            edges.append(None)
+            continue
+        fk = tuple(tbl[f"fk_{k}"][0].as_py() for k in keys)
+        lk = tuple(tbl[f"lk_{k}"][0].as_py() for k in keys)
+        first_len = tbl["first_len"][0].as_py()
+        last_len = tbl["last_len"][0].as_py()
+        if fk == lk:
+            totals[fk] = totals.get(fk, 0) + first_len
+        else:
+            totals[fk] = totals.get(fk, 0) + first_len
+            totals[lk] = totals.get(lk, 0) + last_len
+        edges.append((fk, lk))
+
+    def fill(t: pa.Table, first_total: int | None,
+             last_total: int | None) -> pa.Table:
+        if t.num_rows == 0 or any(k not in t.column_names
+                                  for k in keys):
+            return out_schema.empty_table()
+        starts, ends = _segments(t)
+        lens = (ends - starts).astype(np.int64)
+        if first_total is not None:
+            lens[0] = first_total
+        if last_total is not None:
+            lens[-1] = last_total
+        return t.append_column(
+            out, pa.array(np.repeat(lens, ends - starts), pa.int64()))
+
+    filled = []
+    for i, r in enumerate(refs):
+        if edges[i] is None:
+            ft = lt = None
+        else:
+            fk, lk = edges[i]
+            ft, lt = totals[fk], totals[lk]
+        filled.append(task.remote(
+            functools.partial(fill, first_total=ft, last_total=lt), r))
+    return rd.from_arrow_refs(filled)
+
+
 def sorted_group_agg(ds, *, key: str | list[str], aggs: dict[str, str],
                      num_blocks: int | None = None,
                      schema: pa.Schema | None = None):

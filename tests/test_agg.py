@@ -141,6 +141,52 @@ def test_sorted_first_attach_multivalue_lexicographic():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_sorted_run_length_attach_matches_window_count():
+    """count(*) OVER (PARTITION BY key) in one sort: a hot key spanning
+    several blocks must see its TOTAL size on every row, and singleton
+    keys their local size."""
+    import ray.data as rd
+
+    from smqtk_indexing_ray.stages.agg import sorted_run_length_attach
+
+    rng = np.random.default_rng(113)
+    n = 4000
+    k = rng.integers(0, 300, n)
+    k[:2200] = 11                       # hot key spans blocks
+    v = rng.permutation(n).astype(np.int64)
+    t = pa.table({"k": pa.array(k.astype(np.int64)), "v": pa.array(v)})
+    got = sorted_run_length_attach(
+        rd.from_arrow(t).repartition(13), key="k",
+        out="sz").to_pandas()
+    df = t.to_pandas()
+    df["sz"] = df.groupby("k")["k"].transform("size")
+    got = got.sort_values(["k", "v"], ignore_index=True)
+    df = df.sort_values(["k", "v"], ignore_index=True)
+    assert list(got.sz) == list(df.sz)
+    assert got.shape[0] == n
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sorted_run_length_attach_multikey_and_empty():
+    import ray.data as rd
+
+    from smqtk_indexing_ray.stages.agg import sorted_run_length_attach
+
+    t = pa.table({"a": pa.array(["x", "x", "y", "y", "y", "z"]),
+                  "b": pa.array([1, 1, 1, 2, 2, 2], pa.int64())})
+    got = sorted_run_length_attach(
+        rd.from_arrow(t).repartition(4), key=["a", "b"],
+        out="sz").to_pandas().sort_values(["a", "b"],
+                                          ignore_index=True)
+    assert list(got.sz) == [2, 2, 1, 2, 2, 1]
+
+    sch = pa.schema([("a", pa.string()), ("b", pa.int64())])
+    empty = sorted_run_length_attach(
+        rd.from_arrow(sch.empty_table()), key="a", out="sz", schema=sch)
+    assert empty.count() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_sorted_group_agg_string_keys_and_empty():
     import ray.data as rd
 

@@ -56,6 +56,11 @@ def _q_exact_cluster_labels(sf_dir: str):
     return exact_cluster_labels(_docs(sf_dir))
 
 
+def _q_exact_cluster_sizes(sf_dir: str):
+    from smqtk_indexing_ray.pipelines.analysis import exact_cluster_sizes
+    return exact_cluster_sizes(_docs(sf_dir))
+
+
 def _q_token_stats(sf_dir: str):
     from smqtk_indexing_ray.pipelines.analysis import token_stats
     return token_stats(_docs(sf_dir))
@@ -928,6 +933,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "exact_dedup": _q_exact_dedup,
         "exact_cluster_labels": _q_exact_cluster_labels,
+        "exact_cluster_sizes": _q_exact_cluster_sizes,
         "token_stats": _q_token_stats,
         "token_counts": _q_token_counts,
         "token_quantiles": _q_token_quantiles,
@@ -1045,6 +1051,10 @@ def oracle_sql() -> dict[str, str]:
         "exact_cluster_labels": (
             "SELECT doc_id, min(doc_id) OVER (PARTITION BY text) "
             "AS cluster_id FROM documents"
+        ),
+        "exact_cluster_sizes": (
+            "SELECT doc_id, count(*) OVER (PARTITION BY text) "
+            "AS cluster_size FROM documents"
         ),
         "token_stats": (
             "WITH " + _TOKS + " "

@@ -127,6 +127,47 @@ def exact_cluster_labels(docs, *, num_partitions: int = 16):
                                    ("cluster_id", pa.int64())]))
 
 
+def exact_cluster_sizes(docs, *, num_partitions: int = 16):
+    """Attach each doc's exact-duplicate cluster size — ``count(*)
+    OVER (PARTITION BY text)`` at row grain, the "template farm"
+    curation signal (drop every copy of a page duplicated 10k times,
+    including the canonical one).
+
+    One sorted pass over 16 B/row hashes
+    (``stages/agg.sorted_run_length_attach``): interior runs count
+    themselves locally, boundary runs are folded into per-key totals by
+    an O(blocks) probe.  The text never crosses the shuffle.
+
+    Reference parity: row-grain form of the bucket-size accounting
+    behind ``count()`` (/root/reference/smqtk_indexing/interfaces/
+    nn_index.py:60-74, lsh.py:315-323).
+    """
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+
+    from smqtk_indexing_ray.stages._util import auto_blocks
+    from smqtk_indexing_ray.stages.agg import sorted_run_length_attach
+
+    hashed = docs.select_columns(["doc_id", "text"]).map_batches(
+        _hash_text, batch_format="pyarrow")
+    att = sorted_run_length_attach(
+        hashed, key=["h1", "h2"], out="cluster_size",
+        num_blocks=max(num_partitions, auto_blocks()),
+        schema=pa.schema([("doc_id", pa.int64()), ("h1", pa.int64()),
+                          ("h2", pa.int64())]))
+
+    out_schema = pa.schema([("doc_id", pa.int64()),
+                            ("cluster_size", pa.int64())])
+
+    def project(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "cluster_size" not in t.column_names:
+            return out_schema.empty_table()
+        return t.select(["doc_id", "cluster_size"])
+
+    return stamp_schema(att.map_batches(project, batch_format="pyarrow"),
+                        out_schema)
+
+
 def _token_stats_batch(t: pa.Table) -> pa.Table:
     n = t.num_rows
     if n == 0:

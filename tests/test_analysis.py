@@ -53,6 +53,36 @@ class TestTextAnalysis:
         assert dict(zip(df.doc_id, df.cluster_id)) == {
             0: 0, 1: 0, 2: 2, 3: 3, 4: 4}
 
+    def test_exact_cluster_sizes(self):
+        from smqtk_indexing_ray.pipelines.analysis import exact_cluster_sizes
+        df = exact_cluster_sizes(_docs()).to_pandas()
+        assert dict(zip(df.doc_id, df.cluster_size)) == {
+            0: 2, 1: 2, 2: 1, 3: 1, 4: 1}
+
+    def test_exact_cluster_sizes_hot_group_spans_blocks(self):
+        """A 600-copy template split over many blocks must see 600 on
+        every row, matching count(*) OVER (PARTITION BY text)."""
+        import ray.data as rd
+
+        from smqtk_indexing_ray.pipelines.analysis import exact_cluster_sizes
+
+        rng = np.random.default_rng(47)
+        texts = ["hot template page"] * 600 + [
+            f"unique page {i}" for i in range(400)]
+        order = rng.permutation(1000)
+        t = pa.table({
+            "doc_id": pa.array(np.arange(1000, dtype=np.int64)),
+            "text": pa.array([texts[i] for i in order]),
+        })
+        got = exact_cluster_sizes(
+            rd.from_arrow(t).repartition(11), num_partitions=7).to_pandas()
+        exp = t.to_pandas()
+        exp["cluster_size"] = exp.groupby("text")["text"].transform("size")
+        merged = got.merge(exp[["doc_id", "cluster_size"]], on="doc_id",
+                           suffixes=("", "_exp"))
+        assert len(merged) == 1000
+        assert (merged.cluster_size == merged.cluster_size_exp).all()
+
     def test_token_stats(self):
         from smqtk_indexing_ray.pipelines.analysis import token_stats
         df = token_stats(_docs()).to_pandas().set_index("doc_id")

@@ -556,6 +556,14 @@ def _q_funnel(sf_dir: str):
                   steps=("view", "click", "purchase"))
 
 
+def _q_user_event_gaps(sf_dir: str):
+    """Per-user inter-arrival gaps (distributed LAG window) — exact
+    SQL oracle with the repo-wide -1 first-event sentinel."""
+    import ray.data as rd
+    from smqtk_indexing_ray.pipelines.events import user_event_gaps
+    return user_event_gaps(rd.read_parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_event_seq(sf_dir: str):
     """Running per-user sequence numbers over the event stream (a
     distributed row_number window) — exact SQL oracle."""
@@ -980,6 +988,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_user_counts": _q_window_user_counts,
         "hopping_window_counts": _q_hopping_window_counts,
         "event_seq": _q_event_seq,
+        "user_event_gaps": _q_user_event_gaps,
         "funnel": _q_funnel,
         "cohort_retention": _q_cohort_retention,
         "quality_signals": _q_quality_signals,
@@ -1559,6 +1568,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, CAST(row_number() OVER "
             "(PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) "
             "AS seq FROM events"
+        ),
+        "user_event_gaps": (
+            "SELECT event_id, user_id, "
+            "CAST(coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id), -1) "
+            "AS BIGINT) AS gap_us FROM events"
         ),
         "hopping_window_counts": (
             "SELECT make_timestamp(ws) AS window_start, "

@@ -730,3 +730,67 @@ def funnel(events, *, steps: tuple[str, ...] = ("view", "click",
                           cont=continues.get(i, False)), r)
         for i, r in enumerate(refs)]
     return rd.from_arrow_refs(filled)
+
+
+# ---------------------------------------------------------------------------
+# per-user inter-arrival gaps — the LAG window primitive
+# ---------------------------------------------------------------------------
+
+def user_event_gaps(events, *, num_partitions: int = 16):
+    """Microseconds since the same user's previous event —
+    ``epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+    ORDER BY ts, event_id)``, with ``-1`` for each user's first event
+    (the repo-wide no-match sentinel, cf. the asof_join oracle).
+
+    One sorted pass (``stages/agg.sorted_lag_attach``): lag needs only
+    the immediately-preceding row, so the boundary carry is a single
+    row per block chained in sorted block order.  Bot-burst detection
+    and session-gap tuning both start from this table.
+
+    Reference analog: the consecutive-neighbor distance comparison in
+    the reference's sorted candidate re-rank
+    (/root/reference/smqtk_indexing/impls/nn_index/lsh.py:513-518).
+    """
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+
+    from smqtk_indexing_ray.stages._util import auto_blocks
+    from smqtk_indexing_ray.stages.agg import sorted_lag_attach
+
+    slim_schema = pa.schema([("user_id", pa.int64()),
+                             ("ts_us", pa.int64()),
+                             ("event_id", pa.int64())])
+
+    def slim(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return slim_schema.empty_table()
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+        })
+
+    lagged = sorted_lag_attach(
+        events.select_columns(["user_id", "ts", "event_id"])
+        .map_batches(slim, batch_format="pyarrow"),
+        key="user_id", order=["ts_us", "event_id"],
+        value="ts_us", out="prev_ts_us",
+        num_blocks=max(num_partitions, auto_blocks()),
+        schema=slim_schema)
+
+    out_schema = pa.schema([("event_id", pa.int64()),
+                            ("user_id", pa.int64()),
+                            ("gap_us", pa.int64())])
+
+    def project(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "prev_ts_us" not in t.column_names:
+            return out_schema.empty_table()
+        gap = pc.fill_null(
+            pc.subtract(t["ts_us"], t["prev_ts_us"]), -1)
+        return pa.table({"event_id": t["event_id"],
+                         "user_id": t["user_id"],
+                         "gap_us": pc.cast(gap, pa.int64())})
+
+    from smqtk_indexing_ray.stages._util import stamp_schema
+    return stamp_schema(
+        lagged.map_batches(project, batch_format="pyarrow"), out_schema)

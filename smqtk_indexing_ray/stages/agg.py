@@ -36,6 +36,7 @@ import functools
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _OPS = {
     "sum": (np.add, 0),
@@ -293,6 +294,128 @@ def sorted_run_length_attach(ds, *, key: str | list[str],
             ft, lt = totals[fk], totals[lk]
         filled.append(task.remote(
             functools.partial(fill, first_total=ft, last_total=lt), r))
+    return rd.from_arrow_refs(filled)
+
+
+def sorted_lag_attach(ds, *, key: str | list[str],
+                      order: str | list[str],
+                      value: str | list[str],
+                      out: str | list[str],
+                      num_blocks: int | None = None,
+                      schema: pa.Schema | None = None):
+    """Attach the PREVIOUS row's ``value`` column(s) within each key
+    partition — ``lag(value) OVER (PARTITION BY keys ORDER BY order)``
+    in one sort.  First row of each partition gets null.
+
+    Unlike the run-length/first attaches, lag needs only the single
+    immediately-preceding ROW: each block's probe returns its last
+    row's key tuple + values, the driver chains them in sorted block
+    order (the carry for block *i* is just the last row of the nearest
+    preceding non-empty block), and the fill shifts locally with a
+    null-masked Arrow ``take``.
+
+    Reference analog: the consecutive-neighbor comparison inside the
+    reference's sorted re-rank (/root/reference/smqtk_indexing/impls/
+    nn_index/lsh.py:513-518), lifted to a table-wide window primitive.
+    """
+    import ray
+    import ray.data as rd
+
+    from smqtk_indexing_ray.stages._util import (
+        _get_probe_task,
+        auto_blocks,
+    )
+
+    keys = [key] if isinstance(key, str) else list(key)
+    orders = [order] if isinstance(order, str) else list(order)
+    values = [value] if isinstance(value, str) else list(value)
+    outs = [out] if isinstance(out, str) else list(out)
+    if len(values) != len(outs):
+        raise ValueError("value/out length mismatch")
+
+    def _arrow_schema(d) -> pa.Schema:
+        s = d.schema()
+        return s.base_schema if hasattr(s, "base_schema") else s
+
+    sch = schema or _arrow_schema(ds)
+    vtypes = [sch.field(v).type for v in values]
+    out_schema = pa.schema(list(sch) + [pa.field(o, vt)
+                                        for o, vt in zip(outs, vtypes)])
+
+    srt = ds.repartition(num_blocks or auto_blocks()).sort(
+        keys + orders).materialize()
+    refs = [ref for bundle in srt.iter_internal_ref_bundles()
+            for ref, _meta in bundle.blocks]
+    if not refs:
+        return rd.from_arrow(out_schema.empty_table())
+    task = _get_probe_task()
+
+    def probe(t: pa.Table) -> pa.Table:
+        psch = pa.schema(
+            [pa.field(f"lk_{k}", sch.field(k).type) for k in keys]
+            + [pa.field(f"lv_{v}", vt)
+               for v, vt in zip(values, vtypes)])
+        if t.num_rows == 0 or any(k not in t.column_names
+                                  for k in keys):
+            return psch.empty_table()
+        data = {}
+        last = t.num_rows - 1
+        for k in keys:
+            if t[k].null_count:
+                raise ValueError(
+                    f"sorted_lag_attach: key {k!r} contains nulls; "
+                    f"fill or filter them upstream")
+            data[f"lk_{k}"] = t[k].slice(last, 1)
+        for v in values:
+            data[f"lv_{v}"] = t[v].slice(last, 1)
+        return pa.table(data, schema=psch)
+
+    per_block = ray.get([task.remote(probe, r) for r in refs])
+
+    # carry for block i = last row of the nearest preceding non-empty
+    # block (in global sort order that IS the previous row)
+    carries: list[tuple | None] = []   # (key_tuple, value_tuple)
+    prev: tuple | None = None
+    for tbl in per_block:
+        carries.append(prev)
+        if tbl is None or tbl.num_rows == 0:
+            continue
+        prev = (tuple(tbl[f"lk_{k}"][0].as_py() for k in keys),
+                tuple(tbl[f"lv_{v}"][0].as_py() for v in values))
+
+    def fill(t: pa.Table, carry: tuple | None) -> pa.Table:
+        if t.num_rows == 0 or any(k not in t.column_names
+                                  for k in keys):
+            return out_schema.empty_table()
+        n = t.num_rows
+        same = np.ones(n - 1, bool) if n > 1 else np.zeros(0, bool)
+        for k in keys:
+            col = t[k].to_numpy(zero_copy_only=False)
+            if n > 1:
+                same &= col[1:] == col[:-1]
+        first_has_prev = (carry is not None and
+                          carry[0] == tuple(t[k][0].as_py()
+                                            for k in keys))
+        # row 0 is always masked out of the take (its lag lives in the
+        # carry and is patched below); masked indices are still
+        # bounds-checked, so clamp them to 0
+        valid = np.concatenate([[False], same])
+        idx = np.arange(n, dtype=np.int64) - 1
+        idx[~valid] = 0
+        indices = pa.array(idx, pa.int64(), mask=~valid)
+        first_mask = pa.array(np.arange(n) == 0)
+        for vi, (v, o, vt) in enumerate(zip(values, outs, vtypes)):
+            shifted = pc.take(t[v].combine_chunks(), indices)
+            if first_has_prev:
+                shifted = pc.if_else(first_mask,
+                                     pa.scalar(carry[1][vi], vt),
+                                     shifted)
+            t = t.append_column(o, pc.cast(shifted, vt))
+        return t
+
+    filled = [task.remote(
+        functools.partial(fill, carry=carries[i]), r)
+        for i, r in enumerate(refs)]
     return rd.from_arrow_refs(filled)
 
 

@@ -205,3 +205,54 @@ def test_sorted_group_agg_string_keys_and_empty():
     empty = sorted_group_agg(rd.from_arrow(sch.empty_table()), key="k",
                              aggs={"v": "sum"}, schema=sch)
     assert empty.count() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sorted_lag_attach_matches_pandas_shift():
+    """lag(value) OVER (PARTITION BY key ORDER BY o, v): hot key spans
+    blocks, boundary carries must chain the previous row across."""
+    import ray.data as rd
+
+    from smqtk_indexing_ray.stages.agg import sorted_lag_attach
+
+    rng = np.random.default_rng(211)
+    n = 3000
+    k = rng.integers(0, 40, n)
+    k[:1500] = 7                        # hot key spans several blocks
+    o = rng.permutation(n).astype(np.int64)
+    v = rng.integers(-100, 100, n).astype(np.int64)
+    t = pa.table({"k": pa.array(k.astype(np.int64)),
+                  "o": pa.array(o), "v": pa.array(v)})
+    got = sorted_lag_attach(
+        rd.from_arrow(t).repartition(12), key="k", order="o",
+        value="v", out="prev_v").to_pandas()
+    df = t.to_pandas().sort_values(["k", "o"])
+    df["prev_v"] = df.groupby("k")["v"].shift(1)
+    got = got.sort_values(["k", "o"], ignore_index=True)
+    df = df.sort_values(["k", "o"], ignore_index=True)
+    ge = got.prev_v.to_numpy(dtype=float, na_value=np.nan)
+    ee = df.prev_v.to_numpy(dtype=float, na_value=np.nan)
+    assert np.array_equal(ge, ee, equal_nan=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sorted_lag_attach_string_values_nulls_and_empty():
+    import ray.data as rd
+
+    from smqtk_indexing_ray.stages.agg import sorted_lag_attach
+
+    t = pa.table({"k": pa.array(["a", "a", "a", "b", "b"]),
+                  "o": pa.array([1, 2, 3, 1, 2], pa.int64()),
+                  "v": pa.array(["x", None, "z", "p", "q"])})
+    got = sorted_lag_attach(
+        rd.from_arrow(t).repartition(3), key="k", order="o",
+        value="v", out="pv").to_pandas().sort_values(
+            ["k", "o"], ignore_index=True)
+    assert list(got.pv.fillna("-")) == ["-", "x", "-", "-", "p"]
+
+    sch = pa.schema([("k", pa.string()), ("o", pa.int64()),
+                     ("v", pa.string())])
+    empty = sorted_lag_attach(
+        rd.from_arrow(sch.empty_table()), key="k", order="o",
+        value="v", out="pv", schema=sch)
+    assert empty.count() == 0

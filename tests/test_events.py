@@ -406,3 +406,36 @@ def test_cohort_retention_matches_duckdb():
     assert list(got.activity_day) == list(want.activity_day)
     assert list(got.n_users) == list(want.n_users)
     assert list(got.retention) == list(want.retention)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestUserEventGaps:
+    def test_matches_pandas_lag(self):
+        import ray.data as rd
+
+        from smqtk_indexing_ray.pipelines.events import user_event_gaps
+
+        rng = np.random.default_rng(31)
+        n = 3000
+        base = 1_577_836_800_000_000
+        ts = base + rng.integers(0, 3600 * 1_000_000, n)
+        ev = pa.table({
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array(rng.integers(0, 25, n), pa.int64()),
+        })
+        got = user_event_gaps(
+            rd.from_arrow(ev).repartition(9)).to_pandas().sort_values(
+                "event_id", ignore_index=True)
+        df = ev.to_pandas()
+        df["ts_us"] = df.ts.astype("int64")
+        df = df.sort_values(["user_id", "ts_us", "event_id"])
+        df["gap_us"] = (df.ts_us
+                        - df.groupby("user_id").ts_us.shift(1)).fillna(
+                            -1).astype("int64")
+        df = df.sort_values("event_id", ignore_index=True)
+        assert list(got.gap_us) == list(df.gap_us)
+        assert list(got.user_id) == list(df.user_id)
+        assert (got.gap_us >= -1).all()
+        # every user has exactly one first-event sentinel
+        assert (got.gap_us == -1).sum() == df.user_id.nunique()

@@ -556,6 +556,34 @@ def _q_funnel(sf_dir: str):
                   steps=("view", "click", "purchase"))
 
 
+def _q_length_percent_ranks(sf_dir: str):
+    """Per-language relative length position of every doc (distributed
+    percent_rank + cume_dist windows) — exact SQL oracle: both outputs
+    are int64 divisions, bit-exact by construction."""
+    import pyarrow as pa
+    import ray.data as rd
+    from smqtk_indexing_ray.stages.topk import percent_rank_per_group
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "n_chars"])
+    scored = percent_rank_per_group(
+        docs, group="lang", order="n_chars", tiebreak="doc_id",
+        descending=False,
+        schema=pa.schema([("doc_id", pa.int64()), ("lang", pa.string()),
+                          ("n_chars", pa.int64())]))
+
+    def project(t: pa.Table) -> pa.Table:
+        out = pa.schema([("doc_id", pa.int64()),
+                         ("pct_rank", pa.float64()),
+                         ("cume_dist", pa.float64())])
+        if t.num_rows == 0 or "pct_rank" not in t.column_names:
+            return out.empty_table()
+        return t.select(["doc_id", "pct_rank", "cume_dist"])
+
+    return scored.map_batches(project, batch_format="pyarrow")
+
+
 def _q_user_event_gaps(sf_dir: str):
     """Per-user inter-arrival gaps (distributed LAG window) — exact
     SQL oracle with the repo-wide -1 first-event sentinel."""
@@ -989,6 +1017,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window_counts": _q_hopping_window_counts,
         "event_seq": _q_event_seq,
         "user_event_gaps": _q_user_event_gaps,
+        "length_percent_ranks": _q_length_percent_ranks,
         "funnel": _q_funnel,
         "cohort_retention": _q_cohort_retention,
         "quality_signals": _q_quality_signals,
@@ -1574,6 +1603,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST(coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER "
             "(PARTITION BY user_id ORDER BY ts, event_id), -1) "
             "AS BIGINT) AS gap_us FROM events"
+        ),
+        "length_percent_ranks": (
+            "SELECT doc_id, "
+            "percent_rank() OVER "
+            "(PARTITION BY lang ORDER BY n_chars, doc_id) AS pct_rank, "
+            "cume_dist() OVER "
+            "(PARTITION BY lang ORDER BY n_chars, doc_id) AS cume_dist "
+            "FROM documents"
         ),
         "hopping_window_counts": (
             "SELECT make_timestamp(ws) AS window_start, "

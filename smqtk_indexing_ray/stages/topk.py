@@ -22,39 +22,12 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def ntile_per_group(ds, *, group: str, order: str, tiebreak: str,
-                    nb: int, descending: bool = True,
-                    schema: pa.Schema | None = None):
-    """``NTILE(nb) OVER (PARTITION BY group ORDER BY order, tiebreak)``
-    — CCNet-style per-group quantile bucketing (e.g. head/middle/tail
-    quality tiers per language).
-
-    Rides :func:`top_k_per_group` (k=None) for the per-group running
-    rank, then needs only each group's TOTAL size: a per-block partial
-    ``max(rank)`` probe (output O(#groups x #blocks), reduced on the
-    driver to one histogram-sized map) broadcast via ``ray.put`` into a
-    vectorized bucket assignment.  Assumes the group-size map fits in a
-    broadcast object — it is the size of a group histogram, never the
-    corpus.  Bucket rule matches DuckDB/ANSI NTILE bit-exactly: the
-    first ``n_g % nb`` buckets get ``n_g // nb + 1`` rows, the rest get
-    ``n_g // nb``.
-
-    Output adds int64 ``rank`` and ``bucket`` (both 1-based).
-    """
-    import ray
-
+def _group_sizes(ranked, group: str, gtype) -> dict:
+    """Fold per-block partial ``max(rank)`` probes into a group→size
+    map (output O(#groups x #blocks), reduced on the driver to one
+    histogram-sized dict).  ``ranked`` must carry the 1-based ``rank``
+    column from :func:`top_k_per_group` (k=None)."""
     from smqtk_indexing_ray.stages._util import probe_blocks
-
-    def _arrow_schema(d) -> pa.Schema:
-        s = d.schema()
-        return s.base_schema if hasattr(s, "base_schema") else s
-
-    sch = schema or _arrow_schema(ds)
-    gtype = sch.field(group).type
-    ranked = top_k_per_group(ds, group=group, order=order,
-                             tiebreak=tiebreak, k=None,
-                             descending=descending,
-                             schema=sch).materialize()
 
     def pmax(t: pa.Table) -> pa.Table:
         psch = pa.schema([("k", gtype), ("mx", pa.int64())])
@@ -76,7 +49,98 @@ def ntile_per_group(ds, *, group: str, order: str, tiebreak: str,
         for kk, mx in zip(part["k"].to_pylist(), part["mx"].to_pylist()):
             if int(mx) > sizes.get(kk, 0):
                 sizes[kk] = int(mx)
-    sizes_ref = ray.put(sizes)
+    return sizes
+
+
+def percent_rank_per_group(ds, *, group: str, order: str, tiebreak: str,
+                           descending: bool = False,
+                           schema: pa.Schema | None = None):
+    """``percent_rank()`` and ``cume_dist()`` OVER (PARTITION BY group
+    ORDER BY order, tiebreak) — the relative-position windows used for
+    per-language quality-percentile filtering.
+
+    Rides :func:`top_k_per_group` (k=None) for the running rank and the
+    same broadcast group-size map as :func:`ntile_per_group`.  The
+    ``tiebreak`` column must make ``(order, tiebreak)`` unique within
+    each group so ``rank == row_number`` — then both outputs are exact
+    int64 divisions and the SQL oracle is bit-exact:
+    ``pct_rank = (rank-1)/(n-1)`` (0.0 for singleton groups, the ANSI
+    rule) and ``cume_dist = rank/n``.
+
+    Output adds int64 ``rank`` and double ``pct_rank`` / ``cume_dist``.
+    """
+    import ray
+
+    def _arrow_schema(d) -> pa.Schema:
+        s = d.schema()
+        return s.base_schema if hasattr(s, "base_schema") else s
+
+    sch = schema or _arrow_schema(ds)
+    gtype = sch.field(group).type
+    ranked = top_k_per_group(ds, group=group, order=order,
+                             tiebreak=tiebreak, k=None,
+                             descending=descending,
+                             schema=sch).materialize()
+    sizes_ref = ray.put(_group_sizes(ranked, group, gtype))
+
+    out_schema = pa.schema(list(sch) + [
+        pa.field("rank", pa.int64()), pa.field("pct_rank", pa.float64()),
+        pa.field("cume_dist", pa.float64())])
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or group not in t.column_names:
+            return out_schema.empty_table()
+        smap = ray.get(sizes_ref)
+        g = t[group].to_numpy(zero_copy_only=False)
+        rank = t["rank"].to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = np.concatenate([[0],
+                                 np.flatnonzero(g[1:] != g[:-1]) + 1])
+        lens = np.diff(np.concatenate([starts, [t.num_rows]]))
+        ng = np.repeat(
+            np.array([smap[g[s] if not hasattr(g[s], "item")
+                           else g[s].item()] for s in starts],
+                     dtype=np.int64), lens)
+        pct = np.where(ng > 1, (rank - 1) / np.maximum(ng - 1, 1), 0.0)
+        cume = rank / ng
+        t = t.append_column("pct_rank", pa.array(pct, pa.float64()))
+        return t.append_column("cume_dist", pa.array(cume, pa.float64()))
+
+    return ranked.map_batches(score, batch_format="pyarrow")
+
+
+def ntile_per_group(ds, *, group: str, order: str, tiebreak: str,
+                    nb: int, descending: bool = True,
+                    schema: pa.Schema | None = None):
+    """``NTILE(nb) OVER (PARTITION BY group ORDER BY order, tiebreak)``
+    — CCNet-style per-group quantile bucketing (e.g. head/middle/tail
+    quality tiers per language).
+
+    Rides :func:`top_k_per_group` (k=None) for the per-group running
+    rank, then needs only each group's TOTAL size: a per-block partial
+    ``max(rank)`` probe (output O(#groups x #blocks), reduced on the
+    driver to one histogram-sized map) broadcast via ``ray.put`` into a
+    vectorized bucket assignment.  Assumes the group-size map fits in a
+    broadcast object — it is the size of a group histogram, never the
+    corpus.  Bucket rule matches DuckDB/ANSI NTILE bit-exactly: the
+    first ``n_g % nb`` buckets get ``n_g // nb + 1`` rows, the rest get
+    ``n_g // nb``.
+
+    Output adds int64 ``rank`` and ``bucket`` (both 1-based).
+    """
+    import ray
+
+    def _arrow_schema(d) -> pa.Schema:
+        s = d.schema()
+        return s.base_schema if hasattr(s, "base_schema") else s
+
+    sch = schema or _arrow_schema(ds)
+    gtype = sch.field(group).type
+    ranked = top_k_per_group(ds, group=group, order=order,
+                             tiebreak=tiebreak, k=None,
+                             descending=descending,
+                             schema=sch).materialize()
+
+    sizes_ref = ray.put(_group_sizes(ranked, group, gtype))
 
     out_schema = pa.schema(list(sch) + [pa.field("rank", pa.int64()),
                                         pa.field("bucket", pa.int64())])

@@ -875,3 +875,52 @@ def test_length_histogram_exact():
     assert list(got.bucket) == list(want.index)
     assert list(got.n_docs) == list(want.values)
     assert list(got.lo_chars) == [b * 100 for b in want.index]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_percent_rank_per_group_matches_pandas():
+    """percent_rank + cume_dist over a hot group spanning blocks must
+    match the exact (rank-1)/(n-1) and rank/n window definitions."""
+    import ray.data as rd
+
+    from smqtk_indexing_ray.stages.topk import percent_rank_per_group
+
+    rng = np.random.default_rng(59)
+    n = 2500
+    g = rng.integers(0, 30, n)
+    g[:1200] = 3                         # hot group spans blocks
+    t = pa.table({
+        "g": pa.array(g.astype(np.int64)),
+        "o": pa.array(rng.permutation(n).astype(np.int64)),
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+    })
+    got = percent_rank_per_group(
+        rd.from_arrow(t).repartition(10), group="g", order="o",
+        tiebreak="id").to_pandas().sort_values("id", ignore_index=True)
+    df = t.to_pandas()
+    df["rank"] = df.sort_values(["o", "id"]).groupby("g").cumcount() + 1
+    sz = df.groupby("g")["g"].transform("size")
+    df["pct_rank"] = np.where(sz > 1, (df["rank"] - 1) / np.maximum(
+        sz - 1, 1), 0.0)
+    df["cume_dist"] = df["rank"] / sz
+    df = df.sort_values("id", ignore_index=True)
+    assert list(got["rank"]) == list(df["rank"])
+    assert np.array_equal(got.pct_rank.to_numpy(), df.pct_rank.to_numpy())
+    assert np.array_equal(got.cume_dist.to_numpy(),
+                          df.cume_dist.to_numpy())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_percent_rank_singleton_groups_are_zero():
+    import ray.data as rd
+
+    from smqtk_indexing_ray.stages.topk import percent_rank_per_group
+
+    t = pa.table({"g": pa.array(["a", "b", "c"]),
+                  "o": pa.array([5, 1, 9], pa.int64()),
+                  "id": pa.array([0, 1, 2], pa.int64())})
+    got = percent_rank_per_group(
+        rd.from_arrow(t), group="g", order="o",
+        tiebreak="id").to_pandas()
+    assert (got.pct_rank == 0.0).all()
+    assert (got.cume_dist == 1.0).all()

@@ -556,6 +556,16 @@ def _q_funnel(sf_dir: str):
                   steps=("view", "click", "purchase"))
 
 
+def _q_rolling_user_stats(sf_dir: str):
+    """Bounded rolling window (ROWS BETWEEN 3 PRECEDING AND CURRENT
+    ROW) per user — exact SQL oracle (int64 count + comparison-only
+    float max)."""
+    import ray.data as rd
+    from smqtk_indexing_ray.pipelines.events import rolling_user_stats
+    return rolling_user_stats(
+        rd.read_parquet(f"{sf_dir}/events.parquet"), k=3)
+
+
 def _q_length_percent_ranks(sf_dir: str):
     """Per-language relative length position of every doc (distributed
     percent_rank + cume_dist windows) — exact SQL oracle: both outputs
@@ -1018,6 +1028,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_seq": _q_event_seq,
         "user_event_gaps": _q_user_event_gaps,
         "length_percent_ranks": _q_length_percent_ranks,
+        "rolling_user_stats": _q_rolling_user_stats,
         "funnel": _q_funnel,
         "cohort_retention": _q_cohort_retention,
         "quality_signals": _q_quality_signals,
@@ -1611,6 +1622,14 @@ def oracle_sql() -> dict[str, str]:
             "cume_dist() OVER "
             "(PARTITION BY lang ORDER BY n_chars, doc_id) AS cume_dist "
             "FROM documents"
+        ),
+        "rolling_user_stats": (
+            "SELECT event_id, "
+            "CAST(count(*) OVER w AS BIGINT) AS win_n, "
+            "max(coalesce(value, 0.0)) OVER w AS win_max "
+            "FROM events WINDOW w AS ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)"
         ),
         "hopping_window_counts": (
             "SELECT make_timestamp(ws) AS window_start, "

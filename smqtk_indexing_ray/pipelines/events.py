@@ -794,3 +794,56 @@ def user_event_gaps(events, *, num_partitions: int = 16):
     from smqtk_indexing_ray.stages._util import stamp_schema
     return stamp_schema(
         lagged.map_batches(project, batch_format="pyarrow"), out_schema)
+
+
+def rolling_user_stats(events, *, k: int = 3, num_partitions: int = 16):
+    """Bounded rolling window per user — ``count(*)`` and
+    ``max(value)`` OVER (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN k PRECEDING AND CURRENT ROW) — the burst/spike
+    detector over the event stream.
+
+    One sorted pass (``stages/agg.sorted_rolling_attach``); the
+    boundary carry is each block's last ``k`` rows chained in sorted
+    block order, so the shuffle cost is identical to a plain sort.
+    """
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+
+    from smqtk_indexing_ray.stages._util import auto_blocks, stamp_schema
+    from smqtk_indexing_ray.stages.agg import sorted_rolling_attach
+
+    slim_schema = pa.schema([("user_id", pa.int64()),
+                             ("ts_us", pa.int64()),
+                             ("event_id", pa.int64()),
+                             ("value", pa.float64())])
+
+    def slim(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return slim_schema.empty_table()
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "value": pc.cast(pc.fill_null(t["value"], 0.0),
+                             pa.float64()),
+        })
+
+    rolled = sorted_rolling_attach(
+        events.select_columns(["user_id", "ts", "event_id", "value"])
+        .map_batches(slim, batch_format="pyarrow"),
+        key="user_id", order=["ts_us", "event_id"],
+        value="value", k=k,
+        num_blocks=max(num_partitions, auto_blocks()),
+        schema=slim_schema)
+
+    out_schema = pa.schema([("event_id", pa.int64()),
+                            ("win_n", pa.int64()),
+                            ("win_max", pa.float64())])
+
+    def project(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "win_n" not in t.column_names:
+            return out_schema.empty_table()
+        return t.select(["event_id", "win_n", "win_max"])
+
+    return stamp_schema(
+        rolled.map_batches(project, batch_format="pyarrow"), out_schema)

@@ -419,6 +419,138 @@ def sorted_lag_attach(ds, *, key: str | list[str],
     return rd.from_arrow_refs(filled)
 
 
+def sorted_rolling_attach(ds, *, key: str | list[str],
+                          order: str | list[str],
+                          value: str, k: int,
+                          out_count: str = "win_n",
+                          out_max: str = "win_max",
+                          num_blocks: int | None = None,
+                          schema: pa.Schema | None = None):
+    """Bounded-preceding rolling window — ``count(*)`` and
+    ``max(value)`` OVER (PARTITION BY keys ORDER BY order ROWS BETWEEN
+    k PRECEDING AND CURRENT ROW) in one sort.
+
+    The window reaches back at most ``k`` rows, so the boundary carry
+    is each block's last ``min(k, n)`` rows: the driver chains block
+    tails in sorted order (``tail = (tail + block_tail)[-k:]``) and the
+    fill prepends the carry rows that continue its first key run,
+    computes the per-run sliding stats over the extended arrays
+    (O(n·k) shifted-maximum passes — k is a small constant), and slices
+    the prepended rows back off.  Count is exact int64; max is
+    comparison-only, so float SQL parity is bit-exact.
+
+    Reference analog: the bounded candidate re-rank window of the LSH
+    query path (/root/reference/smqtk_indexing/impls/nn_index/
+    lsh.py:513-518), generalized to a running table window.
+    """
+    import ray
+    import ray.data as rd
+
+    from smqtk_indexing_ray.stages._util import (
+        _get_probe_task,
+        auto_blocks,
+    )
+
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    keys = [key] if isinstance(key, str) else list(key)
+    orders = [order] if isinstance(order, str) else list(order)
+
+    def _arrow_schema(d) -> pa.Schema:
+        s = d.schema()
+        return s.base_schema if hasattr(s, "base_schema") else s
+
+    sch = schema or _arrow_schema(ds)
+    vtype = sch.field(value).type
+    out_schema = pa.schema(list(sch) + [pa.field(out_count, pa.int64()),
+                                        pa.field(out_max, vtype)])
+
+    srt = ds.repartition(num_blocks or auto_blocks()).sort(
+        keys + orders).materialize()
+    refs = [ref for bundle in srt.iter_internal_ref_bundles()
+            for ref, _meta in bundle.blocks]
+    if not refs:
+        return rd.from_arrow(out_schema.empty_table())
+    task = _get_probe_task()
+
+    def probe(t: pa.Table) -> pa.Table:
+        psch = pa.schema(
+            [pa.field(f"k_{c}", sch.field(c).type) for c in keys]
+            + [pa.field("v", vtype)])
+        if t.num_rows == 0 or any(c not in t.column_names
+                                  for c in keys):
+            return psch.empty_table()
+        for c in keys:
+            if t[c].null_count:
+                raise ValueError(
+                    f"sorted_rolling_attach: key {c!r} contains nulls; "
+                    f"fill or filter them upstream")
+        if t[value].null_count:
+            raise ValueError(
+                f"sorted_rolling_attach: value {value!r} contains "
+                f"nulls; fill or filter them upstream")
+        tail = t.slice(max(0, t.num_rows - k), min(k, t.num_rows))
+        data = {f"k_{c}": tail[c] for c in keys}
+        data["v"] = tail[value]
+        return pa.table(data, schema=psch)
+
+    per_block = ray.get([task.remote(probe, r) for r in refs])
+
+    # carry[i] = the up-to-k rows immediately preceding block i in
+    # global sort order: chain block tails, keep the last k
+    carries: list[list] = []      # [(key_tuple, value), ...] oldest first
+    tail: list = []
+    for tbl in per_block:
+        carries.append(list(tail))
+        if tbl is None or tbl.num_rows == 0:
+            continue
+        rows = [(tuple(tbl[f"k_{c}"][j].as_py() for c in keys),
+                 tbl["v"][j].as_py()) for j in range(tbl.num_rows)]
+        tail = (tail + rows)[-k:] if k else []
+
+    def fill(t: pa.Table, carry: list) -> pa.Table:
+        if t.num_rows == 0 or any(c not in t.column_names
+                                  for c in keys):
+            return out_schema.empty_table()
+        first_key = tuple(t[c][0].as_py() for c in keys)
+        pre = [v for kt, v in carry if kt == first_key]
+        m = len(pre)
+        n = t.num_rows
+        kcols = [np.concatenate([
+            np.repeat(t[c].to_numpy(zero_copy_only=False)[:1], m),
+            t[c].to_numpy(zero_copy_only=False)])
+            for c in keys] if m else [
+            t[c].to_numpy(zero_copy_only=False) for c in keys]
+        vals = t[value].to_numpy(zero_copy_only=False)
+        v = np.concatenate([np.asarray(pre, dtype=vals.dtype), vals]) \
+            if m else vals
+        ne = n + m
+        change = np.zeros(ne - 1, bool) if ne > 1 else np.zeros(0, bool)
+        for col in kcols:
+            if ne > 1:
+                change |= col[1:] != col[:-1]
+        starts = np.concatenate([[0], np.flatnonzero(change) + 1])
+        seg = np.repeat(np.arange(len(starts)),
+                        np.diff(np.concatenate([starts, [ne]])))
+        pos = np.arange(ne) - starts[seg]
+        cnt = np.minimum(pos, k).astype(np.int64) + 1
+        mx = v.copy()
+        for s in range(1, k + 1):
+            ok = pos >= s
+            if not ok.any():
+                break
+            shifted = np.empty_like(v)
+            shifted[s:] = v[:-s]
+            np.maximum(mx, shifted, out=mx, where=ok)
+        t = t.append_column(out_count, pa.array(cnt[m:]))
+        return t.append_column(out_max, pa.array(mx[m:], vtype))
+
+    filled = [task.remote(
+        functools.partial(fill, carry=carries[i]), r)
+        for i, r in enumerate(refs)]
+    return rd.from_arrow_refs(filled)
+
+
 def sorted_group_agg(ds, *, key: str | list[str], aggs: dict[str, str],
                      num_blocks: int | None = None,
                      schema: pa.Schema | None = None):

@@ -256,3 +256,62 @@ def test_sorted_lag_attach_string_values_nulls_and_empty():
         rd.from_arrow(sch.empty_table()), key="k", order="o",
         value="v", out="pv", schema=sch)
     assert empty.count() == 0
+
+
+def _rolling_expect(df, k):
+    df = df.sort_values(["k", "o"], ignore_index=True)
+    g = df.groupby("k")["v"]
+    df["win_n"] = g.rolling(k + 1, min_periods=1).count().to_numpy()
+    df["win_max"] = g.rolling(k + 1, min_periods=1).max().to_numpy()
+    return df
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sorted_rolling_attach_matches_pandas_rolling():
+    """ROWS BETWEEN k PRECEDING AND CURRENT ROW with a hot key spanning
+    blocks: window contents must chain across block boundaries."""
+    import ray.data as rd
+
+    from smqtk_indexing_ray.stages.agg import sorted_rolling_attach
+
+    rng = np.random.default_rng(409)
+    n = 2000
+    k = rng.integers(0, 20, n)
+    k[:1100] = 5
+    t = pa.table({"k": pa.array(k.astype(np.int64)),
+                  "o": pa.array(rng.permutation(n).astype(np.int64)),
+                  "v": pa.array(rng.standard_normal(n))})
+    got = sorted_rolling_attach(
+        rd.from_arrow(t).repartition(11), key="k", order="o",
+        value="v", k=4).to_pandas().sort_values(
+            ["k", "o"], ignore_index=True)
+    df = _rolling_expect(t.to_pandas(), 4)
+    assert list(got.win_n) == list(df.win_n.astype(int))
+    assert np.array_equal(got.win_max.to_numpy(), df.win_max.to_numpy())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sorted_rolling_attach_blocks_smaller_than_window():
+    """Blocks of 1-2 rows with k=5: the carry must chain through
+    MULTIPLE preceding blocks, not just the adjacent one."""
+    import ray.data as rd
+
+    from smqtk_indexing_ray.stages.agg import sorted_rolling_attach
+
+    n = 40
+    t = pa.table({"k": pa.array(np.zeros(n, np.int64)),
+                  "o": pa.array(np.arange(n, dtype=np.int64)),
+                  "v": pa.array(np.arange(n, dtype=np.int64))})
+    got = sorted_rolling_attach(
+        rd.from_arrow(t).repartition(25), key="k", order="o",
+        value="v", k=5).to_pandas().sort_values("o", ignore_index=True)
+    exp_n = np.minimum(np.arange(n), 5) + 1
+    assert list(got.win_n) == list(exp_n)
+    assert list(got.win_max) == list(np.arange(n))   # ascending: max=self
+
+    sch = pa.schema([("k", pa.int64()), ("o", pa.int64()),
+                     ("v", pa.float64())])
+    empty = sorted_rolling_attach(
+        rd.from_arrow(sch.empty_table()), key="k", order="o",
+        value="v", k=3, schema=sch)
+    assert empty.count() == 0

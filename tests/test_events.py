@@ -439,3 +439,33 @@ class TestUserEventGaps:
         assert (got.gap_us >= -1).all()
         # every user has exactly one first-event sentinel
         assert (got.gap_us == -1).sum() == df.user_id.nunique()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rolling_user_stats_matches_pandas():
+    import ray.data as rd
+
+    from smqtk_indexing_ray.pipelines.events import rolling_user_stats
+
+    rng = np.random.default_rng(67)
+    n = 1500
+    base = 1_577_836_800_000_000
+    ev = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(base + rng.integers(0, 600 * 1_000_000, n),
+                       pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(0, 12, n), pa.int64()),
+        "value": pa.array(rng.standard_normal(n)),
+    })
+    got = rolling_user_stats(
+        rd.from_arrow(ev).repartition(7), k=3).to_pandas().sort_values(
+            "event_id", ignore_index=True)
+    df = ev.to_pandas()
+    df["ts_us"] = df.ts.astype("int64")
+    df = df.sort_values(["user_id", "ts_us", "event_id"])
+    g = df.groupby("user_id")["value"]
+    df["win_n"] = g.rolling(4, min_periods=1).count().to_numpy()
+    df["win_max"] = g.rolling(4, min_periods=1).max().to_numpy()
+    df = df.sort_values("event_id", ignore_index=True)
+    assert list(got.win_n) == list(df.win_n.astype(int))
+    assert np.array_equal(got.win_max.to_numpy(), df.win_max.to_numpy())

@@ -556,6 +556,49 @@ def _q_funnel(sf_dir: str):
                   steps=("view", "click", "purchase"))
 
 
+def _q_shuffle_shards(sf_dir: str):
+    """Deterministic training-shard shuffle: every doc gets a seeded
+    pseudo-random shard and its exact position within the shard — the
+    final write-ordering pass of a training-data pipeline, reproducible
+    in SQL (shared LCG, different multiplier than stratified_sample so
+    the two draws decorrelate).  One narrow sort over three int64
+    columns; text never moves."""
+    import pyarrow as pa
+    from smqtk_indexing_ray.stages.topk import top_k_per_group
+
+    n_shards = 16
+    schema = pa.schema([("doc_id", pa.int64()), ("shard", pa.int64()),
+                        ("draw", pa.int64())])
+
+    def add_draw(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return schema.empty_table()
+        import numpy as np
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        draw = (d * 69069 + 1) % 2147483648
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "shard": pa.array((draw % n_shards).astype(np.int64)),
+            "draw": pa.array(draw.astype(np.int64)),
+        })
+
+    ds = _docs(sf_dir).select_columns(["doc_id"]).map_batches(
+        add_draw, batch_format="pyarrow")
+    ranked = top_k_per_group(ds, group="shard", order="draw",
+                             tiebreak="doc_id", k=None, descending=False,
+                             schema=schema)
+
+    def project(t: pa.Table) -> pa.Table:
+        out = pa.schema([("doc_id", pa.int64()), ("shard", pa.int64()),
+                         ("pos", pa.int64())])
+        if t.num_rows == 0 or "rank" not in t.column_names:
+            return out.empty_table()
+        return pa.table({"doc_id": t["doc_id"], "shard": t["shard"],
+                         "pos": t["rank"]})
+
+    return ranked.map_batches(project, batch_format="pyarrow")
+
+
 def _q_rolling_user_stats(sf_dir: str):
     """Bounded rolling window (ROWS BETWEEN 3 PRECEDING AND CURRENT
     ROW) per user — exact SQL oracle (int64 count + comparison-only
@@ -1029,6 +1072,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_gaps": _q_user_event_gaps,
         "length_percent_ranks": _q_length_percent_ranks,
         "rolling_user_stats": _q_rolling_user_stats,
+        "shuffle_shards": _q_shuffle_shards,
         "funnel": _q_funnel,
         "cohort_retention": _q_cohort_retention,
         "quality_signals": _q_quality_signals,
@@ -1622,6 +1666,14 @@ def oracle_sql() -> dict[str, str]:
             "cume_dist() OVER "
             "(PARTITION BY lang ORDER BY n_chars, doc_id) AS cume_dist "
             "FROM documents"
+        ),
+        "shuffle_shards": (
+            "WITH drawn AS ("
+            "  SELECT doc_id, (doc_id * 69069 + 1) % 2147483648 AS draw"
+            "  FROM documents"
+            ") SELECT doc_id, CAST(draw % 16 AS BIGINT) AS shard, "
+            "CAST(row_number() OVER (PARTITION BY draw % 16 "
+            "ORDER BY draw, doc_id) AS BIGINT) AS pos FROM drawn"
         ),
         "rolling_user_stats": (
             "SELECT event_id, "

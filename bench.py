@@ -305,6 +305,11 @@ def run_sf_suite(sf_dir: str) -> dict[str, float]:
         from smqtk_indexing_ray.pipelines.events import funnel as fu
         return fu(events(), steps=("view", "click", "purchase"))
 
+    def rolling_user_stats():
+        from smqtk_indexing_ray.pipelines.events import (
+            rolling_user_stats as ru)
+        return ru(events(), k=3)
+
     suite = {
         "lsh_dedup_documents": lambda: dedup_pipeline(
             documents_as_pages(docs()), DedupConfig(),
@@ -317,6 +322,9 @@ def run_sf_suite(sf_dir: str) -> dict[str, float]:
         "mrpt_topk": lambda: ann.mrpt_topk(emb(), n_queries=32, k=10),
         "window_agg": window_agg,
         "funnel": funnel,
+        "rolling_user_stats": rolling_user_stats,
+        "exact_cluster_sizes": lambda: analysis.exact_cluster_sizes(
+            docs()),
         "line_dedup": lambda: terms.line_dedup(docs(), min_df=2),
         "heavy_hitters": lambda: terms.heavy_hitters(docs(), one_in=500),
         "token_chunks": lambda: terms.token_chunks(docs(), budget=4096),

@@ -556,22 +556,20 @@ def _q_funnel(sf_dir: str):
                   steps=("view", "click", "purchase"))
 
 
-def _q_shuffle_shards(sf_dir: str):
-    """Deterministic training-shard shuffle: every doc gets a seeded
-    pseudo-random shard and its exact position within the shard — the
-    final write-ordering pass of a training-data pipeline, reproducible
-    in SQL (shared LCG, different multiplier than stratified_sample so
-    the two draws decorrelate).  One narrow sort over three int64
-    columns; text never moves."""
+def _shard_positions(ids_ds, *, n_shards: int = 16):
+    """Shared tail of the shard-shuffle queries: LCG draw (decorrelated
+    from stratified_sample's multiplier) -> shard -> exact in-shard
+    position via the distributed running rank.  ``ids_ds`` must carry a
+    non-null int64 ``doc_id`` column; one narrow sort over three int64
+    columns, text never moves."""
     import pyarrow as pa
     from smqtk_indexing_ray.stages.topk import top_k_per_group
 
-    n_shards = 16
     schema = pa.schema([("doc_id", pa.int64()), ("shard", pa.int64()),
                         ("draw", pa.int64())])
 
     def add_draw(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
             return schema.empty_table()
         import numpy as np
         d = t["doc_id"].to_numpy(zero_copy_only=False)
@@ -582,8 +580,7 @@ def _q_shuffle_shards(sf_dir: str):
             "draw": pa.array(draw.astype(np.int64)),
         })
 
-    ds = _docs(sf_dir).select_columns(["doc_id"]).map_batches(
-        add_draw, batch_format="pyarrow")
+    ds = ids_ds.map_batches(add_draw, batch_format="pyarrow")
     ranked = top_k_per_group(ds, group="shard", order="draw",
                              tiebreak="doc_id", k=None, descending=False,
                              schema=schema)
@@ -597,6 +594,37 @@ def _q_shuffle_shards(sf_dir: str):
                          "pos": t["rank"]})
 
     return ranked.map_batches(project, batch_format="pyarrow")
+
+
+def _q_shuffle_shards(sf_dir: str):
+    """Deterministic training-shard shuffle: every doc gets a seeded
+    pseudo-random shard and its exact position within the shard — the
+    final write-ordering pass of a training-data pipeline, reproducible
+    in SQL."""
+    return _shard_positions(_docs(sf_dir).select_columns(["doc_id"]))
+
+
+def _q_curated_corpus(sf_dir: str):
+    """The complete raw-corpus -> training-corpus journey: the
+    first-rejecting-gate attribution (lang -> quality -> exact-dup ->
+    near-dup) keeps only surviving docs, which then get the
+    deterministic shard shuffle — what a production curation run
+    writes as its final output manifest.  Exact composite SQL oracle
+    (shared CTEs with curation_report)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from smqtk_indexing_ray.pipelines.analysis import curation_report
+
+    rep = curation_report(_docs(sf_dir))
+    ids_schema = pa.schema([("doc_id", pa.int64())])
+
+    def kept_ids(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "reason" not in t.column_names:
+            return ids_schema.empty_table()
+        return t.filter(pc.equal(t["reason"], "kept")).select(["doc_id"])
+
+    return _shard_positions(
+        rep.map_batches(kept_ids, batch_format="pyarrow"))
 
 
 def _q_rolling_user_stats(sf_dir: str):
@@ -1073,6 +1101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_percent_ranks": _q_length_percent_ranks,
         "rolling_user_stats": _q_rolling_user_stats,
         "shuffle_shards": _q_shuffle_shards,
+        "curated_corpus": _q_curated_corpus,
         "funnel": _q_funnel,
         "cohort_retention": _q_cohort_retention,
         "quality_signals": _q_quality_signals,
@@ -1133,6 +1162,45 @@ sh AS (
   WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
 )
 """
+
+# shared by curation_report and curated_corpus: the gate CTEs and the
+# first-rejecting-gate attribution
+_CURATION_CTES = (
+    "WITH RECURSIVE " + _TOKS + ", " + _SHINGLES + ", "
+    "edges AS ("
+    "  SELECT doc_a AS src, doc_b AS dst FROM jpairs"
+    "  UNION ALL SELECT doc_b, doc_a FROM jpairs"
+    "), reach(doc, lab) AS ("
+    "  SELECT doc_id, doc_id FROM documents"
+    "  UNION"
+    "  SELECT e.dst, r.lab FROM reach r JOIN edges e"
+    "  ON e.src = r.doc"
+    "), jlab AS ("
+    "  SELECT doc AS doc_id, min(lab) AS near_cid FROM reach"
+    "  GROUP BY doc"
+    "), elab AS ("
+    "  SELECT doc_id, min(doc_id) OVER (PARTITION BY text)"
+    "  AS exact_cid FROM documents"
+    "), qual AS ("
+    "  SELECT doc_id, len(w) AS nt,"
+    "  CAST(list_sum(list_transform(w, x -> length(x)))"
+    "  AS DOUBLE) / greatest(len(w), 1) AS mwl FROM toks"
+    ")"
+)
+
+_CURATION_SELECT = (
+    "SELECT d.doc_id, "
+    "CASE WHEN d.lang <> 'en' THEN 'lang'"
+    " WHEN NOT (q.nt >= 50 AND q.nt <= 100000"
+    "  AND q.mwl >= 3.0 AND q.mwl <= 10.0) THEN 'quality'"
+    " WHEN e.exact_cid <> d.doc_id THEN 'exact_dup'"
+    " WHEN j.near_cid <> d.doc_id THEN 'near_dup'"
+    " ELSE 'kept' END AS reason "
+    "FROM documents d "
+    "JOIN qual q ON q.doc_id = d.doc_id "
+    "JOIN elab e ON e.doc_id = d.doc_id "
+    "JOIN jlab j ON j.doc_id = d.doc_id"
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1316,38 +1384,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc AS doc_id, min(lab) AS cluster_id FROM reach "
             "GROUP BY doc"
         ),
-        "curation_report": (
-            "WITH RECURSIVE " + _TOKS + ", " + _SHINGLES + ", "
-            "edges AS ("
-            "  SELECT doc_a AS src, doc_b AS dst FROM jpairs"
-            "  UNION ALL SELECT doc_b, doc_a FROM jpairs"
-            "), reach(doc, lab) AS ("
-            "  SELECT doc_id, doc_id FROM documents"
-            "  UNION"
-            "  SELECT e.dst, r.lab FROM reach r JOIN edges e"
-            "  ON e.src = r.doc"
-            "), jlab AS ("
-            "  SELECT doc AS doc_id, min(lab) AS near_cid FROM reach"
-            "  GROUP BY doc"
-            "), elab AS ("
-            "  SELECT doc_id, min(doc_id) OVER (PARTITION BY text)"
-            "  AS exact_cid FROM documents"
-            "), qual AS ("
-            "  SELECT doc_id, len(w) AS nt,"
-            "  CAST(list_sum(list_transform(w, x -> length(x)))"
-            "  AS DOUBLE) / greatest(len(w), 1) AS mwl FROM toks"
-            ") "
-            "SELECT d.doc_id, "
-            "CASE WHEN d.lang <> 'en' THEN 'lang'"
-            " WHEN NOT (q.nt >= 50 AND q.nt <= 100000"
-            "  AND q.mwl >= 3.0 AND q.mwl <= 10.0) THEN 'quality'"
-            " WHEN e.exact_cid <> d.doc_id THEN 'exact_dup'"
-            " WHEN j.near_cid <> d.doc_id THEN 'near_dup'"
-            " ELSE 'kept' END AS reason "
-            "FROM documents d "
-            "JOIN qual q ON q.doc_id = d.doc_id "
-            "JOIN elab e ON e.doc_id = d.doc_id "
-            "JOIN jlab j ON j.doc_id = d.doc_id"
+        "curation_report": _CURATION_CTES + " " + _CURATION_SELECT,
+        "curated_corpus": (
+            _CURATION_CTES + ", rep AS (" + _CURATION_SELECT + "), "
+            "drawn AS ("
+            "  SELECT doc_id, (doc_id * 69069 + 1) % 2147483648 AS draw"
+            "  FROM rep WHERE reason = 'kept'"
+            ") SELECT doc_id, CAST(draw % 16 AS BIGINT) AS shard, "
+            "CAST(row_number() OVER (PARTITION BY draw % 16 "
+            "ORDER BY draw, doc_id) AS BIGINT) AS pos FROM drawn"
         ),
         "cluster_size_histogram": (
             "WITH RECURSIVE " + _TOKS + ", " + _SHINGLES + ", "

@@ -315,3 +315,44 @@ def test_sorted_rolling_attach_blocks_smaller_than_window():
         rd.from_arrow(sch.empty_table()), key="k", order="o",
         value="v", k=3, schema=sch)
     assert empty.count() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_window_stages_reject_null_keys_and_values():
+    """The sorted window stages fail loudly on nulls rather than
+    silently mis-grouping (nulls sort together but compare unequal in
+    the numpy change masks)."""
+    import ray.exceptions
+    import ray.data as rd
+
+    from smqtk_indexing_ray.stages.agg import (
+        sorted_lag_attach,
+        sorted_rolling_attach,
+        sorted_run_length_attach,
+    )
+
+    nk = pa.table({"k": pa.array([1, None, 2], pa.int64()),
+                   "o": pa.array([1, 2, 3], pa.int64()),
+                   "v": pa.array([1.0, 2.0, 3.0])})
+    for call in (
+        lambda: sorted_run_length_attach(
+            rd.from_arrow(nk), key="k", out="sz").materialize(),
+        lambda: sorted_lag_attach(
+            rd.from_arrow(nk), key="k", order="o", value="v",
+            out="pv").materialize(),
+        lambda: sorted_rolling_attach(
+            rd.from_arrow(nk), key="k", order="o", value="v",
+            k=2).materialize(),
+    ):
+        with pytest.raises((ValueError, ray.exceptions.RayTaskError),
+                           match="contains nulls"):
+            call()
+
+    nv = pa.table({"k": pa.array([1, 1, 2], pa.int64()),
+                   "o": pa.array([1, 2, 3], pa.int64()),
+                   "v": pa.array([1.0, None, 3.0])})
+    with pytest.raises((ValueError, ray.exceptions.RayTaskError),
+                       match="contains nulls"):
+        sorted_rolling_attach(
+            rd.from_arrow(nv), key="k", order="o", value="v",
+            k=2).materialize()

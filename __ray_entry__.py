@@ -1016,6 +1016,17 @@ def _q_top_customer_revenue(sf_dir: str):
         rd.read_parquet(f"{sf_dir}/customer.parquet"), k=10)
 
 
+def _q_pricing_summary(sf_dir: str):
+    """TPC-H-Q1-shaped pricing summary: per (returnflag, linestatus)
+    totals/averages over shipped lineitems.  The extreme combiner
+    shape — each batch pre-reduces to <=6 partial rows.  Exact oracle:
+    int64 unit sums, int-over-int IEEE-division averages."""
+    import ray.data as rd
+    from smqtk_indexing_ray.pipelines.warehouse import pricing_summary
+    return pricing_summary(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet"))
+
+
 def _q_supplier_nation_volume(sf_dir: str):
     """Broadcast-dimension join: supplier->nation->region chain composed
     driver-side, ray.put once, looked up per batch — revenue volume per
@@ -1120,6 +1131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_cluster_labels": _q_embedding_cluster_labels,
         "semantic_contamination": _q_semantic_contamination,
         "top_customer_revenue": _q_top_customer_revenue,
+        "pricing_summary": _q_pricing_summary,
         "supplier_nation_volume": _q_supplier_nation_volume,
         "label_centroids": _q_label_centroids,
     }
@@ -1481,6 +1493,33 @@ def oracle_sql() -> dict[str, str]:
             ") "
             "SELECT c_mktsegment, c_custkey, units / 10000.0"
             " AS revenue, rank FROM r WHERE rank <= 10"
+        ),
+        # TPC-H-Q1 shape in exact int64 units: quantity is integral,
+        # price is cents-quantized, discount/tax are basis points;
+        # averages are BIGINT / (count * scale.0) IEEE divisions that
+        # mirror the Ray side's int64-over-int64 numpy divisions
+        "pricing_summary": (
+            "SELECT l_returnflag, l_linestatus,"
+            " CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)"
+            " AS sum_qty,"
+            " CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))"
+            " AS BIGINT) / 100.0 AS sum_base_price,"
+            " CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)"
+            " * (100 - CAST(round(l_discount * 100) AS BIGINT)))"
+            " AS BIGINT) / 10000.0 AS sum_disc_price,"
+            " CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)"
+            " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+            " * (100 + CAST(round(l_tax * 100) AS BIGINT)))"
+            " AS BIGINT) / 1000000.0 AS sum_charge,"
+            " CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)"
+            " / (count(*) * 1.0) AS avg_qty,"
+            " CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))"
+            " AS BIGINT) / (count(*) * 100.0) AS avg_price,"
+            " CAST(sum(CAST(round(l_discount * 100) AS BIGINT))"
+            " AS BIGINT) / (count(*) * 100.0) AS avg_disc,"
+            " count(*) AS count_order"
+            " FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'"
+            " GROUP BY l_returnflag, l_linestatus"
         ),
         "supplier_nation_volume": (
             "SELECT r_name, n_name, "

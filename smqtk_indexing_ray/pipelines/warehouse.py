@@ -132,6 +132,124 @@ def supplier_nation_volume(lineitem, supplier, nation, region):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def pricing_summary(lineitem, *, cutoff: str = "1998-09-02"):
+    """TPC-H-Q1-shaped pricing summary: per ``(l_returnflag,
+    l_linestatus)`` totals and averages over lineitems shipped on or
+    before ``cutoff``.
+
+    The combiner shape taken to its extreme: the group key has ~6
+    distinct values, so each batch pre-reduces ~10^5 fact rows to ≤6
+    partial rows and the shuffle moves only #groups x #batches scalars.
+    All money math is exact int64 units (cents, cents x basis points,
+    cents x bp x bp — 1e-6-dollar units; a 100-TB deployment would
+    promote the charge accumulator to int128/split-sum, noted here
+    because cents x bp x bp sums cross 2^53 around 10^9 rows/group).
+    Averages are int64-over-int64 IEEE divisions, bit-identical to the
+    SQL oracle's ``BIGINT / (count(*) * 1.0)`` forms.
+
+    Output: ``l_returnflag, l_linestatus, sum_qty, sum_base_price,
+    sum_disc_price, sum_charge, avg_qty, avg_price, avg_disc,
+    count_order``.
+    """
+    from smqtk_indexing_ray.stages.agg import sorted_group_agg
+
+    part_schema = pa.schema([
+        ("l_returnflag", pa.string()), ("l_linestatus", pa.string()),
+        ("qty", pa.int64()), ("base_cents", pa.int64()),
+        ("disc_units", pa.int64()), ("charge_units", pa.int64()),
+        ("disc_bp", pa.int64()), ("count_order", pa.int64())])
+    cut = np.datetime64(cutoff)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_returnflag" not in t.column_names:
+            return part_schema.empty_table()
+        keep = t["l_shipdate"].to_numpy(zero_copy_only=False) <= cut
+        if not keep.any():
+            return part_schema.empty_table()
+        flag = t["l_returnflag"].to_numpy(zero_copy_only=False)[keep]
+        status = t["l_linestatus"].to_numpy(zero_copy_only=False)[keep]
+        qty = np.rint(t["l_quantity"].to_numpy(
+            zero_copy_only=False)[keep]).astype(np.int64)
+        cents = np.rint(t["l_extendedprice"].to_numpy(
+            zero_copy_only=False)[keep] * 100.0).astype(np.int64)
+        dbp = np.rint(t["l_discount"].to_numpy(
+            zero_copy_only=False)[keep] * 100.0).astype(np.int64)
+        tbp = np.rint(t["l_tax"].to_numpy(
+            zero_copy_only=False)[keep] * 100.0).astype(np.int64)
+        # factorize the two ~3-value string keys separately and fuse
+        # the int codes — no per-row string work
+        uf, fi = np.unique(flag, return_inverse=True)
+        us, si = np.unique(status, return_inverse=True)
+        code = fi * len(us) + si
+        ncode = len(uf) * len(us)
+        disc_units = cents * (100 - dbp)
+        charge_units = disc_units * (100 + tbp)
+        sums = {}
+        for name, v in (("qty", qty), ("base_cents", cents),
+                        ("disc_units", disc_units),
+                        ("charge_units", charge_units),
+                        ("disc_bp", dbp)):
+            acc = np.zeros(ncode, np.int64)
+            np.add.at(acc, code, v)
+            sums[name] = acc
+        cnt = np.bincount(code, minlength=ncode).astype(np.int64)
+        present = cnt > 0
+        return pa.table({
+            "l_returnflag": pa.array(
+                np.repeat(uf, len(us))[present], pa.string()),
+            "l_linestatus": pa.array(
+                np.tile(us, len(uf))[present], pa.string()),
+            "qty": pa.array(sums["qty"][present]),
+            "base_cents": pa.array(sums["base_cents"][present]),
+            "disc_units": pa.array(sums["disc_units"][present]),
+            "charge_units": pa.array(sums["charge_units"][present]),
+            "disc_bp": pa.array(sums["disc_bp"][present]),
+            "count_order": pa.array(cnt[present]),
+        }, schema=part_schema)
+
+    parts = lineitem.select_columns(
+        ["l_returnflag", "l_linestatus", "l_shipdate", "l_quantity",
+         "l_extendedprice", "l_discount", "l_tax"]).map_batches(
+        partial, batch_format="pyarrow")
+    agg = sorted_group_agg(
+        parts, key=["l_returnflag", "l_linestatus"],
+        aggs={"qty": "sum", "base_cents": "sum", "disc_units": "sum",
+              "charge_units": "sum", "disc_bp": "sum",
+              "count_order": "sum"},
+        schema=part_schema)
+
+    out_schema = pa.schema([
+        ("l_returnflag", pa.string()), ("l_linestatus", pa.string()),
+        ("sum_qty", pa.int64()), ("sum_base_price", pa.float64()),
+        ("sum_disc_price", pa.float64()), ("sum_charge", pa.float64()),
+        ("avg_qty", pa.float64()), ("avg_price", pa.float64()),
+        ("avg_disc", pa.float64()), ("count_order", pa.int64())])
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "qty" not in t.column_names:
+            return out_schema.empty_table()
+        qty = t["qty"].to_numpy(zero_copy_only=False)
+        cents = t["base_cents"].to_numpy(zero_copy_only=False)
+        du = t["disc_units"].to_numpy(zero_copy_only=False)
+        cu = t["charge_units"].to_numpy(zero_copy_only=False)
+        dbp = t["disc_bp"].to_numpy(zero_copy_only=False)
+        cnt = t["count_order"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "sum_qty": pa.array(qty),
+            "sum_base_price": pa.array(cents / 100.0),
+            "sum_disc_price": pa.array(du / 10000.0),
+            "sum_charge": pa.array(cu / 1000000.0),
+            "avg_qty": pa.array(qty / cnt),
+            "avg_price": pa.array(cents / (cnt * 100.0)),
+            "avg_disc": pa.array(dbp / (cnt * 100.0)),
+            "count_order": pa.array(cnt),
+        }, schema=out_schema)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def top_customer_revenue(lineitem, orders, customer, *, k: int = 10):
     """Top-k customers by revenue within each market segment.
 

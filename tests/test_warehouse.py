@@ -8,6 +8,63 @@ import pytest
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_pricing_summary_matches_duckdb():
+    """TPC-H-Q1-shaped rollup vs the exact SQL oracle: int64-unit sums
+    and int-over-int IEEE-division averages must match bit-for-bit,
+    with the cutoff filter applied and groups straddling blocks."""
+    import duckdb
+    import ray.data as rd
+
+    from smqtk_indexing_ray.pipelines.warehouse import pricing_summary
+
+    rng = np.random.default_rng(83)
+    n = 5000
+    base = np.datetime64("1995-01-01")
+    li = pa.table({
+        "l_returnflag": pa.array(rng.choice(["A", "N", "R"], n)),
+        "l_linestatus": pa.array(rng.choice(["F", "O"], n)),
+        "l_quantity": pa.array(
+            rng.integers(1, 51, n).astype(np.float64)),
+        "l_extendedprice": pa.array(rng.uniform(100, 9000, n).round(2)),
+        "l_discount": pa.array(rng.uniform(0, 0.1, n).round(2)),
+        "l_tax": pa.array(rng.uniform(0, 0.08, n).round(2)),
+        "l_shipdate": pa.array(
+            base + rng.integers(0, 2000, n).astype("timedelta64[D]")),
+    })
+    got = pricing_summary(
+        rd.from_arrow(li).repartition(7),
+        cutoff="1998-09-02").to_pandas().sort_values(
+        ["l_returnflag", "l_linestatus"], ignore_index=True)
+    con = duckdb.connect()
+    con.register("lineitem", li.to_pandas())
+    want = con.execute(
+        "SELECT l_returnflag, l_linestatus,"
+        " CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)"
+        " AS sum_qty,"
+        " CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))"
+        " AS BIGINT) / 100.0 AS sum_base_price,"
+        " CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)"
+        " * (100 - CAST(round(l_discount * 100) AS BIGINT)))"
+        " AS BIGINT) / 10000.0 AS sum_disc_price,"
+        " CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)"
+        " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+        " * (100 + CAST(round(l_tax * 100) AS BIGINT)))"
+        " AS BIGINT) / 1000000.0 AS sum_charge,"
+        " CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)"
+        " / (count(*) * 1.0) AS avg_qty,"
+        " CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))"
+        " AS BIGINT) / (count(*) * 100.0) AS avg_price,"
+        " CAST(sum(CAST(round(l_discount * 100) AS BIGINT))"
+        " AS BIGINT) / (count(*) * 100.0) AS avg_disc,"
+        " count(*) AS count_order"
+        " FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'"
+        " GROUP BY l_returnflag, l_linestatus"
+        " ORDER BY l_returnflag, l_linestatus").df()
+    for col in want.columns:
+        assert list(got[col]) == list(want[col]), col
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_top_customer_revenue_matches_duckdb():
     """lineitem -> order -> customer revenue rollup + per-segment top-k
     vs the exact SQL window oracle, with order groups straddling

@@ -673,6 +673,15 @@ def _q_user_event_gaps(sf_dir: str):
     return user_event_gaps(rd.read_parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_user_first_last(sf_dir: str):
+    """Per-user first/last event (ordered grouped arg-extremes =
+    first_value/last_value windows) + activity span — exact SQL
+    oracle (int64 timestamps, int-difference span division)."""
+    import ray.data as rd
+    from smqtk_indexing_ray.pipelines.events import user_first_last
+    return user_first_last(rd.read_parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_event_seq(sf_dir: str):
     """Running per-user sequence numbers over the event stream (a
     distributed row_number window) — exact SQL oracle."""
@@ -1109,6 +1118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window_counts": _q_hopping_window_counts,
         "event_seq": _q_event_seq,
         "user_event_gaps": _q_user_event_gaps,
+        "user_first_last": _q_user_first_last,
         "length_percent_ranks": _q_length_percent_ranks,
         "rolling_user_stats": _q_rolling_user_stats,
         "shuffle_shards": _q_shuffle_shards,
@@ -1758,6 +1768,33 @@ def oracle_sql() -> dict[str, str]:
             ") SELECT doc_id, CAST(draw % 16 AS BIGINT) AS shard, "
             "CAST(row_number() OVER (PARTITION BY draw % 16 "
             "ORDER BY draw, doc_id) AS BIGINT) AS pos FROM drawn"
+        ),
+        # first/last are arg-extremes on the total (ts, event_id)
+        # order; span is an int64 difference / 1e6 IEEE division on
+        # both sides
+        "user_first_last": (
+            "WITH e AS ("
+            "  SELECT user_id, epoch_us(ts) AS ts_us, event_id,"
+            "  event_type FROM events"
+            "), f AS ("
+            "  SELECT user_id, ts_us, event_type, row_number() OVER ("
+            "  PARTITION BY user_id ORDER BY ts_us, event_id) AS rn"
+            "  FROM e"
+            "), l AS ("
+            "  SELECT user_id, ts_us, event_type, row_number() OVER ("
+            "  PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC)"
+            "  AS rn FROM e"
+            "), c AS ("
+            "  SELECT user_id, count(*) AS n_events FROM e"
+            "  GROUP BY user_id"
+            ") "
+            "SELECT c.user_id, c.n_events,"
+            " f.ts_us AS first_ts_us, l.ts_us AS last_ts_us,"
+            " f.event_type AS first_type, l.event_type AS last_type,"
+            " (l.ts_us - f.ts_us) / 1000000.0 AS span_sec"
+            " FROM c"
+            " JOIN f ON f.user_id = c.user_id AND f.rn = 1"
+            " JOIN l ON l.user_id = c.user_id AND l.rn = 1"
         ),
         "rolling_user_stats": (
             "SELECT event_id, "

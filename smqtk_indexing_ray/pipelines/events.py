@@ -796,6 +796,82 @@ def user_event_gaps(events, *, num_partitions: int = 16):
         lagged.map_batches(project, batch_format="pyarrow"), out_schema)
 
 
+def user_first_last(events, *, num_partitions: int = 16):
+    """Per-user lifecycle summary: event count, first/last event
+    timestamps, the event TYPES on those boundary rows (the
+    arg-extremes — ``first_value/last_value OVER (PARTITION BY user_id
+    ORDER BY ts, event_id)``), and the activity span in seconds.
+
+    One sorted pass (``stages/agg.sorted_group_agg`` with the
+    order-sensitive ``first``/``last`` ops): the entry/exit action per
+    user is the standard churn-analysis shape, and doing it as a
+    grouped arg-extreme instead of two row_number windows + self-joins
+    keeps it a single shuffle.  ``span_sec`` is an int64-difference /
+    1e6 IEEE division, bit-identical to the SQL oracle.
+
+    Reference analog: the min/max-key accounting of the LSH bucket map
+    build (/root/reference/smqtk_indexing/impls/nn_index/
+    lsh.py:315-323), lifted to ordered per-group boundary rows.
+    """
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+
+    from smqtk_indexing_ray.stages._util import auto_blocks, stamp_schema
+    from smqtk_indexing_ray.stages.agg import sorted_group_agg
+
+    slim_schema = pa.schema([("user_id", pa.int64()),
+                             ("ts_us", pa.int64()),
+                             ("event_id", pa.int64()),
+                             ("event_type", pa.string())])
+
+    def slim(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return slim_schema.empty_table()
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "event_type": pc.cast(t["event_type"], pa.string()),
+        })
+
+    agg = sorted_group_agg(
+        events.select_columns(["user_id", "ts", "event_id",
+                               "event_type"])
+        .map_batches(slim, batch_format="pyarrow"),
+        key="user_id", order=["ts_us", "event_id"],
+        aggs={"n_events": ("event_id", "count"),
+              "first_ts_us": ("ts_us", "first"),
+              "last_ts_us": ("ts_us", "last"),
+              "first_type": ("event_type", "first"),
+              "last_type": ("event_type", "last")},
+        num_blocks=max(num_partitions, auto_blocks()),
+        schema=slim_schema)
+
+    out_schema = pa.schema([
+        ("user_id", pa.int64()), ("n_events", pa.int64()),
+        ("first_ts_us", pa.int64()), ("last_ts_us", pa.int64()),
+        ("first_type", pa.string()), ("last_type", pa.string()),
+        ("span_sec", pa.float64())])
+
+    def project(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "n_events" not in t.column_names:
+            return out_schema.empty_table()
+        span = (t["last_ts_us"].to_numpy(zero_copy_only=False)
+                - t["first_ts_us"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "user_id": t["user_id"],
+            "n_events": t["n_events"],
+            "first_ts_us": t["first_ts_us"],
+            "last_ts_us": t["last_ts_us"],
+            "first_type": t["first_type"],
+            "last_type": t["last_type"],
+            "span_sec": pa.array(span / 1000000.0),
+        }, schema=out_schema)
+
+    return stamp_schema(
+        agg.map_batches(project, batch_format="pyarrow"), out_schema)
+
+
 def rolling_user_stats(events, *, k: int = 3, num_partitions: int = 16):
     """Bounded rolling window per user — ``count(*)`` and
     ``max(value)`` OVER (PARTITION BY user_id ORDER BY ts, event_id

@@ -45,6 +45,18 @@ _OPS = {
     "count": (np.add, 0),
 }
 
+# carry combine as fn(earlier, later) — sum/min/max/count are
+# commutative; first/last are the order-sensitive arg-extremes and only
+# make sense when the caller supplies ``order`` columns
+_COMBINE = {
+    "sum": np.add,
+    "min": np.minimum,
+    "max": np.maximum,
+    "count": np.add,
+    "first": lambda earlier, later: earlier,
+    "last": lambda earlier, later: later,
+}
+
 
 def sorted_first_attach(ds, *, key: str | list[str],
                         value: str | list[str],
@@ -552,12 +564,20 @@ def sorted_rolling_attach(ds, *, key: str | list[str],
 
 
 def sorted_group_agg(ds, *, key: str | list[str], aggs: dict[str, str],
+                     order: str | list[str] | None = None,
                      num_blocks: int | None = None,
                      schema: pa.Schema | None = None):
-    """``GROUP BY key(s)`` with per-column ``sum|min|max|count`` aggs
-    via one sort instead of a hash shuffle.  ``aggs`` maps value-column
-    -> op; ``count`` counts group rows into an int64 column of that
-    name (no source column needed).  Output columns: the key columns +
+    """``GROUP BY key(s)`` with per-column
+    ``sum|min|max|count|first|last`` aggs via one sort instead of a
+    hash shuffle.  ``aggs`` maps output-column -> op (source column =
+    output name) or -> ``(source_column, op)`` to alias, so one source
+    column can feed several aggs.  ``count`` counts group rows into an
+    int64 column of that name (no source column needed).  ``first`` /
+    ``last`` are the arg-extremes — the source value on the group's
+    first/last row in ``(keys..., order...)`` sort order (``min/max
+    BY`` / ``first_value/last_value`` in SQL terms) — and require
+    ``order`` columns that make the within-group order total (e.g. a
+    timestamp plus a unique id).  Output columns: the key columns +
     the agg columns, one row per distinct key tuple.
 
     ``num_blocks``: pre-sort repartition target.  The default
@@ -577,9 +597,19 @@ def sorted_group_agg(ds, *, key: str | list[str], aggs: dict[str, str],
     )
 
     keys = [key] if isinstance(key, str) else list(key)
-    for col, op in aggs.items():
-        if op not in _OPS:
-            raise ValueError(f"unsupported agg {op!r} for {col!r}")
+    orders = ([order] if isinstance(order, str)
+              else list(order) if order else [])
+    # normalize to out-name -> (source column, op)
+    spec: dict[str, tuple[str, str]] = {}
+    for out_name, v in aggs.items():
+        src, op = (out_name, v) if isinstance(v, str) else v
+        if op not in _COMBINE:
+            raise ValueError(f"unsupported agg {op!r} for {out_name!r}")
+        if op in ("first", "last") and not orders:
+            raise ValueError(
+                f"agg {op!r} for {out_name!r} requires order= columns "
+                f"(within-group order is undefined without them)")
+        spec[out_name] = (src, op)
 
     def _arrow_schema(d) -> pa.Schema:
         s = d.schema()
@@ -588,15 +618,16 @@ def sorted_group_agg(ds, *, key: str | list[str], aggs: dict[str, str],
     sch = schema or _arrow_schema(ds)
     ktypes = {k: sch.field(k).type for k in keys}
     out_fields = [pa.field(k, ktypes[k]) for k in keys]
-    for col, op in aggs.items():
+    for out_name, (src, op) in spec.items():
         out_fields.append(pa.field(
-            col, pa.int64() if op == "count" else sch.field(col).type))
+            out_name,
+            pa.int64() if op == "count" else sch.field(src).type))
     out_schema = pa.schema(out_fields)
 
     # sorts cost O(input_blocks x output_partitions) merge tasks, so
     # coalesce fan-out inputs first (the measured r2 lever)
     srt = ds.repartition(num_blocks or auto_blocks()).sort(
-        keys).materialize()
+        keys + orders).materialize()
     refs = [ref for bundle in srt.iter_internal_ref_bundles()
             for ref, _meta in bundle.blocks]
     if not refs:
@@ -615,16 +646,20 @@ def sorted_group_agg(ds, *, key: str | list[str], aggs: dict[str, str],
         ends = np.concatenate([starts[1:], [n]])
         return starts, ends
 
-    def _reduce_run(t: pa.Table, col: str, op: str, starts, ends):
+    def _reduce_run(t: pa.Table, src: str, op: str, starts, ends):
         if op == "count":
             return (ends - starts).astype(np.int64)
-        if t[col].null_count:
+        if t[src].null_count:
             # to_numpy silently promotes nullable ints to float/NaN,
             # which would corrupt the reduce — fail loudly instead
             raise ValueError(
-                f"sorted_group_agg: {col!r} contains nulls; fill or "
+                f"sorted_group_agg: {src!r} contains nulls; fill or "
                 f"filter them upstream")
-        v = t[col].to_numpy(zero_copy_only=False)
+        v = t[src].to_numpy(zero_copy_only=False)
+        if op == "first":
+            return v[starts]
+        if op == "last":
+            return v[ends - 1]
         fn, _ = _OPS[op]
         return fn.reduceat(v, starts)
 
@@ -635,10 +670,8 @@ def sorted_group_agg(ds, *, key: str | list[str], aggs: dict[str, str],
         psch = pa.schema(
             [pa.field(f"fk_{k}", ktypes[k]) for k in keys]
             + [pa.field(f"lk_{k}", ktypes[k]) for k in keys]
-            + [pa.field(f"last_{c}",
-                        pa.int64() if o == "count"
-                        else sch.field(c).type)
-               for c, o in aggs.items()])
+            + [pa.field(f"last_{c}", out_schema.field(c).type)
+               for c in spec])
         if t.num_rows == 0 or any(k not in t.column_names
                                   for k in keys):
             return psch.empty_table()
@@ -647,8 +680,8 @@ def sorted_group_agg(ds, *, key: str | list[str], aggs: dict[str, str],
         for k in keys:
             data[f"fk_{k}"] = t[k].slice(0, 1)
             data[f"lk_{k}"] = t[k].slice(t.num_rows - 1, 1)
-        for c, o in aggs.items():
-            vals = _reduce_run(t, c, o, starts, ends)
+        for c, (src, o) in spec.items():
+            vals = _reduce_run(t, src, o, starts, ends)
             data[f"last_{c}"] = pa.array([vals[-1]],
                                          psch.field(f"last_{c}").type)
         return pa.table(data, schema=psch)
@@ -676,12 +709,12 @@ def sorted_group_agg(ds, *, key: str | list[str], aggs: dict[str, str],
         lk = tuple(tbl[f"lk_{k}"][0].as_py() for k in keys)
         first_keys.append(fk)
         last_keys.append(lk)
-        last_vals = {c: tbl[f"last_{c}"][0].as_py() for c in aggs}
+        last_vals = {c: tbl[f"last_{c}"][0].as_py() for c in spec}
         if acc_key == lk:
-            # whole block is one run continuing the chain
-            for c, o in aggs.items():
-                fn, _ = _OPS[o]
-                acc[c] = fn(acc[c], last_vals[c])
+            # whole block is one run continuing the chain: fold as
+            # (earlier, later) — acc accumulated the earlier blocks
+            for c, (_src, o) in spec.items():
+                acc[c] = _COMBINE[o](acc[c], last_vals[c])
         else:
             acc_key = lk
             acc = last_vals
@@ -704,18 +737,19 @@ def sorted_group_agg(ds, *, key: str | list[str], aggs: dict[str, str],
         idx = pa.array(starts, pa.int64())
         data = {k: t[k].take(idx) for k in keys}
         reduced = {}
-        for c, o in aggs.items():
-            reduced[c] = _reduce_run(t, c, o, starts, ends)
+        for c, (src, o) in spec.items():
+            reduced[c] = _reduce_run(t, src, o, starts, ends)
         if carry is not None and carry["k"] == _key_tuple(t, 0):
-            for c, o in aggs.items():
-                fn, _ = _OPS[o]
-                reduced[c][0] = fn(reduced[c][0], carry[c])
+            # combine as (earlier, later): the carry is the agg of all
+            # EARLIER blocks of this block's first run
+            for c, (_src, o) in spec.items():
+                reduced[c][0] = _COMBINE[o](carry[c], reduced[c][0])
         stop = nseg - 1 if (drop and nseg) else nseg
         if stop <= 0:
             return out_schema.empty_table()
         for k in keys:
             data[k] = data[k].slice(0, stop)
-        for c in aggs:
+        for c in spec:
             data[c] = pa.array(reduced[c][:stop],
                                out_schema.field(c).type)
         return pa.table(data, schema=out_schema)

@@ -71,6 +71,59 @@ def test_sorted_group_agg_multikey():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_sorted_group_agg_first_last_arg_extremes():
+    """Ordered first/last ops (aliased specs, one source feeding two
+    aggs) vs pandas idxmin/idxmax, with a hot key spanning blocks so
+    the order-sensitive carry chain is exercised in both directions."""
+    import ray.data as rd
+
+    from smqtk_indexing_ray.stages.agg import sorted_group_agg
+
+    rng = np.random.default_rng(113)
+    n = 4000
+    k = rng.integers(0, 150, n)
+    k[:2200] = 3                       # hot key spans several blocks
+    ts = rng.permutation(n).astype(np.int64)   # unique total order
+    label = np.array([f"s{x}" for x in rng.integers(0, 9, n)],
+                     dtype=object)
+    t = pa.table({"k": pa.array(k.astype(np.int64)),
+                  "ts": pa.array(ts),
+                  "label": pa.array(label, pa.string())})
+    got = sorted_group_agg(
+        rd.from_arrow(t).repartition(13), key="k", order="ts",
+        aggs={"n": ("ts", "count"),
+              "first_ts": ("ts", "first"),
+              "last_ts": ("ts", "last"),
+              "first_label": ("label", "first"),
+              "last_label": ("label", "last")},
+        schema=pa.schema([("k", pa.int64()), ("ts", pa.int64()),
+                          ("label", pa.string())])).to_pandas()
+    df = t.to_pandas().sort_values(["k", "ts"])
+    want = df.groupby("k").agg(
+        n=("ts", "count"), first_ts=("ts", "first"),
+        last_ts=("ts", "last"), first_label=("label", "first"),
+        last_label=("label", "last")).reset_index()
+    got = got.sort_values("k", ignore_index=True)
+    want = want.sort_values("k", ignore_index=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sorted_group_agg_first_last_requires_order():
+    """first/last without order= columns is undefined — must raise."""
+    import ray.data as rd
+
+    from smqtk_indexing_ray.stages.agg import sorted_group_agg
+
+    t = pa.table({"k": pa.array([1, 2], pa.int64()),
+                  "v": pa.array([3, 4], pa.int64())})
+    with pytest.raises(ValueError, match="requires order"):
+        sorted_group_agg(rd.from_arrow(t), key="k",
+                         aggs={"first_v": ("v", "first")},
+                         schema=t.schema)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_sorted_group_agg_rejects_null_values():
     """Nullable value columns must fail loudly — to_numpy would
     silently promote them to float/NaN and corrupt the reduce."""

@@ -1036,6 +1036,18 @@ def _q_pricing_summary(sf_dir: str):
         rd.read_parquet(f"{sf_dir}/lineitem.parquet"))
 
 
+def _q_order_priority_counts(sf_dir: str):
+    """TPC-H-Q4-shaped EXISTS semi-join done join-free: per-order max
+    shipdate aggregate + sort-merge attach + vectorized late filter.
+    Exact int64 oracle."""
+    import ray.data as rd
+    from smqtk_indexing_ray.pipelines.warehouse import (
+        order_priority_counts)
+    return order_priority_counts(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet"),
+        rd.read_parquet(f"{sf_dir}/orders.parquet"))
+
+
 def _q_supplier_nation_volume(sf_dir: str):
     """Broadcast-dimension join: supplier->nation->region chain composed
     driver-side, ray.put once, looked up per batch — revenue volume per
@@ -1142,6 +1154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_contamination": _q_semantic_contamination,
         "top_customer_revenue": _q_top_customer_revenue,
         "pricing_summary": _q_pricing_summary,
+        "order_priority_counts": _q_order_priority_counts,
         "supplier_nation_volume": _q_supplier_nation_volume,
         "label_centroids": _q_label_centroids,
     }
@@ -1530,6 +1543,14 @@ def oracle_sql() -> dict[str, str]:
             " count(*) AS count_order"
             " FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'"
             " GROUP BY l_returnflag, l_linestatus"
+        ),
+        "order_priority_counts": (
+            "SELECT o_orderpriority, count(*) AS order_count"
+            " FROM orders WHERE EXISTS ("
+            "  SELECT 1 FROM lineitem"
+            "  WHERE l_orderkey = o_orderkey"
+            "  AND l_shipdate > o_orderdate"
+            ") GROUP BY o_orderpriority"
         ),
         "supplier_nation_volume": (
             "SELECT r_name, n_name, "

@@ -250,6 +250,81 @@ def pricing_summary(lineitem, *, cutoff: str = "1998-09-02"):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def order_priority_counts(lineitem, orders):
+    """TPC-H-Q4-shaped order-priority check: per ``o_orderpriority``,
+    how many orders have at least one lineitem shipped AFTER the order
+    date (``EXISTS`` semi-join).
+
+    The semi-join is decomposed into aggregates so no row-level join
+    ever runs: lineitem pre-reduces per batch to its distinct order
+    keys' max shipdate, one ``sorted_group_agg`` collapses that to one
+    row per order, a sort-merge ``sort_attach`` brings in the order
+    date + priority, and the EXISTS predicate becomes a vectorized
+    ``max_ship > order_date`` filter before a ~5-key count rollup.
+    Everything that crosses a shuffle is one row per distinct order
+    key — never a lineitem row.
+
+    Output: ``o_orderpriority, order_count`` (exact int64).
+    """
+    from smqtk_indexing_ray.stages.agg import sorted_group_agg
+    from smqtk_indexing_ray.stages.attach import sort_attach
+
+    ship_schema = pa.schema([("l_orderkey", pa.int64()),
+                             ("ship_us", pa.int64())])
+
+    def lpart(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_orderkey" not in t.column_names:
+            return ship_schema.empty_table()
+        okey = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        ship = t["l_shipdate"].to_numpy(
+            zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+        uniq, inv = np.unique(okey, return_inverse=True)
+        mx = np.full(len(uniq), np.iinfo(np.int64).min, np.int64)
+        np.maximum.at(mx, inv, ship)
+        return pa.table({"l_orderkey": pa.array(uniq.astype(np.int64)),
+                         "ship_us": pa.array(mx)}, schema=ship_schema)
+
+    oship = sorted_group_agg(
+        lineitem.select_columns(["l_orderkey", "l_shipdate"])
+        .map_batches(lpart, batch_format="pyarrow"),
+        key="l_orderkey", aggs={"ship_us": "max"}, schema=ship_schema)
+
+    with_ord = sort_attach(
+        oship, orders.select_columns(
+            ["o_orderkey", "o_orderdate", "o_orderpriority"]),
+        key="l_orderkey", payload_key="o_orderkey",
+        payload_cols=["o_orderdate", "o_orderpriority"], how="inner",
+        rows_schema=ship_schema,
+        payload_schema=pa.schema([("o_orderkey", pa.int64()),
+                                  ("o_orderdate", pa.timestamp("us")),
+                                  ("o_orderpriority", pa.string())]))
+
+    part_schema = pa.schema([("o_orderpriority", pa.string()),
+                             ("order_count", pa.int64())])
+
+    def ppart(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_orderpriority" not in t.column_names:
+            return part_schema.empty_table()
+        ship = t["ship_us"].to_numpy(zero_copy_only=False)
+        odate = t["o_orderdate"].to_numpy(
+            zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+        late = ship > odate
+        if not late.any():
+            return part_schema.empty_table()
+        prio = t["o_orderpriority"].to_numpy(
+            zero_copy_only=False)[late]
+        uniq, counts = np.unique(prio, return_counts=True)
+        return pa.table({
+            "o_orderpriority": pa.array(uniq, pa.string()),
+            "order_count": pa.array(counts.astype(np.int64)),
+        }, schema=part_schema)
+
+    return sorted_group_agg(
+        with_ord.map_batches(ppart, batch_format="pyarrow"),
+        key="o_orderpriority", aggs={"order_count": "sum"},
+        schema=part_schema)
+
+
 def top_customer_revenue(lineitem, orders, customer, *, k: int = 10):
     """Top-k customers by revenue within each market segment.
 

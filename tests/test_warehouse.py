@@ -65,6 +65,55 @@ def test_pricing_summary_matches_duckdb():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_order_priority_counts_matches_duckdb():
+    """EXISTS semi-join decomposed into aggregates vs the SQL EXISTS
+    oracle, including orders with no lineitems and orders whose every
+    lineitem shipped on/before the order date."""
+    import duckdb
+    import ray.data as rd
+
+    from smqtk_indexing_ray.pipelines.warehouse import (
+        order_priority_counts)
+
+    rng = np.random.default_rng(89)
+    n_ord, n_li = 600, 3000
+    base = np.datetime64("1996-01-01")
+    orders = pa.table({
+        "o_orderkey": pa.array(np.arange(n_ord, dtype=np.int64)),
+        "o_orderdate": pa.array(
+            (base + rng.integers(0, 300, n_ord).astype("timedelta64[D]"))
+            .astype("datetime64[us]")),
+        "o_orderpriority": pa.array(
+            rng.choice(["1-URGENT", "2-HIGH", "3-MEDIUM"], n_ord)),
+    })
+    # only ~2/3 of orders have lineitems; ship lag in [-5, 30) days so
+    # some orders are entirely on-time
+    li_ok = rng.integers(0, (2 * n_ord) // 3, n_li).astype(np.int64)
+    odate = orders["o_orderdate"].to_numpy(zero_copy_only=False)
+    li = pa.table({
+        "l_orderkey": pa.array(li_ok),
+        "l_shipdate": pa.array(
+            (odate[li_ok]
+             + rng.integers(-5, 30, n_li).astype("timedelta64[D]"))
+            .astype("datetime64[us]")),
+    })
+    got = order_priority_counts(
+        rd.from_arrow(li).repartition(7),
+        rd.from_arrow(orders).repartition(3)).to_pandas().sort_values(
+        "o_orderpriority", ignore_index=True)
+    con = duckdb.connect()
+    con.register("lineitem", li.to_pandas())
+    con.register("orders", orders.to_pandas())
+    want = con.execute(
+        "SELECT o_orderpriority, count(*) AS order_count FROM orders"
+        " WHERE EXISTS (SELECT 1 FROM lineitem"
+        "  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)"
+        " GROUP BY o_orderpriority ORDER BY o_orderpriority").df()
+    assert list(got.o_orderpriority) == list(want.o_orderpriority)
+    assert list(got.order_count) == list(want.order_count)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_top_customer_revenue_matches_duckdb():
     """lineitem -> order -> customer revenue rollup + per-segment top-k
     vs the exact SQL window oracle, with order groups straddling

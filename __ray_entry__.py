@@ -1012,6 +1012,15 @@ def _q_label_centroids(sf_dir: str):
     return label_centroids(_emb(sf_dir))
 
 
+def _q_knn_classify(sf_dir: str):
+    """Majority-vote k-NN classification of the odd split by the even
+    (labeled) split — broadcast train matrix, streaming corpus, no
+    shuffle.  Exact oracle: the vote is integral once the top-k sets
+    match, and they ride the same ranking as ann_topk."""
+    from smqtk_indexing_ray.pipelines.ann import knn_classify
+    return knn_classify(_emb(sf_dir), k=5)
+
+
 def _q_top_customer_revenue(sf_dir: str):
     """Classic warehouse rollup over the relational tables: lineitem ->
     order -> customer revenue, top-10 per market segment — the general
@@ -1152,6 +1161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pattern_scrub": _q_pattern_scrub,
         "embedding_cluster_labels": _q_embedding_cluster_labels,
         "semantic_contamination": _q_semantic_contamination,
+        "knn_classify": _q_knn_classify,
         "top_customer_revenue": _q_top_customer_revenue,
         "pricing_summary": _q_pricing_summary,
         "order_priority_counts": _q_order_priority_counts,
@@ -1562,6 +1572,31 @@ def oracle_sql() -> dict[str, str]:
             "JOIN nation ON n_nationkey = s_nationkey "
             "JOIN region ON r_regionkey = n_regionkey "
             "GROUP BY r_name, n_name"
+        ),
+        # the vote is exact-int once the top-k neighbor sets agree;
+        # similarity ties break by train vec_id, vote ties by label
+        "knn_classify": (
+            "WITH knn AS ("
+            "  SELECT q.vec_id AS vec_id, q.label AS true_label,"
+            "  c.label AS nlabel,"
+            "  row_number() OVER (PARTITION BY q.vec_id ORDER BY"
+            "  list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),"
+            "  CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank"
+            "  FROM embeddings q JOIN embeddings c"
+            "  ON q.vec_id % 2 = 1 AND c.vec_id % 2 = 0"
+            "), votes AS ("
+            "  SELECT vec_id, true_label, nlabel, count(*) AS n"
+            "  FROM knn WHERE rank <= 5 GROUP BY vec_id, true_label,"
+            "  nlabel"
+            "), best AS ("
+            "  SELECT vec_id, true_label, nlabel AS pred_label,"
+            "  row_number() OVER (PARTITION BY vec_id"
+            "  ORDER BY n DESC, nlabel) AS r FROM votes"
+            ") "
+            "SELECT vec_id, CAST(pred_label AS BIGINT) AS pred_label,"
+            " CAST(true_label AS BIGINT) AS true_label,"
+            " CAST(pred_label = true_label AS BIGINT) AS correct"
+            " FROM best WHERE r = 1"
         ),
         "semantic_contamination": (
             "SELECT eval_vec, train_vec, rank, round(cs, 6) AS cos_sim "

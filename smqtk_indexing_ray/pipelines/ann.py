@@ -231,6 +231,116 @@ def semantic_contamination(emb, *, k: int = 1, batch_size: int = 4096,
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+class _KnnVote:
+    """Actor-pool stage: classify each query row by majority vote of
+    its k nearest train vectors (broadcast once per actor)."""
+
+    def __init__(self, train_ref, k: int):
+        import ray
+        # train side pre-sorted by vec_id: a STABLE argsort on -sims
+        # then breaks similarity ties by ascending train vec_id, the
+        # same total order as the SQL window's (sim DESC, vec_id)
+        self.tids, self.tn, self.tlabels, self.n_labels = \
+            ray.get(train_ref)
+        self.k = k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        schema = pa.schema([("vec_id", pa.int64()),
+                            ("pred_label", pa.int64()),
+                            ("true_label", pa.int64()),
+                            ("correct", pa.int64())])
+        n = t.num_rows
+        if n == 0 or len(self.tids) == 0:
+            return schema.empty_table()
+        qn = _normalize(_emb_matrix(t))
+        vids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        true = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = qn @ self.tn.T                     # (B, T)
+        kk = min(self.k, sims.shape[1])
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+        lab = self.tlabels[order]                 # (B, kk)
+        flat = lab + np.arange(n)[:, None] * self.n_labels
+        counts = np.bincount(
+            flat.reshape(-1),
+            minlength=n * self.n_labels).reshape(n, self.n_labels)
+        pred = np.argmax(counts, axis=1).astype(np.int64)  # ties -> low
+        return pa.table({
+            "vec_id": pa.array(vids),
+            "pred_label": pa.array(pred),
+            "true_label": pa.array(true),
+            "correct": pa.array((pred == true).astype(np.int64)),
+        }, schema=schema)
+
+
+def knn_classify(emb, *, k: int = 5, batch_size: int = 4096,
+                 concurrency=(1, 8)):
+    """Majority-vote k-NN classification: every odd ``vec_id`` (the
+    unlabeled-at-inference split) gets the majority label of its ``k``
+    nearest even ``vec_id`` vectors (the labeled train split) by exact
+    cosine; vote ties break to the smallest label, neighbor-similarity
+    ties to the smallest train vec_id.
+
+    Broadcast shape: the labeled train split is collected once, id-
+    sorted, normalized and ``ray.put`` (bounded-train assumption — a
+    labeled prototype set is labeling-budget-sized, not corpus-sized;
+    at larger train sizes route through :func:`ivf_topk`'s bucketed
+    scan), while the corpus to classify streams through the actor pool
+    with NO shuffle at all — the vote is resolved entirely inside the
+    batch, so the output is exactly one row per classified vector.
+
+    Reference analog: classification-by-neighbors is the reference's
+    stated use of ``NearestNeighborsIndex.nn`` (/root/reference/
+    smqtk_indexing/interfaces/nn_index.py:18-24); the vote is the
+    standard reduction on top.
+
+    Output: ``vec_id, pred_label, true_label, correct`` (int64).
+    """
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+
+    import ray
+
+    sel = emb.select_columns(["vec_id", "embedding", "label"])
+
+    def even(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(pc.bit_wise_and(t["vec_id"], 1), 0))
+
+    def odd(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(pc.bit_wise_and(t["vec_id"], 1), 1))
+
+    ttbl = pa.concat_tables(
+        [b for b in sel.map_batches(even, batch_format="pyarrow")
+         .iter_batches(batch_format="pyarrow")]
+        or [pa.schema([("vec_id", pa.int64())]).empty_table()])
+    if ttbl.num_rows:
+        tids = ttbl["vec_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        srt = np.argsort(tids)
+        tids = tids[srt]
+        tn = _normalize(_emb_matrix(ttbl))[srt]
+        tlabels = ttbl["label"].to_numpy(zero_copy_only=False).astype(
+            np.int64)[srt]
+        if tlabels.min(initial=0) < 0:
+            raise ValueError("knn_classify: negative train labels")
+        n_labels = int(tlabels.max(initial=0)) + 1
+    else:
+        tids = np.empty(0, np.int64)
+        tn = np.zeros((0, 0))
+        tlabels = np.empty(0, np.int64)
+        n_labels = 1
+    train_ref = ray.put((tids, tn, tlabels, n_labels))
+
+    out_schema = pa.schema([("vec_id", pa.int64()),
+                            ("pred_label", pa.int64()),
+                            ("true_label", pa.int64()),
+                            ("correct", pa.int64())])
+    out = sel.map_batches(odd, batch_format="pyarrow").map_batches(
+        _KnnVote, fn_constructor_args=(train_ref, k),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+    return stamp_schema(out, out_schema)
+
+
 def label_centroids(emb):
     """Per-label mean embedding vector (class prototypes / the k-means
     E-step over a labeled corpus), dim-exploded for the SQL oracle.

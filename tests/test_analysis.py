@@ -646,6 +646,42 @@ def test_semantic_contamination_matches_bruteforce():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_knn_classify_matches_bruteforce():
+    """Majority-vote k-NN vs a direct numpy reference with the same
+    tie rules (similarity ties -> low train vec_id, vote ties -> low
+    label), across multiple blocks."""
+    import ray.data as rd
+    from smqtk_indexing_ray.pipelines.ann import knn_classify
+
+    t = _rand_emb_table(240, 12, 91)
+    k = 5
+    got = knn_classify(
+        rd.from_arrow(t).repartition(6), k=k).to_pandas().sort_values(
+        "vec_id", ignore_index=True)
+
+    m = np.array(t["embedding"].to_pylist(), np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+    even = ids % 2 == 0
+    tids, tlab, tm = ids[even], lab[even], m[even]
+    qids, qlab, qm = ids[~even], lab[~even], m[~even]
+    sims = qm @ tm.T
+    want = {}
+    for i, q in enumerate(qids):
+        order = np.lexsort((tids, -sims[i]))[:k]
+        votes = np.bincount(tlab[order], minlength=int(lab.max()) + 1)
+        want[int(q)] = int(np.argmax(votes))
+    assert len(got) == len(qids)
+    for q, pred, true in zip(got.vec_id, got.pred_label,
+                             got.true_label):
+        assert pred == want[int(q)], q
+        assert true == qlab[list(qids).index(q)]
+    assert (got.correct == (got.pred_label == got.true_label)
+            .astype(np.int64)).all()
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_label_centroids_matches_numpy():
     """Combiner-shaped partial sums vs a direct per-label mean."""
     import ray.data as rd

@@ -673,6 +673,17 @@ def _q_user_event_gaps(sf_dir: str):
     return user_event_gaps(rd.read_parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_props_field_stats(sf_dir: str):
+    """Per-event-type stats of the integer JSON field ``k`` inside
+    ``props`` — the vectorized JSON scalar-fn surface (polars Rust
+    parser per batch, bounded-cell partial agg). Exact oracle: ints
+    plus one int64/int64 IEEE ratio."""
+    import ray.data as rd
+    from smqtk_indexing_ray.pipelines.events import props_field_stats
+    return props_field_stats(
+        rd.read_parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_user_first_last(sf_dir: str):
     """Per-user first/last event (ordered grouped arg-extremes =
     first_value/last_value windows) + activity span — exact SQL
@@ -1139,6 +1150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window_counts": _q_hopping_window_counts,
         "event_seq": _q_event_seq,
         "user_event_gaps": _q_user_event_gaps,
+        "props_field_stats": _q_props_field_stats,
         "user_first_last": _q_user_first_last,
         "length_percent_ranks": _q_length_percent_ranks,
         "rolling_user_stats": _q_rolling_user_stats,
@@ -1808,6 +1820,19 @@ def oracle_sql() -> dict[str, str]:
             "CAST(coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER "
             "(PARTITION BY user_id ORDER BY ts, event_id), -1) "
             "AS BIGINT) AS gap_us FROM events"
+        ),
+        # ->> extracts as text, the integer-literal regex mirrors the
+        # kernel's reject-non-integers rule; avg is the exact ratio
+        "props_field_stats": (
+            "WITH kk AS ("
+            "  SELECT event_type, CAST(CASE WHEN json_valid(props) AND"
+            "  regexp_matches(props->>'$.k', '^-?\\d+$')"
+            "  THEN props->>'$.k' END AS BIGINT) AS k FROM events"
+            ") SELECT event_type, count(*) AS n_events,"
+            " count(k) AS n_with, CAST(sum(k) AS BIGINT) AS sum_k,"
+            " min(k) AS min_k, max(k) AS max_k,"
+            " CAST(sum(k) AS DOUBLE) / count(k) AS avg_k"
+            " FROM kk GROUP BY event_type"
         ),
         "length_percent_ranks": (
             "SELECT doc_id, "

@@ -923,3 +923,104 @@ def rolling_user_stats(events, *, k: int = 3, num_partitions: int = 16):
 
     return stamp_schema(
         rolled.map_batches(project, batch_format="pyarrow"), out_schema)
+
+
+def props_field_stats(events, *, field: str = "k"):
+    """Per-event-type stats of an integer JSON field inside the
+    ``props`` payload column — the "parse the JSON side-channel and
+    aggregate it" pass every event pipeline runs, exercising the
+    vectorized JSON kernel (:mod:`smqtk_indexing_ray.functions.jsonf`).
+
+    Scale shape: each batch parses ``props`` columnarly (polars' Rust
+    JSON parser) and pre-aggregates into one row per event type
+    (bounded cells), so the final sort-based combine shuffles
+    O(#types x #batches) partial rows, never events.  A field that is
+    null / absent / non-integer in a row is excluded from sum/min/max
+    and counted via ``n_events - n_with``; a type with no valid value
+    at all gets NULL min/max/avg (SQL aggregate semantics).  ``avg_k``
+    is the exact int64/int64 IEEE ratio.
+
+    Output: ``event_type, n_events, n_with, sum_k, min_k, max_k,
+    avg_k``.
+    """
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+
+    from smqtk_indexing_ray.functions.jsonf import json_field_int64
+    from smqtk_indexing_ray.stages._util import stamp_schema
+    from smqtk_indexing_ray.stages.agg import sorted_group_agg
+
+    imin, imax = np.iinfo(np.int64).min, np.iinfo(np.int64).max
+    part_schema = pa.schema([
+        ("event_type", pa.string()), ("n_events", pa.int64()),
+        ("n_with", pa.int64()), ("sum_k", pa.int64()),
+        ("min_k", pa.int64()), ("max_k", pa.int64()),
+    ])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "props" not in t.column_names:
+            return part_schema.empty_table()
+        k = json_field_int64(t["props"], field)
+        kv = k.to_numpy(zero_copy_only=False)  # float64 w/ NaN if nulls
+        valid = ~pc.is_null(k).to_numpy(zero_copy_only=False)
+        enc = pc.dictionary_encode(
+            pc.fill_null(t["event_type"], "")).combine_chunks()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        m = len(enc.dictionary)
+        n_ev = np.bincount(idx, minlength=m).astype(np.int64)
+        n_w = np.bincount(idx[valid], minlength=m).astype(np.int64)
+        sums = np.zeros(m, np.int64)
+        mins = np.full(m, imax, np.int64)
+        maxs = np.full(m, imin, np.int64)
+        if valid.any():
+            ki = kv[valid].astype(np.int64)
+            iv = idx[valid]
+            np.add.at(sums, iv, ki)
+            np.minimum.at(mins, iv, ki)
+            np.maximum.at(maxs, iv, ki)
+        return pa.table({
+            "event_type": enc.dictionary,
+            "n_events": pa.array(n_ev), "n_with": pa.array(n_w),
+            "sum_k": pa.array(sums), "min_k": pa.array(mins),
+            "max_k": pa.array(maxs),
+        }, schema=part_schema)
+
+    parts = events.select_columns(["event_type", "props"]).map_batches(
+        partial, batch_format="pyarrow")
+    agg = sorted_group_agg(
+        parts, key="event_type",
+        aggs={"n_events": "sum", "n_with": "sum",
+              "sum_k": "sum", "min_k": "min", "max_k": "max"},
+        schema=part_schema)
+    # re-key sums to combine n_events/n_with correctly: sorted_group_agg
+    # applies the per-column op, and partial counts combine by SUM —
+    # "sum" above is exactly that, so nothing further to fix; the empty
+    # sentinels only need nulling where no value existed at all
+    out_schema = pa.schema([
+        ("event_type", pa.string()), ("n_events", pa.int64()),
+        ("n_with", pa.int64()), ("sum_k", pa.int64()),
+        ("min_k", pa.int64()), ("max_k", pa.int64()),
+        ("avg_k", pa.float64()),
+    ])
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "n_with" not in t.column_names:
+            return out_schema.empty_table()
+        nw = t["n_with"].to_numpy(zero_copy_only=False).astype(np.int64)
+        has = nw > 0
+        sums = t["sum_k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        avg = np.where(has, sums.astype(np.float64) /
+                       np.where(has, nw, 1).astype(np.float64), np.nan)
+        mask = pa.array(~has)
+        return pa.table({
+            "event_type": t["event_type"],
+            "n_events": t["n_events"], "n_with": t["n_with"],
+            "sum_k": pc.if_else(mask, None, pa.array(sums)),
+            "min_k": pc.if_else(mask, None, t["min_k"]),
+            "max_k": pc.if_else(mask, None, t["max_k"]),
+            "avg_k": pa.array(avg, pa.float64(),
+                              mask=~has if (~has).any() else None),
+        }, schema=out_schema)
+
+    return stamp_schema(
+        agg.map_batches(finish, batch_format="pyarrow"), out_schema)

@@ -469,3 +469,67 @@ def test_rolling_user_stats_matches_pandas():
     df = df.sort_values("event_id", ignore_index=True)
     assert list(got.win_n) == list(df.win_n.astype(int))
     assert np.array_equal(got.win_max.to_numpy(), df.win_max.to_numpy())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_props_field_stats_matches_duckdb_with_edge_cases():
+    """JSON field extraction + grouped stats vs DuckDB, including null
+    props, missing field, non-integer values, invalid JSON, and an
+    event type with no valid value at all (NULL aggregates)."""
+    import duckdb
+    import ray.data as rd
+
+    from smqtk_indexing_ray.pipelines.events import props_field_stats
+
+    rng = np.random.default_rng(17)
+    types = ["view", "click", "error", "empty"]
+    rows_t, rows_p = [], []
+    for i in range(400):
+        t = types[int(rng.integers(0, 3))]
+        roll = int(rng.integers(0, 10))
+        if roll == 0:
+            p = None
+        elif roll == 1:
+            p = '{"j": 5}'              # field absent
+        elif roll == 2:
+            p = '{"k": 1.5}'            # non-integer -> excluded
+        elif roll == 3:
+            p = "not json"
+        else:
+            p = '{"k": %d}' % int(rng.integers(-50, 100))
+        rows_t.append(t)
+        rows_p.append(p)
+    # a type whose every row lacks a valid k -> NULL min/max/sum/avg
+    rows_t += ["empty", "empty"]
+    rows_p += [None, '{"k": "str"}']
+
+    ev = pa.table({
+        "event_id": pa.array(np.arange(len(rows_t), dtype=np.int64)),
+        "ts": pa.array([1_577_836_800_000_000] * len(rows_t),
+                       pa.timestamp("us")),
+        "user_id": pa.array(np.zeros(len(rows_t), np.int64)),
+        "event_type": pa.array(rows_t),
+        "value": pa.array(np.zeros(len(rows_t))),
+        "props": pa.array(rows_p, pa.string()),
+    })
+    got = props_field_stats(
+        rd.from_arrow(ev).repartition(5)).to_pandas().sort_values(
+            "event_type", ignore_index=True)
+
+    con = duckdb.connect()
+    con.register("events", ev.to_pandas())
+    want = con.sql(
+        "WITH kk AS (SELECT event_type, CAST(CASE WHEN json_valid(props) AND"
+        " regexp_matches(props->>'$.k', '^-?\\d+$')"
+        " THEN props->>'$.k' END AS BIGINT) AS k FROM events)"
+        " SELECT event_type, count(*) AS n_events, count(k) AS n_with,"
+        " CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k,"
+        " max(k) AS max_k, CAST(sum(k) AS DOUBLE) / count(k) AS avg_k"
+        " FROM kk GROUP BY event_type ORDER BY event_type").df()
+    assert list(got.event_type) == list(want.event_type)
+    for c in ["n_events", "n_with", "sum_k", "min_k", "max_k", "avg_k"]:
+        a, b = got[c].to_numpy(), want[c].to_numpy()
+        assert ((pd.isna(a) & pd.isna(b)) | (a == b)).all(), c
+    # the empty type really exercised the NULL-aggregate path
+    er = got[got.event_type == "empty"].iloc[0]
+    assert er.n_with == 0 and pd.isna(er.min_k) and pd.isna(er.avg_k)

@@ -190,3 +190,35 @@ class TestExtract:
 
     def test_none(self):
         assert extract_text_from_html(None) is None
+
+
+def test_json_field_kernels():
+    """Vectorized JSON extraction: strings, ints, nulls on absent /
+    invalid / non-integer; the polars-free regex fallback agrees on
+    the integer shape it supports."""
+    import pyarrow as pa
+
+    from smqtk_indexing_ray.functions import jsonf
+
+    docs = pa.array(['{"k": 69, "s": "hi"}', '{"k": -3}', '{"j": 1}',
+                     None, "not json", '{"k": 1.5}', '{"k": "9"}'])
+    assert jsonf.json_field_str(docs, "$.s").to_pylist() == [
+        "hi", None, None, None, None, None, None]
+    # quoted integer strings round-trip (->> unquotes on both sides)
+    assert jsonf.json_field_int64(docs, "k").to_pylist() == [
+        69, -3, None, None, None, None, 9]
+    # chunked input
+    ch = pa.chunked_array([docs.slice(0, 3), docs.slice(3)])
+    assert jsonf.json_field_int64(ch, "k").to_pylist() == [
+        69, -3, None, None, None, None, 9]
+
+    # fallback path (no polars): top-level ints only
+    saved = jsonf._pl
+    try:
+        jsonf._pl = None
+        got = jsonf.json_field_int64(
+            pa.array(['{"k": 69}', '{"k": -3, "x": 1}', '{"j": 2}',
+                      None]), "k")
+        assert got.to_pylist() == [69, -3, None, None]
+    finally:
+        jsonf._pl = saved

@@ -1032,6 +1032,40 @@ def _q_knn_classify(sf_dir: str):
     return knn_classify(_emb(sf_dir), k=5)
 
 
+def _q_corpus_diff(sf_dir: str):
+    """Two-snapshot corpus diff (added/removed/changed/unchanged) over
+    a deterministic SQL-expressible mutation of documents: drop
+    doc_id%7==0, append ' v2' to text where doc_id%5==0, add re-keyed
+    copies of doc_id%13==0 at +1e9.  Join-free: one narrow sort over
+    (doc_id, side, 128-bit text hash); exact oracle = FULL OUTER JOIN."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from smqtk_indexing_ray.pipelines.analysis import corpus_diff
+
+    def mutate(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        keep = ids % 7 != 0
+        base = t.filter(pa.array(keep))
+        bids = base["doc_id"].to_numpy(zero_copy_only=False)
+        txt = pc.if_else(pa.array(bids % 5 == 0),
+                         pc.binary_join_element_wise(
+                             base["text"], " v2", ""),
+                         base["text"])
+        out = pa.table({"doc_id": base["doc_id"], "text": txt})
+        addm = ids % 13 == 0
+        added = pa.table({
+            "doc_id": pa.array(ids[addm] + 1_000_000_000),
+            "text": t.filter(pa.array(addm))["text"],
+        })
+        return pa.concat_tables([out, added])
+
+    new = _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        mutate, batch_format="pyarrow")
+    return corpus_diff(_docs(sf_dir), new)
+
+
 def _q_top_customer_revenue(sf_dir: str):
     """Classic warehouse rollup over the relational tables: lineitem ->
     order -> customer revenue, top-10 per market segment — the general
@@ -1174,6 +1208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_cluster_labels": _q_embedding_cluster_labels,
         "semantic_contamination": _q_semantic_contamination,
         "knn_classify": _q_knn_classify,
+        "corpus_diff": _q_corpus_diff,
         "top_customer_revenue": _q_top_customer_revenue,
         "pricing_summary": _q_pricing_summary,
         "order_priority_counts": _q_order_priority_counts,
@@ -1584,6 +1619,22 @@ def oracle_sql() -> dict[str, str]:
             "JOIN nation ON n_nationkey = s_nationkey "
             "JOIN region ON r_regionkey = n_regionkey "
             "GROUP BY r_name, n_name"
+        ),
+        "corpus_diff": (
+            "WITH new AS ("
+            "  SELECT doc_id, CASE WHEN doc_id % 5 = 0"
+            "  THEN text || ' v2' ELSE text END AS text"
+            "  FROM documents WHERE doc_id % 7 <> 0"
+            "  UNION ALL"
+            "  SELECT doc_id + 1000000000, text FROM documents"
+            "  WHERE doc_id % 13 = 0"
+            ") SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,"
+            " CASE WHEN o.doc_id IS NULL THEN 'added'"
+            " WHEN n.doc_id IS NULL THEN 'removed'"
+            " WHEN o.text <> n.text THEN 'changed'"
+            " ELSE 'unchanged' END AS status"
+            " FROM documents o FULL OUTER JOIN new n"
+            " ON o.doc_id = n.doc_id"
         ),
         # the vote is exact-int once the top-k neighbor sets agree;
         # similarity ties break by train vec_id, vote ties by label

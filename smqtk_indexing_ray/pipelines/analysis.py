@@ -1323,3 +1323,104 @@ def length_histogram(docs, *, bucket_chars: int = 100):
 
     return stamp_schema(g.map_batches(post, batch_format="pyarrow"),
                         LENGTH_HIST_SCHEMA)
+
+
+CORPUS_DIFF_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()), ("status", pa.string()),
+])
+
+
+def corpus_diff(old, new, *, num_partitions: int = 16):
+    """Snapshot diff between two corpus versions: per ``doc_id``,
+    ``added`` / ``removed`` / ``changed`` / ``unchanged`` — the
+    recrawl-audit pass run before re-deduplicating an updated corpus
+    (how much of the index's work is actually invalidated).
+
+    Join-free at scale: each side slims to ``(doc_id, side counts,
+    128-bit text hash)`` per batch — the text body never crosses the
+    shuffle — then ONE narrow sort combines both sides per doc_id
+    (:func:`stages.agg.sorted_group_agg`; the same FULL OUTER JOIN a
+    hash join would need, without aggregator-actor spin-up), and the
+    status is a vectorized four-way case on the summed side columns.
+    ``changed`` means both sides present with differing hashes
+    (collision odds 2^-128); a ``doc_id`` duplicated WITHIN a snapshot
+    raises rather than mis-classifying.
+
+    Reference analog: the update path's skip-already-present check
+    (/root/reference/smqtk_indexing/impls/nn_index/faiss.py:586-598)
+    is the one-sided form of this diff; the reference has no
+    two-snapshot comparison.
+
+    Output: ``doc_id, status`` — one row per doc_id seen in either
+    snapshot.
+    """
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+
+    from smqtk_indexing_ray.stages.agg import sorted_group_agg
+
+    part_schema = pa.schema([
+        ("doc_id", pa.int64()), ("n_old", pa.int64()),
+        ("n_new", pa.int64()), ("h1o", pa.int64()), ("h2o", pa.int64()),
+        ("h1n", pa.int64()), ("h2n", pa.int64()),
+    ])
+
+    def slim(is_new: bool):
+        def f(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "text" not in t.column_names:
+                return part_schema.empty_table()
+            h = _hash_text(t)
+            n = t.num_rows
+            one = np.ones(n, np.int64)
+            zero = np.zeros(n, np.int64)
+            h1 = h["h1"].to_numpy(zero_copy_only=False)
+            h2 = h["h2"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "doc_id": h["doc_id"],
+                "n_old": pa.array(zero if is_new else one),
+                "n_new": pa.array(one if is_new else zero),
+                "h1o": pa.array(zero if is_new else h1),
+                "h2o": pa.array(zero if is_new else h2),
+                "h1n": pa.array(h1 if is_new else zero),
+                "h2n": pa.array(h2 if is_new else zero),
+            }, schema=part_schema)
+        return f
+
+    parts = old.select_columns(["doc_id", "text"]).map_batches(
+        slim(False), batch_format="pyarrow").union(
+        new.select_columns(["doc_id", "text"]).map_batches(
+            slim(True), batch_format="pyarrow"))
+    agg = sorted_group_agg(
+        parts, key="doc_id",
+        aggs={c: "sum" for c in ("n_old", "n_new", "h1o", "h2o",
+                                 "h1n", "h2n")},
+        num_blocks=num_partitions, schema=part_schema)
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "n_old" not in t.column_names:
+            return CORPUS_DIFF_SCHEMA.empty_table()
+        no = t["n_old"].to_numpy(zero_copy_only=False)
+        nn = t["n_new"].to_numpy(zero_copy_only=False)
+        if (no > 1).any() or (nn > 1).any():
+            bad = t["doc_id"].to_numpy(zero_copy_only=False)[
+                (no > 1) | (nn > 1)][0]
+            raise ValueError(
+                f"corpus_diff: doc_id {bad} appears more than once "
+                f"within one snapshot; diff semantics need unique ids")
+        changed = (
+            (t["h1o"].to_numpy(zero_copy_only=False)
+             != t["h1n"].to_numpy(zero_copy_only=False))
+            | (t["h2o"].to_numpy(zero_copy_only=False)
+               != t["h2n"].to_numpy(zero_copy_only=False)))
+        status = np.where(
+            no == 0, "added", np.where(
+                nn == 0, "removed", np.where(
+                    changed, "changed", "unchanged")))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "status": pa.array(status.astype(object), pa.string()),
+        }, schema=CORPUS_DIFF_SCHEMA)
+
+    return stamp_schema(
+        agg.map_batches(finish, batch_format="pyarrow"),
+        CORPUS_DIFF_SCHEMA)

@@ -960,3 +960,54 @@ def test_percent_rank_singleton_groups_are_zero():
         tiebreak="id").to_pandas()
     assert (got.pct_rank == 0.0).all()
     assert (got.cume_dist == 1.0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_corpus_diff_statuses_exact():
+    """Added/removed/changed/unchanged vs a pandas outer-merge oracle,
+    with doc groups straddling block boundaries on both sides."""
+    import ray.data as rd
+    from smqtk_indexing_ray.pipelines.analysis import corpus_diff
+    n = 300
+    ids = np.arange(n, dtype=np.int64)
+    old_t = pa.table({"doc_id": pa.array(ids),
+                      "text": pa.array([f"doc {i} body" for i in ids])})
+    # drop %7, mutate %5, add 40 brand-new ids
+    keep = ids[ids % 7 != 0]
+    new_txt = [f"doc {i} body v2" if i % 5 == 0 else f"doc {i} body"
+               for i in keep]
+    new_ids = np.concatenate([keep, np.arange(n, n + 40, dtype=np.int64)])
+    new_t = pa.table({
+        "doc_id": pa.array(new_ids),
+        "text": pa.array(new_txt + [f"fresh {i}" for i in range(40)])})
+    got = corpus_diff(rd.from_arrow(old_t).repartition(5),
+                      rd.from_arrow(new_t).repartition(7),
+                      num_partitions=4).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    o = old_t.to_pandas().rename(columns={"text": "t_old"})
+    w = new_t.to_pandas().rename(columns={"text": "t_new"})
+    m = o.merge(w, on="doc_id", how="outer").sort_values(
+        "doc_id", ignore_index=True)
+    want = np.where(
+        m.t_old.isna(), "added", np.where(
+            m.t_new.isna(), "removed", np.where(
+                m.t_old != m.t_new, "changed", "unchanged")))
+    assert list(got.doc_id) == list(m.doc_id)
+    assert list(got.status) == list(want)
+    assert (got.status == "added").sum() == 40
+    assert (got.status == "removed").sum() == len(ids[ids % 7 == 0])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_corpus_diff_rejects_duplicate_ids():
+    """A doc_id duplicated WITHIN one snapshot must raise, not
+    mis-classify."""
+    import ray.data as rd
+    from smqtk_indexing_ray.pipelines.analysis import corpus_diff
+    t = pa.table({"doc_id": pa.array([1, 1, 2], pa.int64()),
+                  "text": pa.array(["a", "b", "c"])})
+    u = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array(["a", "c"])})
+    with pytest.raises(Exception, match="more than once"):
+        corpus_diff(rd.from_arrow(t), rd.from_arrow(u),
+                    num_partitions=2).to_pandas()

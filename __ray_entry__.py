@@ -973,6 +973,14 @@ def _q_line_dedup(sf_dir: str):
     return line_dedup(_docs(sf_dir), min_df=2)
 
 
+def _q_paragraph_dedup(sf_dir: str):
+    """C4-style keep-first paragraph dedup: 10-word paragraphs, first
+    global occurrence (by doc_id, position) survives, docs rebuilt from
+    survivors; exact oracle = unnest + row_number + string_agg."""
+    from smqtk_indexing_ray.pipelines.terms import paragraph_dedup
+    return paragraph_dedup(_docs(sf_dir), words_per_para=10)
+
+
 def _q_novel_docs(sf_dir: str):
     """Incremental ingest dedup: odd doc_ids are the 'new batch', even
     doc_ids the existing corpus; keep new docs whose exact text is not
@@ -1203,6 +1211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_terms_hll": _q_distinct_terms_hll,
         "top_bigrams": _q_top_bigrams,
         "line_dedup": _q_line_dedup,
+        "paragraph_dedup": _q_paragraph_dedup,
         "novel_docs": _q_novel_docs,
         "pattern_scrub": _q_pattern_scrub,
         "embedding_cluster_labels": _q_embedding_cluster_labels,
@@ -2131,6 +2140,25 @@ def oracle_sql() -> dict[str, str]:
             " count(*) AS n_lines,"
             " count(*) FILTER (WHERE c >= 2) AS n_removed "
             "FROM lines JOIN df USING (line) GROUP BY doc_id"
+        ),
+        "paragraph_dedup": (
+            "WITH toks AS ("
+            "  SELECT doc_id, list_filter(string_split_regex("
+            "    coalesce(text, ''), '\\s+'), x -> x <> '') AS w"
+            "  FROM documents"
+            "), p AS ("
+            "  SELECT doc_id, CAST(g AS BIGINT) AS pos,"
+            "    array_to_string(w[g*10+1 : g*10+10], ' ') AS para"
+            "  FROM toks, unnest(range(CAST(ceil("
+            "    coalesce(len(w), 0) / 10.0) AS BIGINT))) AS t(g)"
+            "), r AS ("
+            "  SELECT doc_id, pos, para, row_number() OVER ("
+            "    PARTITION BY para ORDER BY doc_id, pos) AS rn FROM p"
+            "), k AS ("
+            "  SELECT doc_id, string_agg(para, ' ' ORDER BY pos) AS text"
+            "  FROM r WHERE rn = 1 GROUP BY doc_id"
+            ") SELECT d.doc_id, coalesce(k.text, '') AS text"
+            " FROM documents d LEFT JOIN k USING (doc_id)"
         ),
         "novel_docs": (
             "SELECT d.doc_id FROM documents d "

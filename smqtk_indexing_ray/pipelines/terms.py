@@ -1066,3 +1066,140 @@ def doc_commonness(docs, *, max_vocab: int = TFIDF_MAX_VOCAB):
     out = docs.select_columns(["doc_id", "text"]).map_batches(
         score, batch_format="pyarrow")
     return stamp_schema(out, DOC_COMMONNESS_SCHEMA)
+
+
+PARA_DEDUP_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()),
+    ("text", pa.string()),
+])
+
+_PARA_POS_CAP = 1 << 20        # max paragraphs per doc in the enc packing
+_PK1 = "smqtk-ray-para-1"
+_PK2 = "smqtk-ray-para-2"
+
+
+def paragraph_dedup(docs, *, words_per_para: int = 10,
+                    num_partitions: int = 16):
+    """C4-style keep-first paragraph dedup: chunk each doc's token
+    stream into ``words_per_para``-word paragraphs (last one short),
+    keep only the globally FIRST occurrence (by ``(doc_id, position)``)
+    of each distinct paragraph, and rebuild every doc from its
+    surviving paragraphs (possibly empty).  Unlike :func:`line_dedup`
+    (CCNet: drop ALL instances of hot lines) this is the C4 rule — the
+    first copy survives, later copies are scrubbed.
+
+    Distribution: paragraphs explode batch-locally into narrow rows
+    ``(h1, h2, enc, para)`` where ``enc = doc_id * 2^20 + position``
+    orders occurrences globally; ONE sort by the 128-bit paragraph hash
+    attaches each group's min enc (:func:`stages.agg.sorted_first_attach`
+    — ``min(enc) OVER (PARTITION BY hash)``), survivors filter
+    batch-locally, and ONE sort back by ``enc`` rebuilds docs with the
+    ordered ``concat`` agg (:func:`stages.agg.sorted_group_agg`).  Docs
+    whose every paragraph was claimed elsewhere re-enter as empty text
+    via a narrow left attach on ``doc_id``.  Total shuffle traffic: the
+    paragraph text crosses twice (inherent: once grouped by content,
+    once grouped by doc), plus 24 B/paragraph of keys.
+
+    Reference analog: the keep-first representative selection of the
+    LSH dedup path (min doc_id per cluster,
+    /root/reference/smqtk_indexing/impls/nn_index/lsh.py:350-383 merges
+    per-key sets keyed by first arrival) applied at paragraph rather
+    than document granularity; the reference has no sub-document dedup.
+    """
+    import ray.data as rd
+
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+
+    from smqtk_indexing_ray.stages.agg import (
+        sorted_first_attach,
+        sorted_group_agg,
+    )
+    from smqtk_indexing_ray.stages.attach import sort_attach
+
+    if words_per_para < 1:
+        raise ValueError("words_per_para must be >= 1")
+
+    ex_schema = pa.schema([
+        ("h1", pa.int64()), ("h2", pa.int64()),
+        ("enc", pa.int64()), ("para", pa.string()),
+    ])
+
+    def explode(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "text" not in t.column_names:
+            return ex_schema.empty_table()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        if ids.size and int(ids.max()) >= (1 << 42):
+            raise ValueError(
+                "paragraph_dedup: doc_id >= 2^42 overflows the "
+                "(doc_id, position) int64 packing")
+        flat, off = tokens_flat(t["text"], lowercase=False)
+        counts = np.diff(off)
+        n_paras = (counts + words_per_para - 1) // words_per_para
+        if n_paras.size and int(n_paras.max()) >= _PARA_POS_CAP:
+            raise ValueError(
+                f"paragraph_dedup: a doc has >= {_PARA_POS_CAP} "
+                f"paragraphs; raise words_per_para")
+        pos = grouped_arange(n_paras)
+        starts = np.repeat(off[:-1], n_paras) + pos * words_per_para
+        # paragraphs tile the flat token stream contiguously, so the
+        # run starts + the stream end ARE the list offsets
+        lists = pa.LargeListArray.from_arrays(
+            pa.array(np.append(starts, off[-1]), pa.int64()), flat)
+        paras = pc.binary_join(lists, " ")
+        enc = np.repeat(ids, n_paras) * _PARA_POS_CAP + pos
+        return pa.table({
+            "h1": pa.array(
+                hash_strings_u64(paras, hash_key=_PK1).view(np.int64)),
+            "h2": pa.array(
+                hash_strings_u64(paras, hash_key=_PK2).view(np.int64)),
+            "enc": pa.array(enc),
+            "para": paras,
+        }, schema=ex_schema)
+
+    ex = docs.select_columns(["doc_id", "text"]).map_batches(
+        explode, batch_format="pyarrow")
+    att = sorted_first_attach(ex, key=["h1", "h2"], value="enc",
+                              out="min_enc", num_blocks=num_partitions,
+                              schema=ex_schema)
+
+    kept_schema = pa.schema([
+        ("doc_id", pa.int64()), ("enc", pa.int64()),
+        ("para", pa.string()),
+    ])
+
+    def keep_first(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "enc" not in t.column_names:
+            return kept_schema.empty_table()
+        m = pc.equal(t["enc"], t["min_enc"])
+        s = t.filter(m)
+        return pa.table({
+            "doc_id": pc.divide(s["enc"], _PARA_POS_CAP),
+            "enc": s["enc"],
+            "para": s["para"],
+        }, schema=kept_schema)
+
+    kept = att.map_batches(keep_first, batch_format="pyarrow")
+    rebuilt = sorted_group_agg(
+        kept, key="doc_id", aggs={"text": ("para", "concat")},
+        order="enc", num_blocks=num_partitions, schema=kept_schema,
+        concat_sep=" ")
+
+    ids_schema = pa.schema([("doc_id", pa.int64())])
+    ids = docs.select_columns(["doc_id"])
+    out = sort_attach(
+        ids, rebuilt, key="doc_id", payload_key="doc_id",
+        payload_cols=["text"], rows_schema=ids_schema,
+        payload_schema=pa.schema([("doc_id", pa.int64()),
+                                  ("text", pa.string())]))
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return PARA_DEDUP_SCHEMA.empty_table()
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "text": pc.fill_null(t["text"], ""),
+        }, schema=PARA_DEDUP_SCHEMA)
+
+    return stamp_schema(out.map_batches(finish, batch_format="pyarrow"),
+                        PARA_DEDUP_SCHEMA)

@@ -47,7 +47,9 @@ _OPS = {
 
 # carry combine as fn(earlier, later) — sum/min/max/count are
 # commutative; first/last are the order-sensitive arg-extremes and only
-# make sense when the caller supplies ``order`` columns
+# make sense when the caller supplies ``order`` columns.  ``concat``
+# (string_agg) is added per-call in sorted_group_agg because its
+# combine closes over the separator.
 _COMBINE = {
     "sum": np.add,
     "min": np.minimum,
@@ -566,19 +568,26 @@ def sorted_rolling_attach(ds, *, key: str | list[str],
 def sorted_group_agg(ds, *, key: str | list[str], aggs: dict[str, str],
                      order: str | list[str] | None = None,
                      num_blocks: int | None = None,
-                     schema: pa.Schema | None = None):
+                     schema: pa.Schema | None = None,
+                     concat_sep: str = "\n"):
     """``GROUP BY key(s)`` with per-column
-    ``sum|min|max|count|first|last`` aggs via one sort instead of a
-    hash shuffle.  ``aggs`` maps output-column -> op (source column =
-    output name) or -> ``(source_column, op)`` to alias, so one source
-    column can feed several aggs.  ``count`` counts group rows into an
-    int64 column of that name (no source column needed).  ``first`` /
-    ``last`` are the arg-extremes — the source value on the group's
-    first/last row in ``(keys..., order...)`` sort order (``min/max
-    BY`` / ``first_value/last_value`` in SQL terms) — and require
-    ``order`` columns that make the within-group order total (e.g. a
-    timestamp plus a unique id).  Output columns: the key columns +
-    the agg columns, one row per distinct key tuple.
+    ``sum|min|max|count|first|last|concat`` aggs via one sort instead
+    of a hash shuffle.  ``aggs`` maps output-column -> op (source
+    column = output name) or -> ``(source_column, op)`` to alias, so
+    one source column can feed several aggs.  ``count`` counts group
+    rows into an int64 column of that name (no source column needed).
+    ``first`` / ``last`` are the arg-extremes — the source value on
+    the group's first/last row in ``(keys..., order...)`` sort order
+    (``min/max BY`` / ``first_value/last_value`` in SQL terms) — and
+    require ``order`` columns that make the within-group order total
+    (e.g. a timestamp plus a unique id).  ``concat`` is the ordered
+    ``string_agg(src, concat_sep ORDER BY order)``: per-block runs
+    join vectorized (one ``pc.binary_join`` over the run list array);
+    a group straddling blocks carries its partial string through the
+    driver fold, so the carry is bounded by one group's joined size —
+    callers aggregating document-scale groups are fine, do not concat
+    corpus-scale ones.  Output columns: the key columns + the agg
+    columns, one row per distinct key tuple.
 
     ``num_blocks``: pre-sort repartition target.  The default
     (~total CPUs, ``_util.auto_blocks``) is right for the common
@@ -600,12 +609,14 @@ def sorted_group_agg(ds, *, key: str | list[str], aggs: dict[str, str],
     orders = ([order] if isinstance(order, str)
               else list(order) if order else [])
     # normalize to out-name -> (source column, op)
+    combine = dict(_COMBINE)
+    combine["concat"] = lambda earlier, later: earlier + concat_sep + later
     spec: dict[str, tuple[str, str]] = {}
     for out_name, v in aggs.items():
         src, op = (out_name, v) if isinstance(v, str) else v
-        if op not in _COMBINE:
+        if op not in combine:
             raise ValueError(f"unsupported agg {op!r} for {out_name!r}")
-        if op in ("first", "last") and not orders:
+        if op in ("first", "last", "concat") and not orders:
             raise ValueError(
                 f"agg {op!r} for {out_name!r} requires order= columns "
                 f"(within-group order is undefined without them)")
@@ -655,6 +666,18 @@ def sorted_group_agg(ds, *, key: str | list[str], aggs: dict[str, str],
             raise ValueError(
                 f"sorted_group_agg: {src!r} contains nulls; fill or "
                 f"filter them upstream")
+        if op == "concat":
+            # runs tile the block contiguously (starts[0]=0,
+            # ends[-1]=n), so one list array over the run offsets +
+            # one vectorized binary_join does every group at once
+            col = t[src]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            lists = pa.LargeListArray.from_arrays(
+                pa.array(np.append(starts, t.num_rows), pa.int64()),
+                col)
+            return pc.binary_join(
+                lists, concat_sep).to_numpy(zero_copy_only=False)
         v = t[src].to_numpy(zero_copy_only=False)
         if op == "first":
             return v[starts]
@@ -714,7 +737,7 @@ def sorted_group_agg(ds, *, key: str | list[str], aggs: dict[str, str],
             # whole block is one run continuing the chain: fold as
             # (earlier, later) — acc accumulated the earlier blocks
             for c, (_src, o) in spec.items():
-                acc[c] = _COMBINE[o](acc[c], last_vals[c])
+                acc[c] = combine[o](acc[c], last_vals[c])
         else:
             acc_key = lk
             acc = last_vals
@@ -743,7 +766,7 @@ def sorted_group_agg(ds, *, key: str | list[str], aggs: dict[str, str],
             # combine as (earlier, later): the carry is the agg of all
             # EARLIER blocks of this block's first run
             for c, (_src, o) in spec.items():
-                reduced[c][0] = _COMBINE[o](carry[c], reduced[c][0])
+                reduced[c][0] = combine[o](carry[c], reduced[c][0])
         stop = nseg - 1 if (drop and nseg) else nseg
         if stop <= 0:
             return out_schema.empty_table()

@@ -409,3 +409,46 @@ def test_window_stages_reject_null_keys_and_values():
         sorted_rolling_attach(
             rd.from_arrow(nv), key="k", order="o", value="v",
             k=2).materialize()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sorted_group_agg_concat_matches_string_agg():
+    """Ordered concat (string_agg) vs pandas, with a hot key straddling
+    many blocks so partial strings chain through the carry fold."""
+    import ray.data as rd
+
+    from smqtk_indexing_ray.stages.agg import sorted_group_agg
+
+    rng = np.random.default_rng(31)
+    n = 3000
+    k = rng.integers(0, 200, n)
+    k[:1500] = 9                        # hot group spans blocks
+    o = np.arange(n, dtype=np.int64)
+    rng.shuffle(o)                      # order column, unique
+    s = np.array([f"s{x}" for x in o], dtype=object)
+    t = pa.table({"k": pa.array(k.astype(np.int64)),
+                  "o": pa.array(o), "s": pa.array(s, pa.string())})
+    got = sorted_group_agg(
+        rd.from_arrow(t).repartition(11), key="k",
+        aggs={"txt": ("s", "concat"), "n": "count"},
+        order="o", concat_sep="|",
+        schema=pa.schema([("k", pa.int64()), ("o", pa.int64()),
+                          ("s", pa.string())])).to_pandas() \
+        .sort_values("k", ignore_index=True)
+    df = t.to_pandas().sort_values(["k", "o"])
+    want = df.groupby("k").agg(
+        txt=("s", "|".join), n=("s", "count")).reset_index()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sorted_group_agg_concat_requires_order():
+    import ray.data as rd
+
+    from smqtk_indexing_ray.stages.agg import sorted_group_agg
+
+    t = pa.table({"k": pa.array([1, 2], pa.int64()),
+                  "s": pa.array(["a", "b"])})
+    with pytest.raises(ValueError, match="requires order"):
+        sorted_group_agg(rd.from_arrow(t), key="k",
+                         aggs={"txt": ("s", "concat")})

@@ -419,3 +419,69 @@ def test_doc_commonness_vocab_gate(ray_session):
     from smqtk_indexing_ray.pipelines.terms import doc_commonness
     with pytest.raises(ValueError, match="max_vocab"):
         doc_commonness(_ds(DOCS), max_vocab=3)
+
+
+def _para_brute(rows, wpp):
+    """Keep-first paragraph dedup oracle: global (doc_id, pos) order."""
+    paras = []
+    for doc_id, text, *_ in sorted(rows):
+        w = text.split()
+        for g in range((len(w) + wpp - 1) // wpp):
+            paras.append((doc_id, g, " ".join(w[g * wpp:(g + 1) * wpp])))
+    seen, kept = set(), {r[0]: [] for r in rows}
+    for doc_id, _g, p in paras:
+        if p not in seen:
+            seen.add(p)
+            kept[doc_id].append(p)
+    return {d: " ".join(ps) for d, ps in kept.items()}
+
+
+def test_paragraph_dedup_keep_first(ray_session):
+    """Cross-doc dup paragraphs (later copy scrubbed), within-doc dup,
+    short tail paragraph, empty doc, fully-claimed doc -> '' text."""
+    from smqtk_indexing_ray.pipelines.terms import paragraph_dedup
+
+    rows = [
+        (0, "a b c d e f", "en", "s0", 0),       # paras: "a b c", "d e f"
+        (1, "d e f g", "en", "s0", 0),           # "d e f" claimed by 0
+        (2, "", "en", "s1", 0),                  # empty -> stays empty
+        (3, "a b c", "en", "s1", 0),             # fully claimed -> ""
+        (4, "x y z x y z x", "en", "s2", 0),     # within-doc tail differs
+        (5, "x y z", "en", "s2", 0),             # claimed by 4
+    ]
+    for n_blocks in (1, 4):
+        ds = _ds(rows)
+        if n_blocks > 1:
+            ds = ds.repartition(n_blocks)
+        got = {r["doc_id"]: r["text"] for r in
+               _table(paragraph_dedup(ds, words_per_para=3)).to_pylist()}
+        assert got == _para_brute(rows, 3)
+
+
+def test_paragraph_dedup_tie_goes_to_lowest_doc_pos(ray_session):
+    """Same paragraph at different positions: (doc_id, pos) min wins."""
+    from smqtk_indexing_ray.pipelines.terms import paragraph_dedup
+
+    rows = [
+        (7, "dup dup", "en", "s0", 0),
+        (2, "zzz yyy dup dup", "en", "s0", 0),   # doc 2 pos 1 beats doc 7
+    ]
+    got = {r["doc_id"]: r["text"] for r in
+           _table(paragraph_dedup(_ds(rows), words_per_para=2))
+           .to_pylist()}
+    assert got == {2: "zzz yyy dup dup", 7: ""}
+
+
+def test_paragraph_dedup_validation(ray_session):
+    from smqtk_indexing_ray.pipelines.terms import paragraph_dedup
+
+    with pytest.raises(ValueError, match="words_per_para"):
+        paragraph_dedup(_ds(DOCS), words_per_para=0)
+
+    import ray.data as rd
+    big = pa.table({
+        "doc_id": pa.array([1 << 42], pa.int64()),
+        "text": pa.array(["hi"], pa.string()),
+    })
+    with pytest.raises(Exception, match="2\\^42"):
+        _table(paragraph_dedup(rd.from_arrow(big), words_per_para=2))

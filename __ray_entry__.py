@@ -1124,6 +1124,37 @@ def _q_supplier_nation_volume(sf_dir: str):
         rd.read_parquet(f"{sf_dir}/region.parquet"))
 
 
+def _q_promo_revenue_share(sf_dir: str):
+    """TPC-H-Q14-shaped promo revenue share: broadcast promo partkeys
+    (sorted int64 array, ray.put once, searchsorted per batch), one
+    partial row per batch; exact int64 units, one 100.0*p/u division."""
+    import ray.data as rd
+    from smqtk_indexing_ray.pipelines.warehouse import promo_revenue_share
+    return promo_revenue_share(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet"),
+        rd.read_parquet(f"{sf_dir}/part.parquet"))
+
+
+def _q_customer_order_distribution(sf_dir: str):
+    """TPC-H-Q13-shaped order-count histogram incl. zero-order
+    customers: groupby-of-groupby with a left attach re-entering the
+    dimension table; exact int64 oracle."""
+    import ray.data as rd
+    from smqtk_indexing_ray.pipelines.warehouse import (
+        customer_order_distribution)
+    return customer_order_distribution(
+        rd.read_parquet(f"{sf_dir}/orders.parquet"),
+        rd.read_parquet(f"{sf_dir}/customer.parquet"))
+
+
+def _q_dominant_source_per_lang(sf_dir: str):
+    """Mode per group: the source contributing the most docs per lang
+    (ties by source asc) via cell-level partials + per-group top-1."""
+    from smqtk_indexing_ray.pipelines.analysis import (
+        dominant_source_per_lang)
+    return dominant_source_per_lang(_docs(sf_dir))
+
+
 def _q_cohort_retention(sf_dir: str):
     """Cohort retention matrix over the events stream: first-seen-day
     cohorts x activity days, exact distinct users + int-ratio
@@ -1222,6 +1253,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": _q_pricing_summary,
         "order_priority_counts": _q_order_priority_counts,
         "supplier_nation_volume": _q_supplier_nation_volume,
+        "promo_revenue_share": _q_promo_revenue_share,
+        "customer_order_distribution": _q_customer_order_distribution,
+        "dominant_source_per_lang": _q_dominant_source_per_lang,
         "label_centroids": _q_label_centroids,
     }
 
@@ -1628,6 +1662,35 @@ def oracle_sql() -> dict[str, str]:
             "JOIN nation ON n_nationkey = s_nationkey "
             "JOIN region ON r_regionkey = n_regionkey "
             "GROUP BY r_name, n_name"
+        ),
+        "promo_revenue_share": (
+            "SELECT 100.0 * CAST(sum(units) FILTER (is_promo)"
+            " AS BIGINT) / CAST(sum(units) AS BIGINT)"
+            " AS promo_revenue,"
+            " count(*) FILTER (is_promo) AS n_promo_items,"
+            " count(*) AS n_items FROM ("
+            "  SELECT CAST(round(l_extendedprice * 100) AS BIGINT)"
+            "   * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+            "   AS units, p_type = 'PROMO' AS is_promo"
+            "  FROM lineitem JOIN part ON l_partkey = p_partkey"
+            "  WHERE l_shipdate >= TIMESTAMP '1996-01-01'"
+            "  AND l_shipdate < TIMESTAMP '1997-01-01')"
+        ),
+        "customer_order_distribution": (
+            "SELECT c_count, count(*) AS custdist FROM ("
+            "  SELECT c.c_custkey, count(o.o_orderkey) AS c_count"
+            "  FROM customer c LEFT JOIN orders o"
+            "  ON c.c_custkey = o.o_custkey"
+            "  GROUP BY c.c_custkey"
+            ") GROUP BY c_count"
+        ),
+        "dominant_source_per_lang": (
+            "SELECT lang, source, n_docs FROM ("
+            "  SELECT lang, source, count(*) AS n_docs,"
+            "   row_number() OVER (PARTITION BY lang"
+            "    ORDER BY count(*) DESC, source) AS rn"
+            "  FROM documents GROUP BY lang, source"
+            ") WHERE rn = 1"
         ),
         "corpus_diff": (
             "WITH new AS ("

@@ -1424,3 +1424,50 @@ def corpus_diff(old, new, *, num_partitions: int = 16):
     return stamp_schema(
         agg.map_batches(finish, batch_format="pyarrow"),
         CORPUS_DIFF_SCHEMA)
+
+
+def dominant_source_per_lang(docs):
+    """Per-language modal source: the single source contributing the
+    most documents to each language (ties broken by ascending source
+    name) — the "where does each language's data come from" census a
+    corpus-balance report leads with.
+
+    Mode-per-group shape: each batch dictionary-encodes the fused
+    ``(lang, source)`` tag and bincounts it (cells, not rows, cross the
+    shuffle), one sort collapses cells to exact counts, and the
+    existing per-group top-k stage picks ``row_number() = 1`` per
+    language.  Assumes tags do not contain the 0x1f separator (same
+    contract as :func:`corpus_rollup`).
+
+    Output: ``lang, source, n_docs``.
+    """
+    from smqtk_indexing_ray.stages.agg import sorted_group_agg
+    from smqtk_indexing_ray.stages.topk import top_k_per_group
+
+    part_schema = pa.schema([("lang", pa.string()),
+                             ("source", pa.string()),
+                             ("n_docs", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "lang" not in t.column_names:
+            return part_schema.empty_table()
+        comb = pc.binary_join_element_wise(
+            t["lang"], t["source"], "\x1f")
+        enc = pc.dictionary_encode(comb).combine_chunks()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        cnt = np.bincount(idx, minlength=len(enc.dictionary))
+        pairs = [k.split("\x1f") for k in enc.dictionary.to_pylist()]
+        return pa.table({
+            "lang": pa.array([p[0] for p in pairs], pa.string()),
+            "source": pa.array([p[1] for p in pairs], pa.string()),
+            "n_docs": pa.array(cnt.astype(np.int64)),
+        }, schema=part_schema)
+
+    agg = sorted_group_agg(
+        docs.select_columns(["lang", "source"]).map_batches(
+            partial, batch_format="pyarrow"),
+        key=["lang", "source"], aggs={"n_docs": "sum"},
+        schema=part_schema)
+    top = top_k_per_group(agg, group="lang", order="n_docs",
+                          tiebreak="source", k=1, schema=part_schema)
+    return top.select_columns(["lang", "source", "n_docs"])

@@ -423,3 +423,159 @@ def top_customer_revenue(lineitem, orders, customer, *, k: int = 10):
         })
 
     return top.map_batches(finish, batch_format="pyarrow")
+
+
+def promo_revenue_share(lineitem, part, *,
+                        start: str = "1996-01-01",
+                        end: str = "1997-01-01"):
+    """TPC-H-Q14-shaped promotion revenue share: of all revenue shipped
+    in ``[start, end)``, what percentage came from parts of type
+    ``PROMO``.
+
+    The part dimension (thousands of rows) never crosses a shuffle: its
+    promo partkeys are collected driver-side into ONE sorted int64
+    array, ``ray.put`` once, and membership-tested per batch with a
+    vectorized ``searchsorted`` — the broadcast-semi-join shape for a
+    small dimension against a 100-TB fact table.  Each batch reduces to
+    a single partial row (promo/total unit sums + counts), so the final
+    "shuffle" moves one row per batch.  Money math is exact int64 units
+    (:func:`_revenue_units`); the output percentage is one
+    ``100.0 * int64 / int64`` IEEE expression, bit-identical to the SQL
+    oracle's.
+
+    Output (one row): ``promo_revenue, n_promo_items, n_items``.
+
+    Reference analog: none — broadcast-dimension scans are outside the
+    reference's NN-index scope; the driver-side small-side collect
+    mirrors its bounded model-artifact loads
+    (/root/reference/smqtk_indexing/impls/nn_index/faiss.py:520-534).
+    """
+    import ray
+
+    from smqtk_indexing_ray.stages._util import collect_table
+    from smqtk_indexing_ray.stages.agg import sorted_group_agg
+
+    pt = collect_table(
+        part.select_columns(["p_partkey", "p_type"]),
+        pa.schema([("p_partkey", pa.int64()), ("p_type", pa.string())]))
+    import pyarrow.compute as pc
+    promo_keys = np.sort(
+        pt.filter(pc.equal(pt["p_type"], "PROMO"))["p_partkey"]
+        .to_numpy(zero_copy_only=False).astype(np.int64))
+    promo_ref = ray.put(promo_keys)
+    s64 = np.datetime64(start)
+    e64 = np.datetime64(end)
+
+    part_schema = pa.schema([
+        ("g", pa.int64()), ("promo_units", pa.int64()),
+        ("units", pa.int64()), ("n_promo_items", pa.int64()),
+        ("n_items", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_partkey" not in t.column_names:
+            return part_schema.empty_table()
+        ship = t["l_shipdate"].to_numpy(zero_copy_only=False)
+        keep = (ship >= s64) & (ship < e64)
+        if not keep.any():
+            return part_schema.empty_table()
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)[keep]
+        units = _revenue_units(t)[keep]
+        keys = ray.get(promo_ref)
+        pos = np.searchsorted(keys, pk)
+        is_promo = ((pos < len(keys))
+                    & (keys[np.minimum(pos, max(len(keys) - 1, 0))]
+                       == pk)) if len(keys) else np.zeros(len(pk), bool)
+        return pa.table({
+            "g": pa.array([0], pa.int64()),
+            "promo_units": pa.array([int(units[is_promo].sum())]),
+            "units": pa.array([int(units.sum())]),
+            "n_promo_items": pa.array([int(is_promo.sum())]),
+            "n_items": pa.array([int(keep.sum())]),
+        }, schema=part_schema)
+
+    parts = lineitem.select_columns(
+        ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"]
+    ).map_batches(partial, batch_format="pyarrow")
+    agg = sorted_group_agg(
+        parts, key="g",
+        aggs={"promo_units": "sum", "units": "sum",
+              "n_promo_items": "sum", "n_items": "sum"},
+        schema=part_schema)
+
+    out_schema = pa.schema([
+        ("promo_revenue", pa.float64()),
+        ("n_promo_items", pa.int64()), ("n_items", pa.int64())])
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "units" not in t.column_names:
+            return out_schema.empty_table()
+        p = t["promo_units"].to_numpy(zero_copy_only=False)
+        u = t["units"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "promo_revenue": pa.array(100.0 * p / u),
+            "n_promo_items": t["n_promo_items"],
+            "n_items": t["n_items"],
+        }, schema=out_schema)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def customer_order_distribution(orders, customer):
+    """TPC-H-Q13-shaped customer order-count distribution: for each
+    order count ``c_count`` (including zero), how many customers placed
+    exactly that many orders.
+
+    The groupby-of-groupby shape: orders pre-reduce per batch to
+    distinct-custkey counts, one sort collapses them to one row per
+    customer, a left sort-merge attach re-enters zero-order customers
+    from the dimension table (null -> 0), and the second aggregation is
+    again combiner-shaped — each batch reduces to its distinct c_count
+    values, so the final shuffle moves O(#distinct counts x #batches)
+    rows.  Exact int64 throughout.
+
+    Output: ``c_count, custdist``.
+    """
+    from smqtk_indexing_ray.stages.agg import sorted_group_agg
+    from smqtk_indexing_ray.stages.attach import sort_attach
+
+    cnt_schema = pa.schema([("o_custkey", pa.int64()),
+                            ("c_count", pa.int64())])
+
+    def opart(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_custkey" not in t.column_names:
+            return cnt_schema.empty_table()
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        uniq, counts = np.unique(ck, return_counts=True)
+        return pa.table({"o_custkey": pa.array(uniq.astype(np.int64)),
+                         "c_count": pa.array(counts.astype(np.int64))},
+                        schema=cnt_schema)
+
+    per_cust = sorted_group_agg(
+        orders.select_columns(["o_custkey"]).map_batches(
+            opart, batch_format="pyarrow"),
+        key="o_custkey", aggs={"c_count": "sum"}, schema=cnt_schema)
+
+    with_all = sort_attach(
+        customer.select_columns(["c_custkey"]), per_cust,
+        key="c_custkey", payload_key="o_custkey",
+        payload_cols=["c_count"], how="left",
+        rows_schema=pa.schema([("c_custkey", pa.int64())]),
+        payload_schema=cnt_schema)
+
+    hist_schema = pa.schema([("c_count", pa.int64()),
+                             ("custdist", pa.int64())])
+
+    def hpart(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "c_count" not in t.column_names:
+            return hist_schema.empty_table()
+        import pyarrow.compute as pc
+        c = pc.fill_null(t["c_count"], 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        uniq, counts = np.unique(c, return_counts=True)
+        return pa.table({"c_count": pa.array(uniq),
+                         "custdist": pa.array(counts.astype(np.int64))},
+                        schema=hist_schema)
+
+    return sorted_group_agg(
+        with_all.map_batches(hpart, batch_format="pyarrow"),
+        key="c_count", aggs={"custdist": "sum"}, schema=hist_schema)

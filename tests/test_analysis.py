@@ -1011,3 +1011,30 @@ def test_corpus_diff_rejects_duplicate_ids():
     with pytest.raises(Exception, match="more than once"):
         corpus_diff(rd.from_arrow(t), rd.from_arrow(u),
                     num_partitions=2).to_pandas()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dominant_source_per_lang_mode_and_ties():
+    """Per-lang modal source vs brute force: a count tie must resolve
+    to the ascending source name, groups straddle blocks."""
+    import ray.data as rd
+
+    from smqtk_indexing_ray.pipelines.analysis import (
+        dominant_source_per_lang)
+
+    rows = (
+        [("en", "sB")] * 3 + [("en", "sA")] * 3 +   # tie -> sA wins
+        [("fr", "sZ")] * 2 + [("fr", "sA")] * 1 +
+        [("de", "sQ")] * 1
+    )
+    t = pa.table({
+        "doc_id": pa.array(range(len(rows)), pa.int64()),
+        "text": pa.array(["x"] * len(rows)),
+        "lang": pa.array([r[0] for r in rows]),
+        "source": pa.array([r[1] for r in rows]),
+        "n_chars": pa.array([1] * len(rows), pa.int64()),
+    })
+    got = {r["lang"]: (r["source"], r["n_docs"]) for r in
+           dominant_source_per_lang(
+               rd.from_arrow(t).repartition(5)).take_all()}
+    assert got == {"en": ("sA", 3), "fr": ("sZ", 2), "de": ("sQ", 1)}

@@ -171,3 +171,115 @@ def test_top_customer_revenue_matches_duckdb():
     assert list(got["rank"]) == list(want["rank"])
     # exact-int-unit arithmetic: revenues must match bit-for-bit
     assert list(got.revenue) == list(want.revenue)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_promo_revenue_share_matches_duckdb():
+    """Broadcast promo-partkey semi-join vs the SQL join oracle; the
+    window filter, the searchsorted membership test, and the single
+    100.0*p/u division must all match bit-for-bit."""
+    import duckdb
+    import ray.data as rd
+
+    from smqtk_indexing_ray.pipelines.warehouse import promo_revenue_share
+
+    rng = np.random.default_rng(97)
+    n_part, n_li = 300, 4000
+    part = pa.table({
+        "p_partkey": pa.array(np.arange(n_part, dtype=np.int64)),
+        "p_type": pa.array(rng.choice(
+            ["PROMO", "STANDARD", "LARGE"], n_part)),
+    })
+    base = np.datetime64("1995-06-01")
+    li = pa.table({
+        "l_partkey": pa.array(
+            rng.integers(0, n_part, n_li).astype(np.int64)),
+        "l_shipdate": pa.array(
+            base + rng.integers(0, 900, n_li).astype("timedelta64[D]")),
+        "l_extendedprice": pa.array(rng.uniform(100, 9000, n_li).round(2)),
+        "l_discount": pa.array(rng.uniform(0, 0.1, n_li).round(2)),
+    })
+    got = promo_revenue_share(
+        rd.from_arrow(li).repartition(7), rd.from_arrow(part),
+        start="1996-01-01", end="1997-01-01").to_pandas()
+    con = duckdb.connect()
+    con.register("lineitem", li.to_pandas())
+    con.register("part", part.to_pandas())
+    want = con.execute(
+        "SELECT 100.0 * CAST(sum(units) FILTER (is_promo) AS BIGINT)"
+        " / CAST(sum(units) AS BIGINT) AS promo_revenue,"
+        " count(*) FILTER (is_promo) AS n_promo_items,"
+        " count(*) AS n_items FROM ("
+        " SELECT CAST(round(l_extendedprice * 100) AS BIGINT)"
+        "  * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS units,"
+        "  p_type = 'PROMO' AS is_promo"
+        " FROM lineitem JOIN part ON l_partkey = p_partkey"
+        " WHERE l_shipdate >= TIMESTAMP '1996-01-01'"
+        " AND l_shipdate < TIMESTAMP '1997-01-01')").df()
+    assert len(got) == 1
+    for col in want.columns:
+        assert list(got[col]) == list(want[col]), col
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_promo_revenue_share_no_promo_parts():
+    """Zero promo parts: membership test on an empty key array must not
+    crash; share is exactly 0.0."""
+    import ray.data as rd
+
+    from smqtk_indexing_ray.pipelines.warehouse import promo_revenue_share
+
+    part = pa.table({
+        "p_partkey": pa.array([0, 1], pa.int64()),
+        "p_type": pa.array(["STANDARD", "LARGE"]),
+    })
+    li = pa.table({
+        "l_partkey": pa.array([0, 1, 0], pa.int64()),
+        "l_shipdate": pa.array(
+            np.array(["1996-02-01", "1996-03-01", "1996-04-01"],
+                     dtype="datetime64[us]")),
+        "l_extendedprice": pa.array([100.0, 200.0, 300.0]),
+        "l_discount": pa.array([0.0, 0.05, 0.1]),
+    })
+    got = promo_revenue_share(
+        rd.from_arrow(li), rd.from_arrow(part)).to_pandas()
+    assert list(got.promo_revenue) == [0.0]
+    assert list(got.n_promo_items) == [0]
+    assert list(got.n_items) == [3]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_customer_order_distribution_matches_duckdb():
+    """Order-count histogram vs the SQL left-join oracle, with a block
+    of zero-order customers and a hot customer straddling blocks."""
+    import duckdb
+    import ray.data as rd
+
+    from smqtk_indexing_ray.pipelines.warehouse import (
+        customer_order_distribution)
+
+    rng = np.random.default_rng(101)
+    n_cust, n_ord = 400, 2500
+    cust = pa.table({
+        "c_custkey": pa.array(np.arange(n_cust, dtype=np.int64)),
+    })
+    ck = rng.integers(0, 300, n_ord)      # custkeys 300..399 orderless
+    ck[:800] = 7                          # hot customer spans blocks
+    orders = pa.table({
+        "o_orderkey": pa.array(np.arange(n_ord, dtype=np.int64)),
+        "o_custkey": pa.array(ck.astype(np.int64)),
+    })
+    got = customer_order_distribution(
+        rd.from_arrow(orders).repartition(9),
+        rd.from_arrow(cust)).to_pandas().sort_values(
+        "c_count", ignore_index=True)
+    con = duckdb.connect()
+    con.register("orders", orders.to_pandas())
+    con.register("customer", cust.to_pandas())
+    want = con.execute(
+        "SELECT c_count, count(*) AS custdist FROM ("
+        " SELECT c.c_custkey, count(o.o_orderkey) AS c_count"
+        " FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey"
+        " GROUP BY c.c_custkey) GROUP BY c_count ORDER BY c_count").df()
+    for col in want.columns:
+        assert list(got[col]) == list(want[col]), col

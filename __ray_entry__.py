@@ -1124,6 +1124,25 @@ def _q_supplier_nation_volume(sf_dir: str):
         rd.read_parquet(f"{sf_dir}/region.parquet"))
 
 
+def _q_local_supplier_volume(sf_dir: str):
+    """TPC-H-Q5-shaped six-table join chain: revenue per nation where
+    supplier and customer share a nation in one region over one order
+    year — dimension chain broadcast, fact-fact joins via sort-merge
+    attach, per-batch (order, nation) pre-reduction.  Exact oracle
+    (int64-unit revenue, int64 counts)."""
+    import ray.data as rd
+    from smqtk_indexing_ray.pipelines.warehouse import (
+        local_supplier_volume)
+    return local_supplier_volume(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet"),
+        rd.read_parquet(f"{sf_dir}/orders.parquet"),
+        rd.read_parquet(f"{sf_dir}/customer.parquet"),
+        rd.read_parquet(f"{sf_dir}/supplier.parquet"),
+        rd.read_parquet(f"{sf_dir}/nation.parquet"),
+        rd.read_parquet(f"{sf_dir}/region.parquet"),
+        r_name="ASIA", start="1996-01-01", end="1997-01-01")
+
+
 def _q_promo_revenue_share(sf_dir: str):
     """TPC-H-Q14-shaped promo revenue share: broadcast promo partkeys
     (sorted int64 array, ray.put once, searchsorted per batch), one
@@ -1253,6 +1272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": _q_pricing_summary,
         "order_priority_counts": _q_order_priority_counts,
         "supplier_nation_volume": _q_supplier_nation_volume,
+        "local_supplier_volume": _q_local_supplier_volume,
         "promo_revenue_share": _q_promo_revenue_share,
         "customer_order_distribution": _q_customer_order_distribution,
         "dominant_source_per_lang": _q_dominant_source_per_lang,
@@ -1662,6 +1682,22 @@ def oracle_sql() -> dict[str, str]:
             "JOIN nation ON n_nationkey = s_nationkey "
             "JOIN region ON r_regionkey = n_regionkey "
             "GROUP BY r_name, n_name"
+        ),
+        "local_supplier_volume": (
+            "SELECT n_name, "
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)"
+            " * (100 - CAST(round(l_discount * 100) AS BIGINT)))"
+            " AS BIGINT) / 10000.0 AS revenue, count(*) AS n_items "
+            "FROM customer, orders, lineitem, supplier, nation, region "
+            "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey"
+            " AND l_suppkey = s_suppkey"
+            " AND c_nationkey = s_nationkey"
+            " AND s_nationkey = n_nationkey"
+            " AND n_regionkey = r_regionkey"
+            " AND r_name = 'ASIA'"
+            " AND o_orderdate >= TIMESTAMP '1996-01-01'"
+            " AND o_orderdate < TIMESTAMP '1997-01-01' "
+            "GROUP BY n_name"
         ),
         "promo_revenue_share": (
             "SELECT 100.0 * CAST(sum(units) FILTER (is_promo)"

@@ -579,3 +579,199 @@ def customer_order_distribution(orders, customer):
     return sorted_group_agg(
         with_all.map_batches(hpart, batch_format="pyarrow"),
         key="c_count", aggs={"custdist": "sum"}, schema=hist_schema)
+
+
+def local_supplier_volume(lineitem, orders, customer, supplier, nation,
+                          region, *, r_name: str = "ASIA",
+                          start: str = "1996-01-01",
+                          end: str = "1997-01-01"):
+    """TPC-H-Q5-shaped local-supplier volume: revenue per nation from
+    lineitems whose SUPPLIER and ordering CUSTOMER share a nation
+    inside one region, over one order-date year.
+
+    The deepest join chain in the suite (six tables), decomposed by
+    side size instead of executed as six pairwise joins:
+
+    - the ``supplier -> nation -> region`` dimension chain composes
+      DRIVER-side into one ``suppkey -> nationkey`` map restricted to
+      the target region (TPC-H suppliers are 1/600 of lineitems by
+      construction), broadcast once via ``ray.put``;
+    - ``orders`` is date-filtered at the read projection, then the
+      customer's nationkey is attached by the sort-merge
+      ``sort_attach`` (both sides are fact-scale);
+    - ``lineitem`` pre-reduces per batch to distinct
+      ``(l_orderkey, s_nationkey)`` partial sums AFTER the region
+      filter, so the widest exchange carries one row per
+      (order, supplier-nation) — never a lineitem row — and the
+      same-nation predicate becomes a vectorized equality filter after
+      the second attach.
+
+    Output: ``n_name, revenue, n_items`` — revenue in exact int64
+    units of 1e-4 dollars divided once at the end
+    (:func:`_revenue_units`), so the DuckDB oracle matches
+    bit-for-bit.
+    """
+    import ray
+
+    from smqtk_indexing_ray.stages._util import collect_table
+    from smqtk_indexing_ray.stages.agg import sorted_group_agg
+    from smqtk_indexing_ray.stages.attach import sort_attach
+
+    # --- dimension chain -> region-filtered suppkey -> nationkey map
+    sup = collect_table(
+        supplier.select_columns(["s_suppkey", "s_nationkey"]),
+        pa.schema([("s_suppkey", pa.int64()),
+                   ("s_nationkey", pa.int64())]))
+    nat = collect_table(
+        nation.select_columns(["n_nationkey", "n_name", "n_regionkey"]),
+        pa.schema([("n_nationkey", pa.int64()), ("n_name", pa.string()),
+                   ("n_regionkey", pa.int64())]))
+    reg = collect_table(
+        region.select_columns(["r_regionkey", "r_name"]),
+        pa.schema([("r_regionkey", pa.int64()),
+                   ("r_name", pa.string())]))
+    region_keys = {k for k, nm in zip(reg["r_regionkey"].to_pylist(),
+                                      reg["r_name"].to_pylist())
+                   if nm == r_name}
+    nname = {k: nm for k, nm, rk in zip(
+        nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist(),
+        nat["n_regionkey"].to_pylist()) if rk in region_keys}
+    smap = {k: nk for k, nk in zip(sup["s_suppkey"].to_pylist(),
+                                   sup["s_nationkey"].to_pylist())
+            if nk in nname}
+    smap_ref = ray.put(smap)
+
+    start_us = np.datetime64(start, "us").view(np.int64)
+    end_us = np.datetime64(end, "us").view(np.int64)
+
+    ord_schema = pa.schema([("o_orderkey", pa.int64()),
+                            ("o_custkey", pa.int64())])
+
+    def ofilter(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_orderkey" not in t.column_names:
+            return ord_schema.empty_table()
+        od = t["o_orderdate"].to_numpy(
+            zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+        keep = (od >= start_us) & (od < end_us)
+        return pa.table({
+            "o_orderkey": t["o_orderkey"].filter(pa.array(keep)),
+            "o_custkey": t["o_custkey"].filter(pa.array(keep)),
+        }, schema=ord_schema)
+
+    ordf = orders.select_columns(
+        ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        ofilter, batch_format="pyarrow")
+
+    with_cnat = sort_attach(
+        ordf, customer.select_columns(["c_custkey", "c_nationkey"]),
+        key="o_custkey", payload_key="c_custkey",
+        payload_cols=["c_nationkey"], how="inner",
+        rows_schema=ord_schema,
+        payload_schema=pa.schema([("c_custkey", pa.int64()),
+                                  ("c_nationkey", pa.int64())]))
+
+    onat_schema = pa.schema([("o_orderkey", pa.int64()),
+                             ("c_nationkey", pa.int64())])
+
+    def oslim(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_orderkey" not in t.column_names:
+            return onat_schema.empty_table()
+        return t.select(["o_orderkey", "c_nationkey"])
+
+    onat = with_cnat.map_batches(oslim, batch_format="pyarrow")
+
+    # --- lineitem: region-filter via the broadcast map, then reduce
+    # per batch to distinct (l_orderkey, s_nationkey) partial sums
+    lpart_schema = pa.schema([("l_orderkey", pa.int64()),
+                              ("s_nationkey", pa.int64()),
+                              ("units", pa.int64()),
+                              ("n_items", pa.int64())])
+
+    def lpart(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_orderkey" not in t.column_names:
+            return lpart_schema.empty_table()
+        m = ray.get(smap_ref)
+        skey = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        uniq_s, inv_s = np.unique(skey, return_inverse=True)
+        snat = np.array([m.get(int(s), -1) for s in uniq_s],
+                        dtype=np.int64)[inv_s]
+        keep = snat >= 0
+        if not keep.any():
+            return lpart_schema.empty_table()
+        okey = t["l_orderkey"].to_numpy(zero_copy_only=False)[keep]
+        snat = snat[keep]
+        units = _revenue_units(t)[keep]
+        # nationkeys are < 32 (TPC-H has 25): pack (orderkey, nation)
+        # into one int64 so the per-batch reduce is a single np.unique
+        if snat.max() >= 32 or okey.max() >= (1 << 58):
+            raise ValueError("local_supplier_volume: key packing bounds "
+                             "exceeded (nationkey >= 32 or orderkey >= "
+                             "2**58)")
+        packed = (okey << 5) | snat
+        uniq, inv = np.unique(packed, return_inverse=True)
+        usum = np.zeros(len(uniq), np.int64)
+        np.add.at(usum, inv, units)
+        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table({
+            "l_orderkey": pa.array((uniq >> 5).astype(np.int64)),
+            "s_nationkey": pa.array((uniq & 31).astype(np.int64)),
+            "units": pa.array(usum),
+            "n_items": pa.array(cnt),
+        }, schema=lpart_schema)
+
+    lrev = lineitem.select_columns(
+        ["l_orderkey", "l_suppkey", "l_extendedprice",
+         "l_discount"]).map_batches(lpart, batch_format="pyarrow")
+
+    joined = sort_attach(
+        lrev, onat, key="l_orderkey", payload_key="o_orderkey",
+        payload_cols=["c_nationkey"], how="inner",
+        rows_schema=lpart_schema, payload_schema=onat_schema)
+
+    nat_schema = pa.schema([("s_nationkey", pa.int64()),
+                            ("units", pa.int64()),
+                            ("n_items", pa.int64())])
+
+    def local_only(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "c_nationkey" not in t.column_names:
+            return nat_schema.empty_table()
+        snat = t["s_nationkey"].to_numpy(zero_copy_only=False)
+        cnat = t["c_nationkey"].to_numpy(zero_copy_only=False)
+        keep = snat == cnat
+        if not keep.any():
+            return nat_schema.empty_table()
+        snat = snat[keep]
+        units = t["units"].to_numpy(zero_copy_only=False)[keep]
+        items = t["n_items"].to_numpy(zero_copy_only=False)[keep]
+        uniq, inv = np.unique(snat, return_inverse=True)
+        usum = np.zeros(len(uniq), np.int64)
+        np.add.at(usum, inv, units)
+        isum = np.zeros(len(uniq), np.int64)
+        np.add.at(isum, inv, items)
+        return pa.table({
+            "s_nationkey": pa.array(uniq.astype(np.int64)),
+            "units": pa.array(usum),
+            "n_items": pa.array(isum),
+        }, schema=nat_schema)
+
+    pernat = sorted_group_agg(
+        joined.map_batches(local_only, batch_format="pyarrow"),
+        key="s_nationkey", aggs={"units": "sum", "n_items": "sum"},
+        schema=nat_schema)
+
+    out_schema = pa.schema([("n_name", pa.string()),
+                            ("revenue", pa.float64()),
+                            ("n_items", pa.int64())])
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "units" not in t.column_names:
+            return out_schema.empty_table()
+        nk = t["s_nationkey"].to_numpy(zero_copy_only=False)
+        u = t["units"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_name": pa.array([nname[int(k)] for k in nk], pa.string()),
+            "revenue": pa.array(u / 10000.0),
+            "n_items": t["n_items"],
+        }, schema=out_schema)
+
+    return pernat.map_batches(finish, batch_format="pyarrow")

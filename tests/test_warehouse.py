@@ -283,3 +283,90 @@ def test_customer_order_distribution_matches_duckdb():
         " GROUP BY c.c_custkey) GROUP BY c_count ORDER BY c_count").df()
     for col in want.columns:
         assert list(got[col]) == list(want[col]), col
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_local_supplier_volume_matches_duckdb():
+    """Q5-shaped six-table chain vs the SQL oracle: region filter,
+    order-date year, same-nation supplier/customer predicate, exact
+    int64-unit revenue — including orders outside the date window and
+    lineitems whose supplier nation differs from the customer's."""
+    import duckdb
+    import ray.data as rd
+
+    from smqtk_indexing_ray.pipelines.warehouse import (
+        local_supplier_volume)
+
+    rng = np.random.default_rng(311)
+    n_nat, n_sup, n_cust, n_ord, n_li = 6, 40, 150, 800, 4000
+    region = pa.table({
+        "r_regionkey": pa.array(np.arange(2, dtype=np.int64)),
+        "r_name": pa.array(["EAST", "WEST"]),
+    })
+    nation = pa.table({
+        "n_nationkey": pa.array(np.arange(n_nat, dtype=np.int64)),
+        "n_name": pa.array([f"N{i}" for i in range(n_nat)]),
+        "n_regionkey": pa.array(
+            (np.arange(n_nat) % 2).astype(np.int64)),
+    })
+    supplier = pa.table({
+        "s_suppkey": pa.array(np.arange(n_sup, dtype=np.int64)),
+        "s_nationkey": pa.array(
+            rng.integers(0, n_nat, n_sup).astype(np.int64)),
+    })
+    customer = pa.table({
+        "c_custkey": pa.array(np.arange(n_cust, dtype=np.int64)),
+        "c_nationkey": pa.array(
+            rng.integers(0, n_nat, n_cust).astype(np.int64)),
+    })
+    base = np.datetime64("1995-06-01")
+    orders = pa.table({
+        "o_orderkey": pa.array(np.arange(n_ord, dtype=np.int64)),
+        "o_custkey": pa.array(
+            rng.integers(0, n_cust, n_ord).astype(np.int64)),
+        "o_orderdate": pa.array(
+            (base + rng.integers(0, 900, n_ord).astype("timedelta64[D]"))
+            .astype("datetime64[us]")),
+    })
+    li = pa.table({
+        "l_orderkey": pa.array(
+            rng.integers(0, n_ord, n_li).astype(np.int64)),
+        "l_suppkey": pa.array(
+            rng.integers(0, n_sup, n_li).astype(np.int64)),
+        "l_extendedprice": pa.array(rng.uniform(100, 9000, n_li).round(2)),
+        "l_discount": pa.array(rng.uniform(0, 0.1, n_li).round(2)),
+    })
+    got = local_supplier_volume(
+        rd.from_arrow(li).repartition(7),
+        rd.from_arrow(orders).repartition(5),
+        rd.from_arrow(customer).repartition(3),
+        rd.from_arrow(supplier),
+        rd.from_arrow(nation),
+        rd.from_arrow(region),
+        r_name="EAST", start="1996-01-01",
+        end="1997-01-01").to_pandas().sort_values(
+        "n_name", ignore_index=True)
+    con = duckdb.connect()
+    con.register("lineitem", li.to_pandas())
+    con.register("orders", orders.to_pandas())
+    con.register("customer", customer.to_pandas())
+    con.register("supplier", supplier.to_pandas())
+    con.register("nation", nation.to_pandas())
+    con.register("region", region.to_pandas())
+    want = con.execute(
+        "SELECT n_name, "
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)"
+        " * (100 - CAST(round(l_discount * 100) AS BIGINT)))"
+        " AS BIGINT) / 10000.0 AS revenue, count(*) AS n_items "
+        "FROM customer, orders, lineitem, supplier, nation, region "
+        "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey"
+        " AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey"
+        " AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey"
+        " AND r_name = 'EAST'"
+        " AND o_orderdate >= TIMESTAMP '1996-01-01'"
+        " AND o_orderdate < TIMESTAMP '1997-01-01' "
+        "GROUP BY n_name ORDER BY n_name").df()
+    assert len(want) > 0
+    assert list(got.n_name) == list(want.n_name)
+    assert list(got.revenue) == list(want.revenue)
+    assert list(got.n_items) == list(want.n_items)

@@ -908,6 +908,14 @@ def _q_repetition_signals(sf_dir: str):
     return repetition_signals(_docs(sf_dir))
 
 
+def _q_token_entropy(sf_dir: str):
+    """Per-doc Shannon entropy of the token distribution (the
+    gibberish/template diversity gate): batch-local lexsort runs, no
+    shuffle; entropy through round6, counts exact int64."""
+    from smqtk_indexing_ray.pipelines.terms import token_entropy
+    return token_entropy(_docs(sf_dir))
+
+
 def _q_term_frequencies(sf_dir: str):
     """Corpus-wide term frequency + document frequency via the
     partial-aggregate combiner shape (vocabulary-sized shuffle)."""
@@ -1253,6 +1261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_signals": _q_quality_signals,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "repetition_signals": _q_repetition_signals,
+        "token_entropy": _q_token_entropy,
         "term_frequencies": _q_term_frequencies,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "token_chunks": _q_token_chunks,
@@ -2142,6 +2151,25 @@ def oracle_sql() -> dict[str, str]:
             "   CAST(p.top_token_count AS DOUBLE) / p.n_tokens"
             "   ELSE 0.0 END AS top_token_frac "
             "FROM documents d LEFT JOIN per p USING (doc_id)"
+        ),
+        "token_entropy": (
+            "WITH " + _TOKS + ", tc AS ("
+            "  SELECT doc_id, term, count(*) AS c FROM ("
+            "    SELECT doc_id, unnest(w) AS term FROM toks)"
+            "  GROUP BY doc_id, term"
+            "), per AS ("
+            "  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,"
+            "         count(*) AS u,"
+            "         sum(c * log2(CAST(c AS DOUBLE))) AS s"
+            "  FROM tc GROUP BY doc_id"
+            ") "
+            "SELECT d.doc_id,"
+            " CAST(coalesce(p.n, 0) AS BIGINT) AS n_tokens,"
+            " CAST(coalesce(p.u, 0) AS BIGINT) AS n_distinct_tokens,"
+            " CASE WHEN coalesce(p.n, 0) > 0 THEN"
+            "   round(log2(CAST(p.n AS DOUBLE)) - p.s / p.n, 6)"
+            " ELSE 0.0 END AS token_entropy "
+            "FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id"
         ),
         "term_frequencies": (
             "WITH " + _TOKS + " "

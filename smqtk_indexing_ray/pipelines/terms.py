@@ -147,6 +147,64 @@ def repetition_signals(docs):
     return stamp_schema(out, REPETITION_SCHEMA)
 
 
+TOKEN_ENTROPY_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()),
+    ("n_tokens", pa.int64()),
+    ("n_distinct_tokens", pa.int64()),
+    ("token_entropy", pa.float64()),
+])
+
+
+def _entropy_batch(t: pa.Table) -> pa.Table:
+    n = t.num_rows
+    if n == 0:
+        return TOKEN_ENTROPY_SCHEMA.empty_table()
+    from smqtk_indexing_ray.functions.metrics import round6
+    (_, _, _, _, _, run_starts, run_len, run_doc,
+     counts) = _doc_term_runs(t["text"], n)
+    counts = counts.astype(np.int64)
+    n_distinct = np.bincount(run_doc, minlength=n).astype(np.int64) \
+        if len(run_doc) else np.zeros(n, dtype=np.int64)
+    s = np.zeros(n, dtype=np.float64)
+    if len(run_doc):
+        rl = run_len.astype(np.float64)
+        term_s = rl * np.log2(rl)          # c * log2(c) per (doc, term)
+        doc_first = np.empty(len(run_doc), dtype=bool)
+        doc_first[0] = True
+        np.not_equal(run_doc[1:], run_doc[:-1], out=doc_first[1:])
+        doc_run_starts = np.flatnonzero(doc_first)
+        s[run_doc[doc_run_starts]] = np.add.reduceat(
+            term_s, doc_run_starts)
+    safe = np.where(counts > 0, counts, 1).astype(np.float64)
+    ent = np.where(counts > 0, np.log2(safe) - s / safe, 0.0)
+    return pa.table({
+        "doc_id": t["doc_id"],
+        "n_tokens": pa.array(counts),
+        "n_distinct_tokens": pa.array(n_distinct),
+        "token_entropy": pa.array(round6(ent)),
+    })
+
+
+def token_entropy(docs):
+    """Shannon entropy of each document's token distribution (bits):
+    ``H = log2(n) - sum_t(c_t * log2(c_t)) / n`` — the canonical
+    diversity measure behind gibberish/template filters (a doc that
+    repeats one phrase has near-zero entropy; natural prose sits near
+    ``log2(n_distinct)``).
+
+    Purely batch-local like :func:`repetition_signals` (same
+    one-lexsort ``(doc, term)`` run structure, no shuffle); the entropy
+    double goes through ``round6`` because the ``c*log2(c)`` summation
+    order differs from the SQL aggregate's (everything else is exact
+    int64).
+    """
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+    out = docs.select_columns(["doc_id", "text"]).map_batches(
+        _entropy_batch, batch_format="pyarrow")
+    return stamp_schema(out, TOKEN_ENTROPY_SCHEMA)
+
+
 def _term_freq_partial(t: pa.Table) -> pa.Table:
     n = t.num_rows
     if n == 0:

@@ -83,6 +83,49 @@ def test_repetition_signals(ray_session):
     assert got[5] == (5, 3, 2 / 5, 2, 2 / 5)
 
 
+def test_token_entropy(ray_session):
+    """Entropy per doc vs closed-form expectations: H = log2(n) -
+    sum(c*log2(c))/n, 0 for empty docs, 0 for one-token spam, log2(n)
+    for all-distinct docs — bit-compared after round6 on both sides."""
+    import math
+
+    from smqtk_indexing_ray.functions.metrics import round6
+    from smqtk_indexing_ray.pipelines.terms import token_entropy
+
+    out = _table(token_entropy(_ds(DOCS))).to_pydict()
+    got = {d: (nt, nd, e) for d, nt, nd, e in zip(
+        out["doc_id"], out["n_tokens"], out["n_distinct_tokens"],
+        out["token_entropy"])}
+    assert len(got) == len(DOCS)
+
+    def h(counts):
+        n = sum(counts)
+        return float(round6(np.array(
+            math.log2(n) - sum(c * math.log2(c) for c in counts) / n)))
+
+    assert got[0] == (6, 5, h([2, 1, 1, 1, 1]))   # "the" twice
+    assert got[1] == (0, 0, 0.0)                  # empty doc
+    assert got[2] == (4, 1, 0.0)                  # one-token spam
+    assert got[4] == (6, 6, h([1] * 6))           # all distinct
+    assert got[5] == (5, 3, h([2, 2, 1]))
+
+
+def test_token_entropy_null_text(ray_session):
+    """Null text behaves exactly like an empty doc (0 tokens, H=0)."""
+    import ray.data as rd
+
+    from smqtk_indexing_ray.pipelines.terms import token_entropy
+
+    t = pa.table({
+        "doc_id": pa.array([7, 8], pa.int64()),
+        "text": pa.array([None, "a b a"], pa.string()),
+    })
+    out = _table(token_entropy(rd.from_arrow(t))).to_pydict()
+    got = dict(zip(out["doc_id"], out["token_entropy"]))
+    assert got[7] == 0.0
+    assert got[8] > 0.0
+
+
 def test_term_frequencies(ray_session):
     from smqtk_indexing_ray.pipelines.terms import term_frequencies
 

@@ -61,6 +61,15 @@ def _q_exact_cluster_sizes(sf_dir: str):
     return exact_cluster_sizes(_docs(sf_dir))
 
 
+def _q_normalized_dedup(sf_dir: str):
+    """Case/whitespace-normalized exact-dup tier (the C4/CCNet "fuzzy
+    exact" rung): normal form shared RE2-for-RE2 with the oracle, two
+    sorted 128-bit-hash attaches, text never crosses a shuffle."""
+    from smqtk_indexing_ray.pipelines.analysis import (
+        normalized_cluster_labels)
+    return normalized_cluster_labels(_docs(sf_dir))
+
+
 def _q_token_stats(sf_dir: str):
     from smqtk_indexing_ray.pipelines.analysis import token_stats
     return token_stats(_docs(sf_dir))
@@ -1203,6 +1212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": _q_exact_dedup,
         "exact_cluster_labels": _q_exact_cluster_labels,
         "exact_cluster_sizes": _q_exact_cluster_sizes,
+        "normalized_dedup": _q_normalized_dedup,
         "token_stats": _q_token_stats,
         "token_counts": _q_token_counts,
         "token_quantiles": _q_token_quantiles,
@@ -1380,6 +1390,22 @@ def oracle_sql() -> dict[str, str]:
         "exact_cluster_sizes": (
             "SELECT doc_id, count(*) OVER (PARTITION BY text) "
             "AS cluster_size FROM documents"
+        ),
+        "normalized_dedup": (
+            r"WITH n AS ("
+            r"  SELECT doc_id, text,"
+            r"  lower(regexp_replace(regexp_replace("
+            r"    coalesce(text, ''), '\s+', ' ', 'g'),"
+            r"    '^ | $', '', 'g')) AS norm"
+            r"  FROM documents"
+            r") "
+            r"SELECT doc_id,"
+            r" min(doc_id) OVER (PARTITION BY text) AS exact_cid,"
+            r" min(doc_id) OVER (PARTITION BY norm) AS norm_cid,"
+            r" CAST(min(doc_id) OVER (PARTITION BY norm)"
+            r"  <> min(doc_id) OVER (PARTITION BY text) AS BIGINT)"
+            r" AS merged_by_norm "
+            r"FROM n"
         ),
         "token_stats": (
             "WITH " + _TOKS + " "

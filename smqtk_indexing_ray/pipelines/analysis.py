@@ -168,6 +168,103 @@ def exact_cluster_sizes(docs, *, num_partitions: int = 16):
                         out_schema)
 
 
+_NK1 = "smqtk-ray-norm01"        # hash keys must be exactly 16 bytes
+_NK2 = "smqtk-ray-norm02"
+
+#: RE2 source of the normal form shared with the SQL oracle:
+#: lower(regexp_replace(regexp_replace(coalesce(text, ''),
+#:   '\s+', ' ', 'g'), '^ | $', '', 'g')) — both Arrow's
+#: replace_substring_regex and DuckDB's regexp_replace compile RE2,
+#: so the normal form is byte-identical on both sides.
+_NORM_WS = r"\s+"
+_NORM_EDGE = "^ | $"
+
+
+def normalized_cluster_labels(docs, *, num_partitions: int = 16):
+    """Case/whitespace-normalized exact-dup tier: label every doc with
+    the min doc_id sharing its NORMALIZED text (lowercased, whitespace
+    runs collapsed to one space, edges trimmed) alongside its strict
+    exact-text label — the C4/CCNet "fuzzy exact" rung between
+    byte-identical dedup and MinHash near-dup.
+
+    Output: ``doc_id, exact_cid, norm_cid, merged_by_norm`` —
+    ``merged_by_norm`` is 1 where normalization merged the doc into a
+    coarser cluster than its byte-exact one (the docs this tier
+    catches that plain exact dedup misses).
+
+    One vectorized pass computes both 128-bit keys (exact + normal
+    form), then two sorted attaches (``stages/agg.sorted_first_attach``)
+    carry the group minima; the text itself never crosses a shuffle —
+    32 B/row of hashes do.
+
+    Reference parity: a second LshFunctor over the same corpus — the
+    reference stacks functors the same way
+    (/root/reference/smqtk_indexing/impls/lsh_functor, one functor per
+    normal form); the normalization itself is webtext front-end
+    (SURVEY.md §2.7).
+    """
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+
+    from smqtk_indexing_ray.stages._util import auto_blocks
+    from smqtk_indexing_ray.stages.agg import sorted_first_attach
+
+    hashed_schema = pa.schema([
+        ("doc_id", pa.int64()), ("h1", pa.int64()), ("h2", pa.int64()),
+        ("g1", pa.int64()), ("g2", pa.int64())])
+
+    def hash_both(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return hashed_schema.empty_table()
+        text = pc.fill_null(t["text"], "")
+        norm = pc.utf8_lower(pc.replace_substring_regex(
+            pc.replace_substring_regex(text, pattern=_NORM_WS,
+                                       replacement=" "),
+            pattern=_NORM_EDGE, replacement=""))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "h1": pa.array(hash_strings_u64(
+                text, hash_key=_HK1).view(np.int64)),
+            "h2": pa.array(hash_strings_u64(
+                text, hash_key=_HK2).view(np.int64)),
+            "g1": pa.array(hash_strings_u64(
+                norm, hash_key=_NK1).view(np.int64)),
+            "g2": pa.array(hash_strings_u64(
+                norm, hash_key=_NK2).view(np.int64)),
+        }, schema=hashed_schema)
+
+    blocks = max(num_partitions, auto_blocks())
+    hashed = docs.select_columns(["doc_id", "text"]).map_batches(
+        hash_both, batch_format="pyarrow")
+    att1 = sorted_first_attach(
+        hashed, key=["h1", "h2"], value="doc_id", out="exact_cid",
+        num_blocks=blocks, schema=hashed_schema)
+    att2 = sorted_first_attach(
+        att1, key=["g1", "g2"], value="doc_id", out="norm_cid",
+        num_blocks=blocks,
+        schema=pa.schema(list(hashed_schema)
+                         + [pa.field("exact_cid", pa.int64())]))
+
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()), ("exact_cid", pa.int64()),
+        ("norm_cid", pa.int64()), ("merged_by_norm", pa.int64())])
+
+    def project(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "norm_cid" not in t.column_names:
+            return out_schema.empty_table()
+        e = t["exact_cid"].to_numpy(zero_copy_only=False)
+        g = t["norm_cid"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "exact_cid": t["exact_cid"],
+            "norm_cid": t["norm_cid"],
+            "merged_by_norm": pa.array((g != e).astype(np.int64)),
+        }, schema=out_schema)
+
+    return stamp_schema(att2.map_batches(project, batch_format="pyarrow"),
+                        out_schema)
+
+
 def _token_stats_batch(t: pa.Table) -> pa.Table:
     n = t.num_rows
     if n == 0:

@@ -59,6 +59,49 @@ class TestTextAnalysis:
         assert dict(zip(df.doc_id, df.cluster_size)) == {
             0: 2, 1: 2, 2: 1, 3: 1, 4: 1}
 
+    def test_normalized_cluster_labels(self):
+        """Case/whitespace tier vs the DuckDB window oracle on
+        adversarial rows: case-only dups, whitespace-only dups, a
+        null text, an all-whitespace text, and a unicode casefold."""
+        import duckdb
+        import ray.data as rd
+
+        from smqtk_indexing_ray.pipelines.analysis import (
+            normalized_cluster_labels)
+
+        t = pa.table({
+            "doc_id": pa.array(list(range(8)), pa.int64()),
+            "text": pa.array([
+                "Hello World",
+                "hello   world",       # ws+case dup of 0
+                " hello world ",       # edge-ws dup of 0
+                "hello world!",        # NOT a dup (punct differs)
+                None,                  # null -> '' under the oracle
+                "   ",                 # all-ws -> '' too
+                "Größe Straße",
+                "größe straße",        # unicode lower dup of 6
+            ], pa.string()),
+        })
+        got = normalized_cluster_labels(
+            rd.from_arrow(t).repartition(3)).to_pandas().sort_values(
+            "doc_id", ignore_index=True)
+        con = duckdb.connect()
+        con.register("documents", t.to_pandas())
+        want = con.execute(
+            r"WITH n AS (SELECT doc_id, text,"
+            r" lower(regexp_replace(regexp_replace(coalesce(text, ''),"
+            r" '\s+', ' ', 'g'), '^ | $', '', 'g')) AS norm"
+            r" FROM documents)"
+            r" SELECT doc_id,"
+            r" min(doc_id) OVER (PARTITION BY coalesce(text, ''))"
+            r"   AS exact_cid,"
+            r" min(doc_id) OVER (PARTITION BY norm) AS norm_cid"
+            r" FROM n ORDER BY doc_id").df()
+        assert list(got.exact_cid) == list(want.exact_cid)
+        assert list(got.norm_cid) == list(want.norm_cid)
+        # the rows normalization catches that byte-exact dedup misses
+        assert list(got.merged_by_norm) == [0, 1, 1, 0, 0, 1, 0, 1]
+
     def test_exact_cluster_sizes_hot_group_spans_blocks(self):
         """A 600-copy template split over many blocks must see 600 on
         every row, matching count(*) OVER (PARTITION BY text)."""

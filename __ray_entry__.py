@@ -131,9 +131,9 @@ def _q_length_outliers(sf_dir: str):
 
 def _q_dedup_tier_summary(sf_dir: str):
     """Tiered-dedup attribution funnel (the graft's namesake report):
-    every doc charged to the first tier that removes it — exact, near
-    (3-gram jaccard clusters), or unique — with per-tier counts.
-    Exact recursive-CTE oracle."""
+    every doc charged to the first tier that removes it — exact, norm
+    (case/whitespace-normalized), near (3-gram jaccard clusters), or
+    unique — with per-tier counts.  Exact recursive-CTE oracle."""
     from smqtk_indexing_ray.pipelines.analysis import dedup_tier_summary
     return dedup_tier_summary(_docs(sf_dir))
 
@@ -1619,10 +1619,15 @@ def oracle_sql() -> dict[str, str]:
             "  GROUP BY doc"
             "), elab AS ("
             "  SELECT doc_id, min(doc_id) OVER (PARTITION BY text)"
-            "  AS exact_cid FROM documents"
+            "  AS exact_cid,"
+            "  min(doc_id) OVER (PARTITION BY"
+            "   lower(regexp_replace(regexp_replace(coalesce(text, ''),"
+            "   '\\s+', ' ', 'g'), '^ | $', '', 'g'))) AS norm_cid"
+            "  FROM documents"
             "), tiers AS ("
             "  SELECT e.doc_id,"
             "  CASE WHEN e.exact_cid <> e.doc_id THEN 'exact'"
+            "       WHEN e.norm_cid <> e.doc_id THEN 'norm'"
             "       WHEN j.near_cid <> e.doc_id THEN 'near'"
             "       ELSE 'unique' END AS tier"
             "  FROM elab e JOIN jlab j ON e.doc_id = j.doc_id"

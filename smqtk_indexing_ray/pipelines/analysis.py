@@ -891,29 +891,32 @@ def jaccard_cluster_labels(docs, *, k: int = 3, threshold: float = 0.5,
 def dedup_tier_summary(docs, *, k: int = 3, threshold: float = 0.5):
     """Tiered-dedup attribution funnel: every document is charged to
     the FIRST tier that would remove it — ``exact`` (byte-identical
-    text, not the copy kept), ``near`` (survives exact but is a
-    non-representative member of a k-gram-Jaccard cluster), or
-    ``unique`` (kept) — with per-tier doc counts.  This is the
-    one-table report a tiered dedup pipeline publishes after a run.
+    text, not the copy kept), ``norm`` (survives exact but shares a
+    case/whitespace-normalized form with a smaller doc_id), ``near``
+    (survives both but is a non-representative member of a
+    k-gram-Jaccard cluster), or ``unique`` (kept) — with per-tier doc
+    counts.  This is the one-table report a tiered dedup pipeline
+    publishes after a run.
 
-    Composition: the exact and near label pipelines (each one sorted
-    pass + CC), one sort-merge attach on doc_id, a vectorized tier
-    CASE, and a 3-group sorted count.  Exact int64 everywhere.
+    Composition: the exact+normalized label pipeline (both 128-bit
+    keys in one pass, :func:`normalized_cluster_labels`) and the near
+    label pipeline, one sort-merge attach on doc_id, a vectorized tier
+    CASE, and a 4-group sorted count.  Exact int64 everywhere.
     """
     from smqtk_indexing_ray.stages.agg import sorted_group_agg
     from smqtk_indexing_ray.stages.attach import sort_attach
 
-    exact = exact_cluster_labels(docs)
+    exact = normalized_cluster_labels(docs)
     near = jaccard_cluster_labels(docs, k=k, threshold=threshold)
 
     ex_schema = pa.schema([("doc_id", pa.int64()),
-                           ("exact_cid", pa.int64())])
+                           ("exact_cid", pa.int64()),
+                           ("norm_cid", pa.int64())])
 
     def _ren_exact(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "cluster_id" not in t.column_names:
+        if t.num_rows == 0 or "exact_cid" not in t.column_names:
             return ex_schema.empty_table()
-        return t.select(["doc_id", "cluster_id"]).rename_columns(
-            ["doc_id", "exact_cid"])
+        return t.select(["doc_id", "exact_cid", "norm_cid"])
 
     near_schema = pa.schema([("doc_id", pa.int64()),
                              ("near_cid", pa.int64())])
@@ -939,9 +942,11 @@ def dedup_tier_summary(docs, *, k: int = 3, threshold: float = 0.5):
             return pa.schema([("tier", pa.string())]).empty_table()
         d = t["doc_id"].to_numpy(zero_copy_only=False)
         e = t["exact_cid"].to_numpy(zero_copy_only=False)
+        g = t["norm_cid"].to_numpy(zero_copy_only=False)
         nc = t["near_cid"].to_numpy(zero_copy_only=False)
         tier = np.where(e != d, "exact",
-                        np.where(nc != d, "near", "unique"))
+                        np.where(g != d, "norm",
+                                 np.where(nc != d, "near", "unique")))
         return pa.table({"tier": pa.array(tier.astype(object),
                                           pa.string())})
 

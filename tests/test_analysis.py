@@ -765,14 +765,18 @@ def test_dedup_tier_summary_all_tiers():
     for i in range(6, 12):
         rows.append((i, f"totally different text number {i} "
                         f"with its own words {i * 7} {i * 11}"))
+    # case/whitespace-only variants of doc 0 -> tier norm
+    # (survive byte-exact, caught by the normalized form)
+    rows.append((12, base.upper()))
+    rows.append((13, "  " + base.replace(" ", "   ") + " "))
     t = pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
                   "text": pa.array([r[1] for r in rows])})
     got = dedup_tier_summary(
         rd.from_arrow(t).repartition(4)).to_pandas()
     tiers = dict(zip(got.tier, got.n_docs))
     # doc 0 is rep (unique side of exact), 1-3 exact copies,
-    # 4-5 near, 6-11 unique -> unique = 1 + 6
-    assert tiers == {"exact": 3, "near": 2, "unique": 7}
+    # 12-13 norm-only, 4-5 near, 6-11 unique -> unique = 1 + 6
+    assert tiers == {"exact": 3, "norm": 2, "near": 2, "unique": 7}
 
 
 @pytest.mark.usefixtures("ray_session")

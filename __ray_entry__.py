@@ -1354,7 +1354,11 @@ _CURATION_CTES = (
     "  GROUP BY doc"
     "), elab AS ("
     "  SELECT doc_id, min(doc_id) OVER (PARTITION BY text)"
-    "  AS exact_cid FROM documents"
+    "  AS exact_cid,"
+    "  min(doc_id) OVER (PARTITION BY"
+    "   lower(regexp_replace(regexp_replace(coalesce(text, ''),"
+    "   '\\s+', ' ', 'g'), '^ | $', '', 'g'))) AS norm_cid"
+    "  FROM documents"
     "), qual AS ("
     "  SELECT doc_id, len(w) AS nt,"
     "  CAST(list_sum(list_transform(w, x -> length(x)))"
@@ -1368,6 +1372,7 @@ _CURATION_SELECT = (
     " WHEN NOT (q.nt >= 50 AND q.nt <= 100000"
     "  AND q.mwl >= 3.0 AND q.mwl <= 10.0) THEN 'quality'"
     " WHEN e.exact_cid <> d.doc_id THEN 'exact_dup'"
+    " WHEN e.norm_cid <> d.doc_id THEN 'norm_dup'"
     " WHEN j.near_cid <> d.doc_id THEN 'near_dup'"
     " ELSE 'kept' END AS reason "
     "FROM documents d "

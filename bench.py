@@ -274,6 +274,21 @@ def _revenue_fn(sf_dir: str):
     return fn
 
 
+def _q5_fn(sf_dir: str):
+    def fn():
+        import ray.data as rd
+        from smqtk_indexing_ray.pipelines.warehouse import (
+            local_supplier_volume)
+        return local_supplier_volume(
+            rd.read_parquet(f"{sf_dir}/lineitem.parquet"),
+            rd.read_parquet(f"{sf_dir}/orders.parquet"),
+            rd.read_parquet(f"{sf_dir}/customer.parquet"),
+            rd.read_parquet(f"{sf_dir}/supplier.parquet"),
+            rd.read_parquet(f"{sf_dir}/nation.parquet"),
+            rd.read_parquet(f"{sf_dir}/region.parquet"))
+    return fn
+
+
 def run_sf_suite(sf_dir: str) -> dict[str, float]:
     """Time the sf-dir operator pipelines (documents + embeddings)."""
     import ray.data as rd
@@ -325,6 +340,8 @@ def run_sf_suite(sf_dir: str) -> dict[str, float]:
         "rolling_user_stats": rolling_user_stats,
         "exact_cluster_sizes": lambda: analysis.exact_cluster_sizes(
             docs()),
+        "normalized_dedup": lambda: analysis.normalized_cluster_labels(
+            docs()),
         "line_dedup": lambda: terms.line_dedup(docs(), min_df=2),
         "heavy_hitters": lambda: terms.heavy_hitters(docs(), one_in=500),
         "token_chunks": lambda: terms.token_chunks(docs(), budget=4096),
@@ -332,6 +349,7 @@ def run_sf_suite(sf_dir: str) -> dict[str, float]:
         "bloom_contamination": _bloom_contamination_fn(sf_dir),
         "cohort_retention": _cohort_retention_fn(sf_dir),
         "top_customer_revenue": _revenue_fn(sf_dir),
+        "local_supplier_volume": _q5_fn(sf_dir),
     }
     times: dict[str, float] = {}
     for name, fn in suite.items():

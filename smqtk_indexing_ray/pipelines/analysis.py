@@ -964,10 +964,12 @@ def curation_report(docs, *, keep_lang: str = "en", k: int = 3,
     """End-to-end corpus-curation audit: every document labeled with
     the FIRST gate that rejects it — ``lang`` (not the kept language),
     ``quality`` (fails the Gopher-style rules), ``exact_dup``
-    (non-representative byte-identical copy), ``near_dup``
-    (non-representative k-gram-Jaccard cluster member) — or ``kept``.
-    This is the per-doc attribution column a production curation run
-    writes next to its output so removals are explainable.
+    (non-representative byte-identical copy), ``norm_dup`` (survives
+    byte-exact but shares a case/whitespace-normalized form with a
+    smaller doc_id), ``near_dup`` (non-representative k-gram-Jaccard
+    cluster member) — or ``kept``.  This is the per-doc attribution
+    column a production curation run writes next to its output so
+    removals are explainable.
 
     Gates are evaluated independently over the full corpus and
     attributed first-match (documented semantics shared with the SQL
@@ -1002,11 +1004,18 @@ def curation_report(docs, *, keep_lang: str = "en", k: int = 3,
         return f
 
     e_schema = pa.schema([("doc_id", pa.int64()),
-                          ("exact_cid", pa.int64())])
+                          ("exact_cid", pa.int64()),
+                          ("norm_cid", pa.int64())])
     n_schema = pa.schema([("doc_id", pa.int64()),
                           ("near_cid", pa.int64())])
-    e = exact_cluster_labels(docs).map_batches(
-        _ren("exact_cid", e_schema), batch_format="pyarrow")
+
+    def _slim_e(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "exact_cid" not in t.column_names:
+            return e_schema.empty_table()
+        return t.select(["doc_id", "exact_cid", "norm_cid"])
+
+    e = normalized_cluster_labels(docs).map_batches(
+        _slim_e, batch_format="pyarrow")
     n = jaccard_cluster_labels(docs, k=k, threshold=threshold) \
         .map_batches(_ren("near_cid", n_schema),
                      batch_format="pyarrow")
@@ -1017,9 +1026,10 @@ def curation_report(docs, *, keep_lang: str = "en", k: int = 3,
     s2 = pa.schema(list(base_schema)
                    + [pa.field("passes_quality", pa.bool_())])
     att = sort_attach(att, e, key="doc_id", payload_key="doc_id",
-                      payload_cols=["exact_cid"], how="inner",
+                      payload_cols=["exact_cid", "norm_cid"], how="inner",
                       rows_schema=s2, payload_schema=e_schema)
-    s3 = pa.schema(list(s2) + [pa.field("exact_cid", pa.int64())])
+    s3 = pa.schema(list(s2) + [pa.field("exact_cid", pa.int64()),
+                               pa.field("norm_cid", pa.int64())])
     att = sort_attach(att, n, key="doc_id", payload_key="doc_id",
                       payload_cols=["near_cid"], how="inner",
                       rows_schema=s3, payload_schema=n_schema)
@@ -1034,12 +1044,15 @@ def curation_report(docs, *, keep_lang: str = "en", k: int = 3,
         lg = t["lang"].to_numpy(zero_copy_only=False)
         ok = t["passes_quality"].to_numpy(zero_copy_only=False)
         e_ = t["exact_cid"].to_numpy(zero_copy_only=False)
+        g_ = t["norm_cid"].to_numpy(zero_copy_only=False)
         n_ = t["near_cid"].to_numpy(zero_copy_only=False)
         reason = np.where(
             lg != keep_lang, "lang",
             np.where(~ok, "quality",
                      np.where(e_ != d, "exact_dup",
-                              np.where(n_ != d, "near_dup", "kept"))))
+                              np.where(g_ != d, "norm_dup",
+                                       np.where(n_ != d, "near_dup",
+                                                "kept")))))
         return pa.table({
             "doc_id": pa.array(d.astype(np.int64)),
             "reason": pa.array(reason.astype(object), pa.string()),

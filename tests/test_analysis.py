@@ -794,6 +794,8 @@ def test_curation_report_all_reasons():
         (3, body, "fr"),                 # lang (even though exact dup)
         (4, "short text", "en"),         # quality (too few tokens)
         (5, " ".join(f"u{i}word" for i in range(90)), "en"),  # kept
+        (6, body.upper() + " ", "en"),   # norm_dup (case/ws variant
+                                         # of 0, survives byte-exact)
     ]
     t = pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
                   "text": pa.array([r[1] for r in rows]),
@@ -802,7 +804,7 @@ def test_curation_report_all_reasons():
         rd.from_arrow(t).repartition(3)).to_pandas().sort_values(
         "doc_id", ignore_index=True)
     assert list(got.reason) == ["kept", "exact_dup", "near_dup",
-                                "lang", "quality", "kept"]
+                                "lang", "quality", "kept", "norm_dup"]
 
 
 @pytest.mark.usefixtures("ray_session")

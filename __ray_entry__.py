@@ -758,6 +758,17 @@ def _q_hopping_window_counts(sf_dir: str):
         window_minutes=60, hop_minutes=30)
 
 
+def _q_trailing_active_users(sf_dir: str):
+    """Trailing 7-day distinct users per day (the WAU dashboard
+    metric): bounded x7 expansion of per-batch-deduped (day, user)
+    pairs, two-level exact distinct on the sorted-agg path — no range
+    self-join.  Exact SQL oracle."""
+    import ray.data as rd
+    from smqtk_indexing_ray.pipelines.events import trailing_active_users
+    return trailing_active_users(
+        rd.read_parquet(f"{sf_dir}/events.parquet"), window_days=7)
+
+
 def _q_window_user_counts(sf_dir: str):
     """Exact distinct users per tumbling window (two-level distinct with
     in-batch pre-dedup) — exact SQL oracle."""
@@ -1257,6 +1268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": _q_asof_join,
         "window_agg": _q_window_agg,
         "window_user_counts": _q_window_user_counts,
+        "trailing_active_users": _q_trailing_active_users,
         "hopping_window_counts": _q_hopping_window_counts,
         "event_seq": _q_event_seq,
         "user_event_gaps": _q_user_event_gaps,
@@ -2098,6 +2110,18 @@ def oracle_sql() -> dict[str, str]:
             "    1800000000)) AS ws"
             "  FROM events"
             ") GROUP BY 1"
+        ),
+        "trailing_active_users": (
+            "WITH ud AS ("
+            "  SELECT DISTINCT date_trunc('day', ts) AS d, user_id"
+            "  FROM events"
+            "), cov AS ("
+            "  SELECT DISTINCT d + CAST(k AS BIGINT) * INTERVAL 1 DAY"
+            "   AS day, user_id"
+            "  FROM ud CROSS JOIN"
+            "   (SELECT unnest(generate_series(0, 6)) AS k)"
+            ") "
+            "SELECT day, count(*) AS n_users_7d FROM cov GROUP BY day"
         ),
         "window_user_counts": (
             "SELECT make_timestamp((epoch_us(ts) // 3600000000) "

@@ -1024,3 +1024,76 @@ def props_field_stats(events, *, field: str = "k"):
 
     return stamp_schema(
         agg.map_batches(finish, batch_format="pyarrow"), out_schema)
+
+
+def trailing_active_users(events, *, window_days: int = 7):
+    """Trailing-window distinct users (the DAU/WAU dashboard metric):
+    for every covered day, how many distinct users had at least one
+    event in the ``window_days``-day window ENDING that day.
+
+    Scale shape — the sliding COUNT DISTINCT without a range self-join:
+    each batch pre-dedups to its distinct ``(day, user)`` pairs
+    (in-batch Arrow group_by), expands each pair to the ``window_days``
+    report days it covers (a bounded x7 blowup of the DEDUPED pairs,
+    not of events), re-dedups in batch, and the global two-level exact
+    distinct rides the sorted-agg path — the shuffle carries at most
+    one row per (covered day, user) per batch.  Days keep trailing
+    coverage up to ``window_days - 1`` days past a user's last event
+    (documented semantics shared with the SQL oracle's expansion).
+
+    Output: ``day (timestamp us, midnight), n_users_7d`` — exact
+    int64.
+    """
+    from smqtk_indexing_ray.stages.agg import sorted_group_agg
+
+    day_us = 86_400_000_000
+    pair_schema = pa.schema([("day", pa.timestamp("us")),
+                             ("user_id", pa.int64())])
+    out_schema = pa.schema([("day", pa.timestamp("us")),
+                            ("n_users_7d", pa.int64())])
+
+    def expand(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "ts" not in t.column_names:
+            return pair_schema.empty_table()
+        ts = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        day = ts - ts % day_us
+        base = pa.table({"day": pa.array(day),
+                         "user_id": t["user_id"]}) \
+            .group_by(["day", "user_id"]).aggregate([])
+        d = base["day"].to_numpy(zero_copy_only=False)
+        u = base["user_id"].to_numpy(zero_copy_only=False)
+        k = np.arange(window_days, dtype=np.int64) * day_us
+        cov_day = (d[:, None] + k[None, :]).ravel()
+        cov_usr = np.repeat(u, window_days)
+        cov = pa.table({"day": pa.array(cov_day),
+                        "user_id": pa.array(cov_usr)}) \
+            .group_by(["day", "user_id"]).aggregate([])
+        return pa.table({
+            "day": cov["day"].cast(pa.timestamp("us")),
+            "user_id": cov["user_id"],
+        }, schema=pair_schema)
+
+    pairs = events.select_columns(["ts", "user_id"]).map_batches(
+        expand, batch_format="pyarrow")
+    distinct = sorted_group_agg(
+        pairs, key=["day", "user_id"], aggs={"_c": "count"},
+        schema=pair_schema)
+
+    def strip(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "day" not in t.column_names:
+            return pair_schema.empty_table()
+        return t.select(["day", "user_id"])
+
+    counts = sorted_group_agg(
+        distinct.map_batches(strip, batch_format="pyarrow"),
+        key="day", aggs={"n_users_7d": "count"}, schema=pair_schema)
+
+    def clean(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "n_users_7d" not in t.column_names:
+            return out_schema.empty_table()
+        return pa.table({
+            "day": pc.cast(t["day"], pa.timestamp("us")),
+            "n_users_7d": t["n_users_7d"],
+        }, schema=out_schema)
+
+    return counts.map_batches(clean, batch_format="pyarrow")

@@ -533,3 +533,57 @@ def test_props_field_stats_matches_duckdb_with_edge_cases():
     # the empty type really exercised the NULL-aggregate path
     er = got[got.event_type == "empty"].iloc[0]
     assert er.n_with == 0 and pd.isna(er.min_k) and pd.isna(er.avg_k)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_trailing_active_users_matches_duckdb():
+    """Sliding 7-day distinct users vs the SQL expansion oracle:
+    activity gaps longer than the window must drop users out, repeated
+    same-day events must count once, and a user active across many
+    blocks must never double-count."""
+    import duckdb
+    import ray.data as rd
+
+    from smqtk_indexing_ray.pipelines.events import trailing_active_users
+
+    rng = np.random.default_rng(97)
+    n = 4000
+    base = np.datetime64("2024-03-01T00:00:00", "us")
+    day = np.timedelta64(1, "D").astype("timedelta64[us]")
+    # 30 users, bursty: each active on a few random days over 40 days,
+    # user 0 active only on day 0 (drops out after day 6), user 1
+    # active every day (never drops)
+    uid = rng.integers(2, 30, n).astype(np.int64)
+    d = rng.integers(0, 40, n).astype(np.int64)
+    uid = np.concatenate([uid, np.zeros(5, np.int64),
+                          np.full(40, 1, np.int64)])
+    d = np.concatenate([d, np.zeros(5, np.int64),
+                        np.arange(40, dtype=np.int64)])
+    ts = base + d * day + rng.integers(
+        0, 86_400_000_000, len(d)).astype("timedelta64[us]")
+    t = pa.table({
+        "event_id": pa.array(np.arange(len(d), dtype=np.int64)),
+        "ts": pa.array(ts.astype("datetime64[us]")),
+        "user_id": pa.array(uid),
+    })
+    got = trailing_active_users(
+        rd.from_arrow(t).repartition(7),
+        window_days=7).to_pandas().sort_values("day",
+                                               ignore_index=True)
+    con = duckdb.connect()
+    con.register("events", t.to_pandas())
+    want = con.execute(
+        "WITH ud AS (SELECT DISTINCT date_trunc('day', ts) AS d,"
+        " user_id FROM events), cov AS ("
+        " SELECT DISTINCT d + CAST(k AS BIGINT) * INTERVAL 1 DAY AS day,"
+        " user_id FROM ud CROSS JOIN"
+        " (SELECT unnest(generate_series(0, 6)) AS k))"
+        " SELECT day, count(*) AS n_users_7d FROM cov"
+        " GROUP BY day ORDER BY day").df()
+    assert list(got.day) == list(want.day)
+    assert list(got.n_users_7d) == list(want.n_users_7d)
+    # user 0's solo coverage ends after day 6: day 7 must not include
+    # them (count there comes only from users active in days 1..7)
+    got_map = dict(zip(got.day, got.n_users_7d))
+    d0 = pd.Timestamp("2024-03-01")
+    assert got_map[d0] >= 2              # users 0 and 1 at least

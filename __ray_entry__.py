@@ -95,6 +95,17 @@ def _q_group_quantiles(sf_dir: str):
                            qs=[0.1, 0.25, 0.5, 0.75, 0.9])
 
 
+def _q_approx_length_quantiles(sf_dir: str):
+    """Approximate doc-length quantiles from a deterministic bottom-k
+    LCG sample (stages/quantiles.approx_quantiles) — the 100-TB scale
+    path beside the exact narrow-sort quantiles: at most k rows per
+    batch cross the exchange.  The sample is SQL-reproducible, so the
+    oracle is exact despite the operator being approximate."""
+    from smqtk_indexing_ray.stages.quantiles import approx_quantiles
+    return approx_quantiles(_docs(sf_dir), col="n_chars",
+                            qs=[0.1, 0.25, 0.5, 0.75, 0.9], k=200)
+
+
 def _q_quality_buckets(sf_dir: str):
     """CCNet-style per-language quality tiers: NTILE(3) over doc length
     (head/middle/tail) — the bucketing step a pretraining pipeline uses
@@ -1228,6 +1239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": _q_token_counts,
         "token_quantiles": _q_token_quantiles,
         "group_quantiles": _q_group_quantiles,
+        "approx_length_quantiles": _q_approx_length_quantiles,
         "quality_buckets": _q_quality_buckets,
         "length_outliers": _q_length_outliers,
         "length_pareto": _q_length_pareto,
@@ -1484,6 +1496,21 @@ def oracle_sql() -> dict[str, str]:
             ") "
             "SELECT lang, unnest(CAST([0.1, 0.25, 0.5, 0.75, 0.9]"
             " AS DOUBLE[])) AS q, unnest(v) AS n_chars FROM g"
+        ),
+        "approx_length_quantiles": (
+            "WITH s AS ("
+            "  SELECT n_chars FROM ("
+            "    SELECT n_chars,"
+            "    (doc_id * 1103515245 + 12345) % 2147483648 AS draw,"
+            "    doc_id FROM documents"
+            "  ) QUALIFY row_number() OVER (ORDER BY draw, doc_id)"
+            "   <= 200"
+            "), a AS ("
+            "  SELECT quantile_disc(n_chars,"
+            "  [0.1, 0.25, 0.5, 0.75, 0.9]) AS ql FROM s"
+            ") "
+            "SELECT unnest(CAST([0.1, 0.25, 0.5, 0.75, 0.9]"
+            " AS DOUBLE[])) AS q, unnest(ql) AS n_chars FROM a"
         ),
         "length_pareto": (
             "SELECT doc_id, n_chars, "

@@ -185,3 +185,92 @@ def column_quantiles(ds, col: str, qs: list[float]) -> pa.Table:
                       if hasattr(srt.schema(), "base_schema")
                       else srt.schema().field(col).type),
     })
+
+
+def approx_quantiles(ds, *, col: str, qs: list[float], k: int = 1000,
+                     id_col: str = "doc_id",
+                     value_type: pa.DataType | None = None):
+    """Approximate quantiles from a deterministic bottom-k sample —
+    the 100-TB scale path beside :func:`column_quantiles`' exact
+    narrow sort (which must still shuffle 8 B x N rows; this exchanges
+    at most ``k`` rows per batch).
+
+    Sampling: ``draw = (id * 1103515245 + 12345) % 2**31`` (the repo's
+    SQL-reproducible LCG, shared with ``stratified_sample``); the ``k``
+    rows with the smallest ``(draw, id)`` form a deterministic
+    uniform-without-replacement sample, assembled by a bounded
+    two-level merge (per-batch bottom-k -> per-block merge ->
+    single-block merge — each level's input is #blocks x k rows, never
+    the corpus).  ``quantile_disc`` over the sample estimates each q
+    with rank error ~ sqrt(q(1-q)/k) (k=1000 -> about +/-1.6
+    percentile points at the median, 95%); because the sample itself
+    is SQL-reproducible, even this APPROXIMATE operator has an exact
+    DuckDB oracle.
+
+    Requires non-negative int64 ids below ~2**33 (the LCG product must
+    not overflow int64 — the same bound the SQL side's BIGINT
+    multiplication has); raises loudly above it.
+
+    Returns a Dataset ``(q float64, <col> input-typed)``.
+    """
+    import pyarrow.compute as pc
+
+    from smqtk_indexing_ray.stages._util import auto_blocks
+
+    vt = value_type or pa.int64()
+    part_schema = pa.schema([("draw", pa.int64()), ("_id", pa.int64()),
+                             (col, vt)])
+
+    def _bottomk(draw: np.ndarray, ids: np.ndarray,
+                 vals: pa.Array) -> pa.Table:
+        order = np.lexsort((ids, draw))[:k]
+        return pa.table({
+            "draw": pa.array(draw[order]),
+            "_id": pa.array(ids[order]),
+            col: pc.take(vals, pa.array(order)).cast(vt),
+        }, schema=part_schema)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or id_col not in t.column_names:
+            return part_schema.empty_table()
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if ids.min() < 0 or ids.max() >= (1 << 33):
+            raise ValueError(
+                "approx_quantiles: id column must be in [0, 2**33) so "
+                "the LCG draw cannot overflow int64")
+        draw = (ids * 1103515245 + 12345) % 2147483648
+        return _bottomk(draw, ids, t[col].combine_chunks())
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "draw" not in t.column_names:
+            return part_schema.empty_table()
+        draw = t["draw"].to_numpy(zero_copy_only=False)
+        ids = t["_id"].to_numpy(zero_copy_only=False)
+        return _bottomk(draw, ids, t[col].combine_chunks())
+
+    # batch_size=None everywhere: each level's bottom-k must see its
+    # WHOLE block, or a split block would emit several k-samples
+    parts = ds.select_columns([id_col, col]).map_batches(
+        partial, batch_format="pyarrow", batch_size=None)
+    merged = parts.repartition(auto_blocks()).map_batches(
+        merge, batch_format="pyarrow", batch_size=None)
+    sample = merged.repartition(1).map_batches(
+        merge, batch_format="pyarrow", batch_size=None)
+
+    out_schema = pa.schema([("q", pa.float64()), (col, vt)])
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or col not in t.column_names:
+            return out_schema.empty_table()
+        v = np.sort(t[col].to_numpy(zero_copy_only=False),
+                    kind="stable")
+        n = len(v)
+        idx = [min(n - 1, max(0, math.ceil(float(q) * n) - 1))
+               for q in qs]
+        return pa.table({
+            "q": pa.array([float(q) for q in qs], pa.float64()),
+            col: pa.array(v[idx]).cast(vt),
+        }, schema=out_schema)
+
+    return sample.map_batches(finish, batch_format="pyarrow",
+                              batch_size=None)

@@ -1087,3 +1087,59 @@ def test_dominant_source_per_lang_mode_and_ties():
            dominant_source_per_lang(
                rd.from_arrow(t).repartition(5)).take_all()}
     assert got == {"en": ("sA", 3), "fr": ("sZ", 2), "de": ("sQ", 1)}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_approx_quantiles_sample_is_exact_bottomk():
+    """The deterministic LCG sample must equal the brute-force bottom-k
+    regardless of partitioning, and the quantile estimates must land
+    within the sqrt(q(1-q)/k) rank band of the exact values."""
+    import math
+
+    import ray.data as rd
+
+    from smqtk_indexing_ray.stages.quantiles import approx_quantiles
+
+    rng = np.random.default_rng(53)
+    n, k = 20_000, 500
+    ids = np.arange(n, dtype=np.int64)
+    vals = rng.integers(0, 1_000_000, n).astype(np.int64)
+    t = pa.table({"doc_id": pa.array(ids), "n_chars": pa.array(vals)})
+    qs = [0.1, 0.5, 0.9]
+
+    outs = []
+    for parts in (3, 17):
+        got = approx_quantiles(
+            rd.from_arrow(t).repartition(parts), col="n_chars",
+            qs=qs, k=k).to_pandas().sort_values("q", ignore_index=True)
+        outs.append(got)
+    # partition-invariant (deterministic sample -> identical output)
+    assert outs[0].equals(outs[1])
+
+    # brute-force oracle: same LCG, same bottom-k, same disc rule
+    draw = (ids * 1103515245 + 12345) % 2147483648
+    order = np.lexsort((ids, draw))[:k]
+    sample = np.sort(vals[order])
+    for q, v in zip(outs[0].q, outs[0].n_chars):
+        idx = min(k - 1, max(0, math.ceil(q * k) - 1))
+        assert v == sample[idx]
+    # rank-error band vs the exact quantiles (4-sigma, k=500)
+    sv = np.sort(vals)
+    for q, v in zip(outs[0].q, outs[0].n_chars):
+        est_rank = np.searchsorted(sv, v) / n
+        tol = 4.0 * math.sqrt(q * (1 - q) / k)
+        assert abs(est_rank - q) <= tol, (q, est_rank, tol)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_approx_quantiles_id_bound_raises():
+    """Ids >= 2**33 would overflow the LCG product: loud refusal."""
+    import ray.data as rd
+
+    from smqtk_indexing_ray.stages.quantiles import approx_quantiles
+
+    t = pa.table({"doc_id": pa.array([1 << 33], pa.int64()),
+                  "n_chars": pa.array([5], pa.int64())})
+    with pytest.raises(Exception, match="2\\*\\*33"):
+        approx_quantiles(rd.from_arrow(t), col="n_chars",
+                         qs=[0.5], k=10).to_pandas()

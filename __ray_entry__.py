@@ -565,6 +565,15 @@ def _q_quality_signals(sf_dir: str):
     return quality_signals(_docs(sf_dir))
 
 
+def _q_sentence_stats(sf_dir: str):
+    """C4-style terminal-punctuation / line gates — batch-local, every
+    float an exact int64 ratio (synthetic sf text has no punctuation, so
+    the sf oracle is structural; the punctuation-rich pytest oracle in
+    tests/test_analysis.py carries the behavioral check)."""
+    from smqtk_indexing_ray.pipelines.analysis import sentence_stats
+    return sentence_stats(_docs(sf_dir))
+
+
 def _q_funnel(sf_dir: str):
     """Per-user ordered conversion funnel (view -> click -> purchase),
     greedy earliest chain with strict (ts, event_id) ordering — one
@@ -1293,6 +1302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel": _q_funnel,
         "cohort_retention": _q_cohort_retention,
         "quality_signals": _q_quality_signals,
+        "sentence_stats": _q_sentence_stats,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "repetition_signals": _q_repetition_signals,
         "token_entropy": _q_token_entropy,
@@ -1919,6 +1929,29 @@ def oracle_sql() -> dict[str, str]:
             "frac_long_words, (n_tokens >= 50 AND n_tokens <= 100000 AND "
             "mean_word_len >= 3.0 AND mean_word_len <= 10.0) "
             "AS passes_quality FROM m"
+        ),
+        "sentence_stats": (
+            "WITH m AS ("
+            "  SELECT doc_id,"
+            "  CAST(len(regexp_extract_all(coalesce(text, ''), '[.!?]'))"
+            "    AS BIGINT) AS n_sentences,"
+            "  CAST(length(coalesce(text, ''))"
+            "    - length(replace(coalesce(text, ''), chr(10), ''))"
+            "    + 1 AS BIGINT) AS n_lines,"
+            "  CAST(len(list_filter(str_split(coalesce(text, ''), chr(10)),"
+            "    x -> regexp_matches(x, '[.!?]$'))) AS BIGINT)"
+            "    AS n_terminal_lines,"
+            "  contains(lower(coalesce(text, '')), 'lorem ipsum')"
+            "    AS has_lorem,"
+            "  contains(coalesce(text, ''), '{') AS has_curly"
+            "  FROM documents"
+            ") "
+            "SELECT doc_id, n_sentences, n_lines, n_terminal_lines, "
+            "CAST(n_terminal_lines AS DOUBLE) / n_lines "
+            "  AS frac_terminal_lines, "
+            "has_lorem, has_curly, "
+            "(n_sentences >= 3 AND NOT has_lorem AND NOT has_curly) "
+            "  AS passes_c4 FROM m"
         ),
         "funnel": (
             "WITH f AS ("

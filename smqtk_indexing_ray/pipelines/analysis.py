@@ -1247,6 +1247,63 @@ def quality_signals(docs, *, min_tokens: int = 50, max_tokens: int = 100_000,
         sig, batch_format="pyarrow")
 
 
+def sentence_stats(docs, *, min_sentences: int = 3):
+    """C4-style sentence/line heuristics (Raffel et al. 2020, public):
+    terminal-punctuation sentence count, newline-delimited line count,
+    fraction of lines ending in terminal punctuation, and the lorem-ipsum
+    / curly-brace content gates.  ``passes_c4`` = enough sentences and
+    neither gate fires.
+
+    Batch-local (no shuffle); every float is an exact ratio of int64
+    counts.  Output: ``doc_id, n_sentences, n_lines, n_terminal_lines,
+    frac_terminal_lines, has_lorem, has_curly, passes_c4``.
+    """
+    schema = pa.schema([
+        ("doc_id", pa.int64()), ("n_sentences", pa.int64()),
+        ("n_lines", pa.int64()), ("n_terminal_lines", pa.int64()),
+        ("frac_terminal_lines", pa.float64()),
+        ("has_lorem", pa.bool_()), ("has_curly", pa.bool_()),
+        ("passes_c4", pa.bool_()),
+    ])
+
+    def stats(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return schema.empty_table()
+        text = pc.fill_null(t["text"].combine_chunks(), "")
+        n_sent = pc.count_substring_regex(text, "[.!?]").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_lines = pc.count_substring(text, "\n").to_numpy(
+            zero_copy_only=False).astype(np.int64) + 1
+        # lines end in terminal punctuation: split once, one regex kernel
+        # over the flat line array, bincount back per doc
+        lines = pc.split_pattern(text, pattern="\n")
+        off = lines.offsets.to_numpy().astype(np.int64)
+        term = pc.match_substring_regex(
+            lines.values, "[.!?]$").to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(n), np.diff(off))
+        n_term = np.bincount(doc_idx[term], minlength=n).astype(np.int64)
+        has_lorem = pc.match_substring(pc.utf8_lower(text), "lorem ipsum")
+        has_curly = pc.match_substring(text, "{")
+        passes = ((n_sent >= min_sentences)
+                  & ~has_lorem.to_numpy(zero_copy_only=False)
+                  & ~has_curly.to_numpy(zero_copy_only=False))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_sentences": pa.array(n_sent),
+            "n_lines": pa.array(n_lines),
+            "n_terminal_lines": pa.array(n_term),
+            "frac_terminal_lines": pa.array(
+                n_term.astype(np.float64) / n_lines.astype(np.float64)),
+            "has_lorem": has_lorem,
+            "has_curly": has_curly,
+            "passes_c4": pa.array(passes),
+        })
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        stats, batch_format="pyarrow")
+
+
 def winnow_fingerprints(docs, *, k: int = 5, window: int = 4,
                         hash_key: str = "smqtk-ray-v1.0.0"):
     """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,

@@ -448,6 +448,50 @@ def test_token_counts_matches_duckdb():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_sentence_stats_matches_duckdb():
+    """Punctuation-rich behavioral check for the C4 sentence gates (the
+    sf fixture text has no punctuation, so the driver oracle there is
+    structural-only) — parity with the exact oracle SQL shape."""
+    import duckdb
+    import ray.data as rd
+    from smqtk_indexing_ray.pipelines.analysis import sentence_stats
+    texts = [
+        "First line.\nSecond line!\nThird line?",      # 3 sent, all terminal
+        "no punctuation single line",                   # 0 sentences
+        "Ends mid\nway. But fine!",                     # mixed lines
+        "Lorem Ipsum dolor. Sit amet. Consectetur.",    # lorem gate
+        "has {curly}. Braces. Everywhere.",             # curly gate
+        "",                                             # empty text
+        "Trailing space after dot. \nNext line.",       # space kills $ match
+    ]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+    got = sentence_stats(docs).to_pandas().sort_values(
+        "doc_id", ignore_index=True)
+    assert bool(got.loc[0, "passes_c4"])
+    assert got.loc[0, "frac_terminal_lines"] == 1.0
+    assert got.loc[1, "n_sentences"] == 0 and not bool(
+        got.loc[1, "passes_c4"])
+    assert not bool(got.loc[3, "passes_c4"])  # lorem ipsum
+    assert not bool(got.loc[4, "passes_c4"])  # curly brace
+    assert got.loc[5, "n_lines"] == 1 and got.loc[5, "n_terminal_lines"] == 0
+    assert got.loc[6, "n_terminal_lines"] == 1  # only the 2nd line
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        r = con.execute(
+            "SELECT len(regexp_extract_all(coalesce(?, ''), '[.!?]')),"
+            " length(coalesce(?, ''))"
+            "  - length(replace(coalesce(?, ''), chr(10), '')) + 1,"
+            " len(list_filter(str_split(coalesce(?, ''), chr(10)),"
+            "   x -> regexp_matches(x, '[.!?]$')))",
+            [t, t, t, t]).fetchone()
+        assert got.loc[i, "n_sentences"] == r[0]
+        assert got.loc[i, "n_lines"] == r[1]
+        assert got.loc[i, "n_terminal_lines"] == r[2]
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_doc_fingerprint_order_sensitive():
     """Token reordering must change the fingerprint (the position-mixed
     XOR keeps the rolling fold's order sensitivity in one vectorized

@@ -61,6 +61,15 @@ def _q_exact_cluster_sizes(sf_dir: str):
     return exact_cluster_sizes(_docs(sf_dir))
 
 
+def _q_cross_source_dups(sf_dir: str):
+    """Exact-dup clusters with DISTINCT-source attribution (the
+    cross-source syndication view): two sorted aggs — (hash, source)
+    first, so count(DISTINCT source) is a plain count over one row per
+    (text, source)."""
+    from smqtk_indexing_ray.pipelines.analysis import cross_source_dups
+    return cross_source_dups(_docs(sf_dir))
+
+
 def _q_normalized_dedup(sf_dir: str):
     """Case/whitespace-normalized exact-dup tier (the C4/CCNet "fuzzy
     exact" rung): normal form shared RE2-for-RE2 with the oracle, two
@@ -1241,6 +1250,7 @@ def _q_embedding_cluster_labels(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "exact_dedup": _q_exact_dedup,
+        "cross_source_dups": _q_cross_source_dups,
         "exact_cluster_labels": _q_exact_cluster_labels,
         "exact_cluster_sizes": _q_exact_cluster_sizes,
         "normalized_dedup": _q_normalized_dedup,
@@ -1421,6 +1431,15 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": (
             "SELECT min(doc_id) AS rep_doc, count(*) AS n_copies "
             "FROM documents GROUP BY text"
+        ),
+        "cross_source_dups": (
+            "WITH g AS ("
+            "  SELECT min(doc_id) AS rep_doc, count(*) AS n_copies,"
+            "  count(DISTINCT source) AS n_sources"
+            "  FROM documents GROUP BY text"
+            ") "
+            "SELECT rep_doc, n_copies, n_sources, "
+            "n_sources > 1 AS is_cross_source FROM g"
         ),
         "exact_cluster_labels": (
             "SELECT doc_id, min(doc_id) OVER (PARTITION BY text) "

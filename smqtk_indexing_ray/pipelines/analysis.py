@@ -168,6 +168,73 @@ def exact_cluster_sizes(docs, *, num_partitions: int = 16):
                         out_schema)
 
 
+CROSS_SOURCE_SCHEMA = pa.schema([
+    ("rep_doc", pa.int64()), ("n_copies", pa.int64()),
+    ("n_sources", pa.int64()), ("is_cross_source", pa.bool_()),
+])
+
+
+def cross_source_dups(docs, *, num_partitions: int = 16):
+    """Exact-duplicate clusters with source attribution: one row per
+    distinct text with its copy count and DISTINCT-source count — the
+    cross-source syndication/contamination view of ``exact_dedup``
+    (same collision-free 128-bit content-hash grouping).
+
+    Two sorted aggregations: the first groups the corpus by
+    ``(hash, source)`` so the second sort sees one row per (distinct
+    text, source) — never the corpus again — and counts rows per hash
+    to get ``count(DISTINCT source)`` without a distinct aggregate.
+
+    Output: ``rep_doc, n_copies, n_sources, is_cross_source``.
+    """
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+
+    from smqtk_indexing_ray.stages._util import auto_blocks
+    from smqtk_indexing_ray.stages.agg import sorted_group_agg
+
+    in_schema = pa.schema([("doc_id", pa.int64()), ("h1", pa.int64()),
+                           ("h2", pa.int64()), ("source", pa.string())])
+
+    def hash_src(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return in_schema.empty_table()
+        h = _hash_text(t)
+        return pa.table({"doc_id": h["doc_id"], "h1": h["h1"],
+                         "h2": h["h2"],
+                         "source": pc.fill_null(t["source"], "")})
+
+    hashed = docs.select_columns(["doc_id", "text", "source"]).map_batches(
+        hash_src, batch_format="pyarrow")
+    per_src = sorted_group_agg(
+        hashed, key=["h1", "h2", "source"],
+        aggs={"n": "count", "rep": ("doc_id", "min")},
+        num_blocks=max(num_partitions, auto_blocks()),
+        schema=in_schema)
+    per_text = sorted_group_agg(
+        per_src, key=["h1", "h2"],
+        aggs={"n_copies": ("n", "sum"), "n_sources": "count",
+              "rep_doc": ("rep", "min")},
+        schema=pa.schema([("h1", pa.int64()), ("h2", pa.int64()),
+                          ("source", pa.string()), ("n", pa.int64()),
+                          ("rep", pa.int64())]))
+
+    def project(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "rep_doc" not in t.column_names:
+            return CROSS_SOURCE_SCHEMA.empty_table()
+        n_src = pc.cast(t["n_sources"], pa.int64())
+        return pa.table({
+            "rep_doc": pc.cast(t["rep_doc"], pa.int64()),
+            "n_copies": pc.cast(t["n_copies"], pa.int64()),
+            "n_sources": n_src,
+            "is_cross_source": pc.greater(n_src, 1),
+        })
+
+    return stamp_schema(
+        per_text.map_batches(project, batch_format="pyarrow"),
+        CROSS_SOURCE_SCHEMA)
+
+
 _NK1 = "smqtk-ray-norm01"        # hash keys must be exactly 16 bytes
 _NK2 = "smqtk-ray-norm02"
 

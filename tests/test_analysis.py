@@ -59,6 +59,31 @@ class TestTextAnalysis:
         assert dict(zip(df.doc_id, df.cluster_size)) == {
             0: 2, 1: 2, 2: 1, 3: 1, 4: 1}
 
+    def test_cross_source_dups(self):
+        """Planted cross-source duplicates, split across blocks so both
+        sorted aggregations see boundary-straddling groups."""
+        import ray.data as rd
+
+        from smqtk_indexing_ray.pipelines.analysis import cross_source_dups
+        texts = (["syndicated article body"] * 4      # 3 sources, 4 copies
+                 + ["single source template"] * 3     # 1 source, 3 copies
+                 + ["unique page"])
+        sources = ["cc", "cc", "news", "wiki",
+                   "cc", "cc", "cc",
+                   "wiki"]
+        docs = rd.from_arrow(pa.table({
+            "doc_id": pa.array(range(8), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "source": pa.array(sources, pa.string()),
+        })).repartition(4)
+        df = cross_source_dups(docs).to_pandas().set_index("rep_doc")
+        assert len(df) == 3
+        assert df.loc[0, "n_copies"] == 4 and df.loc[0, "n_sources"] == 3
+        assert bool(df.loc[0, "is_cross_source"])
+        assert df.loc[4, "n_copies"] == 3 and df.loc[4, "n_sources"] == 1
+        assert not bool(df.loc[4, "is_cross_source"])
+        assert df.loc[7, "n_copies"] == 1 and df.loc[7, "n_sources"] == 1
+
     def test_normalized_cluster_labels(self):
         """Case/whitespace tier vs the DuckDB window oracle on
         adversarial rows: case-only dups, whitespace-only dups, a

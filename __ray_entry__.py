@@ -979,6 +979,15 @@ def _q_tfidf_top_terms(sf_dir: str):
     return tfidf_top_terms(_docs(sf_dir), k=3)
 
 
+def _q_source_vocab_overlap(sf_dir: str):
+    """Pairwise vocabulary Jaccard between sources: batch-distinct
+    (term, source) partials -> one vocabulary-sized sorted distinct ->
+    join-free per-term source pairs (runs <= #sources) -> pair-count
+    sort; the final #sources**2-bounded assembly is driver-side."""
+    from smqtk_indexing_ray.pipelines.terms import source_vocab_overlap
+    return source_vocab_overlap(_docs(sf_dir))
+
+
 def _q_token_chunks(sf_dir: str):
     """Fixed-token-budget shard assignment (budget=512): exact global
     running token total in doc_id order via the O(blocks)
@@ -1317,6 +1326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_signals": _q_repetition_signals,
         "token_entropy": _q_token_entropy,
         "term_frequencies": _q_term_frequencies,
+        "source_vocab_overlap": _q_source_vocab_overlap,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "token_chunks": _q_token_chunks,
         "heavy_hitters": _q_heavy_hitters,
@@ -2316,6 +2326,27 @@ def oracle_sql() -> dict[str, str]:
             " count(DISTINCT doc_id) AS df "
             "FROM (SELECT doc_id, unnest(w) AS term FROM toks) "
             "GROUP BY term"
+        ),
+        "source_vocab_overlap": (
+            r"WITH ts AS ("
+            r"  SELECT DISTINCT source, term FROM ("
+            r"    SELECT source,"
+            r"    unnest(list_filter(string_split_regex(text, '\s+'),"
+            r"      x -> x <> '')) AS term FROM documents)"
+            r"), vs AS ("
+            r"  SELECT source, count(*) AS v FROM ts GROUP BY source"
+            r"), i AS ("
+            r"  SELECT a.source AS source_a, b.source AS source_b,"
+            r"  count(*) AS n_common_terms"
+            r"  FROM ts a JOIN ts b ON a.term = b.term"
+            r"    AND a.source < b.source GROUP BY 1, 2"
+            r") "
+            r"SELECT source_a, source_b, n_common_terms,"
+            r" va.v AS vocab_a, vb.v AS vocab_b,"
+            r" CAST(n_common_terms AS DOUBLE)"
+            r"  / (va.v + vb.v - n_common_terms) AS jaccard "
+            r"FROM i JOIN vs va ON va.source = i.source_a "
+            r"JOIN vs vb ON vb.source = i.source_b"
         ),
         "tfidf_top_terms": (
             "WITH " + _TOKS + ", tf AS ("

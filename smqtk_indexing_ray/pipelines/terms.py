@@ -1261,3 +1261,106 @@ def paragraph_dedup(docs, *, words_per_para: int = 10,
 
     return stamp_schema(out.map_batches(finish, batch_format="pyarrow"),
                         PARA_DEDUP_SCHEMA)
+
+
+VOCAB_OVERLAP_SCHEMA = pa.schema([
+    ("source_a", pa.string()), ("source_b", pa.string()),
+    ("n_common_terms", pa.int64()),
+    ("vocab_a", pa.int64()), ("vocab_b", pa.int64()),
+    ("jaccard", pa.float64()),
+])
+
+_SRC_TERM_SCHEMA = pa.schema([
+    ("term", pa.string()), ("source", pa.string()),
+])
+
+
+def _src_term_partial(t: pa.Table) -> pa.Table:
+    """Distinct (term, source) pairs seen in one batch — the partial
+    that keeps the global distinct sort vocabulary-sized, never
+    token-stream-sized."""
+    n = t.num_rows
+    if n == 0:
+        return _SRC_TERM_SCHEMA.empty_table()
+    toks, off = tokens_flat(t["text"], lowercase=False)
+    if len(toks) == 0:
+        return _SRC_TERM_SCHEMA.empty_table()
+    counts = np.diff(off)
+    src = pc.fill_null(t["source"].combine_chunks(), "")
+    sd = pc.dictionary_encode(src)
+    if isinstance(sd, pa.ChunkedArray):
+        sd = sd.combine_chunks()
+    s_rep = np.repeat(
+        sd.indices.to_numpy(zero_copy_only=False).astype(np.int64), counts)
+    td = pc.dictionary_encode(toks)
+    if isinstance(td, pa.ChunkedArray):
+        td = td.combine_chunks()
+    tcode = td.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    v = len(td.dictionary)
+    uniq = np.unique(s_rep * v + tcode)
+    return pa.table({
+        "term": td.dictionary.take(pa.array(uniq % v, pa.int64())),
+        "source": sd.dictionary.take(pa.array(uniq // v, pa.int64())),
+    }, schema=_SRC_TERM_SCHEMA)
+
+
+def source_vocab_overlap(docs):
+    """Pairwise vocabulary Jaccard between sources — the
+    domain-contamination / register-drift scan (how much of source A's
+    vocabulary also appears in source B's).
+
+    Shape: per-batch distinct (term, source) partials, one sorted
+    global distinct, then join-free source pairs per term
+    (``stages/pairs.sorted_self_pairs`` — runs are at most #sources
+    long) and a pair-count sort.  The final assembly joins two tables
+    bounded by #sources and #sources**2 rows on the driver, never data.
+    Only pairs sharing at least one term are emitted (matching the
+    inner-join oracle).
+
+    Output: ``source_a, source_b (a < b), n_common_terms, vocab_a,
+    vocab_b, jaccard`` — jaccard an exact int64 ratio
+    ``common / (vocab_a + vocab_b - common)``.
+    """
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+
+    from smqtk_indexing_ray.stages.agg import sorted_group_agg
+    from smqtk_indexing_ray.stages.pairs import sorted_self_pairs
+
+    partial = docs.select_columns(["text", "source"]).map_batches(
+        _src_term_partial, batch_format="pyarrow")
+    distinct = sorted_group_agg(
+        partial, key=["term", "source"], aggs={"n": "count"},
+        schema=_SRC_TERM_SCHEMA).select_columns(
+        ["term", "source"]).materialize()   # vocabulary-bounded
+
+    vocab_sizes = sorted_group_agg(
+        distinct, key="source", aggs={"v": "count"},
+        schema=_SRC_TERM_SCHEMA)
+    pairs = sorted_self_pairs(
+        distinct, key="term", item="source", schema=_SRC_TERM_SCHEMA)
+    pair_counts = sorted_group_agg(
+        pairs, key=["source_a", "source_b"],
+        aggs={"n_common_terms": "count"},
+        schema=pa.schema([("source_a", pa.string()),
+                          ("source_b", pa.string())]))
+
+    # both tables are bounded by the number of sources, not the data
+    vs = {r["source"]: int(r["v"]) for r in vocab_sizes.take_all()}
+    rows = pair_counts.take_all()
+    if not rows:
+        return VOCAB_OVERLAP_SCHEMA.empty_table()
+    sa = [r["source_a"] for r in rows]
+    sb = [r["source_b"] for r in rows]
+    inter = np.array([int(r["n_common_terms"]) for r in rows], np.int64)
+    va = np.array([vs[s] for s in sa], np.int64)
+    vb = np.array([vs[s] for s in sb], np.int64)
+    return pa.table({
+        "source_a": pa.array(sa, pa.string()),
+        "source_b": pa.array(sb, pa.string()),
+        "n_common_terms": pa.array(inter),
+        "vocab_a": pa.array(va),
+        "vocab_b": pa.array(vb),
+        "jaccard": pa.array(inter.astype(np.float64)
+                            / (va + vb - inter).astype(np.float64)),
+    }, schema=VOCAB_OVERLAP_SCHEMA)

@@ -528,3 +528,56 @@ def test_paragraph_dedup_validation(ray_session):
     })
     with pytest.raises(Exception, match="2\\^42"):
         _table(paragraph_dedup(rd.from_arrow(big), words_per_para=2))
+
+
+def test_source_vocab_overlap(ray_session):
+    """Hand-computable pairwise vocab Jaccard: s0={the,cat,sat,on,mat},
+    s1={cat,the,sat,on,mat}, s2={one..six,alpha,beta,gamma} — s0/s1
+    identical vocab, s2 disjoint (so the s2 pairs are absent)."""
+    from smqtk_indexing_ray.pipelines.terms import source_vocab_overlap
+    got = source_vocab_overlap(_ds(DOCS)).to_pandas()
+    assert len(got) == 1  # only s0-s1 share terms
+    r = got.iloc[0]
+    assert (r.source_a, r.source_b) == ("s0", "s1")
+    assert r.vocab_a == 5 and r.vocab_b == 5  # {the,cat,sat,on,mat}
+    assert r.n_common_terms == 5
+    assert r.jaccard == 1.0
+
+
+def test_source_vocab_overlap_matches_duckdb(ray_session):
+    """Randomized corpus parity vs the exact oracle SQL shape, with
+    groups straddling blocks."""
+    import ray.data as rd
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(40)]
+    srcs = ["a", "b", "c", "d"]
+    rows = []
+    for i in range(60):
+        words = rng.choice(vocab, size=rng.integers(3, 12))
+        rows.append((i, " ".join(words), "en",
+                     srcs[int(rng.integers(0, 4))], 0))
+    docs = _ds(rows).repartition(5)
+    from smqtk_indexing_ray.pipelines.terms import source_vocab_overlap
+    got = source_vocab_overlap(docs).to_pandas().sort_values(
+        ["source_a", "source_b"], ignore_index=True)
+    con = duckdb.connect()
+    con.register("documents", pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "source": pa.array([r[3] for r in rows], pa.string()),
+    }))
+    exp = con.execute(r"""WITH ts AS (SELECT DISTINCT source, term FROM (
+      SELECT source, unnest(list_filter(string_split_regex(text,'\s+'),
+        x -> x<>'')) AS term FROM documents)),
+    vs AS (SELECT source, count(*) AS v FROM ts GROUP BY source),
+    i AS (SELECT a.source AS source_a, b.source AS source_b,
+          count(*) AS n_common_terms FROM ts a JOIN ts b
+          ON a.term = b.term AND a.source < b.source GROUP BY 1,2)
+    SELECT source_a, source_b, n_common_terms, va.v AS vocab_a,
+      vb.v AS vocab_b, CAST(n_common_terms AS DOUBLE)
+        / (va.v + vb.v - n_common_terms) AS jaccard
+    FROM i JOIN vs va ON va.source = i.source_a
+    JOIN vs vb ON vb.source = i.source_b
+    ORDER BY source_a, source_b""").df()
+    import pandas as pd
+    pd.testing.assert_frame_equal(got, exp)

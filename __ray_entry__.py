@@ -924,6 +924,16 @@ def _q_euclidean_topk(sf_dir: str):
     return euclidean_topk(_emb(sf_dir), n_queries=16, k=10)
 
 
+def _q_quantize_embeddings(sf_dir: str):
+    """Per-dim min/max scalar quantization to uint8 codes (the 4x
+    vector-compression stage): bounded (dim, min, max) partial reduce +
+    one broadcast coding pass; code sum/min/max exact int64, max
+    reconstruction error order-identical to the SQL float expression
+    then round6."""
+    from smqtk_indexing_ray.pipelines.ann import quantize_embeddings
+    return quantize_embeddings(_emb(sf_dir))
+
+
 def _q_ivf_topk(sf_dir: str):
     """IVF-list approximate top-k (FAISS-IVF analog; recall-vs-brute-force
     asserted in tests) — rows-only."""
@@ -1303,6 +1313,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_topk": _q_ivf_topk,
         "mrpt_topk": _q_mrpt_topk,
         "euclidean_topk": _q_euclidean_topk,
+        "quantize_embeddings": _q_quantize_embeddings,
         "sessionize": _q_sessionize,
         "session_join": _q_session_join,
         "asof_join": _q_asof_join,
@@ -2230,6 +2241,35 @@ def oracle_sql() -> dict[str, str]:
             "  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id "
             "  WHERE q.vec_id < 16"
             ") WHERE rank <= 10"
+        ),
+        "quantize_embeddings": (
+            "WITH e AS ("
+            "  SELECT vec_id, unnest(embedding) AS x,"
+            "  unnest(generate_series(1, len(embedding))) AS dim"
+            "  FROM embeddings"
+            "), mm AS ("
+            "  SELECT dim, min(x) AS mn, max(x) AS mx FROM e GROUP BY dim"
+            "), q AS ("
+            "  SELECT vec_id, CAST(e.x AS DOUBLE) AS xd,"
+            "  CAST(mm.mn AS DOUBLE) AS mnd, CAST(mm.mx AS DOUBLE) AS mxd,"
+            "  CASE WHEN mm.mx > mm.mn THEN least(greatest(floor("
+            "    (CAST(e.x AS DOUBLE) - CAST(mm.mn AS DOUBLE)) * 256.0"
+            "    / (CAST(mm.mx AS DOUBLE) - CAST(mm.mn AS DOUBLE))),"
+            "    0.0), 255.0) ELSE 0.0 END AS code"
+            "  FROM e JOIN mm USING (dim)"
+            "), r AS ("
+            "  SELECT vec_id, CAST(code AS BIGINT) AS c,"
+            "  CASE WHEN mxd > mnd THEN"
+            "    abs(xd - (mnd + (code + 0.5) * (mxd - mnd) / 256.0))"
+            "  ELSE 0.0 END AS err FROM q"
+            "), agg AS ("
+            "  SELECT vec_id, CAST(sum(c) AS BIGINT) AS code_sum,"
+            "  min(c) AS code_min, max(c) AS code_max,"
+            "  round(max(err), 6) AS max_abs_err FROM r GROUP BY vec_id"
+            ") "
+            "SELECT a.vec_id, CAST(len(e2.embedding) AS BIGINT) AS n_dims, "
+            "a.code_sum, a.code_min, a.code_max, a.max_abs_err "
+            "FROM agg a JOIN embeddings e2 ON a.vec_id = e2.vec_id"
         ),
         "substring_containment": (
             "SELECT a.doc_id AS contained, min(b.doc_id) AS container "

@@ -175,3 +175,57 @@ class TestMrpt:
         b = mrpt_topk(emb, n_queries=4, k=3).to_pandas().sort_values(
             ["query_id", "rank"], ignore_index=True)
         assert a.equals(b)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestQuantize:
+    def test_matches_bruteforce(self):
+        """Codes/digests vs a plain numpy reimplementation, including a
+        constant dimension (mx == mn -> code 0, zero error) and blocks
+        split so the min/max partials must reduce across batches."""
+        import ray.data as rd
+
+        from smqtk_indexing_ray.functions.metrics import round6
+        from smqtk_indexing_ray.pipelines.ann import quantize_embeddings
+        rng = np.random.default_rng(3)
+        n, d = 50, 6
+        m = rng.standard_normal((n, d)).astype(np.float32)
+        m[:, 2] = 1.5                       # constant dimension
+        ds = rd.from_arrow(pa.table({
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array([list(r) for r in m],
+                                  pa.list_(pa.float32())),
+        })).repartition(5)
+        got = quantize_embeddings(ds).to_pandas().sort_values(
+            "vec_id", ignore_index=True)
+        x = m.astype(np.float64)
+        mn, mx = x.min(axis=0), x.max(axis=0)
+        rng_ = mx - mn
+        live = rng_ > 0
+        q = np.where(live[None, :],
+                     np.clip(np.floor((x - mn) * 256.0
+                                      / np.where(live, rng_, 1.0)),
+                             0, 255), 0.0)
+        deq = mn + (q + 0.5) * rng_ / 256.0
+        err = np.where(live[None, :], np.abs(x - deq), 0.0)
+        qi = q.astype(np.int64)
+        assert list(got.n_dims) == [d] * n
+        assert list(got.code_sum) == list(qi.sum(axis=1))
+        assert list(got.code_min) == list(qi.min(axis=1))
+        assert list(got.code_max) == list(qi.max(axis=1))
+        assert list(got.max_abs_err) == list(round6(err.max(axis=1)))
+        # constant dim coded 0 everywhere, and it never drives the error
+        assert (qi[:, 2] == 0).all() and (err[:, 2] == 0).all()
+
+    def test_extremes_hit_code_bounds(self):
+        """The per-dim min codes to 0 and the max to levels-1."""
+        import ray.data as rd
+
+        from smqtk_indexing_ray.pipelines.ann import quantize_embeddings
+        ds = rd.from_arrow(pa.table({
+            "vec_id": pa.array([0, 1], pa.int64()),
+            "embedding": pa.array([[0.0], [1.0]], pa.list_(pa.float32())),
+        }))
+        got = quantize_embeddings(ds).to_pandas().set_index("vec_id")
+        assert got.loc[0, "code_min"] == 0 and got.loc[0, "code_max"] == 0
+        assert got.loc[1, "code_min"] == 255 and got.loc[1, "code_max"] == 255

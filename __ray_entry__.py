@@ -989,6 +989,18 @@ def _q_tfidf_top_terms(sf_dir: str):
     return tfidf_top_terms(_docs(sf_dir), k=3)
 
 
+_BM25_QUERY = "spark window batch stream"
+
+
+def _q_bm25_topk(sf_dir: str):
+    """BM25 retrieval top-20 for a fixed seed query: bounded
+    (df, N, avgdl) partial reduce, broadcast scoring pass with
+    per-batch candidate cut on the final (round6(score) DESC, doc_id)
+    ordering, k x n_batches exact merge."""
+    from smqtk_indexing_ray.pipelines.terms import bm25_topk
+    return bm25_topk(_docs(sf_dir), _BM25_QUERY, k=20)
+
+
 def _q_source_vocab_overlap(sf_dir: str):
     """Pairwise vocabulary Jaccard between sources: batch-distinct
     (term, source) partials -> one vocabulary-sized sorted distinct ->
@@ -1338,6 +1350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_entropy": _q_token_entropy,
         "term_frequencies": _q_term_frequencies,
         "source_vocab_overlap": _q_source_vocab_overlap,
+        "bm25_topk": _q_bm25_topk,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "token_chunks": _q_token_chunks,
         "heavy_hitters": _q_heavy_hitters,
@@ -2366,6 +2379,31 @@ def oracle_sql() -> dict[str, str]:
             " count(DISTINCT doc_id) AS df "
             "FROM (SELECT doc_id, unnest(w) AS term FROM toks) "
             "GROUP BY term"
+        ),
+        "bm25_topk": (
+            r"WITH " + _TOKS + r", "
+            r"dl AS (SELECT doc_id, len(w) AS dl FROM toks), "
+            r"stats AS (SELECT count(*) AS n,"
+            r"  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl), "
+            r"tf AS (SELECT doc_id, term, count(*) AS tf FROM ("
+            r"    SELECT doc_id, unnest(w) AS term FROM toks)"
+            r"  WHERE term IN ('spark', 'window', 'batch', 'stream')"
+            r"  GROUP BY doc_id, term), "
+            r"dfs AS (SELECT term, count(DISTINCT doc_id) AS df"
+            r"  FROM tf GROUP BY term), "
+            r"sc AS (SELECT tf.doc_id, sum("
+            r"    ln((s.n - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)"
+            r"    * (tf.tf * (1.2 + 1.0))"
+            r"    / (tf.tf + 1.2 * ((1.0 - 0.75)"
+            r"        + 0.75 * dl.dl / s.avgdl))) AS score"
+            r"  FROM tf JOIN dfs USING (term)"
+            r"  JOIN dl ON dl.doc_id = tf.doc_id"
+            r"  CROSS JOIN stats s GROUP BY tf.doc_id) "
+            r"SELECT doc_id, rank, score FROM ("
+            r"  SELECT doc_id, round(score, 6) AS score,"
+            r"  CAST(row_number() OVER (ORDER BY round(score, 6) DESC,"
+            r"    doc_id) AS BIGINT) AS rank FROM sc"
+            r") WHERE rank <= 20"
         ),
         "source_vocab_overlap": (
             r"WITH ts AS ("

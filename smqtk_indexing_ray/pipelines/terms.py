@@ -1364,3 +1364,155 @@ def source_vocab_overlap(docs):
         "jaccard": pa.array(inter.astype(np.float64)
                             / (va + vb - inter).astype(np.float64)),
     }, schema=VOCAB_OVERLAP_SCHEMA)
+
+
+BM25_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()), ("rank", pa.int64()),
+    ("score", pa.float64()),
+])
+
+#: Query-term gate: BM25 broadcasts one (term, df) row per distinct
+#: query term to every scoring task — fine for retrieval queries,
+#: wrong for document-sized ones.
+BM25_MAX_QUERY_TERMS = 256
+
+
+def bm25_topk(docs, query: str, *, k: int = 20,
+              k1: float = 1.2, b: float = 0.75):
+    """BM25 retrieval (Robertson & Zaragoza 2009, public): top-``k``
+    documents for a query string — the seed-corpus relevance filter
+    (score a 100 TB crawl against a quality query, keep the tail).
+
+    Two passes.  Pass 1 streams bounded partials — per-batch doc count,
+    token-count sum, and per-query-term document frequency (at most
+    ``len(query_terms) + 1`` rows per batch) — reduced on the driver.
+    Pass 2 broadcasts the tiny (idf, N, avgdl) state in the task
+    closure, scores batches vectorized over the (doc, term) run stream,
+    rounds (``round6``, the oracle contract), and keeps only ``k``
+    candidates per batch, so the final exact merge orders
+    ``k x n_batches`` rows, never the corpus.  Distinct query terms
+    (query term frequency ignored); ordering ``(round6(score) DESC,
+    doc_id ASC)`` on BOTH sides of the oracle, so ties are exact.
+
+    Float-parity notes: constants are combined identically to the SQL
+    text ((k1 + 1.0), (1.0 - b)); idf/tf/length factors are evaluated
+    in the same operation order; only the cross-term sum's association
+    order differs, absorbed by round6 (the token_entropy precedent).
+    """
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+
+    from smqtk_indexing_ray.functions.metrics import round6
+
+    q_terms = sorted(set(query.split()))
+    if not q_terms:
+        raise ValueError("bm25_topk: query has no terms")
+    if len(q_terms) > BM25_MAX_QUERY_TERMS:
+        raise ValueError(
+            f"bm25_topk: {len(q_terms)} query terms exceeds "
+            f"BM25_MAX_QUERY_TERMS={BM25_MAX_QUERY_TERMS}")
+    q_sorted = np.array(q_terms, dtype=object)
+    q_set = pa.array(q_terms, pa.string())
+
+    part_schema = pa.schema([("term", pa.string()), ("df", pa.int64()),
+                             ("n_docs", pa.int64()),
+                             ("dl_sum", pa.int64())])
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return part_schema.empty_table()
+        flat, off = tokens_flat(t["text"], lowercase=False)
+        rows_term = [None]
+        rows_df = [0]
+        if len(flat):
+            m = pc.is_in(flat, value_set=q_set).to_numpy(
+                zero_copy_only=False)
+            if m.any():
+                hit = flat.filter(pa.array(m))
+                hit_doc = np.repeat(np.arange(n), np.diff(off))[m]
+                hit_code = np.searchsorted(
+                    q_sorted,
+                    hit.to_numpy(zero_copy_only=False).astype(object))
+                # distinct (doc, term) -> df partial per term
+                uniq = np.unique(hit_doc * len(q_terms) + hit_code)
+                dfp = np.bincount(uniq % len(q_terms),
+                                  minlength=len(q_terms))
+                for i, term in enumerate(q_terms):
+                    if dfp[i]:
+                        rows_term.append(term)
+                        rows_df.append(int(dfp[i]))
+        return pa.table({
+            "term": pa.array(rows_term, pa.string()),
+            "df": pa.array(rows_df, pa.int64()),
+            "n_docs": pa.array([n] + [0] * (len(rows_term) - 1),
+                               pa.int64()),
+            "dl_sum": pa.array([int(len(flat))] + [0]
+                               * (len(rows_term) - 1), pa.int64()),
+        }, schema=part_schema)
+
+    parts = docs.select_columns(["text"]).map_batches(
+        stats_partial, batch_format="pyarrow").take_all()
+    n_corpus = sum(int(r["n_docs"]) for r in parts)
+    dl_sum = sum(int(r["dl_sum"]) for r in parts)
+    df = dict.fromkeys(q_terms, 0)
+    for r in parts:
+        if r["term"] is not None:
+            df[r["term"]] += int(r["df"])
+    if n_corpus == 0:
+        return BM25_SCHEMA.empty_table()
+    avgdl = float(dl_sum) / float(n_corpus)
+    dfv = np.array([df[term] for term in q_terms], np.float64)
+    idf = np.log((float(n_corpus) - dfv + 0.5) / (dfv + 0.5) + 1.0)
+    k1p1 = k1 + 1.0
+    one_m_b = 1.0 - b
+
+    cand_schema = pa.schema([("doc_id", pa.int64()),
+                             ("score", pa.float64())])
+
+    def score(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return cand_schema.empty_table()
+        (vocab, _, _, _, s_code, run_starts, run_len, run_doc,
+         counts) = _doc_term_runs(t["text"], n)
+        if not len(run_starts):
+            return cand_schema.empty_table()
+        batch_terms = vocab.to_numpy(zero_copy_only=False).astype(object)
+        pos = np.searchsorted(q_sorted, batch_terms)
+        pos_c = np.minimum(pos, len(q_terms) - 1)
+        is_q = q_sorted[pos_c] == batch_terms
+        rt = s_code[run_starts]            # term code per run
+        keep = is_q[rt]
+        if not keep.any():
+            return cand_schema.empty_table()
+        rt = rt[keep]
+        tf = run_len[keep].astype(np.float64)
+        rdoc = run_doc[keep]
+        dl = counts[rdoc].astype(np.float64)
+        contrib = idf[pos_c[rt]] * (tf * k1p1) / (
+            tf + k1 * (one_m_b + b * dl / avgdl))
+        sc = np.zeros(n, dtype=np.float64)
+        np.add.at(sc, rdoc, contrib)
+        hit_docs = np.unique(rdoc)
+        sc6 = round6(sc[hit_docs])
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)[hit_docs]
+        # per-batch candidate cut on the FINAL ordering criterion
+        order = np.lexsort((ids, -sc6))[:k]
+        return pa.table({
+            "doc_id": pa.array(ids[order].astype(np.int64)),
+            "score": pa.array(sc6[order]),
+        }, schema=cand_schema)
+
+    cands = docs.select_columns(["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow").take_all()   # <= k per batch
+    if not cands:
+        return BM25_SCHEMA.empty_table()
+    ids = np.array([r["doc_id"] for r in cands], np.int64)
+    sc = np.array([r["score"] for r in cands], np.float64)
+    order = np.lexsort((ids, -sc))[:k]
+    return pa.table({
+        "doc_id": pa.array(ids[order]),
+        "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+        "score": pa.array(sc[order]),
+    }, schema=BM25_SCHEMA)

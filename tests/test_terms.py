@@ -581,3 +581,68 @@ def test_source_vocab_overlap_matches_duckdb(ray_session):
     ORDER BY source_a, source_b""").df()
     import pandas as pd
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_bm25_topk_matches_duckdb(ray_session):
+    """Randomized corpus parity with the oracle SQL shape, including
+    docs with zero query-term hits (absent on both sides), empty docs,
+    and score ties broken by doc_id."""
+    import ray.data as rd
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(20)] + ["spark", "window"]
+    rows = []
+    for i in range(80):
+        words = rng.choice(vocab, size=rng.integers(0, 15))
+        rows.append((i, " ".join(words), "en", "s0", 0))
+    rows.append((80, "spark spark spark", "en", "s0", 0))
+    rows.append((81, "spark spark spark", "en", "s0", 0))  # tie with 80
+    docs = _ds(rows).repartition(6)
+    from smqtk_indexing_ray.pipelines.terms import bm25_topk
+    got = bm25_topk(docs, "spark window missingterm", k=10).to_pandas()
+    con = duckdb.connect()
+    con.register("documents", pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    }))
+    exp = con.execute(r"""
+WITH toks AS (SELECT doc_id,
+  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+  FROM documents),
+dl AS (SELECT doc_id, len(w) AS dl FROM toks),
+stats AS (SELECT count(*) AS n,
+  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM (
+    SELECT doc_id, unnest(w) AS term FROM toks)
+  WHERE term IN ('spark', 'window', 'missingterm')
+  GROUP BY doc_id, term),
+dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+sc AS (SELECT tf.doc_id, sum(
+    ln((s.n - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
+    * (tf.tf * (1.2 + 1.0))
+    / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / s.avgdl))) AS score
+  FROM tf JOIN dfs USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s GROUP BY tf.doc_id)
+SELECT doc_id, rank, score FROM (
+  SELECT doc_id, round(score, 6) AS score,
+  CAST(row_number() OVER (ORDER BY round(score, 6) DESC, doc_id)
+    AS BIGINT) AS rank FROM sc) WHERE rank <= 10 ORDER BY rank
+""").df()
+    import pandas as pd
+    pd.testing.assert_frame_equal(got.to_pandas() if hasattr(got, "to_pandas")
+                                  else got, exp)
+    # the planted tie: equal scores, doc_id 80 ranked before 81
+    r80 = got[got.doc_id == 80]
+    r81 = got[got.doc_id == 81]
+    if len(r80) and len(r81):
+        assert float(r80.score.iloc[0]) == float(r81.score.iloc[0])
+        assert int(r80["rank"].iloc[0]) < int(r81["rank"].iloc[0])
+
+
+def test_bm25_validation(ray_session):
+    from smqtk_indexing_ray.pipelines.terms import (
+        BM25_MAX_QUERY_TERMS, bm25_topk)
+    with pytest.raises(ValueError, match="no terms"):
+        bm25_topk(_ds(DOCS), "   ")
+    big = " ".join(f"t{i}" for i in range(BM25_MAX_QUERY_TERMS + 1))
+    with pytest.raises(ValueError, match="MAX_QUERY_TERMS"):
+        bm25_topk(_ds(DOCS), big)

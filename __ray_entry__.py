@@ -989,6 +989,21 @@ def _q_tfidf_top_terms(sf_dir: str):
     return tfidf_top_terms(_docs(sf_dir), k=3)
 
 
+def _q_top_terms_per_lang(sf_dir: str):
+    """Per-language top-10 terms (cnt DESC, term ASC): vocabulary-sized
+    partials -> one sorted sum -> the distributed per-group rank stage."""
+    from smqtk_indexing_ray.pipelines.terms import top_terms_per_lang
+    return top_terms_per_lang(_docs(sf_dir), k=10)
+
+
+def _q_length_zscores(sf_dir: str):
+    """Per-language n_chars z-scores: exact arbitrary-precision integer
+    moments folded on the driver, broadcast scoring pass, float ops
+    order-identical to the SQL form then round6."""
+    from smqtk_indexing_ray.pipelines.analysis import length_zscores
+    return length_zscores(_docs(sf_dir))
+
+
 _BM25_QUERY = "spark window batch stream"
 
 
@@ -1351,6 +1366,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_frequencies": _q_term_frequencies,
         "source_vocab_overlap": _q_source_vocab_overlap,
         "bm25_topk": _q_bm25_topk,
+        "top_terms_per_lang": _q_top_terms_per_lang,
+        "length_zscores": _q_length_zscores,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "token_chunks": _q_token_chunks,
         "heavy_hitters": _q_heavy_hitters,
@@ -2379,6 +2396,35 @@ def oracle_sql() -> dict[str, str]:
             " count(DISTINCT doc_id) AS df "
             "FROM (SELECT doc_id, unnest(w) AS term FROM toks) "
             "GROUP BY term"
+        ),
+        "top_terms_per_lang": (
+            r"WITH t AS ("
+            r"  SELECT lang, unnest(list_filter("
+            r"    string_split_regex(text, '\s+'), x -> x <> '')) AS term"
+            r"  FROM documents"
+            r"), c AS ("
+            r"  SELECT lang, term, count(*) AS cnt FROM t GROUP BY 1, 2"
+            r") "
+            r"SELECT lang, term, cnt, rank FROM ("
+            r"  SELECT lang, term, cnt,"
+            r"  CAST(row_number() OVER (PARTITION BY lang"
+            r"    ORDER BY cnt DESC, term) AS BIGINT) AS rank FROM c"
+            r") WHERE rank <= 10"
+        ),
+        "length_zscores": (
+            "WITH st AS ("
+            "  SELECT coalesce(lang, '') AS lang, count(*) AS n,"
+            "  CAST(sum(CAST(n_chars AS HUGEINT)) AS DOUBLE) AS s,"
+            "  CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) AS DOUBLE)"
+            "    AS ss"
+            "  FROM documents GROUP BY 1"
+            ") "
+            "SELECT d.doc_id, coalesce(d.lang, '') AS lang, d.n_chars, "
+            "CASE WHEN (st.ss - st.s * st.s / st.n) / st.n > 0 "
+            "THEN round((CAST(d.n_chars AS DOUBLE) - st.s / st.n)"
+            "  / sqrt((st.ss - st.s * st.s / st.n) / st.n), 6) "
+            "ELSE 0.0 END AS z_len "
+            "FROM documents d JOIN st ON st.lang = coalesce(d.lang, '')"
         ),
         "bm25_topk": (
             r"WITH " + _TOKS + r", "

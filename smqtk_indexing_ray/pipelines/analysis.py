@@ -1710,3 +1710,91 @@ def dominant_source_per_lang(docs):
     top = top_k_per_group(agg, group="lang", order="n_docs",
                           tiebreak="source", k=1, schema=part_schema)
     return top.select_columns(["lang", "source", "n_docs"])
+
+
+ZSCORE_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()), ("lang", pa.string()),
+    ("n_chars", pa.int64()), ("z_len", pa.float64()),
+])
+
+
+def length_zscores(docs):
+    """Per-language length standardization: attach each doc's
+    population z-score of ``n_chars`` within its language — the
+    group-normalized outlier signal (a 50k-char doc is ordinary in one
+    register, 6 sigma in another).
+
+    Pass 1 streams per-batch integer moment partials
+    ``(lang, n, sum, sum_sq)`` (langs x batches rows) and folds them in
+    arbitrary-precision Python ints on the driver, so the moments stay
+    exact at any corpus size (an int64 sum of squares would wrap at
+    design scale).  Pass 2 broadcasts the tiny per-lang stats and
+    evaluates mean / population-variance / z in the same float64
+    operation order as the SQL oracle (``(x - s/n) /
+    sqrt((ss - s*s/n)/n)``, through ``round6``); zero-variance groups
+    emit z = 0 on both sides.
+    """
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+
+    from smqtk_indexing_ray.functions.metrics import round6
+
+    part_schema = pa.schema([("lang", pa.string()), ("n", pa.int64()),
+                             ("s", pa.int64()), ("ss", pa.int64())])
+
+    def moments(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        lang = pc.fill_null(t["lang"].combine_chunks(), "")
+        ld = pc.dictionary_encode(lang)
+        if isinstance(ld, pa.ChunkedArray):
+            ld = ld.combine_chunks()
+        code = ld.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        x = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = len(ld.dictionary)
+        n = np.bincount(code, minlength=g).astype(np.int64)
+        s = np.zeros(g, np.int64)
+        ss = np.zeros(g, np.int64)
+        np.add.at(s, code, x)
+        np.add.at(ss, code, x * x)
+        return pa.table({"lang": ld.dictionary, "n": pa.array(n),
+                         "s": pa.array(s), "ss": pa.array(ss)},
+                        schema=part_schema)
+
+    parts = docs.select_columns(["lang", "n_chars"]).map_batches(
+        moments, batch_format="pyarrow").take_all()
+    stats: dict[str, list[int]] = {}
+    for r in parts:
+        acc = stats.setdefault(r["lang"], [0, 0, 0])
+        acc[0] += int(r["n"])
+        acc[1] += int(r["s"])
+        acc[2] += int(r["ss"])
+    langs = sorted(stats)
+    mean = {}
+    std = {}
+    for lg in langs:
+        n, s, ss = stats[lg]
+        m = float(s) / n
+        var = (float(ss) - float(s) * float(s) / n) / n
+        mean[lg] = m
+        std[lg] = float(np.sqrt(var)) if var > 0 else 0.0
+
+    def z(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return ZSCORE_SCHEMA.empty_table()
+        lang = pc.fill_null(t["lang"].combine_chunks(), "")
+        lg = lang.to_numpy(zero_copy_only=False).astype(object)
+        mu = np.array([mean[v] for v in lg], np.float64)
+        sd = np.array([std[v] for v in lg], np.float64)
+        x = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        zs = np.where(sd > 0,
+                      round6((x - mu) / np.where(sd > 0, sd, 1.0)), 0.0)
+        return pa.table({
+            "doc_id": t["doc_id"], "lang": lang,
+            "n_chars": t["n_chars"], "z_len": pa.array(zs),
+        }, schema=ZSCORE_SCHEMA)
+
+    return stamp_schema(
+        docs.select_columns(["doc_id", "lang", "n_chars"]).map_batches(
+            z, batch_format="pyarrow"),
+        ZSCORE_SCHEMA)

@@ -1516,3 +1516,77 @@ def bm25_topk(docs, query: str, *, k: int = 20,
         "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
         "score": pa.array(sc[order]),
     }, schema=BM25_SCHEMA)
+
+
+TOP_TERMS_LANG_SCHEMA = pa.schema([
+    ("lang", pa.string()), ("term", pa.string()),
+    ("cnt", pa.int64()), ("rank", pa.int64()),
+])
+
+_LANG_TERM_SCHEMA = pa.schema([
+    ("lang", pa.string()), ("term", pa.string()), ("cnt", pa.int64()),
+])
+
+
+def _lang_term_partial(t: pa.Table) -> pa.Table:
+    """Per-batch (lang, term, count) partials — vocabulary x langs
+    rows per batch, never the token stream."""
+    n = t.num_rows
+    if n == 0:
+        return _LANG_TERM_SCHEMA.empty_table()
+    toks, off = tokens_flat(t["text"], lowercase=False)
+    if not len(toks):
+        return _LANG_TERM_SCHEMA.empty_table()
+    counts = np.diff(off)
+    lang = pc.fill_null(t["lang"].combine_chunks(), "")
+    ld = pc.dictionary_encode(lang)
+    if isinstance(ld, pa.ChunkedArray):
+        ld = ld.combine_chunks()
+    l_rep = np.repeat(
+        ld.indices.to_numpy(zero_copy_only=False).astype(np.int64), counts)
+    td = pc.dictionary_encode(toks)
+    if isinstance(td, pa.ChunkedArray):
+        td = td.combine_chunks()
+    tcode = td.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    v = len(td.dictionary)
+    uniq, cnts = np.unique(l_rep * v + tcode, return_counts=True)
+    return pa.table({
+        "lang": ld.dictionary.take(pa.array(uniq // v, pa.int64())),
+        "term": td.dictionary.take(pa.array(uniq % v, pa.int64())),
+        "cnt": pa.array(cnts.astype(np.int64)),
+    }, schema=_LANG_TERM_SCHEMA)
+
+
+def top_terms_per_lang(docs, *, k: int = 10):
+    """The ``k`` most frequent terms per language (count DESC, term ASC
+    tiebreak) — the per-register vocabulary profile used to spot
+    boilerplate and template drift per language.
+
+    Batch partials -> one vocabulary-sized sorted sum -> the
+    distributed per-group rank stage (``stages/topk.top_k_per_group``,
+    one sort + boundary carries).  Exact SQL twin:
+    ``row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, term)``.
+    """
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+
+    from smqtk_indexing_ray.stages.agg import sorted_group_agg
+    from smqtk_indexing_ray.stages.topk import top_k_per_group
+
+    partial = docs.select_columns(["text", "lang"]).map_batches(
+        _lang_term_partial, batch_format="pyarrow")
+    g = sorted_group_agg(partial, key=["lang", "term"],
+                         aggs={"cnt": "sum"}, schema=_LANG_TERM_SCHEMA)
+
+    def clean(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "lang" not in t.column_names:
+            return _LANG_TERM_SCHEMA.empty_table()
+        return pa.table({
+            "lang": t["lang"], "term": t["term"],
+            "cnt": pc.cast(t["cnt"], pa.int64()),
+        }, schema=_LANG_TERM_SCHEMA)
+
+    counts = g.map_batches(clean, batch_format="pyarrow")
+    return top_k_per_group(counts, group="lang", order="cnt",
+                           tiebreak="term", k=k,
+                           schema=_LANG_TERM_SCHEMA)

@@ -1212,3 +1212,37 @@ def test_approx_quantiles_id_bound_raises():
     with pytest.raises(Exception, match="2\\*\\*33"):
         approx_quantiles(rd.from_arrow(t), col="n_chars",
                          qs=[0.5], k=10).to_pandas()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_length_zscores_matches_duckdb():
+    """Exact grouped standardization on adversarial groups: a
+    zero-variance language (z=0 everywhere) and a two-doc group."""
+    import duckdb
+    import ray.data as rd
+    from smqtk_indexing_ray.pipelines.analysis import length_zscores
+    t = pa.table({
+        "doc_id": pa.array(range(7), pa.int64()),
+        "lang": pa.array(["en", "en", "en", "de", "de", "zz", "zz"]),
+        "n_chars": pa.array([10, 200, 30, 50, 90, 7, 7], pa.int64()),
+    })
+    got = length_zscores(
+        rd.from_arrow(t).repartition(3)).to_pandas().sort_values(
+        "doc_id", ignore_index=True)
+    con = duckdb.connect()
+    con.register("documents", t)
+    exp = con.execute("""
+WITH st AS (SELECT coalesce(lang, '') AS lang, count(*) AS n,
+  CAST(sum(CAST(n_chars AS HUGEINT)) AS DOUBLE) AS s,
+  CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) AS DOUBLE) AS ss
+  FROM documents GROUP BY 1)
+SELECT d.doc_id, coalesce(d.lang, '') AS lang, d.n_chars,
+  CASE WHEN (st.ss - st.s * st.s / st.n) / st.n > 0
+  THEN round((CAST(d.n_chars AS DOUBLE) - st.s / st.n)
+    / sqrt((st.ss - st.s * st.s / st.n) / st.n), 6)
+  ELSE 0.0 END AS z_len
+FROM documents d JOIN st ON st.lang = coalesce(d.lang, '')
+ORDER BY d.doc_id""").df()
+    import pandas as pd
+    pd.testing.assert_frame_equal(got, exp)
+    assert (got[got.lang == "zz"].z_len == 0.0).all()  # zero variance

@@ -646,3 +646,17 @@ def test_bm25_validation(ray_session):
     big = " ".join(f"t{i}" for i in range(BM25_MAX_QUERY_TERMS + 1))
     with pytest.raises(ValueError, match="MAX_QUERY_TERMS"):
         bm25_topk(_ds(DOCS), big)
+
+
+def test_top_terms_per_lang(ray_session):
+    """Hand-checked grouped top-k with count-tie term-ascending order:
+    en counts: the=4(x2 docs), cat=6, ... fr: alpha=2, beta=2, gamma=1."""
+    from smqtk_indexing_ray.pipelines.terms import top_terms_per_lang
+    got = top_terms_per_lang(_ds(DOCS), k=2).to_pandas()
+    en = got[got.lang == "en"].sort_values("rank")
+    fr = got[got.lang == "fr"].sort_values("rank")
+    assert list(en.term) == ["cat", "the"]       # 6 > 4
+    assert list(en.cnt) == [6, 4]
+    assert list(fr.term) == ["alpha", "beta"]    # tie 2==2, term asc
+    assert list(fr.cnt) == [2, 2]
+    assert list(fr["rank"]) == [1, 2]

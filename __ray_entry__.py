@@ -807,6 +807,17 @@ def _q_window_user_counts(sf_dir: str):
                               window_minutes=60)
 
 
+def _q_trailing_event_counts(sf_dir: str):
+    """RANGE-window trailing per-user event count (24 h): per-(user,ts)
+    multiplicities -> exact prefix cum counts -> ONE backward as-of join
+    resolving +/- signed probes -> per-event signed sum.  No range
+    self-join; every intermediate integer-exact."""
+    import ray.data as rd
+    from smqtk_indexing_ray.pipelines.events import trailing_event_counts
+    return trailing_event_counts(
+        rd.read_parquet(f"{sf_dir}/events.parquet"), window_minutes=1440)
+
+
 def _q_asof_join(sf_dir: str):
     """As-of join: attach each event's latest checkpoint event (every
     10th event_id) at or before its timestamp, per user — exact DuckDB
@@ -1347,6 +1358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_agg": _q_window_agg,
         "window_user_counts": _q_window_user_counts,
         "trailing_active_users": _q_trailing_active_users,
+        "trailing_event_counts": _q_trailing_event_counts,
         "hopping_window_counts": _q_hopping_window_counts,
         "event_seq": _q_event_seq,
         "user_event_gaps": _q_user_event_gaps,
@@ -2240,6 +2252,12 @@ def oracle_sql() -> dict[str, str]:
             "    1800000000)) AS ws"
             "  FROM events"
             ") GROUP BY 1"
+        ),
+        "trailing_event_counts": (
+            "SELECT event_id, user_id, ts, "
+            "CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL 24 HOUR PRECEDING AND CURRENT ROW) "
+            "AS BIGINT) AS n_window FROM events"
         ),
         "trailing_active_users": (
             "WITH ud AS ("

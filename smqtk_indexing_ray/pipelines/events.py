@@ -1097,3 +1097,158 @@ def trailing_active_users(events, *, window_days: int = 7):
         }, schema=out_schema)
 
     return counts.map_batches(clean, batch_format="pyarrow")
+
+
+RANGE_COUNT_SCHEMA = pa.schema([
+    ("event_id", pa.int64()), ("user_id", pa.int64()),
+    ("ts", pa.timestamp("us")), ("n_window", pa.int64()),
+])
+
+
+def trailing_event_counts(events, *, window_minutes: int = 60,
+                          num_partitions: int = 16):
+    """RANGE-window trailing count per user: for every event, how many
+    of the SAME user's events fall in ``[ts - window, ts]`` (self and
+    ts-ties included) — ``count(*) OVER (PARTITION BY user_id ORDER BY
+    ts RANGE BETWEEN INTERVAL w PRECEDING AND CURRENT ROW)``, the burst
+    / rate-limit signal the ROWS-window stage cannot express.
+
+    Scale shape — the sliding range count WITHOUT a range self-join:
+
+    1. collapse events to per-(user, ts) multiplicities (one sorted
+       agg; ties collapse, so downstream inputs are distinct-ts-sized);
+    2. exact global prefix sum (``stages/prefix.running_total``) minus
+       each user's base (``sorted_first_attach``) gives
+       ``cum_le(user, ts)`` = #events of the user at or before ts;
+    3. every event emits TWO signed as-of probes — +1 at ``ts`` and
+       -1 at ``ts - w - 1us`` — resolved by ONE backward as-of join
+       against the cum table, and a final per-event signed sum
+       reassembles ``cum_le(ts) - cum_le(ts - w - 1)``, the window
+       count.  Probes that precede the user's first event resolve to
+       null -> 0.
+
+    Every intermediate is integer-exact; no float, no N^2 pairs.
+    """
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+
+    from smqtk_indexing_ray.stages.agg import (
+        sorted_first_attach,
+        sorted_group_agg,
+    )
+    from smqtk_indexing_ray.stages.asof import asof_join
+    from smqtk_indexing_ray.stages.prefix import running_total
+
+    w_us = int(window_minutes) * 60_000_000
+    base_schema = pa.schema([("user_id", pa.int64()),
+                             ("ts_us", pa.int64())])
+
+    def to_us(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return base_schema.empty_table()
+        return pa.table({"user_id": t["user_id"],
+                         "ts_us": pc.cast(t["ts"], pa.int64())},
+                        schema=base_schema)
+
+    per_ts = sorted_group_agg(
+        events.select_columns(["user_id", "ts"]).map_batches(
+            to_us, batch_format="pyarrow"),
+        key=["user_id", "ts_us"], aggs={"c": "count"},
+        num_blocks=num_partitions, schema=base_schema)
+
+    cnt_schema = pa.schema([("user_id", pa.int64()),
+                            ("ts_us", pa.int64()), ("c", pa.int64())])
+
+    def clean(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return cnt_schema.empty_table()
+        return pa.table({"user_id": t["user_id"], "ts_us": t["ts_us"],
+                         "c": pc.cast(t["c"], pa.int64())},
+                        schema=cnt_schema)
+
+    counted = per_ts.map_batches(clean, batch_format="pyarrow")
+    pre = running_total(counted, order=["user_id", "ts_us"], value="c",
+                        out="before", schema=cnt_schema)
+    pre_schema = pa.schema(list(cnt_schema)
+                           + [pa.field("before", pa.int64())])
+    based = sorted_first_attach(pre, key="user_id", value="before",
+                                out="user_base",
+                                num_blocks=num_partitions,
+                                schema=pre_schema)
+
+    cum_schema = pa.schema([("user_id", pa.int64()), ("ats", pa.int64()),
+                            ("cum_le", pa.int64())])
+
+    def to_cum(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_base" not in t.column_names:
+            return cum_schema.empty_table()
+        before = t["before"].to_numpy(zero_copy_only=False)
+        base = t["user_base"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": t["user_id"], "ats": t["ts_us"],
+                         "cum_le": pa.array(before - base + c)},
+                        schema=cum_schema)
+
+    cum = based.map_batches(to_cum, batch_format="pyarrow")
+
+    probe_schema = pa.schema([("event_id", pa.int64()),
+                              ("user_id", pa.int64()),
+                              ("ats", pa.int64()), ("sign", pa.int64())])
+
+    def probes(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return probe_schema.empty_table()
+        ts_us = pc.cast(t["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": pa.array(np.concatenate([eid, eid])),
+            "user_id": pa.array(np.concatenate([uid, uid])),
+            "ats": pa.array(np.concatenate([ts_us, ts_us - w_us - 1])),
+            "sign": pa.array(np.concatenate(
+                [np.ones(n, np.int64), -np.ones(n, np.int64)])),
+        }, schema=probe_schema)
+
+    left = events.select_columns(
+        ["event_id", "user_id", "ts"]).map_batches(
+        probes, batch_format="pyarrow")
+    att = asof_join(left, cum, key="user_id", ts="ats",
+                    payload_cols=["cum_le"], left_schema=probe_schema,
+                    right_schema=cum_schema)
+
+    signed_schema = pa.schema([("event_id", pa.int64()),
+                               ("user_id", pa.int64()),
+                               ("ats", pa.int64()),
+                               ("signed", pa.int64())])
+
+    def signed(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "sign" not in t.column_names:
+            return signed_schema.empty_table()
+        cl = pc.fill_null(t["cum_le"], 0).to_numpy(zero_copy_only=False)
+        sg = t["sign"].to_numpy(zero_copy_only=False)
+        return pa.table({"event_id": t["event_id"],
+                         "user_id": t["user_id"], "ats": t["ats"],
+                         "signed": pa.array(sg * cl)},
+                        schema=signed_schema)
+
+    g = sorted_group_agg(
+        att.map_batches(signed, batch_format="pyarrow"),
+        key="event_id",
+        aggs={"user_id": "min", "ats": "max", "n_window": ("signed",
+                                                           "sum")},
+        num_blocks=num_partitions, schema=signed_schema)
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "event_id" not in t.column_names:
+            return RANGE_COUNT_SCHEMA.empty_table()
+        return pa.table({
+            "event_id": t["event_id"],
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "ts": pc.cast(pc.cast(t["ats"], pa.int64()),
+                          pa.timestamp("us")),
+            "n_window": pc.cast(t["n_window"], pa.int64()),
+        }, schema=RANGE_COUNT_SCHEMA)
+
+    return g.map_batches(finish, batch_format="pyarrow")

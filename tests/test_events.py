@@ -587,3 +587,49 @@ def test_trailing_active_users_matches_duckdb():
     got_map = dict(zip(got.day, got.n_users_7d))
     d0 = pd.Timestamp("2024-03-01")
     assert got_map[d0] >= 2              # users 0 and 1 at least
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_trailing_event_counts_matches_duckdb():
+    """RANGE-window count on an adversarial stream: exact ts ties
+    (peers count each other), a burst inside the window, an event
+    exactly at the window edge (inclusive), and a user with one event —
+    vs the DuckDB RANGE frame, blocks split so the cum table and the
+    as-of probes straddle boundaries."""
+    import duckdb
+    import ray.data as rd
+
+    from smqtk_indexing_ray.pipelines.events import trailing_event_counts
+    m = 60_000_000  # one minute in us
+    rows = [
+        # user 1: burst of 3 within 10 min, tie pair, edge case
+        (0, 1, 0 * m), (1, 1, 5 * m), (2, 1, 9 * m),
+        (3, 1, 30 * m), (4, 1, 30 * m),          # exact tie
+        (5, 1, 90 * m),                          # 60 min after t=30: IN
+        (6, 1, 200 * m),                         # isolated
+        # user 2: single event
+        (7, 2, 42 * m),
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.int64()).cast(
+            pa.timestamp("us")),
+    })
+    got = trailing_event_counts(
+        rd.from_arrow(t).repartition(4), window_minutes=60,
+        num_partitions=3).to_pandas().sort_values(
+        "event_id", ignore_index=True)
+    con = duckdb.connect()
+    con.register("events", t)
+    exp = con.execute("""
+SELECT event_id, user_id, ts,
+  CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts
+    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS BIGINT)
+  AS n_window FROM events ORDER BY event_id""").df()
+    pd.testing.assert_frame_equal(got, exp)
+    # spot-check the semantics the frame encodes
+    by_id = got.set_index("event_id").n_window
+    assert by_id[3] == 5 and by_id[4] == 5   # ties are peers
+    assert by_id[5] == 3                     # t=30 pair still inside
+    assert by_id[6] == 1 and by_id[7] == 1

@@ -304,6 +304,9 @@ def run_sf_suite(sf_dir: str) -> dict[str, float]:
         return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
 
     def consume(ds) -> int:
+        import pyarrow as pa
+        if isinstance(ds, pa.Table):   # driver-assembled finals (bm25)
+            return ds.num_rows
         n = 0
         for b in ds.iter_batches(batch_format="pyarrow"):
             n += b.num_rows
@@ -324,6 +327,11 @@ def run_sf_suite(sf_dir: str) -> dict[str, float]:
         from smqtk_indexing_ray.pipelines.events import (
             rolling_user_stats as ru)
         return ru(events(), k=3)
+
+    def trailing_event_counts():
+        from smqtk_indexing_ray.pipelines.events import (
+            trailing_event_counts as tec)
+        return tec(events(), window_minutes=1440)
 
     suite = {
         "lsh_dedup_documents": lambda: dedup_pipeline(
@@ -346,6 +354,10 @@ def run_sf_suite(sf_dir: str) -> dict[str, float]:
         "heavy_hitters": lambda: terms.heavy_hitters(docs(), one_in=500),
         "token_chunks": lambda: terms.token_chunks(docs(), budget=4096),
         "distinct_terms_hll": lambda: terms.distinct_terms_hll(docs()),
+        "bm25_topk": lambda: terms.bm25_topk(
+            docs(), "spark window batch stream", k=20),
+        "trailing_event_counts": trailing_event_counts,
+        "quantize_embeddings": lambda: ann.quantize_embeddings(emb()),
         "bloom_contamination": _bloom_contamination_fn(sf_dir),
         "cohort_retention": _cohort_retention_fn(sf_dir),
         "top_customer_revenue": _revenue_fn(sf_dir),

@@ -935,6 +935,22 @@ def _q_euclidean_topk(sf_dir: str):
     return euclidean_topk(_emb(sf_dir), n_queries=16, k=10)
 
 
+def _q_filtered_ann_topk(sf_dir: str):
+    """Metadata-filtered exact cosine top-k (vector-DB filtered
+    search): same broadcast-query shape as ann_topk, label mask applied
+    inside the scoring kernel — no pre-shuffle."""
+    from smqtk_indexing_ray.pipelines.ann import filtered_ann_topk
+    return filtered_ann_topk(_emb(sf_dir), n_queries=16, k=10)
+
+
+def _q_best_rep_per_cluster(sf_dir: str):
+    """Quality-aware dedup representative: per normalized cluster keep
+    the member with max n_chars (tie min doc_id) via one sorted
+    arg-extreme aggregation."""
+    from smqtk_indexing_ray.pipelines.analysis import best_rep_per_cluster
+    return best_rep_per_cluster(_docs(sf_dir))
+
+
 def _q_quantize_embeddings(sf_dir: str):
     """Per-dim min/max scalar quantization to uint8 codes (the 4x
     vector-compression stage): bounded (dim, min, max) partial reduce +
@@ -1352,6 +1368,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mrpt_topk": _q_mrpt_topk,
         "euclidean_topk": _q_euclidean_topk,
         "quantize_embeddings": _q_quantize_embeddings,
+        "filtered_ann_topk": _q_filtered_ann_topk,
+        "best_rep_per_cluster": _q_best_rep_per_cluster,
         "sessionize": _q_sessionize,
         "session_join": _q_session_join,
         "asof_join": _q_asof_join,
@@ -2289,6 +2307,38 @@ def oracle_sql() -> dict[str, str]:
             "  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id "
             "  WHERE q.vec_id < 16"
             ") WHERE rank <= 10"
+        ),
+        "filtered_ann_topk": (
+            "SELECT query_id, neighbor_id, rank, round(cs, 6) AS cos_sim "
+            "FROM ("
+            "  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+            "  list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
+            "  CAST(c.embedding AS DOUBLE[])) AS cs, "
+            "  CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+            "  list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
+            "  CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS BIGINT)"
+            "  AS rank "
+            "  FROM embeddings q JOIN embeddings c "
+            "  ON c.label = q.label AND c.vec_id <> q.vec_id "
+            "  WHERE q.vec_id < 16"
+            ") WHERE rank <= 10"
+        ),
+        "best_rep_per_cluster": (
+            r"WITH n AS ("
+            r"  SELECT doc_id, n_chars,"
+            r"  lower(regexp_replace(regexp_replace(coalesce(text, ''),"
+            r"  '\s+', ' ', 'g'), '^ | $', '', 'g')) AS norm"
+            r"  FROM documents"
+            r"), r AS ("
+            r"  SELECT doc_id, n_chars,"
+            r"  min(doc_id) OVER (PARTITION BY norm) AS cluster_id,"
+            r"  CAST(count(*) OVER (PARTITION BY norm) AS BIGINT)"
+            r"    AS n_copies,"
+            r"  row_number() OVER (PARTITION BY norm"
+            r"    ORDER BY n_chars DESC, doc_id) AS rn FROM n"
+            r") "
+            r"SELECT cluster_id, doc_id AS rep_doc, n_chars AS rep_chars,"
+            r" n_copies FROM r WHERE rn = 1"
         ),
         "quantize_embeddings": (
             "WITH e AS ("

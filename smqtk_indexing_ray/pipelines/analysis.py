@@ -1798,3 +1798,75 @@ def length_zscores(docs):
         docs.select_columns(["doc_id", "lang", "n_chars"]).map_batches(
             z, batch_format="pyarrow"),
         ZSCORE_SCHEMA)
+
+
+BEST_REP_SCHEMA = pa.schema([
+    ("cluster_id", pa.int64()), ("rep_doc", pa.int64()),
+    ("rep_chars", pa.int64()), ("n_copies", pa.int64()),
+])
+
+
+def best_rep_per_cluster(docs, *, num_partitions: int = 16):
+    """Quality-aware representative selection: per case/whitespace-
+    normalized duplicate cluster, keep the member with the MOST
+    original characters (richest formatting), ties to the smallest
+    doc_id — the curation policy that replaces "keep first seen" when
+    near-identical copies differ in fidelity.
+
+    One hash pass (the normalized 128-bit key + an ``n_chars`` sort
+    helper), then one sorted aggregation whose ``first`` arg-extreme
+    runs over ``(-n_chars, doc_id)`` order; only 32 B/row of keys and
+    two ints cross the shuffle.  Output one row per cluster:
+    ``cluster_id (min doc_id), rep_doc, rep_chars, n_copies``.
+    """
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+
+    from smqtk_indexing_ray.stages._util import auto_blocks
+    from smqtk_indexing_ray.stages.agg import sorted_group_agg
+
+    in_schema = pa.schema([
+        ("doc_id", pa.int64()), ("g1", pa.int64()), ("g2", pa.int64()),
+        ("neg_chars", pa.int64()), ("n_chars", pa.int64())])
+
+    def hash_norm(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return in_schema.empty_table()
+        text = pc.fill_null(t["text"], "")
+        norm = pc.utf8_lower(pc.replace_substring_regex(
+            pc.replace_substring_regex(text, pattern=_NORM_WS,
+                                       replacement=" "),
+            pattern=_NORM_EDGE, replacement=""))
+        nc = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "g1": pa.array(hash_strings_u64(
+                norm, hash_key=_NK1).view(np.int64)),
+            "g2": pa.array(hash_strings_u64(
+                norm, hash_key=_NK2).view(np.int64)),
+            "neg_chars": pa.array(-nc),
+            "n_chars": pa.array(nc),
+        }, schema=in_schema)
+
+    hashed = docs.select_columns(["doc_id", "text", "n_chars"]).map_batches(
+        hash_norm, batch_format="pyarrow")
+    g = sorted_group_agg(
+        hashed, key=["g1", "g2"], order=["neg_chars", "doc_id"],
+        aggs={"rep_doc": ("doc_id", "first"),
+              "rep_chars": ("n_chars", "first"),
+              "n_copies": "count",
+              "cluster_id": ("doc_id", "min")},
+        num_blocks=max(num_partitions, auto_blocks()), schema=in_schema)
+
+    def project(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "rep_doc" not in t.column_names:
+            return BEST_REP_SCHEMA.empty_table()
+        return pa.table({
+            "cluster_id": pc.cast(t["cluster_id"], pa.int64()),
+            "rep_doc": pc.cast(t["rep_doc"], pa.int64()),
+            "rep_chars": pc.cast(t["rep_chars"], pa.int64()),
+            "n_copies": pc.cast(t["n_copies"], pa.int64()),
+        }, schema=BEST_REP_SCHEMA)
+
+    return stamp_schema(g.map_batches(project, batch_format="pyarrow"),
+                        BEST_REP_SCHEMA)

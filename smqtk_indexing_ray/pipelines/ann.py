@@ -1183,3 +1183,79 @@ def quantize_embeddings(emb, *, levels: int = 256):
         emb.select_columns(["vec_id", "embedding"]).map_batches(
             code, batch_format="pyarrow"),
         QUANT_SCHEMA)
+
+
+class _FilteredTopK:
+    """Actor-pool stage for label-filtered search: score one corpus
+    batch against the broadcast queries, mask to same-label vectors."""
+
+    def __init__(self, q_ref, k: int):
+        import ray
+        self.qids, self.qn, self.qlabels = ray.get(q_ref)
+        self.k = k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        schema = pa.schema([("query_id", pa.int64()),
+                            ("neighbor_id", pa.int64()),
+                            ("cos_sim", pa.float64())])
+        n = t.num_rows
+        if n == 0 or len(self.qids) == 0:
+            return schema.empty_table()
+        cm = _normalize(_emb_matrix(t))
+        vids = t["vec_id"].to_numpy(zero_copy_only=False)
+        labels = t["label"].to_numpy(zero_copy_only=False)
+        sims = self.qn @ cm.T
+        cand = ((labels[None, :] == self.qlabels[:, None])
+                & (vids[None, :] != self.qids[:, None]))
+        return _masked_topk_rows(self.qids, vids, sims, cand, self.k)
+
+
+def filtered_ann_topk(emb, *, n_queries: int = 16, k: int = 10,
+                      batch_size: int = 4096, concurrency=(1, 8)):
+    """Metadata-filtered exact cosine top-k — the vector-DB "filtered
+    search" feature: each query's neighbors are restricted to corpus
+    vectors sharing its ``label`` (self excluded).
+
+    Same broadcast shape as :func:`brute_force_topk` (query matrix +
+    labels ``ray.put`` once, corpus streams through the actor pool, the
+    only exchange is the O(n_queries * k) per-batch candidate reduce);
+    the filter is applied INSIDE the scoring mask, not as a pre-shuffle,
+    so a selective filter costs a mask, never a repartition.
+
+    Output: ``query_id, neighbor_id, rank, cos_sim`` (round6).
+    """
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+
+    import ray
+
+    qt = emb.filter(expr=f"vec_id < {int(n_queries)}")
+    qtbl = pa.concat_tables(
+        [b for b in qt.iter_batches(batch_format="pyarrow")]
+        or [pa.schema([("vec_id", pa.int64())]).empty_table()])
+    if qtbl.num_rows:
+        qids = qtbl["vec_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        qn = _normalize(_emb_matrix(qtbl))
+        qlabels = qtbl["label"].to_numpy(zero_copy_only=False)
+    else:
+        qids, qn = np.empty(0, np.int64), np.zeros((0, 0))
+        qlabels = np.empty(0, np.int64)
+    q_ref = ray.put((qids, qn, qlabels))
+
+    cands = emb.select_columns(["vec_id", "embedding", "label"]).map_batches(
+        _FilteredTopK, fn_constructor_args=(q_ref, k),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+    out = _final_topk(cands, k)
+
+    from smqtk_indexing_ray.functions.metrics import round6
+
+    def round_sim(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _TOPK_SCHEMA.empty_table()
+        return t.set_column(
+            t.schema.get_field_index("cos_sim"), "cos_sim",
+            pa.array(round6(t["cos_sim"].to_numpy(zero_copy_only=False))))
+
+    return out.map_batches(round_sim, batch_format="pyarrow")

@@ -1246,3 +1246,30 @@ ORDER BY d.doc_id""").df()
     import pandas as pd
     pd.testing.assert_frame_equal(got, exp)
     assert (got[got.lang == "zz"].z_len == 0.0).all()  # zero variance
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_best_rep_per_cluster():
+    """The longest original form wins per normalized cluster; ties go
+    to the smallest doc_id; singletons keep themselves."""
+    import ray.data as rd
+
+    from smqtk_indexing_ray.pipelines.analysis import best_rep_per_cluster
+    texts = [
+        "Hello   World",    # 13 chars, norm 'hello world'
+        "hello world",      # 11 chars, same cluster
+        "HELLO WORLD  ",    # 13 chars -> tie with doc 0, doc 0 wins
+        "unique page",
+    ]
+    t = pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "n_chars": pa.array([len(s) for s in texts], pa.int64()),
+    })
+    got = best_rep_per_cluster(
+        rd.from_arrow(t).repartition(3)).to_pandas().set_index(
+        "cluster_id")
+    assert len(got) == 2
+    assert got.loc[0, "rep_doc"] == 0 and got.loc[0, "rep_chars"] == 13
+    assert got.loc[0, "n_copies"] == 3
+    assert got.loc[3, "rep_doc"] == 3 and got.loc[3, "n_copies"] == 1

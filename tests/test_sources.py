@@ -229,3 +229,35 @@ class TestQuantize:
         got = quantize_embeddings(ds).to_pandas().set_index("vec_id")
         assert got.loc[0, "code_min"] == 0 and got.loc[0, "code_max"] == 0
         assert got.loc[1, "code_min"] == 255 and got.loc[1, "code_max"] == 255
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_filtered_ann_topk_matches_bruteforce():
+    """Label filter honored exactly: every neighbor shares the query's
+    label, self excluded, ranking matches a numpy reimplementation."""
+    import ray.data as rd
+
+    from smqtk_indexing_ray.functions.metrics import round6
+    from smqtk_indexing_ray.pipelines.ann import filtered_ann_topk
+    rng = np.random.default_rng(5)
+    n, d = 60, 8
+    m = rng.standard_normal((n, d)).astype(np.float32)
+    labels = (np.arange(n) % 3).astype(np.int32)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([list(r) for r in m], pa.list_(pa.float32())),
+        "label": pa.array(labels),
+    })).repartition(4)
+    k = 5
+    got = filtered_ann_topk(ds, n_queries=6, k=k).to_pandas()
+    x = m.astype(np.float64)
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    sims = xn @ xn.T
+    for q in range(6):
+        mine = got[got.query_id == q].sort_values("rank")
+        cand = np.flatnonzero((labels == labels[q])
+                              & (np.arange(n) != q))
+        order = cand[np.lexsort((cand, -sims[q, cand]))][:k]
+        assert list(mine.neighbor_id) == list(order)
+        assert list(mine.cos_sim) == list(round6(sims[q, order]))
+        assert (labels[mine.neighbor_id.to_numpy()] == labels[q]).all()

@@ -1217,6 +1217,18 @@ def _q_top_customer_revenue(sf_dir: str):
         rd.read_parquet(f"{sf_dir}/customer.parquet"), k=10)
 
 
+def _q_shipping_priority(sf_dir: str):
+    """TPC-H-Q3-shaped backlog: top-10 highest-revenue orders placed
+    before the cutoff with lineitems shipping after it — filters pushed
+    into the partial kernels, exact int64 revenue units, k x n_batches
+    driver merge."""
+    import ray.data as rd
+    from smqtk_indexing_ray.pipelines.warehouse import shipping_priority
+    return shipping_priority(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet"),
+        rd.read_parquet(f"{sf_dir}/orders.parquet"), k=10)
+
+
 def _q_pricing_summary(sf_dir: str):
     """TPC-H-Q1-shaped pricing summary: per (returnflag, linestatus)
     totals/averages over shipped lineitems.  The extreme combiner
@@ -1413,6 +1425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_classify": _q_knn_classify,
         "corpus_diff": _q_corpus_diff,
         "top_customer_revenue": _q_top_customer_revenue,
+        "shipping_priority": _q_shipping_priority,
         "pricing_summary": _q_pricing_summary,
         "order_priority_counts": _q_order_priority_counts,
         "supplier_nation_volume": _q_supplier_nation_volume,
@@ -1808,6 +1821,25 @@ def oracle_sql() -> dict[str, str]:
             "  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id "
             "  WHERE q.vec_id < 32"
             ") WHERE rank <= 10"
+        ),
+        "shipping_priority": (
+            "WITH orev AS ("
+            "  SELECT l_orderkey,"
+            "  sum(CAST(round(l_extendedprice * 100) AS BIGINT)"
+            "  * (100 - CAST(round(l_discount * 100) AS BIGINT)))"
+            "  AS units"
+            "  FROM lineitem WHERE l_shipdate > TIMESTAMP '1997-06-01'"
+            "  GROUP BY l_orderkey"
+            "), j AS ("
+            "  SELECT o_orderkey, units, o_orderdate, o_orderpriority"
+            "  FROM orev JOIN orders ON o_orderkey = l_orderkey"
+            "  WHERE o_orderdate < TIMESTAMP '1997-06-01'"
+            ") "
+            "SELECT o_orderkey, units / 10000.0 AS revenue, o_orderdate,"
+            " o_orderpriority,"
+            " CAST(row_number() OVER (ORDER BY units DESC, o_orderkey)"
+            "   AS BIGINT) AS rank "
+            "FROM j QUALIFY rank <= 10"
         ),
         # revenue in exact int64 units of 1e-4 dollars (cents x
         # discount basis points) — no float-summation-order dependence

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _revenue_units(t: pa.Table) -> np.ndarray:
@@ -775,3 +776,119 @@ def local_supplier_volume(lineitem, orders, customer, supplier, nation,
         }, schema=out_schema)
 
     return pernat.map_batches(finish, batch_format="pyarrow")
+
+
+SHIPPING_PRIORITY_SCHEMA = pa.schema([
+    ("o_orderkey", pa.int64()), ("revenue", pa.float64()),
+    ("o_orderdate", pa.timestamp("us")),
+    ("o_orderpriority", pa.string()), ("rank", pa.int64()),
+])
+
+
+def shipping_priority(lineitem, orders, *, cutoff: str = "1997-06-01",
+                      k: int = 10):
+    """TPC-H-Q3-shaped shipping priority: the ``k`` highest-revenue
+    orders placed before ``cutoff`` whose lineitems ship after it (the
+    "booked but unshipped backlog" view).
+
+    Per-batch per-order revenue partials (exact int64 units,
+    :func:`_revenue_units`) with the ship-date filter applied inside
+    the kernel, one sorted grouped sum, one sort-merge attach against
+    the date-filtered orders dimension, then a per-batch top-k cut and
+    a k x n_batches driver merge — ranking compares integers, so ties
+    cannot diverge from the SQL window oracle.
+
+    Output: ``o_orderkey, revenue, o_orderdate, o_orderpriority, rank``.
+    """
+    import numpy as _np
+
+    from smqtk_indexing_ray.stages.agg import sorted_group_agg
+    from smqtk_indexing_ray.stages.attach import sort_attach
+
+    cutoff_us = int(_np.datetime64(cutoff, "us").astype(np.int64))
+    orev_schema = pa.schema([("l_orderkey", pa.int64()),
+                             ("units", pa.int64())])
+
+    def lpart(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_orderkey" not in t.column_names:
+            return orev_schema.empty_table()
+        ship = pc.cast(t["l_shipdate"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        keep = ship > cutoff_us
+        if not keep.any():
+            return orev_schema.empty_table()
+        t = t.filter(pa.array(keep))
+        okey = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        units = _revenue_units(t)
+        uniq, inv = np.unique(okey, return_inverse=True)
+        out = np.zeros(len(uniq), np.int64)
+        np.add.at(out, inv, units)
+        return pa.table({"l_orderkey": pa.array(uniq.astype(np.int64)),
+                         "units": pa.array(out)})
+
+    lrev = lineitem.select_columns(
+        ["l_orderkey", "l_extendedprice", "l_discount",
+         "l_shipdate"]).map_batches(lpart, batch_format="pyarrow")
+    orev = sorted_group_agg(lrev, key="l_orderkey",
+                            aggs={"units": "sum"}, schema=orev_schema)
+
+    odim_schema = pa.schema([("o_orderkey", pa.int64()),
+                             ("o_orderdate_us", pa.int64()),
+                             ("o_orderpriority", pa.string())])
+
+    def odim(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_orderkey" not in t.column_names:
+            return odim_schema.empty_table()
+        od = pc.cast(t["o_orderdate"], pa.int64())
+        t = t.filter(pc.less(od, cutoff_us))
+        if t.num_rows == 0:
+            return odim_schema.empty_table()
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_orderdate_us": pc.cast(t["o_orderdate"], pa.int64()),
+            "o_orderpriority": t["o_orderpriority"],
+        }, schema=odim_schema)
+
+    placed = orders.select_columns(
+        ["o_orderkey", "o_orderdate", "o_orderpriority"]).map_batches(
+        odim, batch_format="pyarrow")
+    joined = sort_attach(
+        orev, placed, key="l_orderkey", payload_key="o_orderkey",
+        payload_cols=["o_orderdate_us", "o_orderpriority"], how="inner",
+        rows_schema=orev_schema, payload_schema=odim_schema)
+
+    cand_schema = pa.schema([("o_orderkey", pa.int64()),
+                             ("units", pa.int64()),
+                             ("o_orderdate_us", pa.int64()),
+                             ("o_orderpriority", pa.string())])
+
+    def cut(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "units" not in t.column_names:
+            return cand_schema.empty_table()
+        u = t["units"].to_numpy(zero_copy_only=False)
+        okey = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((okey, -u))[:k]
+        idx = pa.array(order)
+        return pa.table({
+            "o_orderkey": t["l_orderkey"].take(idx),
+            "units": t["units"].take(idx),
+            "o_orderdate_us": t["o_orderdate_us"].take(idx),
+            "o_orderpriority": t["o_orderpriority"].take(idx),
+        }, schema=cand_schema)
+
+    cands = joined.map_batches(cut, batch_format="pyarrow").take_all()
+    if not cands:
+        return SHIPPING_PRIORITY_SCHEMA.empty_table()
+    okey = np.array([r["o_orderkey"] for r in cands], np.int64)
+    units = np.array([r["units"] for r in cands], np.int64)
+    order = np.lexsort((okey, -units))[:k]
+    return pa.table({
+        "o_orderkey": pa.array(okey[order]),
+        "revenue": pa.array(units[order].astype(np.float64) / 10000.0),
+        "o_orderdate": pa.array(
+            np.array([cands[i]["o_orderdate_us"] for i in order],
+                     np.int64)).cast(pa.timestamp("us")),
+        "o_orderpriority": pa.array(
+            [cands[i]["o_orderpriority"] for i in order], pa.string()),
+        "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+    }, schema=SHIPPING_PRIORITY_SCHEMA)

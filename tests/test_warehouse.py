@@ -370,3 +370,61 @@ def test_local_supplier_volume_matches_duckdb():
     assert list(got.n_name) == list(want.n_name)
     assert list(got.revenue) == list(want.revenue)
     assert list(got.n_items) == list(want.n_items)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_shipping_priority_matches_duckdb():
+    """Q3-shaped backlog on a random fact table: both date filters
+    applied, revenue ties broken by orderkey, exactly k rows."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from smqtk_indexing_ray.pipelines.warehouse import shipping_priority
+
+    rng = np.random.default_rng(29)
+    n_orders, n_lines = 400, 3000
+    base = np.datetime64("1996-01-01")
+    orders = pa.table({
+        "o_orderkey": pa.array(np.arange(n_orders, dtype=np.int64)),
+        "o_orderdate": pa.array(
+            (base + rng.integers(0, 1000, n_orders).astype(
+                "timedelta64[D]")).astype("datetime64[us]")),
+        "o_orderpriority": pa.array(
+            rng.choice(["1-URGENT", "3-MEDIUM", "5-LOW"], n_orders)),
+    })
+    li = pa.table({
+        "l_orderkey": pa.array(
+            rng.integers(0, n_orders, n_lines).astype(np.int64)),
+        "l_extendedprice": pa.array(
+            rng.uniform(100, 9000, n_lines).round(2)),
+        "l_discount": pa.array(rng.uniform(0, 0.1, n_lines).round(2)),
+        "l_shipdate": pa.array(
+            (base + rng.integers(0, 1000, n_lines).astype(
+                "timedelta64[D]")).astype("datetime64[us]")),
+    })
+    got = shipping_priority(
+        rd.from_arrow(li).repartition(6),
+        rd.from_arrow(orders).repartition(4),
+        cutoff="1997-06-01", k=10).to_pandas()
+    con = duckdb.connect()
+    con.register("lineitem", li)
+    con.register("orders", orders)
+    exp = con.execute("""
+WITH orev AS (
+  SELECT l_orderkey, sum(CAST(round(l_extendedprice*100) AS BIGINT)
+    * (100 - CAST(round(l_discount*100) AS BIGINT))) AS units
+  FROM lineitem WHERE l_shipdate > TIMESTAMP '1997-06-01'
+  GROUP BY l_orderkey
+), j AS (
+  SELECT o_orderkey, units, o_orderdate, o_orderpriority
+  FROM orev JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderdate < TIMESTAMP '1997-06-01'
+)
+SELECT o_orderkey, units / 10000.0 AS revenue, o_orderdate,
+ o_orderpriority,
+ CAST(row_number() OVER (ORDER BY units DESC, o_orderkey) AS BIGINT)
+   AS rank
+FROM j QUALIFY rank <= 10 ORDER BY rank""").df()
+    pd.testing.assert_frame_equal(got, exp)
+    assert len(got) == 10

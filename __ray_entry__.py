@@ -574,6 +574,14 @@ def _q_quality_signals(sf_dir: str):
     return quality_signals(_docs(sf_dir))
 
 
+def _q_compression_signals(sf_dir: str):
+    """zlib compression-ratio quality gate (rows-only: DEFLATE is
+    deterministic but not SQL-expressible; the pytest oracle recomputes
+    zlib directly)."""
+    from smqtk_indexing_ray.pipelines.analysis import compression_signals
+    return compression_signals(_docs(sf_dir))
+
+
 def _q_sentence_stats(sf_dir: str):
     """C4-style terminal-punctuation / line gates — batch-local, every
     float an exact int64 ratio (synthetic sf text has no punctuation, so
@@ -1402,6 +1410,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": _q_cohort_retention,
         "quality_signals": _q_quality_signals,
         "sentence_stats": _q_sentence_stats,
+        "compression_signals": _q_compression_signals,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "repetition_signals": _q_repetition_signals,
         "token_entropy": _q_token_entropy,

@@ -1870,3 +1870,55 @@ def best_rep_per_cluster(docs, *, num_partitions: int = 16):
 
     return stamp_schema(g.map_batches(project, batch_format="pyarrow"),
                         BEST_REP_SCHEMA)
+
+
+COMPRESSION_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()), ("raw_bytes", pa.int64()),
+    ("zlib_bytes", pa.int64()), ("compression_ratio", pa.float64()),
+    ("is_low_entropy", pa.bool_()),
+])
+
+
+def compression_signals(docs, *, level: int = 6,
+                        low_entropy_ratio: float = 0.35):
+    """zlib compression-ratio quality gate (the Gopher/DCLM
+    "compression filter"): highly repetitive/templated text compresses
+    far below natural prose, so a tiny ``zlib_bytes / raw_bytes`` flags
+    boilerplate and generator spam.
+
+    Batch-local actor-free map (zlib is C-speed; the per-doc loop is
+    over a bounded batch and each iteration is one C call — the
+    documented exception to the no-row-loops rule, like HTML
+    extraction).  DEFLATE output is fully deterministic for a fixed
+    level, but no SQL engine exposes it — rows-only query with the
+    pytest oracle recomputing zlib directly.
+
+    Output: ``doc_id, raw_bytes, zlib_bytes, compression_ratio
+    (exact int64 ratio; 0.0 for empty docs), is_low_entropy``.
+    """
+    import zlib
+
+    def sig(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return COMPRESSION_SCHEMA.empty_table()
+        text = pc.fill_null(t["text"].combine_chunks(), "")
+        raw = pc.binary_length(pc.cast(text, pa.binary())).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        comp = np.fromiter(
+            (len(zlib.compress(s.encode("utf-8"), level))
+             for s in text.to_pylist()),
+            dtype=np.int64, count=n)
+        safe = np.maximum(raw, 1).astype(np.float64)
+        ratio = np.where(raw > 0, comp.astype(np.float64) / safe, 0.0)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "raw_bytes": pa.array(raw),
+            "zlib_bytes": pa.array(comp),
+            "compression_ratio": pa.array(ratio),
+            "is_low_entropy": pa.array((raw > 0)
+                                       & (ratio < low_entropy_ratio)),
+        }, schema=COMPRESSION_SCHEMA)
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        sig, batch_format="pyarrow")

@@ -1273,3 +1273,36 @@ def test_best_rep_per_cluster():
     assert got.loc[0, "rep_doc"] == 0 and got.loc[0, "rep_chars"] == 13
     assert got.loc[0, "n_copies"] == 3
     assert got.loc[3, "rep_doc"] == 3 and got.loc[3, "n_copies"] == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_compression_signals_matches_zlib():
+    """Direct zlib recomputation oracle + the semantics: repetitive
+    text flags low-entropy, natural-ish text does not, empty docs get
+    ratio 0 and no flag; unicode counts utf-8 bytes."""
+    import zlib
+
+    import ray.data as rd
+
+    from smqtk_indexing_ray.pipelines.analysis import compression_signals
+    texts = [
+        "spam spam spam spam " * 50,             # highly repetitive
+        "the quick brown fox jumps over the lazy dog and then some",
+        "",                                       # empty
+        "üñïçødé ÿ " * 5,                        # multibyte utf-8
+    ]
+    got = compression_signals(rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))).to_pandas().sort_values("doc_id", ignore_index=True)
+    for i, s in enumerate(texts):
+        b = s.encode("utf-8")
+        assert got.loc[i, "raw_bytes"] == len(b)
+        assert got.loc[i, "zlib_bytes"] == len(zlib.compress(b, 6))
+        if b:
+            assert got.loc[i, "compression_ratio"] == (
+                len(zlib.compress(b, 6)) / len(b))
+    assert bool(got.loc[0, "is_low_entropy"])
+    assert not bool(got.loc[1, "is_low_entropy"])
+    assert got.loc[2, "compression_ratio"] == 0.0
+    assert not bool(got.loc[2, "is_low_entropy"])

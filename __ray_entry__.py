@@ -1538,7 +1538,7 @@ def oracle_sql() -> dict[str, str]:
         "cross_source_dups": (
             "WITH g AS ("
             "  SELECT min(doc_id) AS rep_doc, count(*) AS n_copies,"
-            "  count(DISTINCT source) AS n_sources"
+            "  count(DISTINCT coalesce(source, '')) AS n_sources"
             "  FROM documents GROUP BY text"
             ") "
             "SELECT rep_doc, n_copies, n_sources, "
@@ -2508,7 +2508,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "top_terms_per_lang": (
             r"WITH t AS ("
-            r"  SELECT lang, unnest(list_filter("
+            r"  SELECT coalesce(lang, '') AS lang, unnest(list_filter("
             r"    string_split_regex(text, '\s+'), x -> x <> '')) AS term"
             r"  FROM documents"
             r"), c AS ("
@@ -2563,7 +2563,7 @@ def oracle_sql() -> dict[str, str]:
         "source_vocab_overlap": (
             r"WITH ts AS ("
             r"  SELECT DISTINCT source, term FROM ("
-            r"    SELECT source,"
+            r"    SELECT coalesce(source, '') AS source,"
             r"    unnest(list_filter(string_split_regex(text, '\s+'),"
             r"      x -> x <> '')) AS term FROM documents)"
             r"), vs AS ("

@@ -1783,9 +1783,16 @@ def length_zscores(docs):
         if t.num_rows == 0:
             return ZSCORE_SCHEMA.empty_table()
         lang = pc.fill_null(t["lang"].combine_chunks(), "")
-        lg = lang.to_numpy(zero_copy_only=False).astype(object)
-        mu = np.array([mean[v] for v in lg], np.float64)
-        sd = np.array([std[v] for v in lg], np.float64)
+        # one Python lookup per DICTIONARY entry, then a numpy take —
+        # never per row
+        ld = pc.dictionary_encode(lang)
+        if isinstance(ld, pa.ChunkedArray):
+            ld = ld.combine_chunks()
+        dvals = ld.dictionary.to_numpy(zero_copy_only=False).astype(
+            object)
+        code = ld.indices.to_numpy(zero_copy_only=False)
+        mu = np.array([mean[v] for v in dvals], np.float64)[code]
+        sd = np.array([std[v] for v in dvals], np.float64)[code]
         x = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
         zs = np.where(sd > 0,
                       round6((x - mu) / np.where(sd > 0, sd, 1.0)), 0.0)

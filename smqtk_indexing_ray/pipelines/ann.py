@@ -1129,7 +1129,8 @@ def quantize_embeddings(emb, *, levels: int = 256):
     parts = emb.select_columns(["embedding"]).map_batches(
         minmax_partial, batch_format="pyarrow").take_all()
     if not parts:
-        return QUANT_SCHEMA.empty_table()
+        import ray.data as rd
+        return rd.from_arrow(QUANT_SCHEMA.empty_table())
     d = 1 + max(int(r["dim"]) for r in parts)
     mn = np.full(d, np.inf)
     mx = np.full(d, -np.inf)
@@ -1163,20 +1164,28 @@ def quantize_embeddings(emb, *, levels: int = 256):
         deq = emn + (q + 0.5) * erng / float(levels)
         err = np.where(elive, np.abs(x - deq), 0.0)
         qi = q.astype(np.int64)
-        # reduceat segment starts; empty rows are masked below, so clamp
-        # their (== len) start index into range
-        seg = np.minimum(off[:-1], len(qi) - 1)
+        # reduceat over NON-EMPTY rows' start offsets only: an empty
+        # row contributes no elements, so each kept segment ends
+        # exactly at the next kept start (clamping empty starts into
+        # range instead would truncate the PRECEDING segment's end)
+        nz = lens > 0
+        seg = off[:-1][nz]
+        code_sum = np.zeros(n, np.int64)
+        code_min = np.zeros(n, np.int64)
+        code_max = np.zeros(n, np.int64)
+        max_err = np.zeros(n, np.float64)
+        if len(seg):
+            code_sum[nz] = np.add.reduceat(qi, seg)
+            code_min[nz] = np.minimum.reduceat(qi, seg)
+            code_max[nz] = np.maximum.reduceat(qi, seg)
+            max_err[nz] = np.maximum.reduceat(err, seg)
         return pa.table({
             "vec_id": t["vec_id"],
             "n_dims": pa.array(lens),
-            "code_sum": pa.array(np.add.reduceat(qi, seg)
-                                 * (lens > 0)),
-            "code_min": pa.array(np.where(
-                lens > 0, np.minimum.reduceat(qi, seg), 0)),
-            "code_max": pa.array(np.where(
-                lens > 0, np.maximum.reduceat(qi, seg), 0)),
-            "max_abs_err": pa.array(_round6(np.where(
-                lens > 0, np.maximum.reduceat(err, seg), 0.0))),
+            "code_sum": pa.array(code_sum),
+            "code_min": pa.array(code_min),
+            "code_max": pa.array(code_max),
+            "max_abs_err": pa.array(_round6(max_err)),
         }, schema=QUANT_SCHEMA)
 
     return stamp_schema(

@@ -1275,33 +1275,45 @@ _SRC_TERM_SCHEMA = pa.schema([
 ])
 
 
-def _src_term_partial(t: pa.Table) -> pa.Table:
-    """Distinct (term, source) pairs seen in one batch — the partial
-    that keeps the global distinct sort vocabulary-sized, never
-    token-stream-sized."""
-    n = t.num_rows
-    if n == 0:
-        return _SRC_TERM_SCHEMA.empty_table()
+def _group_term_partial(t: pa.Table, group_col: str):
+    """Shared (group, term) batch partial: tokenize, dictionary-encode
+    both axes, and collapse to distinct packed keys.  Returns ``(group
+    values, term values, counts)`` Arrow/numpy arrays or ``None`` for
+    an empty batch — the kernel behind both the per-source vocabulary
+    and the per-language term-count partials."""
+    if t.num_rows == 0:
+        return None
     toks, off = tokens_flat(t["text"], lowercase=False)
     if len(toks) == 0:
-        return _SRC_TERM_SCHEMA.empty_table()
+        return None
     counts = np.diff(off)
-    src = pc.fill_null(t["source"].combine_chunks(), "")
-    sd = pc.dictionary_encode(src)
-    if isinstance(sd, pa.ChunkedArray):
-        sd = sd.combine_chunks()
-    s_rep = np.repeat(
-        sd.indices.to_numpy(zero_copy_only=False).astype(np.int64), counts)
+    grp = pc.fill_null(t[group_col].combine_chunks(), "")
+    gd = pc.dictionary_encode(grp)
+    if isinstance(gd, pa.ChunkedArray):
+        gd = gd.combine_chunks()
+    g_rep = np.repeat(
+        gd.indices.to_numpy(zero_copy_only=False).astype(np.int64), counts)
     td = pc.dictionary_encode(toks)
     if isinstance(td, pa.ChunkedArray):
         td = td.combine_chunks()
     tcode = td.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     v = len(td.dictionary)
-    uniq = np.unique(s_rep * v + tcode)
-    return pa.table({
-        "term": td.dictionary.take(pa.array(uniq % v, pa.int64())),
-        "source": sd.dictionary.take(pa.array(uniq // v, pa.int64())),
-    }, schema=_SRC_TERM_SCHEMA)
+    uniq, cnts = np.unique(g_rep * v + tcode, return_counts=True)
+    return (gd.dictionary.take(pa.array(uniq // v, pa.int64())),
+            td.dictionary.take(pa.array(uniq % v, pa.int64())),
+            cnts.astype(np.int64))
+
+
+def _src_term_partial(t: pa.Table) -> pa.Table:
+    """Distinct (term, source) pairs seen in one batch — the partial
+    that keeps the global distinct sort vocabulary-sized, never
+    token-stream-sized."""
+    part = _group_term_partial(t, "source")
+    if part is None:
+        return _SRC_TERM_SCHEMA.empty_table()
+    src, term, _ = part
+    return pa.table({"term": term, "source": src},
+                    schema=_SRC_TERM_SCHEMA)
 
 
 def source_vocab_overlap(docs):
@@ -1531,30 +1543,12 @@ _LANG_TERM_SCHEMA = pa.schema([
 def _lang_term_partial(t: pa.Table) -> pa.Table:
     """Per-batch (lang, term, count) partials — vocabulary x langs
     rows per batch, never the token stream."""
-    n = t.num_rows
-    if n == 0:
+    part = _group_term_partial(t, "lang")
+    if part is None:
         return _LANG_TERM_SCHEMA.empty_table()
-    toks, off = tokens_flat(t["text"], lowercase=False)
-    if not len(toks):
-        return _LANG_TERM_SCHEMA.empty_table()
-    counts = np.diff(off)
-    lang = pc.fill_null(t["lang"].combine_chunks(), "")
-    ld = pc.dictionary_encode(lang)
-    if isinstance(ld, pa.ChunkedArray):
-        ld = ld.combine_chunks()
-    l_rep = np.repeat(
-        ld.indices.to_numpy(zero_copy_only=False).astype(np.int64), counts)
-    td = pc.dictionary_encode(toks)
-    if isinstance(td, pa.ChunkedArray):
-        td = td.combine_chunks()
-    tcode = td.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    v = len(td.dictionary)
-    uniq, cnts = np.unique(l_rep * v + tcode, return_counts=True)
-    return pa.table({
-        "lang": ld.dictionary.take(pa.array(uniq // v, pa.int64())),
-        "term": td.dictionary.take(pa.array(uniq % v, pa.int64())),
-        "cnt": pa.array(cnts.astype(np.int64)),
-    }, schema=_LANG_TERM_SCHEMA)
+    lang, term, cnts = part
+    return pa.table({"lang": lang, "term": term, "cnt": pa.array(cnts)},
+                    schema=_LANG_TERM_SCHEMA)
 
 
 def top_terms_per_lang(docs, *, k: int = 10):

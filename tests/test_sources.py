@@ -261,3 +261,24 @@ def test_filtered_ann_topk_matches_bruteforce():
         assert list(mine.neighbor_id) == list(order)
         assert list(mine.cos_sim) == list(round6(sims[q, order]))
         assert (labels[mine.neighbor_id.to_numpy()] == labels[q]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_quantize_empty_tail_row_does_not_corrupt_neighbor():
+    """Regression: an empty-embedding row at the END of a batch must
+    not truncate the preceding vector's reduceat segment."""
+    import ray.data as rd
+
+    from smqtk_indexing_ray.pipelines.ann import quantize_embeddings
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array([0, 1, 2], pa.int64()),
+        "embedding": pa.array([[0.0, 1.0], [1.0, 0.25], []],
+                              pa.list_(pa.float32())),
+    }))
+    got = quantize_embeddings(ds).to_pandas().set_index("vec_id")
+    # dim mins/maxes: dim0 in {0,1}, dim1 in {0.25,1}
+    assert got.loc[0, "code_sum"] == 0 + 255      # (min, max) codes
+    assert got.loc[1, "code_max"] == 255 and got.loc[1, "code_min"] == 0
+    assert got.loc[2, "n_dims"] == 0
+    assert got.loc[2, "code_sum"] == 0 and got.loc[2, "code_max"] == 0
+    assert got.loc[2, "max_abs_err"] == 0.0

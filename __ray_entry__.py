@@ -815,6 +815,15 @@ def _q_window_user_counts(sf_dir: str):
                               window_minutes=60)
 
 
+def _q_event_transitions(sf_dir: str):
+    """First-order Markov event-type transition counts per user stream:
+    one distributed LAG + event-type-squared batch partials into a tiny
+    sorted sum."""
+    import ray.data as rd
+    from smqtk_indexing_ray.pipelines.events import event_transitions
+    return event_transitions(rd.read_parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_trailing_event_counts(sf_dir: str):
     """RANGE-window trailing per-user event count (24 h): per-(user,ts)
     multiplicities -> exact prefix cum counts -> ONE backward as-of join
@@ -1397,6 +1406,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_user_counts": _q_window_user_counts,
         "trailing_active_users": _q_trailing_active_users,
         "trailing_event_counts": _q_trailing_event_counts,
+        "event_transitions": _q_event_transitions,
         "hopping_window_counts": _q_hopping_window_counts,
         "event_seq": _q_event_seq,
         "user_event_gaps": _q_user_event_gaps,
@@ -2311,6 +2321,16 @@ def oracle_sql() -> dict[str, str]:
             "    1800000000)) AS ws"
             "  FROM events"
             ") GROUP BY 1"
+        ),
+        "event_transitions": (
+            "WITH s AS ("
+            "  SELECT user_id, coalesce(event_type, '') AS event_type,"
+            "  lag(coalesce(event_type, '')) OVER ("
+            "    PARTITION BY user_id ORDER BY ts, event_id) AS prev_type"
+            "  FROM events"
+            ") "
+            "SELECT prev_type, event_type AS next_type, count(*) AS n "
+            "FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2"
         ),
         "trailing_event_counts": (
             "SELECT event_id, user_id, ts, "

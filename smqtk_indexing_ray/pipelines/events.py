@@ -1252,3 +1252,99 @@ def trailing_event_counts(events, *, window_minutes: int = 60,
         }, schema=RANGE_COUNT_SCHEMA)
 
     return g.map_batches(finish, batch_format="pyarrow")
+
+
+TRANSITIONS_SCHEMA = pa.schema([
+    ("prev_type", pa.string()), ("next_type", pa.string()),
+    ("n", pa.int64()),
+])
+
+
+def event_transitions(events, *, num_partitions: int = 16):
+    """First-order Markov transition counts over each user's event
+    stream: how often ``prev_type -> next_type`` occurs across
+    consecutive events of the same user in ``(ts, event_id)`` order —
+    the session-flow / bot-pattern profile.
+
+    One distributed LAG (``stages/agg.sorted_lag_attach``, single-row
+    boundary carries) attaches the previous event type; each user's
+    first event has a null predecessor and is excluded (matching the
+    SQL ``WHERE prev IS NOT NULL``); per-batch (prev, next) partial
+    counts then ride one tiny sorted sum — the shuffle carries at most
+    ``|event types|**2`` rows per batch.
+    """
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+
+    from smqtk_indexing_ray.stages._util import auto_blocks
+    from smqtk_indexing_ray.stages.agg import (
+        sorted_group_agg,
+        sorted_lag_attach,
+    )
+
+    slim_schema = pa.schema([("user_id", pa.int64()),
+                             ("ts_us", pa.int64()),
+                             ("event_id", pa.int64()),
+                             ("event_type", pa.string())])
+
+    def slim(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return slim_schema.empty_table()
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "event_type": pc.fill_null(t["event_type"], ""),
+        }, schema=slim_schema)
+
+    lagged = sorted_lag_attach(
+        events.select_columns(
+            ["user_id", "ts", "event_id", "event_type"]).map_batches(
+            slim, batch_format="pyarrow"),
+        key="user_id", order=["ts_us", "event_id"],
+        value="event_type", out="prev_type",
+        num_blocks=max(num_partitions, auto_blocks()),
+        schema=slim_schema)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "prev_type" not in t.column_names:
+            return TRANSITIONS_SCHEMA.empty_table()
+        keep = pc.is_valid(t["prev_type"])
+        t = t.filter(keep)
+        if t.num_rows == 0:
+            return TRANSITIONS_SCHEMA.empty_table()
+        # batch-local (prev, next) pre-count: the shuffle carries event-
+        # type-squared partials, never events
+        prev = t["prev_type"].combine_chunks()
+        nxt = t["event_type"].combine_chunks()
+        pd_ = pc.dictionary_encode(prev)
+        nd = pc.dictionary_encode(nxt)
+        if isinstance(pd_, pa.ChunkedArray):
+            pd_ = pd_.combine_chunks()
+        if isinstance(nd, pa.ChunkedArray):
+            nd = nd.combine_chunks()
+        pcode = pd_.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ncode = nd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = len(nd.dictionary)
+        uniq, cnts = np.unique(pcode * v + ncode, return_counts=True)
+        return pa.table({
+            "prev_type": pd_.dictionary.take(
+                pa.array(uniq // v, pa.int64())),
+            "next_type": nd.dictionary.take(
+                pa.array(uniq % v, pa.int64())),
+            "n": pa.array(cnts.astype(np.int64)),
+        }, schema=TRANSITIONS_SCHEMA)
+
+    partial = lagged.map_batches(pairs, batch_format="pyarrow")
+    g = sorted_group_agg(partial, key=["prev_type", "next_type"],
+                         aggs={"n": "sum"}, schema=TRANSITIONS_SCHEMA)
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "prev_type" not in t.column_names:
+            return TRANSITIONS_SCHEMA.empty_table()
+        return pa.table({
+            "prev_type": t["prev_type"], "next_type": t["next_type"],
+            "n": pc.cast(t["n"], pa.int64()),
+        }, schema=TRANSITIONS_SCHEMA)
+
+    return g.map_batches(finish, batch_format="pyarrow")

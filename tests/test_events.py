@@ -633,3 +633,45 @@ SELECT event_id, user_id, ts,
     assert by_id[3] == 5 and by_id[4] == 5   # ties are peers
     assert by_id[5] == 3                     # t=30 pair still inside
     assert by_id[6] == 1 and by_id[7] == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_event_transitions_matches_duckdb():
+    """Transition counts on a hand-checked stream: first events
+    excluded, within-user order by (ts, event_id), ties resolved by
+    event_id, users split across blocks."""
+    import duckdb
+    import ray.data as rd
+
+    from smqtk_indexing_ray.pipelines.events import event_transitions
+    rows = [  # (event_id, user, ts_us, type)
+        (0, 1, 100, "view"), (1, 1, 200, "click"), (2, 1, 300, "view"),
+        (3, 1, 300, "purchase"),    # ts tie with 2: order by event_id
+        (4, 2, 50, "view"),          # single-event user: no transition
+        (5, 3, 10, "click"), (6, 3, 20, "click"),
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.int64()).cast(
+            pa.timestamp("us")),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+    })
+    got = event_transitions(
+        rd.from_arrow(t).repartition(4),
+        num_partitions=3).to_pandas().sort_values(
+        ["prev_type", "next_type"], ignore_index=True)
+    con = duckdb.connect()
+    con.register("events", t)
+    exp = con.execute("""
+WITH s AS (SELECT user_id, event_type,
+  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+    AS prev_type FROM events)
+SELECT prev_type, event_type AS next_type, count(*) AS n
+FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""").df()
+    pd.testing.assert_frame_equal(got, exp)
+    by = {(r.prev_type, r.next_type): r.n for r in got.itertuples()}
+    assert by[("view", "click")] == 1 and by[("click", "view")] == 1
+    assert by[("view", "purchase")] == 1   # the ts-tie pair
+    assert by[("click", "click")] == 1
+    assert got.n.sum() == 4                # 7 events, 3 users

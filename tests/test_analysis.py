@@ -1306,3 +1306,22 @@ def test_compression_signals_matches_zlib():
     assert not bool(got.loc[1, "is_low_entropy"])
     assert got.loc[2, "compression_ratio"] == 0.0
     assert not bool(got.loc[2, "is_low_entropy"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cross_source_dups_null_source_counts_as_empty():
+    """A null source merges with the '' source (fill_null convention,
+    oracle coalesces the same way)."""
+    import ray.data as rd
+
+    from smqtk_indexing_ray.pipelines.analysis import cross_source_dups
+    t = pa.table({
+        "doc_id": pa.array(range(3), pa.int64()),
+        "text": pa.array(["same text"] * 3),
+        "source": pa.array([None, "", "web"], pa.string()),
+    })
+    df = cross_source_dups(rd.from_arrow(t)).to_pandas()
+    assert len(df) == 1
+    assert df.n_copies.iloc[0] == 3
+    assert df.n_sources.iloc[0] == 2     # {"", "web"} — null folded in
+    assert bool(df.is_cross_source.iloc[0])

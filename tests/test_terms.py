@@ -660,3 +660,31 @@ def test_top_terms_per_lang(ray_session):
     assert list(fr.term) == ["alpha", "beta"]    # tie 2==2, term asc
     assert list(fr.cnt) == [2, 2]
     assert list(fr["rank"]) == [1, 2]
+
+
+def test_vocab_overlap_and_top_terms_null_group_keys(ray_session):
+    """Null lang/source group keys behave exactly like '' (the Ray
+    fill_null convention the oracles mirror with coalesce) — pinned
+    after a review caught the oracles diverging on nulls."""
+    import ray.data as rd
+
+    from smqtk_indexing_ray.pipelines.terms import (
+        source_vocab_overlap, top_terms_per_lang)
+    t = pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array(["shared alone", "shared other",
+                          "shared nullside", "shared nullside2"]),
+        "lang": pa.array(["en", "en", None, ""], pa.string()),
+        "source": pa.array(["a", "b", None, ""], pa.string()),
+    })
+    docs = rd.from_arrow(t).repartition(2)
+    ov = source_vocab_overlap(docs).to_pandas()
+    # null source merged with "": pair ("", "a") and ("", "b") exist
+    assert set(zip(ov.source_a, ov.source_b)) == {
+        ("", "a"), ("", "b"), ("a", "b")}
+    null_row = ov[(ov.source_a == "") & (ov.source_b == "a")].iloc[0]
+    assert null_row.vocab_a == 3  # shared, nullside, nullside2
+    tt = top_terms_per_lang(docs, k=5).to_pandas()
+    empty_lang = tt[tt.lang == ""]
+    assert set(empty_lang.term) == {"shared", "nullside", "nullside2"}
+    assert empty_lang[empty_lang.term == "shared"].cnt.iloc[0] == 2

@@ -1060,6 +1060,16 @@ def _q_bm25_topk(sf_dir: str):
     return bm25_topk(_docs(sf_dir), _BM25_QUERY, k=20)
 
 
+def _q_count_min_freqs(sf_dir: str):
+    """Count-Min sketch calibration report over fixed probe terms
+    (rows-only: hash-seeded estimates; pytest pins the never-undercount
+    guarantee and exactness at clearing width)."""
+    from smqtk_indexing_ray.pipelines.terms import count_min_freqs
+    return count_min_freqs(
+        _docs(sf_dir),
+        ["the", "batch", "stream", "spark", "window", "nonexistentterm"])
+
+
 def _q_source_vocab_overlap(sf_dir: str):
     """Pairwise vocabulary Jaccard between sources: batch-distinct
     (term, source) partials -> one vocabulary-sized sorted distinct ->
@@ -1426,6 +1436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_entropy": _q_token_entropy,
         "term_frequencies": _q_term_frequencies,
         "source_vocab_overlap": _q_source_vocab_overlap,
+        "count_min_freqs": _q_count_min_freqs,
         "bm25_topk": _q_bm25_topk,
         "top_terms_per_lang": _q_top_terms_per_lang,
         "length_zscores": _q_length_zscores,

@@ -1584,3 +1584,100 @@ def top_terms_per_lang(docs, *, k: int = 10):
     return top_k_per_group(counts, group="lang", order="cnt",
                            tiebreak="term", k=k,
                            schema=_LANG_TERM_SCHEMA)
+
+
+CMS_SCHEMA = pa.schema([
+    ("term", pa.string()), ("exact_cnt", pa.int64()),
+    ("est_cnt", pa.int64()), ("overcount", pa.int64()),
+])
+
+_CMS_CELL_SCHEMA = pa.schema([
+    ("row", pa.int64()), ("col", pa.int64()), ("cnt", pa.int64()),
+])
+
+
+def _cms_key(d: int) -> str:
+    return f"smqtk-ray-cms{d:03d}"     # hash keys must be 16 bytes
+
+
+def count_min_freqs(docs, probe_terms, *, width: int = 1 << 14,
+                    depth: int = 4):
+    """Count-Min sketch term-frequency estimation (Cormode &
+    Muthukrishnan 2005, public) with a built-in calibration report:
+    for each probe term, the exact corpus count next to the sketch
+    estimate and the (always >= 0) overcount.
+
+    The mergeable-sketch shape: each batch emits its NONZERO sketch
+    cells as sparse ``(row, col, cnt)`` partials (bounded by
+    ``depth x min(batch vocab, width)`` rows — cell-sum merging is
+    exactly how per-node sketches combine on a real cluster), one tiny
+    sorted sum rebuilds the global sketch, and the probe is a
+    driver-side min over ``depth`` cells per term.  Estimates are
+    hash-seeded (rows-only query); the pytest oracle pins the CM
+    guarantees (never undercounts; exact when width clears the
+    vocabulary).
+    """
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+
+    from smqtk_indexing_ray.stages.agg import sorted_group_agg
+
+    probes = list(dict.fromkeys(probe_terms))
+    if not probes:
+        raise ValueError("count_min_freqs: no probe terms")
+
+    def part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _CMS_CELL_SCHEMA.empty_table()
+        flat, _ = tokens_flat(t["text"], lowercase=False)
+        if not len(flat):
+            return _CMS_CELL_SCHEMA.empty_table()
+        rows, cols, cnts = [], [], []
+        for d in range(depth):
+            col = (hash_strings_u64(flat, hash_key=_cms_key(d))
+                   % width).astype(np.int64)
+            nz = np.bincount(col, minlength=width).astype(np.int64)
+            hit = np.flatnonzero(nz)
+            rows.append(np.full(len(hit), d, np.int64))
+            cols.append(hit.astype(np.int64))
+            cnts.append(nz[hit])
+        return pa.table({
+            "row": pa.array(np.concatenate(rows)),
+            "col": pa.array(np.concatenate(cols)),
+            "cnt": pa.array(np.concatenate(cnts)),
+        }, schema=_CMS_CELL_SCHEMA)
+
+    cells = sorted_group_agg(
+        docs.select_columns(["text"]).map_batches(
+            part, batch_format="pyarrow"),
+        key=["row", "col"], aggs={"cnt": "sum"},
+        schema=_CMS_CELL_SCHEMA).take_all()     # <= depth x width rows
+    cm = np.zeros((depth, width), np.int64)
+    for r in cells:
+        cm[int(r["row"]), int(r["col"])] = int(r["cnt"])
+
+    # exact side: the corpus tf table filtered to the probes (tiny)
+    tf = term_frequencies(docs)
+    probe_set = pa.array(probes, pa.string())
+
+    def keep_probes(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "term" not in t.column_names:
+            return TERM_FREQ_SCHEMA.empty_table()
+        return t.filter(pc.is_in(t["term"], value_set=probe_set))
+
+    exact = {r["term"]: int(r["cnt"])
+             for r in tf.map_batches(
+                 keep_probes, batch_format="pyarrow").take_all()}
+
+    est = np.zeros(len(probes), np.int64)
+    for d in range(depth):
+        col = hash_strings_u64(probes, hash_key=_cms_key(d)) % width
+        vals = cm[d, col.astype(np.int64)]
+        est = vals if d == 0 else np.minimum(est, vals)
+    ex = np.array([exact.get(term, 0) for term in probes], np.int64)
+    return pa.table({
+        "term": pa.array(probes, pa.string()),
+        "exact_cnt": pa.array(ex),
+        "est_cnt": pa.array(est),
+        "overcount": pa.array(est - ex),
+    }, schema=CMS_SCHEMA)

@@ -688,3 +688,26 @@ def test_vocab_overlap_and_top_terms_null_group_keys(ray_session):
     empty_lang = tt[tt.lang == ""]
     assert set(empty_lang.term) == {"shared", "nullside", "nullside2"}
     assert empty_lang[empty_lang.term == "shared"].cnt.iloc[0] == 2
+
+
+def test_count_min_never_undercounts_and_exact_at_width(ray_session):
+    """CM guarantees: estimates never undercount (any width), and with
+    width clearing the vocabulary the estimate is exact; absent terms
+    estimate 0 unless they collide."""
+    from smqtk_indexing_ray.pipelines.terms import count_min_freqs
+    probes = ["cat", "the", "alpha", "zzz-missing"]
+    wide = count_min_freqs(_ds(DOCS), probes, width=1 << 14,
+                           depth=4).to_pandas().set_index("term")
+    assert wide.loc["cat", "exact_cnt"] == 6
+    assert (wide.overcount == 0).all()      # no collisions at 16k width
+    # brutal width forces collisions: still never undercounts
+    tiny = count_min_freqs(_ds(DOCS), probes, width=4,
+                           depth=2).to_pandas()
+    assert (tiny.overcount >= 0).all()
+    assert (tiny.est_cnt >= tiny.exact_cnt).all()
+
+
+def test_count_min_validation(ray_session):
+    from smqtk_indexing_ray.pipelines.terms import count_min_freqs
+    with pytest.raises(ValueError, match="no probe terms"):
+        count_min_freqs(_ds(DOCS), [])

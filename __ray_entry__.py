@@ -574,6 +574,14 @@ def _q_quality_signals(sf_dir: str):
     return quality_signals(_docs(sf_dir))
 
 
+def _q_pps_sample(sf_dir: str):
+    """Deterministic PPS systematic sample (weight = n_chars): one
+    distributed exclusive prefix sum + an all-int64 batch filter —
+    byte-reproducible, exact window oracle."""
+    from smqtk_indexing_ray.pipelines.analysis import pps_sample
+    return pps_sample(_docs(sf_dir), step=10_000)
+
+
 def _q_compression_signals(sf_dir: str):
     """zlib compression-ratio quality gate (rows-only: DEFLATE is
     deterministic but not SQL-expressible; the pytest oracle recomputes
@@ -1431,6 +1439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_signals": _q_quality_signals,
         "sentence_stats": _q_sentence_stats,
         "compression_signals": _q_compression_signals,
+        "pps_sample": _q_pps_sample,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "repetition_signals": _q_repetition_signals,
         "token_entropy": _q_token_entropy,
@@ -2091,6 +2100,22 @@ def oracle_sql() -> dict[str, str]:
             "frac_long_words, (n_tokens >= 50 AND n_tokens <= 100000 AND "
             "mean_word_len >= 3.0 AND mean_word_len <= 10.0) "
             "AS passes_quality FROM m"
+        ),
+        "pps_sample": (
+            "WITH c AS ("
+            "  SELECT doc_id, CAST(coalesce(n_chars, 0) AS BIGINT)"
+            "    AS n_chars,"
+            "  CAST(coalesce(sum(CAST(coalesce(n_chars, 0) AS BIGINT))"
+            "    OVER (ORDER BY doc_id"
+            "      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),"
+            "    0) AS BIGINT) AS cum_before"
+            "  FROM documents"
+            ") "
+            "SELECT doc_id, n_chars, cum_before, "
+            "CAST((cum_before + n_chars) // 10000"
+            "  - cum_before // 10000 AS BIGINT) AS n_hits "
+            "FROM c WHERE (cum_before + n_chars) // 10000"
+            "  > cum_before // 10000"
         ),
         "sentence_stats": (
             "WITH m AS ("

@@ -1929,3 +1929,69 @@ def compression_signals(docs, *, level: int = 6,
 
     return docs.select_columns(["doc_id", "text"]).map_batches(
         sig, batch_format="pyarrow")
+
+
+PPS_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()), ("n_chars", pa.int64()),
+    ("cum_before", pa.int64()), ("n_hits", pa.int64()),
+])
+
+
+def pps_sample(docs, *, step: int = 10_000):
+    """Deterministic probability-proportional-to-size systematic
+    sample: walk the corpus in ``doc_id`` order accumulating
+    ``n_chars`` and keep every doc whose weight interval covers a
+    multiple of ``step`` — longer docs proportionally likelier, zero
+    randomness, byte-reproducible across runs and engines (the sample
+    you can re-derive during an audit).
+
+    One distributed exclusive prefix sum
+    (``stages/prefix.running_total`` — O(blocks) boundary carries) and
+    a batch-local integer filter; ALL arithmetic is int64, so the SQL
+    window oracle matches exactly.  ``n_hits`` counts multiples inside
+    the interval (a doc heavier than ``step`` is sampled with
+    multiplicity).
+    """
+    if step <= 0:
+        raise ValueError("pps_sample: step must be positive")
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+
+    from smqtk_indexing_ray.stages.prefix import running_total
+
+    slim_schema = pa.schema([("doc_id", pa.int64()),
+                             ("n_chars", pa.int64())])
+
+    def slim(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return slim_schema.empty_table()
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_chars": pc.cast(pc.fill_null(t["n_chars"], 0),
+                               pa.int64()),
+        }, schema=slim_schema)
+
+    pre = running_total(
+        docs.select_columns(["doc_id", "n_chars"]).map_batches(
+            slim, batch_format="pyarrow"),
+        order="doc_id", value="n_chars", out="cum_before",
+        schema=slim_schema)
+
+    def pick(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "cum_before" not in t.column_names:
+            return PPS_SCHEMA.empty_table()
+        w = t["n_chars"].to_numpy(zero_copy_only=False)
+        before = t["cum_before"].to_numpy(zero_copy_only=False)
+        hits = (before + w) // step - before // step
+        keep = hits > 0
+        if not keep.any():
+            return PPS_SCHEMA.empty_table()
+        idx = pa.array(np.flatnonzero(keep))
+        return pa.table({
+            "doc_id": t["doc_id"].take(idx),
+            "n_chars": t["n_chars"].take(idx),
+            "cum_before": t["cum_before"].take(idx),
+            "n_hits": pa.array(hits[keep].astype(np.int64)),
+        }, schema=PPS_SCHEMA)
+
+    return pre.map_batches(pick, batch_format="pyarrow")

@@ -1325,3 +1325,42 @@ def test_cross_source_dups_null_source_counts_as_empty():
     assert df.n_copies.iloc[0] == 3
     assert df.n_sources.iloc[0] == 2     # {"", "web"} — null folded in
     assert bool(df.is_cross_source.iloc[0])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pps_sample_matches_duckdb():
+    """Systematic PPS sample: heavy docs sampled with multiplicity,
+    light runs skipped, blocks split so the prefix sum carries."""
+    import duckdb
+    import ray.data as rd
+
+    from smqtk_indexing_ray.pipelines.analysis import pps_sample
+    rng = np.random.default_rng(13)
+    w = rng.integers(1, 40, 50).astype(np.int64)
+    w[7] = 250   # heavier than step=100 -> multiplicity >= 2
+    t = pa.table({
+        "doc_id": pa.array(np.arange(50, dtype=np.int64)),
+        "text": pa.array(["x"] * 50),
+        "n_chars": pa.array(w),
+    })
+    import smqtk_indexing_ray.pipelines.analysis as A
+    got = A.pps_sample(rd.from_arrow(t).repartition(5),
+                       step=100).to_pandas().sort_values(
+        "doc_id", ignore_index=True)
+    con = duckdb.connect()
+    con.register("documents", t)
+    exp = con.execute("""
+WITH c AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+  CAST(coalesce(sum(n_chars) OVER (ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+  AS cum_before FROM documents)
+SELECT doc_id, n_chars, cum_before,
+  CAST((cum_before + n_chars) // 100 - cum_before // 100 AS BIGINT)
+    AS n_hits
+FROM c WHERE (cum_before + n_chars) // 100 > cum_before // 100
+ORDER BY doc_id""").df()
+    pd.testing.assert_frame_equal(got, exp)
+    assert got[got.doc_id == 7].n_hits.iloc[0] >= 2   # multiplicity
+    assert got.n_hits.sum() == int(w.sum()) // 100    # covers total
+    with pytest.raises(ValueError, match="step"):
+        pps_sample(rd.from_arrow(t), step=0)

@@ -1068,6 +1068,14 @@ def _q_bm25_topk(sf_dir: str):
     return bm25_topk(_docs(sf_dir), _BM25_QUERY, k=20)
 
 
+def _q_strided_windows(sf_dir: str):
+    """Strided pretraining context-window plan (window=128, stride=64):
+    batch-local grouped-arange expansion, ~tokens/stride output rows,
+    exact generate_series oracle."""
+    from smqtk_indexing_ray.pipelines.terms import strided_windows
+    return strided_windows(_docs(sf_dir), window=128, stride=64)
+
+
 def _q_count_min_freqs(sf_dir: str):
     """Count-Min sketch calibration report over fixed probe terms
     (rows-only: hash-seeded estimates; pytest pins the never-undercount
@@ -1446,6 +1454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_frequencies": _q_term_frequencies,
         "source_vocab_overlap": _q_source_vocab_overlap,
         "count_min_freqs": _q_count_min_freqs,
+        "strided_windows": _q_strided_windows,
         "bm25_topk": _q_bm25_topk,
         "top_terms_per_lang": _q_top_terms_per_lang,
         "length_zscores": _q_length_zscores,
@@ -2590,6 +2599,19 @@ def oracle_sql() -> dict[str, str]:
             "  / sqrt((st.ss - st.s * st.s / st.n) / st.n), 6) "
             "ELSE 0.0 END AS z_len "
             "FROM documents d JOIN st ON st.lang = coalesce(d.lang, '')"
+        ),
+        "strided_windows": (
+            "WITH " + _TOKS + ", "
+            "nt AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n"
+            "  FROM toks), "
+            "e AS (SELECT doc_id, n,"
+            "  unnest(generate_series(0,"
+            "    CAST((n + 63) // 64 AS BIGINT) - 1)) AS win_idx"
+            "  FROM nt WHERE n > 0) "
+            "SELECT doc_id, CAST(win_idx AS BIGINT) AS win_idx, "
+            "CAST(win_idx * 64 AS BIGINT) AS tok_start, "
+            "CAST(least(128, n - win_idx * 64) AS BIGINT) AS tok_len, "
+            "least(128, n - win_idx * 64) = 128 AS is_full FROM e"
         ),
         "bm25_topk": (
             r"WITH " + _TOKS + r", "

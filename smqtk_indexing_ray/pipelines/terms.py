@@ -1681,3 +1681,54 @@ def count_min_freqs(docs, probe_terms, *, width: int = 1 << 14,
         "est_cnt": pa.array(est),
         "overcount": pa.array(est - ex),
     }, schema=CMS_SCHEMA)
+
+
+WINDOWS_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()), ("win_idx", pa.int64()),
+    ("tok_start", pa.int64()), ("tok_len", pa.int64()),
+    ("is_full", pa.bool_()),
+])
+
+
+def strided_windows(docs, *, window: int = 128, stride: int = 64):
+    """Strided context-window layout per document — the pretraining
+    sequence-packing plan: window starts at ``0, stride, 2*stride, …``
+    while inside the doc, each window holding ``min(window, n_tokens -
+    start)`` tokens.  Emits the (doc, window) metadata table a
+    tokenizer shard consumes; empty docs emit nothing.
+
+    Batch-local and fully vectorized (one ``np.repeat``/``arange``
+    expansion per batch, no shuffle); output is ~``n_tokens/stride``
+    rows — the op's cost is proportional to the training sequences it
+    plans, never quadratic.  Exact SQL twin via ``generate_series``.
+    """
+    if window <= 0 or stride <= 0:
+        raise ValueError("strided_windows: window and stride must be"
+                         " positive")
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+
+    def expand(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return WINDOWS_SCHEMA.empty_table()
+        _, off = tokens_flat(t["text"], lowercase=False)
+        counts = np.diff(off)
+        n_win = (counts + stride - 1) // stride      # ceil(n/stride)
+        if not n_win.sum():
+            return WINDOWS_SCHEMA.empty_table()
+        doc_rep = np.repeat(np.arange(n, dtype=np.int64), n_win)
+        win_idx = grouped_arange(n_win)
+        start = win_idx * stride
+        tok_len = np.minimum(window, counts[doc_rep] - start)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(ids[doc_rep].astype(np.int64)),
+            "win_idx": pa.array(win_idx),
+            "tok_start": pa.array(start),
+            "tok_len": pa.array(tok_len),
+            "is_full": pa.array(tok_len == window),
+        }, schema=WINDOWS_SCHEMA)
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        expand, batch_format="pyarrow")

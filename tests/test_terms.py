@@ -711,3 +711,26 @@ def test_count_min_validation(ray_session):
     from smqtk_indexing_ray.pipelines.terms import count_min_freqs
     with pytest.raises(ValueError, match="no probe terms"):
         count_min_freqs(_ds(DOCS), [])
+
+
+def test_strided_windows(ray_session):
+    """Window plan semantics: n=6 tokens with window=4 stride=2 gives
+    starts 0,2,4 with lens 4,4,2; exactly-one-window docs; empty docs
+    emit nothing; short tail windows flagged not-full."""
+    from smqtk_indexing_ray.pipelines.terms import strided_windows
+    got = strided_windows(_ds(DOCS), window=4,
+                          stride=2).to_pandas()
+    d0 = got[got.doc_id == 0].sort_values("win_idx")
+    assert list(d0.tok_start) == [0, 2, 4]
+    assert list(d0.tok_len) == [4, 4, 2]
+    assert list(d0.is_full) == [True, True, False]
+    assert 1 not in set(got.doc_id)              # empty doc: no windows
+    d2 = got[got.doc_id == 2]                    # 4 tokens: starts 0, 2
+    assert list(d2.tok_len) == [4, 2]
+    # conservation: every token is covered by at least one window
+    for d, g in got.groupby("doc_id"):
+        n = len(DOCS[d][1].split())
+        assert (g.tok_start + g.tok_len).max() == n
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="positive"):
+        strided_windows(_ds(DOCS), window=0, stride=2)

@@ -574,6 +574,15 @@ def _q_quality_signals(sf_dir: str):
     return quality_signals(_docs(sf_dir))
 
 
+def _q_cluster_quality_rollup(sf_dir: str):
+    """Per near-dup cluster length profile (template-farm detector):
+    exact-Jaccard labels + one sort-merge attach + one sorted agg;
+    recursive-CTE oracle."""
+    from smqtk_indexing_ray.pipelines.analysis import (
+        cluster_quality_rollup)
+    return cluster_quality_rollup(_docs(sf_dir), k=3, threshold=0.5)
+
+
 def _q_pps_sample(sf_dir: str):
     """Deterministic PPS systematic sample (weight = n_chars): one
     distributed exclusive prefix sum + an all-int64 batch filter —
@@ -1448,6 +1457,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sentence_stats": _q_sentence_stats,
         "compression_signals": _q_compression_signals,
         "pps_sample": _q_pps_sample,
+        "cluster_quality_rollup": _q_cluster_quality_rollup,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "repetition_signals": _q_repetition_signals,
         "token_entropy": _q_token_entropy,
@@ -1788,6 +1798,26 @@ def oracle_sql() -> dict[str, str]:
             ") "
             "SELECT doc AS doc_id, min(lab) AS cluster_id FROM reach "
             "GROUP BY doc"
+        ),
+        "cluster_quality_rollup": (
+            "WITH RECURSIVE " + _TOKS + ", " + _SHINGLES + ", "
+            "edges AS ("
+            "  SELECT doc_a AS src, doc_b AS dst FROM jpairs"
+            "  UNION ALL SELECT doc_b, doc_a FROM jpairs"
+            "), reach(doc, lab) AS ("
+            "  SELECT doc_id, doc_id FROM documents"
+            "  UNION"
+            "  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.doc"
+            "), lab AS ("
+            "  SELECT doc AS doc_id, min(lab) AS cluster_id FROM reach"
+            "  GROUP BY doc"
+            ") "
+            "SELECT l.cluster_id, count(*) AS n_docs, "
+            "CAST(sum(CAST(coalesce(d.n_chars, 0) AS HUGEINT)) AS BIGINT)"
+            "  AS total_chars, "
+            "CAST(min(coalesce(d.n_chars, 0)) AS BIGINT) AS min_chars, "
+            "CAST(max(coalesce(d.n_chars, 0)) AS BIGINT) AS max_chars "
+            "FROM lab l JOIN documents d USING (doc_id) GROUP BY 1"
         ),
         "curation_report": _CURATION_CTES + " " + _CURATION_SELECT,
         "curated_corpus": (

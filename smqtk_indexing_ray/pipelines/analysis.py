@@ -1995,3 +1995,77 @@ def pps_sample(docs, *, step: int = 10_000):
         }, schema=PPS_SCHEMA)
 
     return pre.map_batches(pick, batch_format="pyarrow")
+
+
+CLUSTER_QUALITY_SCHEMA = pa.schema([
+    ("cluster_id", pa.int64()), ("n_docs", pa.int64()),
+    ("total_chars", pa.int64()), ("min_chars", pa.int64()),
+    ("max_chars", pa.int64()),
+])
+
+
+def cluster_quality_rollup(docs, *, k: int = 3, threshold: float = 0.5,
+                           num_partitions: int = 16):
+    """Per near-dup cluster quality profile: member count and the
+    char-length sum / min / max over every doc in the cluster — the
+    table a curation pass reads to decide which clusters are template
+    farms (huge n, tiny length spread) vs genuine families.
+
+    Composition of the exact-Jaccard clustering
+    (:func:`jaccard_cluster_labels`, recursive-CTE oracle) with one
+    sort-merge attach of ``n_chars`` and one sorted grouped
+    aggregation; singletons appear with ``n_docs = 1``.
+    """
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+
+    from smqtk_indexing_ray.stages._util import auto_blocks
+    from smqtk_indexing_ray.stages.agg import sorted_group_agg
+    from smqtk_indexing_ray.stages.attach import sort_attach
+
+    labels = jaccard_cluster_labels(docs, k=k, threshold=threshold,
+                                    num_partitions=num_partitions)
+    lab_schema = pa.schema([("doc_id", pa.int64()),
+                            ("cluster_id", pa.int64())])
+    chars_schema = pa.schema([("doc_id", pa.int64()),
+                              ("n_chars", pa.int64())])
+
+    def chars(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return chars_schema.empty_table()
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_chars": pc.cast(pc.fill_null(t["n_chars"], 0),
+                               pa.int64()),
+        }, schema=chars_schema)
+
+    att = sort_attach(
+        labels, docs.select_columns(["doc_id", "n_chars"]).map_batches(
+            chars, batch_format="pyarrow"),
+        key="doc_id", payload_key="doc_id", payload_cols=["n_chars"],
+        how="inner", rows_schema=lab_schema,
+        payload_schema=chars_schema)
+
+    g = sorted_group_agg(
+        att, key="cluster_id",
+        aggs={"n_docs": "count", "total_chars": ("n_chars", "sum"),
+              "min_chars": ("n_chars", "min"),
+              "max_chars": ("n_chars", "max")},
+        num_blocks=max(num_partitions, auto_blocks()),
+        schema=pa.schema([("doc_id", pa.int64()),
+                          ("cluster_id", pa.int64()),
+                          ("n_chars", pa.int64())]))
+
+    def project(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "cluster_id" not in t.column_names:
+            return CLUSTER_QUALITY_SCHEMA.empty_table()
+        return pa.table({
+            "cluster_id": pc.cast(t["cluster_id"], pa.int64()),
+            "n_docs": pc.cast(t["n_docs"], pa.int64()),
+            "total_chars": pc.cast(t["total_chars"], pa.int64()),
+            "min_chars": pc.cast(t["min_chars"], pa.int64()),
+            "max_chars": pc.cast(t["max_chars"], pa.int64()),
+        }, schema=CLUSTER_QUALITY_SCHEMA)
+
+    return stamp_schema(g.map_batches(project, batch_format="pyarrow"),
+                        CLUSTER_QUALITY_SCHEMA)

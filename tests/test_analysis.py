@@ -1364,3 +1364,27 @@ ORDER BY doc_id""").df()
     assert got.n_hits.sum() == int(w.sum()) // 100    # covers total
     with pytest.raises(ValueError, match="step"):
         pps_sample(rd.from_arrow(t), step=0)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cluster_quality_rollup():
+    """The near-dup pair (docs 0,1,2 via exact dup + trigram overlap)
+    rolls up into one cluster with the right length stats; singletons
+    keep n_docs=1."""
+    from smqtk_indexing_ray.pipelines.analysis import (
+        cluster_quality_rollup)
+    import ray.data as rd
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "a b c d e f", "a b c d e f", "a b c d e g", "x y z w v u",
+        ]),
+        "n_chars": pa.array([11, 11, 11, 11], pa.int64()),
+    })
+    got = cluster_quality_rollup(
+        rd.from_arrow(t).repartition(2), k=3,
+        threshold=0.4).to_pandas().set_index("cluster_id")
+    assert got.loc[0, "n_docs"] == 3          # 0,1 exact + 2 near
+    assert got.loc[0, "total_chars"] == 33
+    assert got.loc[0, "min_chars"] == 11 and got.loc[0, "max_chars"] == 11
+    assert got.loc[3, "n_docs"] == 1

@@ -832,6 +832,14 @@ def _q_window_user_counts(sf_dir: str):
                               window_minutes=60)
 
 
+def _q_hourly_activity(sf_dir: str):
+    """Hour-of-day seasonality per event type: 24 x |types| batch
+    partials into one tiny sorted sum; shares are exact int64 ratios."""
+    import ray.data as rd
+    from smqtk_indexing_ray.pipelines.events import hourly_activity
+    return hourly_activity(rd.read_parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_event_transitions(sf_dir: str):
     """First-order Markov event-type transition counts per user stream:
     one distributed LAG + event-type-squared batch partials into a tiny
@@ -1442,6 +1450,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trailing_active_users": _q_trailing_active_users,
         "trailing_event_counts": _q_trailing_event_counts,
         "event_transitions": _q_event_transitions,
+        "hourly_activity": _q_hourly_activity,
         "hopping_window_counts": _q_hopping_window_counts,
         "event_seq": _q_event_seq,
         "user_event_gaps": _q_user_event_gaps,
@@ -2396,6 +2405,19 @@ def oracle_sql() -> dict[str, str]:
             "    1800000000)) AS ws"
             "  FROM events"
             ") GROUP BY 1"
+        ),
+        "hourly_activity": (
+            "WITH c AS ("
+            "  SELECT CAST(extract(hour FROM ts) AS BIGINT) AS hour,"
+            "  coalesce(event_type, '') AS event_type, count(*) AS n"
+            "  FROM events GROUP BY 1, 2"
+            "), t AS ("
+            "  SELECT event_type, CAST(sum(n) AS BIGINT) AS tot"
+            "  FROM c GROUP BY 1"
+            ") "
+            "SELECT c.hour, c.event_type, c.n, "
+            "CAST(c.n AS DOUBLE) / t.tot AS frac_of_type "
+            "FROM c JOIN t USING (event_type)"
         ),
         "event_transitions": (
             "WITH s AS ("

@@ -1348,3 +1348,73 @@ def event_transitions(events, *, num_partitions: int = 16):
         }, schema=TRANSITIONS_SCHEMA)
 
     return g.map_batches(finish, batch_format="pyarrow")
+
+
+HOURLY_SCHEMA = pa.schema([
+    ("hour", pa.int64()), ("event_type", pa.string()),
+    ("n", pa.int64()), ("frac_of_type", pa.float64()),
+])
+
+
+def hourly_activity(events):
+    """Hour-of-day seasonality profile per event type: counts per
+    ``(hour 0-23, event_type)`` and each cell's share of its type's
+    total — the traffic-shape table behind bot-burst and crawl-window
+    diagnostics.
+
+    Batch-local ``(hour, type)`` pre-counts (at most ``24 x |types|``
+    partial rows per batch) into one tiny sorted sum; the per-type
+    totals fold on the driver over the hours-x-types result (bounded by
+    the key space, never events).  ``frac_of_type`` is an exact int64
+    ratio.
+    """
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+
+    from smqtk_indexing_ray.stages.agg import sorted_group_agg
+
+    part_schema = pa.schema([("hour", pa.int64()),
+                             ("event_type", pa.string()),
+                             ("n", pa.int64())])
+
+    def part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        hr = pc.hour(t["ts"].combine_chunks()).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        et = pc.fill_null(t["event_type"].combine_chunks(), "")
+        ed = pc.dictionary_encode(et)
+        if isinstance(ed, pa.ChunkedArray):
+            ed = ed.combine_chunks()
+        code = ed.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = len(ed.dictionary)
+        uniq, cnts = np.unique(hr * v + code, return_counts=True)
+        return pa.table({
+            "hour": pa.array(uniq // v),
+            "event_type": ed.dictionary.take(pa.array(uniq % v,
+                                                      pa.int64())),
+            "n": pa.array(cnts.astype(np.int64)),
+        }, schema=part_schema)
+
+    g = sorted_group_agg(
+        events.select_columns(["ts", "event_type"]).map_batches(
+            part, batch_format="pyarrow"),
+        key=["hour", "event_type"], aggs={"n": "sum"},
+        schema=part_schema).take_all()   # <= 24 x |types| rows
+    if not g:
+        return HOURLY_SCHEMA.empty_table()
+    totals: dict[str, int] = {}
+    for r in g:
+        totals[r["event_type"]] = totals.get(r["event_type"], 0) \
+            + int(r["n"])
+    hours = np.array([int(r["hour"]) for r in g], np.int64)
+    types = [r["event_type"] for r in g]
+    n = np.array([int(r["n"]) for r in g], np.int64)
+    tot = np.array([totals[ty] for ty in types], np.int64)
+    return pa.table({
+        "hour": pa.array(hours),
+        "event_type": pa.array(types, pa.string()),
+        "n": pa.array(n),
+        "frac_of_type": pa.array(n.astype(np.float64)
+                                 / tot.astype(np.float64)),
+    }, schema=HOURLY_SCHEMA)

@@ -675,3 +675,33 @@ FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""").df()
     assert by[("view", "purchase")] == 1   # the ts-tie pair
     assert by[("click", "click")] == 1
     assert got.n.sum() == 4                # 7 events, 3 users
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hourly_activity():
+    """Hand-checked hour x type counts and exact per-type shares,
+    including an hour-boundary timestamp and a midnight-wrap."""
+    import ray.data as rd
+
+    from smqtk_indexing_ray.pipelines.events import hourly_activity
+    h = 3_600_000_000
+    rows = [  # (ts_us, type)
+        (0 * h, "view"), (0 * h + 1, "view"), (1 * h, "view"),
+        (23 * h + 59, "click"), (23 * h, "click"), (0 * h, "click"),
+    ]
+    t = pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "user_id": pa.array([1] * len(rows), pa.int64()),
+        "ts": pa.array([r[0] for r in rows], pa.int64()).cast(
+            pa.timestamp("us")),
+        "event_type": pa.array([r[1] for r in rows], pa.string()),
+    })
+    got = hourly_activity(
+        rd.from_arrow(t).repartition(3)).to_pandas()
+    by = {(r.hour, r.event_type): (r.n, r.frac_of_type)
+          for r in got.itertuples()}
+    assert by[(0, "view")] == (2, 2 / 3)
+    assert by[(1, "view")] == (1, 1 / 3)
+    assert by[(23, "click")] == (2, 2 / 3)
+    assert by[(0, "click")] == (1, 1 / 3)
+    assert len(got) == 4

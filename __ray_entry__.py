@@ -1085,6 +1085,14 @@ def _q_bm25_topk(sf_dir: str):
     return bm25_topk(_docs(sf_dir), _BM25_QUERY, k=20)
 
 
+def _q_vocab_growth(sf_dir: str):
+    """Heaps'-law vocabulary growth over power-of-two doc prefixes: one
+    sorted grouped min of per-term first occurrence + 21-bucket partial
+    histograms folded on the driver; all int64-exact."""
+    from smqtk_indexing_ray.pipelines.terms import vocab_growth
+    return vocab_growth(_docs(sf_dir))
+
+
 def _q_strided_windows(sf_dir: str):
     """Strided pretraining context-window plan (window=128, stride=64):
     batch-local grouped-arange expansion, ~tokens/stride output rows,
@@ -1474,6 +1482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_vocab_overlap": _q_source_vocab_overlap,
         "count_min_freqs": _q_count_min_freqs,
         "strided_windows": _q_strided_windows,
+        "vocab_growth": _q_vocab_growth,
         "bm25_topk": _q_bm25_topk,
         "top_terms_per_lang": _q_top_terms_per_lang,
         "length_zscores": _q_length_zscores,
@@ -2651,6 +2660,18 @@ def oracle_sql() -> dict[str, str]:
             "  / sqrt((st.ss - st.s * st.s / st.n) / st.n), 6) "
             "ELSE 0.0 END AS z_len "
             "FROM documents d JOIN st ON st.lang = coalesce(d.lang, '')"
+        ),
+        "vocab_growth": (
+            r"WITH " + _TOKS + r", "
+            r"f AS (SELECT term, min(doc_id) AS first_doc FROM ("
+            r"  SELECT doc_id, unnest(w) AS term FROM toks)"
+            r"  GROUP BY term), "
+            r"p AS (SELECT unnest(list_transform(generate_series(0, 20),"
+            r"  i -> CAST(2**i AS BIGINT))) AS prefix_docs) "
+            r"SELECT p.prefix_docs,"
+            r" CAST(count(*) FILTER (f.first_doc < p.prefix_docs)"
+            r"   AS BIGINT) AS n_distinct_terms "
+            r"FROM p LEFT JOIN f ON TRUE GROUP BY 1"
         ),
         "strided_windows": (
             "WITH " + _TOKS + ", "

@@ -1732,3 +1732,85 @@ def strided_windows(docs, *, window: int = 128, stride: int = 64):
 
     return docs.select_columns(["doc_id", "text"]).map_batches(
         expand, batch_format="pyarrow")
+
+
+VOCAB_GROWTH_SCHEMA = pa.schema([
+    ("prefix_docs", pa.int64()), ("n_distinct_terms", pa.int64()),
+])
+
+#: Fixed power-of-two prefix ladder (1 .. 2^20) so the output row set —
+#: and the SQL oracle — is data-size independent; the curve saturates
+#: at the full vocabulary once the prefix covers the corpus.
+VOCAB_GROWTH_PREFIXES = [1 << i for i in range(21)]
+
+
+def vocab_growth(docs):
+    """Heaps'-law vocabulary growth curve: distinct terms seen within
+    the first ``p`` documents (by ``doc_id`` order) for each power-of-
+    two prefix ``p`` — the diagnostic for how fast a crawl stops
+    contributing new vocabulary (dedup/quality regressions bend this
+    curve).
+
+    Scale shape: each term's FIRST-occurrence doc_id is one sorted
+    grouped min over per-batch (term, min doc) partials; the curve is
+    then a 21-bucket histogram of first-occurrence doc_ids — per-batch
+    partial histograms (21 ints each) fold on the driver, so nothing
+    vocabulary-sized ever leaves the workers after the grouped min.
+    All counts int64-exact.
+    """
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+
+    from smqtk_indexing_ray.stages.agg import sorted_group_agg
+
+    part_schema = pa.schema([("term", pa.string()),
+                             ("first_doc", pa.int64())])
+
+    def part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        (vocab, _, _, _, s_code, run_starts, _, run_doc,
+         _) = _doc_term_runs(t["text"], t.num_rows)
+        if not len(run_starts):
+            return part_schema.empty_table()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        v = len(vocab)
+        first = np.full(v, np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(first, s_code[run_starts],
+                      ids[run_doc].astype(np.int64))
+        seen = first != np.iinfo(np.int64).max
+        return pa.table({
+            "term": vocab.filter(pa.array(seen)),
+            "first_doc": pa.array(first[seen]),
+        }, schema=part_schema)
+
+    firsts = sorted_group_agg(
+        docs.select_columns(["doc_id", "text"]).map_batches(
+            part, batch_format="pyarrow"),
+        key="term", aggs={"first_doc": "min"}, schema=part_schema)
+
+    ladder = np.array(VOCAB_GROWTH_PREFIXES, np.int64)
+    hist_schema = pa.schema([("bucket", pa.int64()),
+                             ("n", pa.int64())])
+
+    def hist(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "first_doc" not in t.column_names:
+            return hist_schema.empty_table()
+        fd = pc.cast(t["first_doc"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        # bucket = number of ladder rungs strictly greater than first_doc
+        idx = np.searchsorted(ladder, fd, side="right")
+        n = np.bincount(idx, minlength=len(ladder) + 1).astype(np.int64)
+        keep = np.flatnonzero(n)
+        return pa.table({"bucket": pa.array(keep.astype(np.int64)),
+                         "n": pa.array(n[keep])}, schema=hist_schema)
+
+    parts = firsts.map_batches(hist, batch_format="pyarrow").take_all()
+    counts = np.zeros(len(ladder) + 1, np.int64)
+    for r in parts:
+        counts[int(r["bucket"])] += int(r["n"])
+    cum = np.cumsum(counts)[:len(ladder)]   # terms with first_doc < p
+    return pa.table({
+        "prefix_docs": pa.array(ladder),
+        "n_distinct_terms": pa.array(cum),
+    }, schema=VOCAB_GROWTH_SCHEMA)

@@ -734,3 +734,18 @@ def test_strided_windows(ray_session):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="positive"):
         strided_windows(_ds(DOCS), window=0, stride=2)
+
+
+def test_vocab_growth(ray_session):
+    """Growth curve on the fixture: prefix 1 sees only doc 0's vocab
+    (5 terms), the full ladder saturates at the corpus vocabulary, and
+    the curve is monotone."""
+    from smqtk_indexing_ray.pipelines.terms import vocab_growth
+    got = vocab_growth(_ds(DOCS)).to_pandas().sort_values(
+        "prefix_docs", ignore_index=True)
+    assert len(got) == 21
+    by = dict(zip(got.prefix_docs, got.n_distinct_terms))
+    assert by[1] == 5                      # doc 0: the cat sat on mat
+    vocab_all = len({w for _, txt, *_ in DOCS for w in txt.split()})
+    assert by[1 << 20] == vocab_all
+    assert (got.n_distinct_terms.diff().dropna() >= 0).all()

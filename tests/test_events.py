@@ -705,3 +705,35 @@ def test_hourly_activity():
     assert by[(23, "click")] == (2, 2 / 3)
     assert by[(0, "click")] == (1, 1 / 3)
     assert len(got) == 4
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_trailing_event_counts_random_property():
+    """Randomized RANGE-window property check vs DuckDB: bursty random
+    streams with many exact-ts ties, several partitionings."""
+    import duckdb
+    import ray.data as rd
+
+    from smqtk_indexing_ray.pipelines.events import trailing_event_counts
+    for seed, parts in [(3, 2), (4, 6)]:
+        rng = np.random.default_rng(seed)
+        n = 300
+        ts = np.sort(rng.integers(0, 5_000, n)) * 60_000_000
+        users = rng.integers(1, 6, n)
+        t = pa.table({
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "user_id": pa.array(users.astype(np.int64)),
+            "ts": pa.array(ts.astype(np.int64)).cast(pa.timestamp("us")),
+        })
+        got = trailing_event_counts(
+            rd.from_arrow(t).repartition(parts), window_minutes=600,
+            num_partitions=4).to_pandas().sort_values(
+            "event_id", ignore_index=True)
+        con = duckdb.connect()
+        con.register("events", t)
+        exp = con.execute("""
+SELECT event_id, user_id, ts,
+  CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts
+    RANGE BETWEEN INTERVAL 10 HOUR PRECEDING AND CURRENT ROW)
+  AS BIGINT) AS n_window FROM events ORDER BY event_id""").df()
+        pd.testing.assert_frame_equal(got, exp)

@@ -282,3 +282,55 @@ def test_quantize_empty_tail_row_does_not_corrupt_neighbor():
     assert got.loc[2, "n_dims"] == 0
     assert got.loc[2, "code_sum"] == 0 and got.loc[2, "code_max"] == 0
     assert got.loc[2, "max_abs_err"] == 0.0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_quantize_random_with_empties_property():
+    """Randomized property check: arbitrary batches with empty vectors
+    scattered anywhere must match the plain-numpy digest, for several
+    seeds and partitionings (guards the reduceat segment logic)."""
+    import ray.data as rd
+
+    from smqtk_indexing_ray.functions.metrics import round6
+    from smqtk_indexing_ray.pipelines.ann import quantize_embeddings
+    for seed, parts in [(0, 1), (1, 3), (2, 7)]:
+        rng = np.random.default_rng(seed)
+        n, d = 40, 5
+        rows = []
+        for i in range(n):
+            if rng.random() < 0.25:
+                rows.append([])                     # empty anywhere
+            else:
+                rows.append(list(rng.standard_normal(d).astype(
+                    np.float32)))
+        ds = rd.from_arrow(pa.table({
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(rows, pa.list_(pa.float32())),
+        })).repartition(parts)
+        got = quantize_embeddings(ds).to_pandas().sort_values(
+            "vec_id", ignore_index=True)
+        full = [r for r in rows if r]
+        if not full:
+            continue
+        x = np.array(full, np.float64)
+        mn, mx = x.min(axis=0), x.max(axis=0)
+        rng_ = mx - mn
+        live = rng_ > 0
+        for i, r in enumerate(rows):
+            if not r:
+                assert got.loc[i, "code_sum"] == 0
+                assert got.loc[i, "n_dims"] == 0
+                assert got.loc[i, "max_abs_err"] == 0.0
+                continue
+            xr = np.array(r, np.float64)
+            q = np.where(live, np.clip(np.floor(
+                (xr - mn) * 256.0 / np.where(live, rng_, 1.0)),
+                0, 255), 0.0)
+            deq = mn + (q + 0.5) * rng_ / 256.0
+            err = np.where(live, np.abs(xr - deq), 0.0)
+            qi = q.astype(np.int64)
+            assert got.loc[i, "code_sum"] == qi.sum()
+            assert got.loc[i, "code_min"] == qi.min()
+            assert got.loc[i, "code_max"] == qi.max()
+            assert got.loc[i, "max_abs_err"] == float(
+                round6(np.array(err.max())))

@@ -574,6 +574,13 @@ def _q_quality_signals(sf_dir: str):
     return quality_signals(_docs(sf_dir))
 
 
+def _q_lang_source_matrix(sf_dir: str):
+    """PIVOT: per-source doc counts across the fixed language column
+    set — |sources|-row batch partials into one tiny sorted sum."""
+    from smqtk_indexing_ray.pipelines.analysis import lang_source_matrix
+    return lang_source_matrix(_docs(sf_dir))
+
+
 def _q_cluster_quality_rollup(sf_dir: str):
     """Per near-dup cluster length profile (template-farm detector):
     exact-Jaccard labels + one sort-merge attach + one sorted agg;
@@ -1475,6 +1482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compression_signals": _q_compression_signals,
         "pps_sample": _q_pps_sample,
         "cluster_quality_rollup": _q_cluster_quality_rollup,
+        "lang_source_matrix": _q_lang_source_matrix,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "repetition_signals": _q_repetition_signals,
         "token_entropy": _q_token_entropy,
@@ -2157,6 +2165,23 @@ def oracle_sql() -> dict[str, str]:
             "frac_long_words, (n_tokens >= 50 AND n_tokens <= 100000 AND "
             "mean_word_len >= 3.0 AND mean_word_len <= 10.0) "
             "AS passes_quality FROM m"
+        ),
+        "lang_source_matrix": (
+            "SELECT coalesce(source, '') AS source, "
+            "CAST(count(*) FILTER (coalesce(lang, '') = 'de') AS BIGINT)"
+            " AS n_de, "
+            "CAST(count(*) FILTER (coalesce(lang, '') = 'en') AS BIGINT)"
+            " AS n_en, "
+            "CAST(count(*) FILTER (coalesce(lang, '') = 'es') AS BIGINT)"
+            " AS n_es, "
+            "CAST(count(*) FILTER (coalesce(lang, '') = 'fr') AS BIGINT)"
+            " AS n_fr, "
+            "CAST(count(*) FILTER (coalesce(lang, '') = 'zh') AS BIGINT)"
+            " AS n_zh, "
+            "CAST(count(*) FILTER (coalesce(lang, '') NOT IN"
+            " ('de', 'en', 'es', 'fr', 'zh')) AS BIGINT) AS n_other, "
+            "CAST(count(*) AS BIGINT) AS n_total "
+            "FROM documents GROUP BY 1"
         ),
         "pps_sample": (
             "WITH c AS ("

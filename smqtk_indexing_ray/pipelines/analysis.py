@@ -2069,3 +2069,81 @@ def cluster_quality_rollup(docs, *, k: int = 3, threshold: float = 0.5,
 
     return stamp_schema(g.map_batches(project, batch_format="pyarrow"),
                         CLUSTER_QUALITY_SCHEMA)
+
+
+#: Fixed pivot column domain — the engine's supported language set
+#: (everything else lands in ``n_other``), so the wide schema is
+#: data-independent like a SQL PIVOT with explicit IN (...).
+PIVOT_LANGS = ("de", "en", "es", "fr", "zh")
+
+LANG_SOURCE_MATRIX_SCHEMA = pa.schema(
+    [("source", pa.string())]
+    + [(f"n_{lg}", pa.int64()) for lg in PIVOT_LANGS]
+    + [("n_other", pa.int64()), ("n_total", pa.int64())])
+
+
+def lang_source_matrix(docs):
+    """PIVOT: per-source document counts spread across a fixed language
+    column set (``n_de … n_zh, n_other, n_total``) — the wide
+    source-composition matrix a curation dashboard reads directly.
+
+    Per-batch partial: one row per source seen, languages counted into
+    the fixed columns (|sources| rows per batch, never docs); one
+    sorted sum merges the partials.  All int64-exact; oracle =
+    ``count(*) FILTER (lang = ...)`` per column.
+    """
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+
+    from smqtk_indexing_ray.stages.agg import sorted_group_agg
+
+    langs = list(PIVOT_LANGS)
+    lang_pos = {lg: i for i, lg in enumerate(langs)}
+
+    def part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return LANG_SOURCE_MATRIX_SCHEMA.empty_table()
+        src = pc.fill_null(t["source"].combine_chunks(), "")
+        sd = pc.dictionary_encode(src)
+        if isinstance(sd, pa.ChunkedArray):
+            sd = sd.combine_chunks()
+        scode = sd.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        ns = len(sd.dictionary)
+        # one Python lookup per DICTIONARY entry, then a numpy take
+        ld = pc.dictionary_encode(
+            pc.fill_null(t["lang"].combine_chunks(), ""))
+        if isinstance(ld, pa.ChunkedArray):
+            ld = ld.combine_chunks()
+        dvals = ld.dictionary.to_numpy(zero_copy_only=False).astype(
+            object)
+        dmap = np.array([lang_pos.get(v, len(langs)) for v in dvals],
+                        np.int64)
+        lcode = dmap[ld.indices.to_numpy(zero_copy_only=False)]
+        cols = {"source": sd.dictionary}
+        for i, name in enumerate(langs):
+            cols[f"n_{name}"] = pa.array(np.bincount(
+                scode[lcode == i], minlength=ns).astype(np.int64))
+        cols["n_other"] = pa.array(np.bincount(
+            scode[lcode == len(langs)], minlength=ns).astype(np.int64))
+        cols["n_total"] = pa.array(np.bincount(
+            scode, minlength=ns).astype(np.int64))
+        return pa.table(cols, schema=LANG_SOURCE_MATRIX_SCHEMA)
+
+    partial = docs.select_columns(["lang", "source"]).map_batches(
+        part, batch_format="pyarrow")
+    aggs = {name: "sum" for name in
+            [f"n_{lg}" for lg in langs] + ["n_other", "n_total"]}
+    g = sorted_group_agg(partial, key="source", aggs=aggs,
+                         schema=LANG_SOURCE_MATRIX_SCHEMA)
+
+    def project(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "source" not in t.column_names:
+            return LANG_SOURCE_MATRIX_SCHEMA.empty_table()
+        cols = {"source": t["source"]}
+        for f in LANG_SOURCE_MATRIX_SCHEMA.names[1:]:
+            cols[f] = pc.cast(t[f], pa.int64())
+        return pa.table(cols, schema=LANG_SOURCE_MATRIX_SCHEMA)
+
+    return stamp_schema(g.map_batches(project, batch_format="pyarrow"),
+                        LANG_SOURCE_MATRIX_SCHEMA)

@@ -1388,3 +1388,27 @@ def test_cluster_quality_rollup():
     assert got.loc[0, "total_chars"] == 33
     assert got.loc[0, "min_chars"] == 11 and got.loc[0, "max_chars"] == 11
     assert got.loc[3, "n_docs"] == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lang_source_matrix():
+    """Pivot semantics: fixed columns, unknown langs land in n_other,
+    null lang/source fold into '' groups, totals add up."""
+    import ray.data as rd
+
+    from smqtk_indexing_ray.pipelines.analysis import lang_source_matrix
+    t = pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": pa.array(["x"] * 6),
+        "lang": pa.array(["en", "en", "zz", None, "de", "zh"]),
+        "source": pa.array(["a", "a", "a", "b", "b", None]),
+    })
+    got = lang_source_matrix(
+        rd.from_arrow(t).repartition(3)).to_pandas().set_index("source")
+    assert got.loc["a", "n_en"] == 2 and got.loc["a", "n_other"] == 1
+    assert got.loc["a", "n_total"] == 3
+    assert got.loc["b", "n_de"] == 1 and got.loc["b", "n_other"] == 1
+    assert got.loc["", "n_zh"] == 1 and got.loc["", "n_total"] == 1
+    lang_cols = [c for c in got.columns if c.startswith("n_")
+                 and c != "n_total"]
+    assert (got[lang_cols].sum(axis=1) == got.n_total).all()

@@ -100,3 +100,16 @@ def grouped_arange(counts: np.ndarray) -> np.ndarray:
     out = np.arange(total, dtype=np.int64)
     out -= np.repeat(ends - counts, counts)
     return out
+
+
+def dict_codes(arr: pa.Array | pa.ChunkedArray):
+    """Dictionary-encode an Arrow array and return ``(dictionary
+    values, int64 code per element)`` — the shared front half of every
+    packed-key grouping kernel (one Python-level pass over the UNIQUE
+    values downstream, never per element)."""
+    import pyarrow.compute as pc
+    d = pc.dictionary_encode(arr)
+    if isinstance(d, pa.ChunkedArray):
+        d = d.combine_chunks()
+    return d.dictionary, d.indices.to_numpy(
+        zero_copy_only=False).astype(np.int64)

@@ -1745,19 +1745,17 @@ def length_zscores(docs):
     def moments(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return part_schema.empty_table()
-        lang = pc.fill_null(t["lang"].combine_chunks(), "")
-        ld = pc.dictionary_encode(lang)
-        if isinstance(ld, pa.ChunkedArray):
-            ld = ld.combine_chunks()
-        code = ld.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        from smqtk_indexing_ray.functions.hashing import dict_codes
+        l_vals, code = dict_codes(
+            pc.fill_null(t["lang"].combine_chunks(), ""))
         x = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
-        g = len(ld.dictionary)
+        g = len(l_vals)
         n = np.bincount(code, minlength=g).astype(np.int64)
         s = np.zeros(g, np.int64)
         ss = np.zeros(g, np.int64)
         np.add.at(s, code, x)
         np.add.at(ss, code, x * x)
-        return pa.table({"lang": ld.dictionary, "n": pa.array(n),
+        return pa.table({"lang": l_vals, "n": pa.array(n),
                          "s": pa.array(s), "ss": pa.array(ss)},
                         schema=part_schema)
 
@@ -1785,12 +1783,9 @@ def length_zscores(docs):
         lang = pc.fill_null(t["lang"].combine_chunks(), "")
         # one Python lookup per DICTIONARY entry, then a numpy take —
         # never per row
-        ld = pc.dictionary_encode(lang)
-        if isinstance(ld, pa.ChunkedArray):
-            ld = ld.combine_chunks()
-        dvals = ld.dictionary.to_numpy(zero_copy_only=False).astype(
-            object)
-        code = ld.indices.to_numpy(zero_copy_only=False)
+        from smqtk_indexing_ray.functions.hashing import dict_codes
+        l_vals, code = dict_codes(lang)
+        dvals = l_vals.to_numpy(zero_copy_only=False).astype(object)
         mu = np.array([mean[v] for v in dvals], np.float64)[code]
         sd = np.array([std[v] for v in dvals], np.float64)[code]
         x = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
@@ -1937,7 +1932,7 @@ PPS_SCHEMA = pa.schema([
 ])
 
 
-def pps_sample(docs, *, step: int = 10_000):
+def pps_sample(docs, *, step: int = 10_000, num_partitions: int = 16):
     """Deterministic probability-proportional-to-size systematic
     sample: walk the corpus in ``doc_id`` order accumulating
     ``n_chars`` and keep every doc whose weight interval covers a
@@ -1971,9 +1966,13 @@ def pps_sample(docs, *, step: int = 10_000):
                                pa.int64()),
         }, schema=slim_schema)
 
+    # corpus-sized sort input: repartition to ~CPUs first (sorts cost
+    # O(blocks x partitions) tasks — the repo-wide pre-sort rule)
+    from smqtk_indexing_ray.stages._util import auto_blocks
     pre = running_total(
         docs.select_columns(["doc_id", "n_chars"]).map_batches(
-            slim, batch_format="pyarrow"),
+            slim, batch_format="pyarrow").repartition(
+            max(num_partitions, auto_blocks())),
         order="doc_id", value="n_chars", out="cum_before",
         schema=slim_schema)
 
@@ -2103,24 +2102,18 @@ def lang_source_matrix(docs):
     def part(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return LANG_SOURCE_MATRIX_SCHEMA.empty_table()
-        src = pc.fill_null(t["source"].combine_chunks(), "")
-        sd = pc.dictionary_encode(src)
-        if isinstance(sd, pa.ChunkedArray):
-            sd = sd.combine_chunks()
-        scode = sd.indices.to_numpy(zero_copy_only=False).astype(
-            np.int64)
-        ns = len(sd.dictionary)
+        from smqtk_indexing_ray.functions.hashing import dict_codes
+        s_vals, scode = dict_codes(
+            pc.fill_null(t["source"].combine_chunks(), ""))
+        ns = len(s_vals)
         # one Python lookup per DICTIONARY entry, then a numpy take
-        ld = pc.dictionary_encode(
+        l_vals, l_code = dict_codes(
             pc.fill_null(t["lang"].combine_chunks(), ""))
-        if isinstance(ld, pa.ChunkedArray):
-            ld = ld.combine_chunks()
-        dvals = ld.dictionary.to_numpy(zero_copy_only=False).astype(
-            object)
+        dvals = l_vals.to_numpy(zero_copy_only=False).astype(object)
         dmap = np.array([lang_pos.get(v, len(langs)) for v in dvals],
                         np.int64)
-        lcode = dmap[ld.indices.to_numpy(zero_copy_only=False)]
-        cols = {"source": sd.dictionary}
+        lcode = dmap[l_code]
+        cols = {"source": s_vals}
         for i, name in enumerate(langs):
             cols[f"n_{name}"] = pa.array(np.bincount(
                 scode[lcode == i], minlength=ns).astype(np.int64))

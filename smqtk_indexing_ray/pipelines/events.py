@@ -1315,23 +1315,14 @@ def event_transitions(events, *, num_partitions: int = 16):
             return TRANSITIONS_SCHEMA.empty_table()
         # batch-local (prev, next) pre-count: the shuffle carries event-
         # type-squared partials, never events
-        prev = t["prev_type"].combine_chunks()
-        nxt = t["event_type"].combine_chunks()
-        pd_ = pc.dictionary_encode(prev)
-        nd = pc.dictionary_encode(nxt)
-        if isinstance(pd_, pa.ChunkedArray):
-            pd_ = pd_.combine_chunks()
-        if isinstance(nd, pa.ChunkedArray):
-            nd = nd.combine_chunks()
-        pcode = pd_.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        ncode = nd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        v = len(nd.dictionary)
+        from smqtk_indexing_ray.functions.hashing import dict_codes
+        p_vals, pcode = dict_codes(t["prev_type"].combine_chunks())
+        n_vals, ncode = dict_codes(t["event_type"].combine_chunks())
+        v = len(n_vals)
         uniq, cnts = np.unique(pcode * v + ncode, return_counts=True)
         return pa.table({
-            "prev_type": pd_.dictionary.take(
-                pa.array(uniq // v, pa.int64())),
-            "next_type": nd.dictionary.take(
-                pa.array(uniq % v, pa.int64())),
+            "prev_type": p_vals.take(pa.array(uniq // v, pa.int64())),
+            "next_type": n_vals.take(pa.array(uniq % v, pa.int64())),
             "n": pa.array(cnts.astype(np.int64)),
         }, schema=TRANSITIONS_SCHEMA)
 
@@ -1380,19 +1371,16 @@ def hourly_activity(events):
     def part(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return part_schema.empty_table()
+        from smqtk_indexing_ray.functions.hashing import dict_codes
         hr = pc.hour(t["ts"].combine_chunks()).to_numpy(
             zero_copy_only=False).astype(np.int64)
-        et = pc.fill_null(t["event_type"].combine_chunks(), "")
-        ed = pc.dictionary_encode(et)
-        if isinstance(ed, pa.ChunkedArray):
-            ed = ed.combine_chunks()
-        code = ed.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        v = len(ed.dictionary)
+        e_vals, code = dict_codes(
+            pc.fill_null(t["event_type"].combine_chunks(), ""))
+        v = len(e_vals)
         uniq, cnts = np.unique(hr * v + code, return_counts=True)
         return pa.table({
             "hour": pa.array(uniq // v),
-            "event_type": ed.dictionary.take(pa.array(uniq % v,
-                                                      pa.int64())),
+            "event_type": e_vals.take(pa.array(uniq % v, pa.int64())),
             "n": pa.array(cnts.astype(np.int64)),
         }, schema=part_schema)
 

@@ -1286,21 +1286,16 @@ def _group_term_partial(t: pa.Table, group_col: str):
     toks, off = tokens_flat(t["text"], lowercase=False)
     if len(toks) == 0:
         return None
+    from smqtk_indexing_ray.functions.hashing import dict_codes
     counts = np.diff(off)
-    grp = pc.fill_null(t[group_col].combine_chunks(), "")
-    gd = pc.dictionary_encode(grp)
-    if isinstance(gd, pa.ChunkedArray):
-        gd = gd.combine_chunks()
-    g_rep = np.repeat(
-        gd.indices.to_numpy(zero_copy_only=False).astype(np.int64), counts)
-    td = pc.dictionary_encode(toks)
-    if isinstance(td, pa.ChunkedArray):
-        td = td.combine_chunks()
-    tcode = td.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    v = len(td.dictionary)
+    g_vals, g_code = dict_codes(
+        pc.fill_null(t[group_col].combine_chunks(), ""))
+    g_rep = np.repeat(g_code, counts)
+    t_vals, tcode = dict_codes(toks)
+    v = len(t_vals)
     uniq, cnts = np.unique(g_rep * v + tcode, return_counts=True)
-    return (gd.dictionary.take(pa.array(uniq // v, pa.int64())),
-            td.dictionary.take(pa.array(uniq % v, pa.int64())),
+    return (g_vals.take(pa.array(uniq // v, pa.int64())),
+            t_vals.take(pa.array(uniq % v, pa.int64())),
             cnts.astype(np.int64))
 
 
@@ -1625,6 +1620,9 @@ def count_min_freqs(docs, probe_terms, *, width: int = 1 << 14,
     probes = list(dict.fromkeys(probe_terms))
     if not probes:
         raise ValueError("count_min_freqs: no probe terms")
+    if width < 1 or depth < 1:
+        raise ValueError("count_min_freqs: width and depth must be"
+                         " >= 1")
 
     def part(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -1632,15 +1630,23 @@ def count_min_freqs(docs, probe_terms, *, width: int = 1 << 14,
         flat, _ = tokens_flat(t["text"], lowercase=False)
         if not len(flat):
             return _CMS_CELL_SCHEMA.empty_table()
+        # count token occurrences per UNIQUE term once, then hash only
+        # the uniques per depth row and scatter-add their counts —
+        # O(stream) once + depth x O(uniques), not depth full passes
+        from smqtk_indexing_ray.functions.hashing import dict_codes
+        vocab, code = dict_codes(flat)
+        term_cnt = np.bincount(code,
+                               minlength=len(vocab)).astype(np.int64)
         rows, cols, cnts = [], [], []
         for d in range(depth):
-            col = (hash_strings_u64(flat, hash_key=_cms_key(d))
+            col = (hash_strings_u64(vocab, hash_key=_cms_key(d))
                    % width).astype(np.int64)
-            nz = np.bincount(col, minlength=width).astype(np.int64)
-            hit = np.flatnonzero(nz)
+            cell = np.zeros(width, np.int64)
+            np.add.at(cell, col, term_cnt)
+            hit = np.flatnonzero(cell)
             rows.append(np.full(len(hit), d, np.int64))
             cols.append(hit.astype(np.int64))
-            cnts.append(nz[hit])
+            cnts.append(cell[hit])
         return pa.table({
             "row": pa.array(np.concatenate(rows)),
             "col": pa.array(np.concatenate(cols)),
@@ -1739,8 +1745,10 @@ VOCAB_GROWTH_SCHEMA = pa.schema([
 ])
 
 #: Fixed power-of-two prefix ladder (1 .. 2^20) so the output row set —
-#: and the SQL oracle — is data-size independent; the curve saturates
-#: at the full vocabulary once the prefix covers the corpus.
+#: and the SQL oracle — is data-size independent.  The top rung covers
+#: ~1M docs; on a larger corpus the curve reports the first-2^20-doc
+#: prefix, NOT the full vocabulary — extend the ladder (and the oracle's
+#: generate_series bound) together if you need deeper prefixes.
 VOCAB_GROWTH_PREFIXES = [1 << i for i in range(21)]
 
 
@@ -1798,7 +1806,8 @@ def vocab_growth(docs):
             return hist_schema.empty_table()
         fd = pc.cast(t["first_doc"], pa.int64()).to_numpy(
             zero_copy_only=False)
-        # bucket = number of ladder rungs strictly greater than first_doc
+        # bucket = number of ladder rungs <= first_doc, so the cumsum
+        # at rung p counts exactly the terms with first_doc < p
         idx = np.searchsorted(ladder, fd, side="right")
         n = np.bincount(idx, minlength=len(ladder) + 1).astype(np.int64)
         keep = np.flatnonzero(n)

@@ -749,3 +749,11 @@ def test_vocab_growth(ray_session):
     vocab_all = len({w for _, txt, *_ in DOCS for w in txt.split()})
     assert by[1 << 20] == vocab_all
     assert (got.n_distinct_terms.diff().dropna() >= 0).all()
+
+
+def test_count_min_param_validation(ray_session):
+    from smqtk_indexing_ray.pipelines.terms import count_min_freqs
+    with pytest.raises(ValueError, match="width and depth"):
+        count_min_freqs(_ds(DOCS), ["cat"], depth=0)
+    with pytest.raises(ValueError, match="width and depth"):
+        count_min_freqs(_ds(DOCS), ["cat"], width=0)

@@ -333,6 +333,11 @@ def run_sf_suite(sf_dir: str) -> dict[str, float]:
             trailing_event_counts as tec)
         return tec(events(), window_minutes=1440)
 
+    def event_transitions():
+        from smqtk_indexing_ray.pipelines.events import (
+            event_transitions as tr)
+        return tr(events())
+
     suite = {
         "lsh_dedup_documents": lambda: dedup_pipeline(
             documents_as_pages(docs()), DedupConfig(),
@@ -356,6 +361,11 @@ def run_sf_suite(sf_dir: str) -> dict[str, float]:
         "distinct_terms_hll": lambda: terms.distinct_terms_hll(docs()),
         "bm25_topk": lambda: terms.bm25_topk(
             docs(), "spark window batch stream", k=20),
+        "top_terms_per_lang": lambda: terms.top_terms_per_lang(
+            docs(), k=10),
+        "vocab_growth": lambda: terms.vocab_growth(docs()),
+        "pps_sample": lambda: analysis.pps_sample(docs(), step=10_000),
+        "event_transitions": event_transitions,
         "trailing_event_counts": trailing_event_counts,
         "quantize_embeddings": lambda: ann.quantize_embeddings(emb()),
         "bloom_contamination": _bloom_contamination_fn(sf_dir),

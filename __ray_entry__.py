@@ -574,6 +574,15 @@ def _q_quality_signals(sf_dir: str):
     return quality_signals(_docs(sf_dir))
 
 
+def _q_dedup_threshold_sweep(sf_dir: str):
+    """Jaccard-threshold sensitivity sweep (0.4/0.5/0.7): exact
+    clustering per threshold, batch-local rep/dup counting (label ==
+    min doc_id marks one rep per cluster)."""
+    from smqtk_indexing_ray.pipelines.analysis import (
+        dedup_threshold_sweep)
+    return dedup_threshold_sweep(_docs(sf_dir))
+
+
 def _q_lang_source_matrix(sf_dir: str):
     """PIVOT: per-source doc counts across the fixed language column
     set — |sources|-row batch partials into one tiny sorted sum."""
@@ -1483,6 +1492,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pps_sample": _q_pps_sample,
         "cluster_quality_rollup": _q_cluster_quality_rollup,
         "lang_source_matrix": _q_lang_source_matrix,
+        "dedup_threshold_sweep": _q_dedup_threshold_sweep,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "repetition_signals": _q_repetition_signals,
         "token_entropy": _q_token_entropy,
@@ -1561,6 +1571,40 @@ sh AS (
 
 # shared by curation_report and curated_corpus: the gate CTEs and the
 # first-rejecting-gate attribution
+# threshold-parameterized clustering branches for dedup_threshold_sweep:
+# one shared unfiltered jpairs (the >= 0.0 substitution keeps every
+# intersecting pair), then per-threshold edge/reach/label CTEs
+_SWEEP_THRESHOLDS = ("0.4", "0.5", "0.7")
+_SWEEP_SQL = (
+    "WITH RECURSIVE " + _TOKS + ", "
+    + _SHINGLES.replace(">= 0.5", ">= 0.0") + ", "
+    + ", ".join(
+        (
+            "e{i} AS ("
+            "  SELECT doc_a AS src, doc_b AS dst FROM jpairs"
+            "  WHERE jaccard >= {th}"
+            "  UNION ALL SELECT doc_b, doc_a FROM jpairs"
+            "  WHERE jaccard >= {th}"
+            "), r{i}(doc, lab) AS ("
+            "  SELECT doc_id, doc_id FROM documents"
+            "  UNION"
+            "  SELECT e.dst, r.lab FROM r{i} r JOIN e{i} e"
+            "  ON e.src = r.doc"
+            "), l{i} AS ("
+            "  SELECT doc, min(lab) AS lab FROM r{i} GROUP BY doc"
+            ")"
+        ).format(i=i, th=th)
+        for i, th in enumerate(_SWEEP_THRESHOLDS)) + " "
+    + " UNION ALL ".join(
+        (
+            "SELECT CAST({th} AS DOUBLE) AS threshold,"
+            " CAST(count(*) FILTER (doc = lab) AS BIGINT) AS n_clusters,"
+            " CAST(count(*) FILTER (doc <> lab) AS BIGINT) AS n_dup_docs"
+            " FROM l{i}"
+        ).format(i=i, th=th)
+        for i, th in enumerate(_SWEEP_THRESHOLDS))
+)
+
 _CURATION_CTES = (
     "WITH RECURSIVE " + _TOKS + ", " + _SHINGLES + ", "
     "edges AS ("
@@ -2166,6 +2210,7 @@ def oracle_sql() -> dict[str, str]:
             "mean_word_len >= 3.0 AND mean_word_len <= 10.0) "
             "AS passes_quality FROM m"
         ),
+        "dedup_threshold_sweep": _SWEEP_SQL,
         "lang_source_matrix": (
             "SELECT coalesce(source, '') AS source, "
             "CAST(count(*) FILTER (coalesce(lang, '') = 'de') AS BIGINT)"

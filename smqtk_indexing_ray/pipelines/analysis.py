@@ -2140,3 +2140,54 @@ def lang_source_matrix(docs):
 
     return stamp_schema(g.map_batches(project, batch_format="pyarrow"),
                         LANG_SOURCE_MATRIX_SCHEMA)
+
+
+SWEEP_SCHEMA = pa.schema([
+    ("threshold", pa.float64()), ("n_clusters", pa.int64()),
+    ("n_dup_docs", pa.int64()),
+])
+
+
+def dedup_threshold_sweep(docs, *, thresholds=(0.4, 0.5, 0.7),
+                          k: int = 3, num_partitions: int = 16):
+    """Dedup sensitivity sweep: cluster count and merged-doc count at
+    several Jaccard thresholds — the tuning table you read before
+    committing a threshold to a 100 TB run (how many docs does each
+    0.1 of threshold move?).
+
+    Runs the exact-Jaccard clustering per threshold; each reduction is
+    batch-local counting (a component's label equals its min doc_id,
+    so ``doc_id == cluster_id`` marks exactly one representative per
+    cluster) folded on the driver — no extra shuffle beyond the
+    clustering itself.
+    """
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+
+    part_schema = pa.schema([("reps", pa.int64()), ("dups", pa.int64())])
+
+    def counts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "cluster_id" not in t.column_names:
+            return part_schema.empty_table()
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        c = t["cluster_id"].to_numpy(zero_copy_only=False)
+        eq = int((d == c).sum())
+        return pa.table({"reps": pa.array([eq], pa.int64()),
+                         "dups": pa.array([t.num_rows - eq],
+                                          pa.int64())},
+                        schema=part_schema)
+
+    out_th, out_nc, out_nd = [], [], []
+    for th in thresholds:
+        labels = jaccard_cluster_labels(docs, k=k, threshold=float(th),
+                                        num_partitions=num_partitions)
+        parts = labels.map_batches(counts,
+                                   batch_format="pyarrow").take_all()
+        out_th.append(float(th))
+        out_nc.append(sum(int(r["reps"]) for r in parts))
+        out_nd.append(sum(int(r["dups"]) for r in parts))
+    return pa.table({
+        "threshold": pa.array(out_th, pa.float64()),
+        "n_clusters": pa.array(out_nc, pa.int64()),
+        "n_dup_docs": pa.array(out_nd, pa.int64()),
+    }, schema=SWEEP_SCHEMA)

@@ -1412,3 +1412,21 @@ def test_lang_source_matrix():
     lang_cols = [c for c in got.columns if c.startswith("n_")
                  and c != "n_total"]
     assert (got[lang_cols].sum(axis=1) == got.n_total).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dedup_threshold_sweep():
+    """Monotone sensitivity: lower thresholds merge at least as many
+    docs; at 0.4 the near-dup joins the exact pair, at 0.99 only the
+    exact dup merges."""
+    from smqtk_indexing_ray.pipelines.analysis import (
+        dedup_threshold_sweep)
+    got = dedup_threshold_sweep(
+        _docs(), thresholds=(0.4, 0.99)).to_pandas().set_index(
+        "threshold")
+    # docs: 0==1 exact, 2 near (j=5/7~0.71 trigram), 3,4 unique
+    assert got.loc[0.4, "n_clusters"] == 3     # {0,1,2}, {3}, {4}
+    assert got.loc[0.4, "n_dup_docs"] == 2
+    assert got.loc[0.99, "n_clusters"] == 4    # exact pair only
+    assert got.loc[0.99, "n_dup_docs"] == 1
+    assert got.loc[0.4, "n_dup_docs"] >= got.loc[0.99, "n_dup_docs"]

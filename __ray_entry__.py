@@ -865,6 +865,14 @@ def _q_event_transitions(sf_dir: str):
     return event_transitions(rd.read_parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_funnel_latency(sf_dir: str):
+    """Conversion-latency quantiles over fully-converted funnel users:
+    the distributed funnel state machine + the exact quantile stage."""
+    import ray.data as rd
+    from smqtk_indexing_ray.pipelines.events import funnel_latency
+    return funnel_latency(rd.read_parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_trailing_event_counts(sf_dir: str):
     """RANGE-window trailing per-user event count (24 h): per-(user,ts)
     multiplicities -> exact prefix cum counts -> ONE backward as-of join
@@ -1475,6 +1483,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trailing_event_counts": _q_trailing_event_counts,
         "event_transitions": _q_event_transitions,
         "hourly_activity": _q_hourly_activity,
+        "funnel_latency": _q_funnel_latency,
         "hopping_window_counts": _q_hopping_window_counts,
         "event_seq": _q_event_seq,
         "user_event_gaps": _q_user_event_gaps,
@@ -2303,6 +2312,41 @@ def oracle_sql() -> dict[str, str]:
             " FROM u LEFT JOIN s1 ON u.user_id = s1.user_id"
             " LEFT JOIN s2 ON u.user_id = s2.user_id"
             " LEFT JOIN s3 ON u.user_id = s3.user_id"
+        ),
+        "funnel_latency": (
+            "WITH f AS ("
+            "  SELECT user_id, ts, event_id, event_type FROM events"
+            "  WHERE event_type IN ('view', 'click', 'purchase')"
+            "), s1 AS ("
+            "  SELECT user_id, ts, event_id FROM ("
+            "    SELECT user_id, ts, event_id, row_number() OVER ("
+            "      PARTITION BY user_id ORDER BY ts, event_id) AS rn"
+            "    FROM f WHERE event_type = 'view') q1 WHERE rn = 1"
+            "), s2 AS ("
+            "  SELECT user_id, ts, event_id FROM ("
+            "    SELECT f.user_id, f.ts, f.event_id, row_number() OVER ("
+            "      PARTITION BY f.user_id ORDER BY f.ts, f.event_id) AS rn"
+            "    FROM f JOIN s1 ON f.user_id = s1.user_id"
+            "    WHERE f.event_type = 'click' AND (f.ts > s1.ts OR"
+            "      (f.ts = s1.ts AND f.event_id > s1.event_id))"
+            "  ) q2 WHERE rn = 1"
+            "), s3 AS ("
+            "  SELECT user_id, ts, event_id FROM ("
+            "    SELECT f.user_id, f.ts, f.event_id, row_number() OVER ("
+            "      PARTITION BY f.user_id ORDER BY f.ts, f.event_id) AS rn"
+            "    FROM f JOIN s2 ON f.user_id = s2.user_id"
+            "    WHERE f.event_type = 'purchase' AND (f.ts > s2.ts OR"
+            "      (f.ts = s2.ts AND f.event_id > s2.event_id))"
+            "  ) q3 WHERE rn = 1"
+            "), lat AS ("
+            "  SELECT epoch_us(s3.ts) - epoch_us(s1.ts) AS latency_us"
+            "  FROM s3 JOIN s1 USING (user_id)"
+            "), agg AS ("
+            "  SELECT quantile_disc(latency_us,"
+            "  [0.1, 0.5, 0.9, 0.99]) AS ql FROM lat"
+            ") "
+            "SELECT unnest(CAST([0.1, 0.5, 0.9, 0.99] AS DOUBLE[]))"
+            " AS q, unnest(ql) AS latency_us FROM agg"
         ),
         "sessionize": (
             "WITH e AS ("

@@ -1406,3 +1406,55 @@ def hourly_activity(events):
         "frac_of_type": pa.array(n.astype(np.float64)
                                  / tot.astype(np.float64)),
     }, schema=HOURLY_SCHEMA)
+
+
+FUNNEL_LATENCY_SCHEMA = pa.schema([
+    ("q", pa.float64()), ("latency_us", pa.int64()),
+])
+
+
+def funnel_latency(events, *, steps: tuple[str, ...] = ("view", "click",
+                                                        "purchase"),
+                   qs: tuple[float, ...] = (0.1, 0.5, 0.9, 0.99)):
+    """Conversion-latency distribution: exact discrete quantiles of
+    ``t_last - t_first`` over users who completed EVERY funnel step —
+    how long the view→…→purchase journey takes (the product-health
+    twin of the funnel's how-many).
+
+    Pure composition: the distributed funnel state machine
+    (:func:`funnel`) filtered to full conversions, then the exact
+    quantile stage (``stages/quantiles.column_quantiles`` — narrow
+    sort + metadata index resolution, quantile_disc-exact).  Returns
+    an empty table when nobody converts (the oracle's empty result).
+    """
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+
+    from smqtk_indexing_ray.stages.quantiles import column_quantiles
+
+    full = len(steps)
+    lat_schema = pa.schema([("latency_us", pa.int64())])
+
+    def lat(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "steps_completed" not in t.column_names:
+            return lat_schema.empty_table()
+        t = t.filter(pc.equal(t["steps_completed"], full))
+        if t.num_rows == 0:
+            return lat_schema.empty_table()
+        a = pc.cast(t["t_first_us"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        b = pc.cast(t["t_last_us"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({"latency_us": pa.array(b - a)},
+                        schema=lat_schema)
+
+    lats = funnel(events, steps=steps).map_batches(
+        lat, batch_format="pyarrow")
+    try:
+        out = column_quantiles(lats, "latency_us", list(qs))
+    except ValueError:       # nobody converted
+        return FUNNEL_LATENCY_SCHEMA.empty_table()
+    return pa.table({
+        "q": out["q"],
+        "latency_us": pc.cast(out["latency_us"], pa.int64()),
+    }, schema=FUNNEL_LATENCY_SCHEMA)

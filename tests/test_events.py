@@ -737,3 +737,34 @@ SELECT event_id, user_id, ts,
     RANGE BETWEEN INTERVAL 10 HOUR PRECEDING AND CURRENT ROW)
   AS BIGINT) AS n_window FROM events ORDER BY event_id""").df()
         pd.testing.assert_frame_equal(got, exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_funnel_latency():
+    """Latency quantiles over converted users only: two converters with
+    latencies 100us and 300us; a non-converter is ignored; no-converter
+    corpora yield an empty table."""
+    import ray.data as rd
+
+    from smqtk_indexing_ray.pipelines.events import funnel_latency
+    rows = [  # (event_id, user, ts_us, type)
+        (0, 1, 0, "view"), (1, 1, 50, "click"), (2, 1, 100, "purchase"),
+        (3, 2, 0, "view"), (4, 2, 100, "click"), (5, 2, 300, "purchase"),
+        (6, 3, 0, "view"), (7, 3, 10, "click"),      # never purchases
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.int64()).cast(
+            pa.timestamp("us")),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+    })
+    got = funnel_latency(rd.from_arrow(t).repartition(3),
+                         qs=(0.5, 1.0)).to_pandas().set_index("q")
+    assert got.loc[0.5, "latency_us"] == 100
+    assert got.loc[1.0, "latency_us"] == 300
+    none = funnel_latency(
+        rd.from_arrow(t.filter(pa.array([r[3] != "purchase"
+                                         for r in rows]))),
+        qs=(0.5,)).to_pandas()
+    assert len(none) == 0

@@ -865,6 +865,24 @@ def _q_event_transitions(sf_dir: str):
     return event_transitions(rd.read_parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_peak_event_rate(sf_dir: str):
+    """Per-user burst ceiling: RANGE-window counts reduced by a sorted
+    grouped max over users-not-events partials."""
+    import ray.data as rd
+    from smqtk_indexing_ray.pipelines.events import peak_event_rate
+    return peak_event_rate(rd.read_parquet(f"{sf_dir}/events.parquet"),
+                           window_minutes=60)
+
+
+def _q_user_session_stats(sf_dir: str):
+    """Per-user session rollup on top of sessionize: count, total
+    events, exact-ratio mean events/session, longest span."""
+    import ray.data as rd
+    from smqtk_indexing_ray.pipelines.events import user_session_stats
+    return user_session_stats(
+        rd.read_parquet(f"{sf_dir}/events.parquet"), gap_minutes=30)
+
+
 def _q_funnel_latency(sf_dir: str):
     """Conversion-latency quantiles over fully-converted funnel users:
     the distributed funnel state machine + the exact quantile stage."""
@@ -1484,6 +1502,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": _q_event_transitions,
         "hourly_activity": _q_hourly_activity,
         "funnel_latency": _q_funnel_latency,
+        "peak_event_rate": _q_peak_event_rate,
+        "user_session_stats": _q_user_session_stats,
         "hopping_window_counts": _q_hopping_window_counts,
         "event_seq": _q_event_seq,
         "user_event_gaps": _q_user_event_gaps,
@@ -2312,6 +2332,40 @@ def oracle_sql() -> dict[str, str]:
             " FROM u LEFT JOIN s1 ON u.user_id = s1.user_id"
             " LEFT JOIN s2 ON u.user_id = s2.user_id"
             " LEFT JOIN s3 ON u.user_id = s3.user_id"
+        ),
+        "peak_event_rate": (
+            "WITH w AS ("
+            "  SELECT user_id, count(*) OVER (PARTITION BY user_id"
+            "  ORDER BY ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING"
+            "  AND CURRENT ROW) AS nw FROM events"
+            ") "
+            "SELECT user_id, CAST(max(nw) AS BIGINT) AS peak_events "
+            "FROM w GROUP BY 1"
+        ),
+        "user_session_stats": (
+            "WITH e AS ("
+            "  SELECT user_id, ts, event_id,"
+            "  CASE WHEN lag(ts) OVER w IS NULL"
+            "       OR epoch_us(ts) - epoch_us(lag(ts) OVER w)"
+            "          > 1800000000"
+            "       THEN 1 ELSE 0 END AS brk"
+            "  FROM events WINDOW w AS "
+            "  (PARTITION BY user_id ORDER BY ts, event_id)"
+            "), s AS ("
+            "  SELECT *, sum(brk) OVER "
+            "  (PARTITION BY user_id ORDER BY ts, event_id "
+            "   ROWS UNBOUNDED PRECEDING) AS sn FROM e"
+            "), sess AS ("
+            "  SELECT user_id, count(*) AS n_events,"
+            "  max(epoch_us(ts)) - min(epoch_us(ts)) AS span_us"
+            "  FROM s GROUP BY user_id, sn"
+            ") "
+            "SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions, "
+            "CAST(sum(n_events) AS BIGINT) AS total_events, "
+            "CAST(sum(n_events) AS DOUBLE) / count(*)"
+            "  AS events_per_session, "
+            "CAST(max(span_us) AS BIGINT) AS max_session_span_us "
+            "FROM sess GROUP BY 1"
         ),
         "funnel_latency": (
             "WITH f AS ("

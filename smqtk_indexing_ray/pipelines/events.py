@@ -1458,3 +1458,123 @@ def funnel_latency(events, *, steps: tuple[str, ...] = ("view", "click",
         "q": out["q"],
         "latency_us": pc.cast(out["latency_us"], pa.int64()),
     }, schema=FUNNEL_LATENCY_SCHEMA)
+
+
+PEAK_RATE_SCHEMA = pa.schema([
+    ("user_id", pa.int64()), ("peak_events", pa.int64()),
+])
+
+
+def peak_event_rate(events, *, window_minutes: int = 60,
+                    num_partitions: int = 16):
+    """Per-user burst ceiling: the MAX trailing-window event count any
+    of the user's events sees — the rate-limit / bot-burst headline
+    number (``max(count over RANGE window) per user``).
+
+    Composition: the RANGE-window counts
+    (:func:`trailing_event_counts`) reduced by one sorted grouped max
+    over (user, n_window) — batch partials first, so the final sort
+    sees users-not-events rows.
+    """
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+
+    from smqtk_indexing_ray.stages.agg import sorted_group_agg
+
+    part_schema = pa.schema([("user_id", pa.int64()),
+                             ("peak_events", pa.int64())])
+
+    def partial_max(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "n_window" not in t.column_names:
+            return part_schema.empty_table()
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        nw = t["n_window"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(uid, return_inverse=True)
+        mx = np.zeros(len(uniq), np.int64)
+        np.maximum.at(mx, inv, nw)
+        return pa.table({"user_id": pa.array(uniq.astype(np.int64)),
+                         "peak_events": pa.array(mx)},
+                        schema=part_schema)
+
+    counts = trailing_event_counts(events,
+                                   window_minutes=window_minutes,
+                                   num_partitions=num_partitions)
+    partial = counts.map_batches(partial_max, batch_format="pyarrow")
+    g = sorted_group_agg(partial, key="user_id",
+                         aggs={"peak_events": "max"},
+                         schema=part_schema)
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return PEAK_RATE_SCHEMA.empty_table()
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "peak_events": pc.cast(t["peak_events"], pa.int64()),
+        }, schema=PEAK_RATE_SCHEMA)
+
+    return g.map_batches(finish, batch_format="pyarrow")
+
+
+USER_SESSION_SCHEMA = pa.schema([
+    ("user_id", pa.int64()), ("n_sessions", pa.int64()),
+    ("total_events", pa.int64()), ("events_per_session", pa.float64()),
+    ("max_session_span_us", pa.int64()),
+])
+
+
+def user_session_stats(events, *, gap_minutes: int = 30,
+                       num_partitions: int = 16):
+    """Per-user session rollup: session count, total events, mean
+    events per session (exact int ratio) and the longest session span —
+    the engagement-shape table on top of :func:`sessionize`.
+
+    One sorted grouped aggregation over the session table (one row per
+    session, already tiny relative to events).
+    """
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+
+    from smqtk_indexing_ray.stages.agg import sorted_group_agg
+
+    sess = sessionize(events, gap_minutes=gap_minutes,
+                      num_partitions=num_partitions)
+    span_schema = pa.schema([("user_id", pa.int64()),
+                             ("n_events", pa.int64()),
+                             ("span_us", pa.int64())])
+
+    def spans(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return span_schema.empty_table()
+        a = t["t_start_us"].to_numpy(zero_copy_only=False)
+        b = t["t_end_us"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": t["user_id"],
+            "n_events": pc.cast(t["n_events"], pa.int64()),
+            "span_us": pa.array((b - a).astype(np.int64)),
+        }, schema=span_schema)
+
+    g = sorted_group_agg(
+        sess.map_batches(spans, batch_format="pyarrow"),
+        key="user_id",
+        aggs={"n_sessions": "count", "total_events": ("n_events",
+                                                      "sum"),
+              "max_session_span_us": ("span_us", "max")},
+        num_blocks=num_partitions, schema=span_schema)
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return USER_SESSION_SCHEMA.empty_table()
+        ns = pc.cast(t["n_sessions"], pa.int64())
+        te = pc.cast(t["total_events"], pa.int64())
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "n_sessions": ns,
+            "total_events": te,
+            "events_per_session": pa.array(
+                te.to_numpy(zero_copy_only=False).astype(np.float64)
+                / ns.to_numpy(zero_copy_only=False).astype(np.float64)),
+            "max_session_span_us": pc.cast(t["max_session_span_us"],
+                                           pa.int64()),
+        }, schema=USER_SESSION_SCHEMA)
+
+    return g.map_batches(finish, batch_format="pyarrow")

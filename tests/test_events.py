@@ -768,3 +768,42 @@ def test_funnel_latency():
                                          for r in rows]))),
         qs=(0.5,)).to_pandas()
     assert len(none) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_peak_event_rate_and_user_session_stats():
+    """Hand-checked burst/session rollups: a 3-event burst inside one
+    hour dominates the peak; two sessions split by a >30min gap."""
+    import ray.data as rd
+
+    from smqtk_indexing_ray.pipelines.events import (
+        peak_event_rate, user_session_stats)
+    m = 60_000_000
+    rows = [  # user 1: burst of 3 in 10 min, then isolated after 2h
+        (0, 1, 0 * m), (1, 1, 5 * m), (2, 1, 9 * m), (3, 1, 120 * m),
+        # user 2: steady, one event per 2h -> peak 1, one per session
+        (4, 2, 0 * m), (5, 2, 120 * m),
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.int64()).cast(
+            pa.timestamp("us")),
+        "event_type": pa.array(["view"] * len(rows), pa.string()),
+        "value": pa.array([1.0] * len(rows), pa.float64()),
+    })
+    ds = rd.from_arrow(t).repartition(3)
+    peak = peak_event_rate(ds, window_minutes=60,
+                           num_partitions=2).to_pandas().set_index(
+        "user_id")
+    assert peak.loc[1, "peak_events"] == 3
+    assert peak.loc[2, "peak_events"] == 1
+    sess = user_session_stats(ds, gap_minutes=30,
+                              num_partitions=2).to_pandas().set_index(
+        "user_id")
+    assert sess.loc[1, "n_sessions"] == 2       # burst + isolated
+    assert sess.loc[1, "total_events"] == 4
+    assert sess.loc[1, "events_per_session"] == 2.0
+    assert sess.loc[1, "max_session_span_us"] == 9 * m
+    assert sess.loc[2, "n_sessions"] == 2
+    assert sess.loc[2, "max_session_span_us"] == 0

@@ -574,6 +574,13 @@ def _q_quality_signals(sf_dir: str):
     return quality_signals(_docs(sf_dir))
 
 
+def _q_id_integrity_audit(sf_dir: str):
+    """Primary-key integrity scan: one narrow sorted grouped count over
+    doc_id + a one-row partial fold."""
+    from smqtk_indexing_ray.pipelines.analysis import id_integrity_audit
+    return id_integrity_audit(_docs(sf_dir))
+
+
 def _q_dedup_threshold_sweep(sf_dir: str):
     """Jaccard-threshold sensitivity sweep (0.4/0.5/0.7): exact
     clustering per threshold, batch-local rep/dup counting (label ==
@@ -1522,6 +1529,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_quality_rollup": _q_cluster_quality_rollup,
         "lang_source_matrix": _q_lang_source_matrix,
         "dedup_threshold_sweep": _q_dedup_threshold_sweep,
+        "id_integrity_audit": _q_id_integrity_audit,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "repetition_signals": _q_repetition_signals,
         "token_entropy": _q_token_entropy,
@@ -2240,6 +2248,19 @@ def oracle_sql() -> dict[str, str]:
             "AS passes_quality FROM m"
         ),
         "dedup_threshold_sweep": _SWEEP_SQL,
+        "id_integrity_audit": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct_ids, "
+            "CAST(count(DISTINCT doc_id) FILTER (cnt > 1) AS BIGINT)"
+            "  AS n_dup_ids, "
+            "CAST(min(doc_id) AS BIGINT) AS min_id, "
+            "CAST(max(doc_id) AS BIGINT) AS max_id, "
+            "CAST(max(doc_id) - min(doc_id) + 1"
+            "  - count(DISTINCT doc_id) AS BIGINT) AS n_missing "
+            "FROM (SELECT doc_id,"
+            "  count(*) OVER (PARTITION BY doc_id) AS cnt"
+            "  FROM documents)"
+        ),
         "lang_source_matrix": (
             "SELECT coalesce(source, '') AS source, "
             "CAST(count(*) FILTER (coalesce(lang, '') = 'de') AS BIGINT)"

@@ -2191,3 +2191,68 @@ def dedup_threshold_sweep(docs, *, thresholds=(0.4, 0.5, 0.7),
         "n_clusters": pa.array(out_nc, pa.int64()),
         "n_dup_docs": pa.array(out_nd, pa.int64()),
     }, schema=SWEEP_SCHEMA)
+
+
+ID_AUDIT_SCHEMA = pa.schema([
+    ("n_rows", pa.int64()), ("n_distinct_ids", pa.int64()),
+    ("n_dup_ids", pa.int64()), ("min_id", pa.int64()),
+    ("max_id", pa.int64()), ("n_missing", pa.int64()),
+])
+
+
+def id_integrity_audit(docs, *, num_partitions: int = 16):
+    """Primary-key integrity scan over ``doc_id``: row count, distinct
+    ids, ids appearing more than once, the id range, and how many ids
+    of the dense ``[min, max]`` range are absent — the first audit a
+    100 TB ingest runs (duplicate or dropped shards show up here before
+    anything downstream).
+
+    One narrow 8 B/row sorted grouped count (ids only — text never
+    moves), then a one-row fold of bounded per-batch partials.
+    """
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+
+    from smqtk_indexing_ray.stages._util import auto_blocks
+    from smqtk_indexing_ray.stages.agg import sorted_group_agg
+
+    ids_schema = pa.schema([("doc_id", pa.int64())])
+    per_id = sorted_group_agg(
+        docs.select_columns(["doc_id"]),
+        key="doc_id", aggs={"n": "count"},
+        num_blocks=max(num_partitions, auto_blocks()),
+        schema=ids_schema)
+
+    part_schema = pa.schema([
+        ("n_rows", pa.int64()), ("n_distinct", pa.int64()),
+        ("n_dup", pa.int64()), ("mn", pa.int64()), ("mx", pa.int64())])
+
+    def part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return part_schema.empty_table()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        n = pc.cast(t["n"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_rows": pa.array([int(n.sum())], pa.int64()),
+            "n_distinct": pa.array([t.num_rows], pa.int64()),
+            "n_dup": pa.array([int((n > 1).sum())], pa.int64()),
+            "mn": pa.array([int(ids.min())], pa.int64()),
+            "mx": pa.array([int(ids.max())], pa.int64()),
+        }, schema=part_schema)
+
+    parts = per_id.map_batches(part, batch_format="pyarrow").take_all()
+    if not parts:
+        return ID_AUDIT_SCHEMA.empty_table()
+    n_rows = sum(int(r["n_rows"]) for r in parts)
+    n_distinct = sum(int(r["n_distinct"]) for r in parts)
+    n_dup = sum(int(r["n_dup"]) for r in parts)
+    mn = min(int(r["mn"]) for r in parts)
+    mx = max(int(r["mx"]) for r in parts)
+    return pa.table({
+        "n_rows": pa.array([n_rows], pa.int64()),
+        "n_distinct_ids": pa.array([n_distinct], pa.int64()),
+        "n_dup_ids": pa.array([n_dup], pa.int64()),
+        "min_id": pa.array([mn], pa.int64()),
+        "max_id": pa.array([mx], pa.int64()),
+        "n_missing": pa.array([(mx - mn + 1) - n_distinct], pa.int64()),
+    }, schema=ID_AUDIT_SCHEMA)

@@ -1430,3 +1430,23 @@ def test_dedup_threshold_sweep():
     assert got.loc[0.99, "n_clusters"] == 4    # exact pair only
     assert got.loc[0.99, "n_dup_docs"] == 1
     assert got.loc[0.4, "n_dup_docs"] >= got.loc[0.99, "n_dup_docs"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_id_integrity_audit():
+    """Integrity scan on a broken id column: one duplicated id, one
+    gap — counts match the window-function oracle semantics."""
+    import ray.data as rd
+
+    from smqtk_indexing_ray.pipelines.analysis import id_integrity_audit
+    t = pa.table({
+        "doc_id": pa.array([10, 11, 11, 13, 14], pa.int64()),
+        "text": pa.array(["x"] * 5),
+    })
+    got = id_integrity_audit(
+        rd.from_arrow(t).repartition(3)).to_pandas().iloc[0]
+    assert got.n_rows == 5
+    assert got.n_distinct_ids == 4
+    assert got.n_dup_ids == 1          # id 11 appears twice
+    assert got.min_id == 10 and got.max_id == 14
+    assert got.n_missing == 1          # id 12 absent

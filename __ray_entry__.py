@@ -1346,6 +1346,46 @@ def _q_shipping_priority(sf_dir: str):
         rd.read_parquet(f"{sf_dir}/orders.parquet"), k=10)
 
 
+def _q_large_orders(sf_dir: str):
+    """TPC-H-Q18-shaped HAVING semi-join: orders whose total lineitem
+    quantity exceeds the threshold, joined out to their customer,
+    top-k by exact int64 price cents.  The HAVING cut runs on the
+    per-order aggregate BEFORE any join.  Exact window oracle."""
+    import ray.data as rd
+    from smqtk_indexing_ray.pipelines.warehouse import large_orders
+    return large_orders(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet"),
+        rd.read_parquet(f"{sf_dir}/orders.parquet"),
+        rd.read_parquet(f"{sf_dir}/customer.parquet"),
+        min_qty=300, k=100)
+
+
+def _q_dormant_customers(sf_dir: str):
+    """TPC-H-Q22-shaped anti-join + broadcast scalar subquery: per
+    nation, above-average-balance customers with no recent order.  The
+    avg comparison is the exact integer cross product
+    ``cents * n_pos > sum_cents`` on both sides.  Exact oracle."""
+    import ray.data as rd
+    from smqtk_indexing_ray.pipelines.warehouse import dormant_customers
+    return dormant_customers(
+        rd.read_parquet(f"{sf_dir}/customer.parquet"),
+        rd.read_parquet(f"{sf_dir}/orders.parquet"),
+        rd.read_parquet(f"{sf_dir}/nation.parquet"),
+        cutoff="2000-01-01")
+
+
+def _q_brand_supplier_counts(sf_dir: str):
+    """TPC-H-Q16-shaped count-distinct-after-join: distinct suppliers
+    per (p_brand, p_size) via two-level sorted distinct passes — never
+    a hash distinct aggregate.  Exact int64 oracle."""
+    import ray.data as rd
+    from smqtk_indexing_ray.pipelines.warehouse import (
+        brand_supplier_counts)
+    return brand_supplier_counts(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet"),
+        rd.read_parquet(f"{sf_dir}/part.parquet"))
+
+
 def _q_pricing_summary(sf_dir: str):
     """TPC-H-Q1-shaped pricing summary: per (returnflag, linestatus)
     totals/averages over shipped lineitems.  The extreme combiner
@@ -1557,6 +1597,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_diff": _q_corpus_diff,
         "top_customer_revenue": _q_top_customer_revenue,
         "shipping_priority": _q_shipping_priority,
+        "large_orders": _q_large_orders,
+        "dormant_customers": _q_dormant_customers,
+        "brand_supplier_counts": _q_brand_supplier_counts,
         "pricing_summary": _q_pricing_summary,
         "order_priority_counts": _q_order_priority_counts,
         "supplier_nation_volume": _q_supplier_nation_volume,
@@ -2047,6 +2090,55 @@ def oracle_sql() -> dict[str, str]:
             ") "
             "SELECT c_mktsegment, c_custkey, units / 10000.0"
             " AS revenue, rank FROM r WHERE rank <= 10"
+        ),
+        "large_orders": (
+            "WITH qsum AS ("
+            "  SELECT l_orderkey,"
+            "  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)"
+            "  AS total_qty"
+            "  FROM lineitem GROUP BY l_orderkey"
+            "  HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 300"
+            "), j AS ("
+            "  SELECT c_custkey, c_name, o_orderkey, o_orderdate,"
+            "  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,"
+            "  total_qty"
+            "  FROM qsum JOIN orders ON o_orderkey = l_orderkey"
+            "  JOIN customer ON c_custkey = o_custkey"
+            "), r AS ("
+            "  SELECT *, CAST(row_number() OVER ("
+            "  ORDER BY cents DESC, o_orderkey) AS BIGINT) AS rank"
+            "  FROM j"
+            ") "
+            "SELECT c_custkey, c_name, o_orderkey, o_orderdate,"
+            " cents / 100.0 AS o_totalprice, total_qty, rank"
+            " FROM r WHERE rank <= 100"
+        ),
+        "dormant_customers": (
+            "WITH pos AS ("
+            "  SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))"
+            "  AS BIGINT) AS s, count(*) AS n"
+            "  FROM customer"
+            "  WHERE CAST(round(c_acctbal * 100) AS BIGINT) > 0"
+            "), d AS ("
+            "  SELECT c_custkey, c_nationkey,"
+            "  CAST(round(c_acctbal * 100) AS BIGINT) AS cents"
+            "  FROM customer, pos"
+            "  WHERE CAST(round(c_acctbal * 100) AS BIGINT) > 0"
+            "  AND CAST(round(c_acctbal * 100) AS BIGINT) * pos.n > pos.s"
+            "  AND NOT EXISTS (SELECT 1 FROM orders"
+            "    WHERE o_custkey = c_custkey"
+            "    AND o_orderdate >= TIMESTAMP '2000-01-01')"
+            ") "
+            "SELECT n_name, count(*) AS numcust,"
+            " CAST(sum(cents) AS BIGINT) / 100.0 AS totacctbal"
+            " FROM d JOIN nation ON n_nationkey = c_nationkey"
+            " GROUP BY n_name"
+        ),
+        "brand_supplier_counts": (
+            "SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,"
+            " CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt"
+            " FROM lineitem JOIN part ON p_partkey = l_partkey"
+            " GROUP BY p_brand, p_size"
         ),
         # TPC-H-Q1 shape in exact int64 units: quantity is integral,
         # price is cents-quantized, discount/tax are basis points;

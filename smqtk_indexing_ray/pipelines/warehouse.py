@@ -892,3 +892,376 @@ def shipping_priority(lineitem, orders, *, cutoff: str = "1997-06-01",
             [cands[i]["o_orderpriority"] for i in order], pa.string()),
         "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
     }, schema=SHIPPING_PRIORITY_SCHEMA)
+
+
+LARGE_ORDERS_SCHEMA = pa.schema([
+    ("c_custkey", pa.int64()), ("c_name", pa.string()),
+    ("o_orderkey", pa.int64()), ("o_orderdate", pa.timestamp("us")),
+    ("o_totalprice", pa.float64()), ("total_qty", pa.int64()),
+    ("rank", pa.int64()),
+])
+
+
+def large_orders(lineitem, orders, customer, *, min_qty: int = 300,
+                 k: int = 100):
+    """TPC-H-Q18-shaped large-volume orders: orders whose total
+    lineitem quantity exceeds ``min_qty`` (the HAVING semi-join shape),
+    joined out to their customer, top-``k`` by order price.
+
+    The HAVING filter runs where it is cheap: lineitem pre-reduces per
+    batch to distinct order keys' quantity sums (quantities are exact
+    small integers), one ``sorted_group_agg`` collapses those, and the
+    ``> min_qty`` cut happens BEFORE any join — at TPC-H selectivity
+    (~0.1 % of orders) the two ``sort_attach`` joins see thousandths
+    of the fact table.  The final global top-k prunes per batch to
+    ``k`` candidates (bounded take_all of k x blocks rows), ranking on
+    exact int64 price cents so ties cannot diverge from the SQL window
+    oracle.
+
+    Output: ``c_custkey, c_name, o_orderkey, o_orderdate,
+    o_totalprice, total_qty, rank`` (rank 1-based by price desc,
+    orderkey asc).
+    """
+    from smqtk_indexing_ray.stages.agg import sorted_group_agg
+    from smqtk_indexing_ray.stages.attach import sort_attach
+
+    qty_schema = pa.schema([("l_orderkey", pa.int64()),
+                            ("total_qty", pa.int64())])
+
+    def lpart(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_orderkey" not in t.column_names:
+            return qty_schema.empty_table()
+        okey = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        qty = np.rint(t["l_quantity"].to_numpy(
+            zero_copy_only=False)).astype(np.int64)
+        uniq, inv = np.unique(okey, return_inverse=True)
+        out = np.zeros(len(uniq), np.int64)
+        np.add.at(out, inv, qty)
+        return pa.table({"l_orderkey": pa.array(uniq.astype(np.int64)),
+                         "total_qty": pa.array(out)}, schema=qty_schema)
+
+    qsum = sorted_group_agg(
+        lineitem.select_columns(["l_orderkey", "l_quantity"])
+        .map_batches(lpart, batch_format="pyarrow"),
+        key="l_orderkey", aggs={"total_qty": "sum"}, schema=qty_schema)
+
+    def having(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "total_qty" not in t.column_names:
+            return qty_schema.empty_table()
+        return t.filter(pc.greater(t["total_qty"], min_qty))
+
+    big = qsum.map_batches(having, batch_format="pyarrow")
+
+    with_ord = sort_attach(
+        big, orders.select_columns(
+            ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]),
+        key="l_orderkey", payload_key="o_orderkey",
+        payload_cols=["o_custkey", "o_orderdate", "o_totalprice"],
+        how="inner", rows_schema=qty_schema,
+        payload_schema=pa.schema([
+            ("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+            ("o_orderdate", pa.timestamp("us")),
+            ("o_totalprice", pa.float64())]))
+
+    ord_schema = pa.schema([
+        ("l_orderkey", pa.int64()), ("total_qty", pa.int64()),
+        ("o_custkey", pa.int64()), ("o_orderdate", pa.timestamp("us")),
+        ("o_totalprice", pa.float64())])
+
+    with_name = sort_attach(
+        with_ord, customer.select_columns(["c_custkey", "c_name"]),
+        key="o_custkey", payload_key="c_custkey",
+        payload_cols=["c_name"], how="inner", rows_schema=ord_schema,
+        payload_schema=pa.schema([("c_custkey", pa.int64()),
+                                  ("c_name", pa.string())]))
+
+    cand_schema = pa.schema([
+        ("o_custkey", pa.int64()), ("c_name", pa.string()),
+        ("l_orderkey", pa.int64()), ("date_us", pa.int64()),
+        ("cents", pa.int64()), ("total_qty", pa.int64())])
+
+    def cut(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_totalprice" not in t.column_names:
+            return cand_schema.empty_table()
+        cents = np.rint(t["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        okey = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        idx = np.lexsort((okey, -cents))[:k]
+        idx_a = pa.array(idx.astype(np.int64))
+        return pa.table({
+            "o_custkey": t["o_custkey"].take(idx_a),
+            "c_name": t["c_name"].take(idx_a),
+            "l_orderkey": t["l_orderkey"].take(idx_a),
+            "date_us": pa.array(t["o_orderdate"].to_numpy(
+                zero_copy_only=False).astype(
+                "datetime64[us]").view(np.int64)[idx]),
+            "cents": pa.array(cents[idx]),
+            "total_qty": t["total_qty"].take(idx_a),
+        }, schema=cand_schema)
+
+    cands = with_name.map_batches(cut, batch_format="pyarrow").take_all()
+    if not cands:
+        return LARGE_ORDERS_SCHEMA.empty_table()
+    okey = np.array([r["l_orderkey"] for r in cands], np.int64)
+    cents = np.array([r["cents"] for r in cands], np.int64)
+    order = np.lexsort((okey, -cents))[:k]
+    return pa.table({
+        "c_custkey": pa.array(
+            np.array([cands[i]["o_custkey"] for i in order], np.int64)),
+        "c_name": pa.array([cands[i]["c_name"] for i in order],
+                           pa.string()),
+        "o_orderkey": pa.array(okey[order]),
+        "o_orderdate": pa.array(
+            np.array([cands[i]["date_us"] for i in order],
+                     np.int64)).cast(pa.timestamp("us")),
+        "o_totalprice": pa.array(cents[order].astype(np.float64) / 100.0),
+        "total_qty": pa.array(
+            np.array([cands[i]["total_qty"] for i in order], np.int64)),
+        "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+    }, schema=LARGE_ORDERS_SCHEMA)
+
+
+DORMANT_SCHEMA = pa.schema([
+    ("n_name", pa.string()), ("numcust", pa.int64()),
+    ("totacctbal", pa.float64()),
+])
+
+
+def dormant_customers(customer, orders, nation, *,
+                      cutoff: str = "2000-01-01"):
+    """TPC-H-Q22-shaped dormant-customer report: per nation, customers
+    whose account balance beats the global positive-balance average
+    (the broadcast-scalar-subquery shape) and who placed NO order on or
+    after ``cutoff`` (the anti-join shape).
+
+    The scalar subquery streams one (sum_cents, n_pos) partial row per
+    customer batch and folds them on the driver (bounded by block
+    count); the ``balance > avg`` cut is the exact integer cross
+    product ``cents * n_pos > sum_cents`` — no float average exists on
+    either side, so the comparison cannot diverge from the SQL oracle.
+    The anti-join pre-reduces orders per batch to distinct recent
+    custkeys, attaches them with a LEFT ``sort_attach``, and keeps the
+    null-matched rows; the nation dimension (25 rows) rides the task
+    closure.  Only distinct custkeys and ~25-row nation partials ever
+    cross a shuffle.
+
+    Output: ``n_name, numcust, totacctbal``.
+    """
+    from smqtk_indexing_ray.stages._util import collect_table
+    from smqtk_indexing_ray.stages.agg import sorted_group_agg
+    from smqtk_indexing_ray.stages.attach import sort_attach
+
+    import ray.data as rd
+
+    # --- scalar subquery: global avg of positive balances, exact ----
+    pos_schema = pa.schema([("s", pa.int64()), ("n", pa.int64())])
+
+    def pos_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "c_acctbal" not in t.column_names:
+            return pos_schema.empty_table()
+        cents = np.rint(t["c_acctbal"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        pos = cents[cents > 0]
+        if not len(pos):
+            return pos_schema.empty_table()
+        return pa.table({"s": pa.array([int(pos.sum())], pa.int64()),
+                         "n": pa.array([len(pos)], pa.int64())},
+                        schema=pos_schema)
+
+    parts = customer.select_columns(["c_acctbal"]).map_batches(
+        pos_partial, batch_format="pyarrow").take_all()
+    if not parts:
+        return rd.from_arrow(DORMANT_SCHEMA.empty_table())
+    sum_cents = int(sum(r["s"] for r in parts))
+    n_pos = int(sum(r["n"] for r in parts))
+
+    # --- anti-join side: distinct custkeys with a recent order -------
+    cut_us = np.datetime64(cutoff, "us").view(np.int64)
+    act_schema = pa.schema([("o_custkey", pa.int64()),
+                            ("n_recent", pa.int64())])
+
+    def opart(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_custkey" not in t.column_names:
+            return act_schema.empty_table()
+        ts = t["o_orderdate"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").view(np.int64)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)[ts >= cut_us]
+        uniq = np.unique(ck)
+        return pa.table({
+            "o_custkey": pa.array(uniq.astype(np.int64)),
+            "n_recent": pa.array(np.ones(len(uniq), np.int64)),
+        }, schema=act_schema)
+
+    active = sorted_group_agg(
+        orders.select_columns(["o_custkey", "o_orderdate"]).map_batches(
+            opart, batch_format="pyarrow"),
+        key="o_custkey", aggs={"n_recent": "sum"}, schema=act_schema)
+
+    # --- rich customers (exact integer avg comparison) ---------------
+    rich_schema = pa.schema([("c_custkey", pa.int64()),
+                             ("c_nationkey", pa.int64()),
+                             ("cents", pa.int64())])
+
+    def rich(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "c_acctbal" not in t.column_names:
+            return rich_schema.empty_table()
+        cents = np.rint(t["c_acctbal"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        keep = (cents > 0) & (cents * n_pos > sum_cents)
+        if not keep.any():
+            return rich_schema.empty_table()
+        return pa.table({
+            "c_custkey": t["c_custkey"].filter(pa.array(keep)),
+            "c_nationkey": pc.cast(
+                t["c_nationkey"].filter(pa.array(keep)), pa.int64()),
+            "cents": pa.array(cents[keep]),
+        }, schema=rich_schema)
+
+    rich_ds = customer.select_columns(
+        ["c_custkey", "c_nationkey", "c_acctbal"]).map_batches(
+        rich, batch_format="pyarrow")
+
+    joined = sort_attach(
+        rich_ds, active, key="c_custkey", payload_key="o_custkey",
+        payload_cols=["n_recent"], how="left", rows_schema=rich_schema,
+        payload_schema=act_schema)
+
+    # --- nation rollup with the 25-row dimension in the closure ------
+    nat = collect_table(
+        nation.select_columns(["n_nationkey", "n_name"]),
+        pa.schema([("n_nationkey", pa.int64()), ("n_name", pa.string())]))
+    nmap = dict(zip(nat["n_nationkey"].to_pylist(),
+                    nat["n_name"].to_pylist()))
+
+    part2 = pa.schema([("n_name", pa.string()), ("numcust", pa.int64()),
+                       ("bal_cents", pa.int64())])
+
+    def npart(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "n_recent" not in t.column_names:
+            return part2.empty_table()
+        dormant = pc.is_null(t["n_recent"])
+        if not pc.any(dormant).as_py():
+            return part2.empty_table()
+        t = t.filter(dormant)
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False)
+        cents = t["cents"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(nk, return_inverse=True)
+        bal = np.zeros(len(uniq), np.int64)
+        np.add.at(bal, inv, cents)
+        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table({
+            "n_name": pa.array([nmap[int(x)] for x in uniq], pa.string()),
+            "numcust": pa.array(cnt),
+            "bal_cents": pa.array(bal),
+        }, schema=part2)
+
+    agg = sorted_group_agg(
+        joined.map_batches(npart, batch_format="pyarrow"),
+        key="n_name", aggs={"numcust": "sum", "bal_cents": "sum"},
+        schema=part2)
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "bal_cents" not in t.column_names:
+            return DORMANT_SCHEMA.empty_table()
+        return pa.table({
+            "n_name": t["n_name"],
+            "numcust": t["numcust"],
+            "totacctbal": pa.array(t["bal_cents"].to_numpy(
+                zero_copy_only=False).astype(np.float64) / 100.0),
+        }, schema=DORMANT_SCHEMA)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+BRAND_SUPPLIER_SCHEMA = pa.schema([
+    ("p_brand", pa.string()), ("p_size", pa.int64()),
+    ("supplier_cnt", pa.int64()),
+])
+
+
+def brand_supplier_counts(lineitem, part):
+    """TPC-H-Q16-shaped supplier diversity: per ``(p_brand, p_size)``,
+    how many DISTINCT suppliers shipped that kind of part — the
+    count-distinct-after-join shape.
+
+    Distinctness is never a hash distinct aggregate: lineitem
+    pre-reduces per batch to its distinct ``(partkey, suppkey)`` pairs,
+    one multi-key ``sorted_group_agg`` collapses them globally, the
+    part dimension attaches by sort-merge, and a second two-level
+    sorted pass (distinct triples -> per-key count) yields the exact
+    distinct counts.  Everything crossing a shuffle is a distinct key
+    tuple, never a fact row.
+
+    Output: ``p_brand, p_size, supplier_cnt``.
+    """
+    from smqtk_indexing_ray.stages.agg import sorted_group_agg
+    from smqtk_indexing_ray.stages.attach import sort_attach
+
+    ps_schema = pa.schema([("l_partkey", pa.int64()),
+                           ("l_suppkey", pa.int64()),
+                           ("one", pa.int64())])
+
+    def lpart(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_partkey" not in t.column_names:
+            return ps_schema.empty_table()
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        pairs = np.unique(np.stack([pk, sk], axis=1), axis=0)
+        return pa.table({
+            "l_partkey": pa.array(pairs[:, 0].astype(np.int64)),
+            "l_suppkey": pa.array(pairs[:, 1].astype(np.int64)),
+            "one": pa.array(np.ones(len(pairs), np.int64)),
+        }, schema=ps_schema)
+
+    pairs = sorted_group_agg(
+        lineitem.select_columns(["l_partkey", "l_suppkey"]).map_batches(
+            lpart, batch_format="pyarrow"),
+        key=["l_partkey", "l_suppkey"], aggs={"one": "max"},
+        schema=ps_schema)
+
+    with_dim = sort_attach(
+        pairs, part.select_columns(["p_partkey", "p_brand", "p_size"]),
+        key="l_partkey", payload_key="p_partkey",
+        payload_cols=["p_brand", "p_size"], how="inner",
+        rows_schema=ps_schema,
+        payload_schema=pa.schema([("p_partkey", pa.int64()),
+                                  ("p_brand", pa.string()),
+                                  ("p_size", pa.int32())]))
+
+    tri_schema = pa.schema([("p_brand", pa.string()),
+                            ("p_size", pa.int64()),
+                            ("l_suppkey", pa.int64()),
+                            ("one", pa.int64())])
+
+    def tpart(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "p_brand" not in t.column_names:
+            return tri_schema.empty_table()
+        return pa.table({
+            "p_brand": t["p_brand"],
+            "p_size": pc.cast(t["p_size"], pa.int64()),
+            "l_suppkey": t["l_suppkey"],
+            "one": t["one"],
+        }, schema=tri_schema)
+
+    triples = sorted_group_agg(
+        with_dim.map_batches(tpart, batch_format="pyarrow"),
+        key=["p_brand", "p_size", "l_suppkey"], aggs={"one": "max"},
+        schema=tri_schema)
+
+    cnt_schema = pa.schema([("p_brand", pa.string()),
+                            ("p_size", pa.int64()),
+                            ("supplier_cnt", pa.int64())])
+
+    def cpart(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "p_brand" not in t.column_names:
+            return cnt_schema.empty_table()
+        return pa.table({
+            "p_brand": t["p_brand"],
+            "p_size": t["p_size"],
+            "supplier_cnt": t["one"],
+        }, schema=cnt_schema)
+
+    return sorted_group_agg(
+        triples.map_batches(cpart, batch_format="pyarrow"),
+        key=["p_brand", "p_size"], aggs={"supplier_cnt": "sum"},
+        schema=cnt_schema)

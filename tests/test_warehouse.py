@@ -428,3 +428,179 @@ SELECT o_orderkey, units / 10000.0 AS revenue, o_orderdate,
 FROM j QUALIFY rank <= 10 ORDER BY rank""").df()
     pd.testing.assert_frame_equal(got, exp)
     assert len(got) == 10
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_large_orders_matches_duckdb():
+    """Q18-shaped HAVING semi-join vs the SQL window oracle: the
+    quantity cut applies to the per-order SUM (not per lineitem),
+    price ties break by orderkey, and k truncates the ranking."""
+    import duckdb
+    import ray.data as rd
+
+    from smqtk_indexing_ray.pipelines.warehouse import large_orders
+
+    rng = np.random.default_rng(97)
+    n_ord, n_li, n_cust = 400, 4000, 60
+    base = np.datetime64("1996-01-01")
+    # prices drawn from a tiny grid so ties are common
+    orders = pa.table({
+        "o_orderkey": pa.array(np.arange(n_ord, dtype=np.int64)),
+        "o_custkey": pa.array(
+            rng.integers(0, n_cust, n_ord).astype(np.int64)),
+        "o_orderdate": pa.array(
+            (base + rng.integers(0, 900, n_ord).astype("timedelta64[D]"))
+            .astype("datetime64[us]")),
+        "o_totalprice": pa.array(
+            rng.choice([1000.25, 2000.5, 3000.75, 4000.0], n_ord)),
+    })
+    li = pa.table({
+        "l_orderkey": pa.array(
+            rng.integers(0, n_ord, n_li).astype(np.int64)),
+        "l_quantity": pa.array(
+            rng.integers(1, 51, n_li).astype(np.float64)),
+    })
+    cust = pa.table({
+        "c_custkey": pa.array(np.arange(n_cust, dtype=np.int64)),
+        "c_name": pa.array([f"Customer#{i:09d}" for i in range(n_cust)]),
+    })
+    got = large_orders(
+        rd.from_arrow(li).repartition(7),
+        rd.from_arrow(orders).repartition(3),
+        rd.from_arrow(cust).repartition(2),
+        min_qty=180, k=15).to_pandas()
+    con = duckdb.connect()
+    con.register("lineitem", li.to_pandas())
+    con.register("orders", orders.to_pandas())
+    con.register("customer", cust.to_pandas())
+    want = con.execute(
+        "WITH qsum AS (SELECT l_orderkey,"
+        " CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)"
+        " AS total_qty FROM lineitem GROUP BY l_orderkey"
+        " HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 180),"
+        " j AS (SELECT c_custkey, c_name, o_orderkey, o_orderdate,"
+        "  CAST(round(o_totalprice * 100) AS BIGINT) AS cents, total_qty"
+        "  FROM qsum JOIN orders ON o_orderkey = l_orderkey"
+        "  JOIN customer ON c_custkey = o_custkey),"
+        " r AS (SELECT *, CAST(row_number() OVER ("
+        "  ORDER BY cents DESC, o_orderkey) AS BIGINT) AS rank FROM j) "
+        "SELECT c_custkey, c_name, o_orderkey, o_orderdate,"
+        " cents / 100.0 AS o_totalprice, total_qty, rank"
+        " FROM r WHERE rank <= 15 ORDER BY rank").df()
+    assert len(got) == len(want) > 0
+    for col in ["c_custkey", "c_name", "o_orderkey", "o_totalprice",
+                "total_qty", "rank"]:
+        assert list(got[col]) == list(want[col]), col
+    assert list(got.o_orderdate) == list(want.o_orderdate)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dormant_customers_matches_duckdb():
+    """Q22-shaped anti-join vs the SQL EXISTS oracle: negative and zero
+    balances are excluded from the average, an order exactly AT the
+    cutoff keeps a customer active, and customers with no orders at
+    all count as dormant."""
+    import duckdb
+    import ray.data as rd
+
+    from smqtk_indexing_ray.pipelines.warehouse import dormant_customers
+
+    rng = np.random.default_rng(101)
+    n_cust, n_ord, n_nat = 300, 500, 5
+    cust = pa.table({
+        "c_custkey": pa.array(np.arange(n_cust, dtype=np.int64)),
+        "c_nationkey": pa.array(
+            rng.integers(0, n_nat, n_cust).astype(np.int32)),
+        "c_acctbal": pa.array(
+            (rng.integers(-50000, 999800, n_cust) / 100.0)),
+    })
+    base = np.datetime64("1997-01-01")
+    # only the first 2/3 of customers ever order; order dates straddle
+    # the cutoff (including exactly at it)
+    ok = rng.integers(0, (2 * n_cust) // 3, n_ord).astype(np.int64)
+    dates = (base + rng.integers(0, 1200, n_ord).astype(
+        "timedelta64[D]")).astype("datetime64[us]")
+    dates[0] = np.datetime64("1999-06-15", "us")   # exactly the cutoff
+    orders = pa.table({
+        "o_custkey": pa.array(ok),
+        "o_orderdate": pa.array(dates),
+    })
+    nation = pa.table({
+        "n_nationkey": pa.array(np.arange(n_nat, dtype=np.int32)),
+        "n_name": pa.array([f"NATION_{i}" for i in range(n_nat)]),
+    })
+    got = dormant_customers(
+        rd.from_arrow(cust).repartition(5),
+        rd.from_arrow(orders).repartition(3),
+        rd.from_arrow(nation),
+        cutoff="1999-06-15").to_pandas().sort_values(
+        "n_name", ignore_index=True)
+    con = duckdb.connect()
+    con.register("customer", cust.to_pandas())
+    con.register("orders", orders.to_pandas())
+    con.register("nation", nation.to_pandas())
+    want = con.execute(
+        "WITH pos AS (SELECT"
+        " CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)"
+        " AS s, count(*) AS n FROM customer"
+        " WHERE CAST(round(c_acctbal * 100) AS BIGINT) > 0),"
+        " d AS (SELECT c_custkey, c_nationkey,"
+        "  CAST(round(c_acctbal * 100) AS BIGINT) AS cents"
+        "  FROM customer, pos"
+        "  WHERE CAST(round(c_acctbal * 100) AS BIGINT) > 0"
+        "  AND CAST(round(c_acctbal * 100) AS BIGINT) * pos.n > pos.s"
+        "  AND NOT EXISTS (SELECT 1 FROM orders"
+        "   WHERE o_custkey = c_custkey"
+        "   AND o_orderdate >= TIMESTAMP '1999-06-15')) "
+        "SELECT n_name, count(*) AS numcust,"
+        " CAST(sum(cents) AS BIGINT) / 100.0 AS totacctbal"
+        " FROM d JOIN nation ON n_nationkey = c_nationkey"
+        " GROUP BY n_name ORDER BY n_name").df()
+    assert len(got) == len(want) > 0
+    for col in want.columns:
+        assert list(got[col]) == list(want[col]), col
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_brand_supplier_counts_matches_duckdb():
+    """Q16-shaped distinct-supplier counts vs the SQL COUNT(DISTINCT)
+    oracle: repeated (part, supplier) lineitems across blocks must not
+    double-count, and parts never shipped are absent (inner join)."""
+    import duckdb
+    import ray.data as rd
+
+    from smqtk_indexing_ray.pipelines.warehouse import (
+        brand_supplier_counts)
+
+    rng = np.random.default_rng(103)
+    n_part, n_li = 120, 3000
+    part = pa.table({
+        "p_partkey": pa.array(np.arange(n_part, dtype=np.int64)),
+        "p_brand": pa.array(
+            [f"Brand#{i % 5 + 1}{i % 3 + 1}" for i in range(n_part)]),
+        "p_size": pa.array(
+            rng.integers(1, 9, n_part).astype(np.int32)),
+    })
+    # heavy duplication: few suppliers, many lineitems; ~20 parts
+    # never shipped
+    li = pa.table({
+        "l_partkey": pa.array(
+            rng.integers(0, n_part - 20, n_li).astype(np.int64)),
+        "l_suppkey": pa.array(
+            rng.integers(0, 12, n_li).astype(np.int64)),
+    })
+    got = brand_supplier_counts(
+        rd.from_arrow(li).repartition(7),
+        rd.from_arrow(part).repartition(3)).to_pandas().sort_values(
+        ["p_brand", "p_size"], ignore_index=True)
+    con = duckdb.connect()
+    con.register("lineitem", li.to_pandas())
+    con.register("part", part.to_pandas())
+    want = con.execute(
+        "SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,"
+        " CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt"
+        " FROM lineitem JOIN part ON p_partkey = l_partkey"
+        " GROUP BY p_brand, p_size ORDER BY p_brand, p_size").df()
+    assert len(got) == len(want) > 0
+    for col in want.columns:
+        assert list(got[col]) == list(want[col]), col

@@ -1052,6 +1052,24 @@ def _q_quantize_embeddings(sf_dir: str):
     return quantize_embeddings(_emb(sf_dir))
 
 
+def _q_kmeans_assign(sf_dir: str):
+    """Hard k-means assignment over exactly-quantized embeddings (the
+    IVF/PQ codebook-assignment step): deterministic lowest-id seeds,
+    broadcast (k, d) int64 centroid matrix, exact int64 squared-L2 per
+    batch — argmin cannot flip on float order.  Exact oracle."""
+    from smqtk_indexing_ray.pipelines.ann import kmeans_assign
+    return kmeans_assign(_emb(sf_dir), n_clusters=8)
+
+
+def _q_kmeans_update(sf_dir: str):
+    """One Lloyd centroid-update step: per-(cluster, dim) exact int64
+    code sums over counts, combiner-shaped k x d partials — the
+    shuffle carries codebook-sized rows, never vectors.  Exact
+    oracle."""
+    from smqtk_indexing_ray.pipelines.ann import kmeans_update
+    return kmeans_update(_emb(sf_dir), n_clusters=8)
+
+
 def _q_ivf_topk(sf_dir: str):
     """IVF-list approximate top-k (FAISS-IVF analog; recall-vs-brute-force
     asserted in tests) — rows-only."""
@@ -1537,6 +1555,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mrpt_topk": _q_mrpt_topk,
         "euclidean_topk": _q_euclidean_topk,
         "quantize_embeddings": _q_quantize_embeddings,
+        "kmeans_assign": _q_kmeans_assign,
+        "kmeans_update": _q_kmeans_update,
         "filtered_ann_topk": _q_filtered_ann_topk,
         "best_rep_per_cluster": _q_best_rep_per_cluster,
         "sessionize": _q_sessionize,
@@ -2816,6 +2836,72 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.vec_id, CAST(len(e2.embedding) AS BIGINT) AS n_dims, "
             "a.code_sum, a.code_min, a.code_max, a.max_abs_err "
             "FROM agg a JOIN embeddings e2 ON a.vec_id = e2.vec_id"
+        ),
+        "kmeans_assign": (
+            "WITH e AS ("
+            "  SELECT vec_id, unnest(embedding) AS x,"
+            "  unnest(generate_series(1, len(embedding))) AS dim"
+            "  FROM embeddings"
+            "), mm AS ("
+            "  SELECT dim, min(x) AS mn, max(x) AS mx FROM e GROUP BY dim"
+            "), q AS ("
+            "  SELECT vec_id, dim,"
+            "  CAST(CASE WHEN mm.mx > mm.mn THEN least(greatest(floor("
+            "    (CAST(e.x AS DOUBLE) - CAST(mm.mn AS DOUBLE)) * 256.0"
+            "    / (CAST(mm.mx AS DOUBLE) - CAST(mm.mn AS DOUBLE))),"
+            "    0.0), 255.0) ELSE 0.0 END AS BIGINT) AS c"
+            "  FROM e JOIN mm USING (dim)"
+            "), seeds AS ("
+            "  SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8"
+            "), qc AS ("
+            "  SELECT q.vec_id AS cid, dim, c AS cc"
+            "  FROM q JOIN seeds USING (vec_id)"
+            "), dist AS ("
+            "  SELECT q.vec_id, qc.cid,"
+            "  CAST(sum((q.c - qc.cc) * (q.c - qc.cc)) AS BIGINT)"
+            "  AS dist2"
+            "  FROM q JOIN qc USING (dim) GROUP BY q.vec_id, qc.cid"
+            "), r AS ("
+            "  SELECT vec_id, cid, dist2, row_number() OVER ("
+            "  PARTITION BY vec_id ORDER BY dist2, cid) AS rn FROM dist"
+            ") "
+            "SELECT vec_id, cid AS cluster, dist2 FROM r WHERE rn = 1"
+        ),
+        "kmeans_update": (
+            "WITH e AS ("
+            "  SELECT vec_id, unnest(embedding) AS x,"
+            "  unnest(generate_series(1, len(embedding))) AS dim"
+            "  FROM embeddings"
+            "), mm AS ("
+            "  SELECT dim, min(x) AS mn, max(x) AS mx FROM e GROUP BY dim"
+            "), q AS ("
+            "  SELECT vec_id, dim,"
+            "  CAST(CASE WHEN mm.mx > mm.mn THEN least(greatest(floor("
+            "    (CAST(e.x AS DOUBLE) - CAST(mm.mn AS DOUBLE)) * 256.0"
+            "    / (CAST(mm.mx AS DOUBLE) - CAST(mm.mn AS DOUBLE))),"
+            "    0.0), 255.0) ELSE 0.0 END AS BIGINT) AS c"
+            "  FROM e JOIN mm USING (dim)"
+            "), seeds AS ("
+            "  SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8"
+            "), qc AS ("
+            "  SELECT q.vec_id AS cid, dim, c AS cc"
+            "  FROM q JOIN seeds USING (vec_id)"
+            "), dist AS ("
+            "  SELECT q.vec_id, qc.cid,"
+            "  CAST(sum((q.c - qc.cc) * (q.c - qc.cc)) AS BIGINT)"
+            "  AS dist2"
+            "  FROM q JOIN qc USING (dim) GROUP BY q.vec_id, qc.cid"
+            "), r AS ("
+            "  SELECT vec_id, cid, dist2, row_number() OVER ("
+            "  PARTITION BY vec_id ORDER BY dist2, cid) AS rn FROM dist"
+            "), asn AS ("
+            "  SELECT vec_id, cid AS cluster FROM r WHERE rn = 1"
+            ") "
+            "SELECT a.cluster, CAST(q.dim - 1 AS BIGINT) AS dim,"
+            " CAST(sum(q.c) AS BIGINT) / (count(*) * 1.0) AS centroid,"
+            " count(*) AS n_vecs"
+            " FROM q JOIN asn a USING (vec_id)"
+            " GROUP BY a.cluster, q.dim"
         ),
         "substring_containment": (
             "SELECT a.doc_id AS contained, min(b.doc_id) AS container "

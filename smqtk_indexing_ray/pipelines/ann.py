@@ -1086,6 +1086,57 @@ def _dim_elements(t: pa.Table):
     return x, dim, off
 
 
+def _minmax_fold(emb):
+    """Stream per-batch (dim, min, max) partials and fold them on the
+    driver — bounded by d x n_blocks partial rows, never the corpus.
+    Returns ``(mn, mx)`` float64 arrays or ``None`` on an empty input.
+    """
+    part_schema = pa.schema([("dim", pa.int64()), ("mn", pa.float64()),
+                             ("mx", pa.float64())])
+
+    def minmax_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        x, dim, _ = _dim_elements(t)
+        if not len(x):
+            return part_schema.empty_table()
+        d = int(dim.max()) + 1
+        mn = np.full(d, np.inf)
+        mx = np.full(d, -np.inf)
+        np.fmin.at(mn, dim, x)
+        np.fmax.at(mx, dim, x)
+        return pa.table({"dim": pa.array(np.arange(d, dtype=np.int64)),
+                         "mn": pa.array(mn), "mx": pa.array(mx)},
+                        schema=part_schema)
+
+    parts = emb.select_columns(["embedding"]).map_batches(
+        minmax_partial, batch_format="pyarrow").take_all()
+    if not parts:
+        return None
+    d = 1 + max(int(r["dim"]) for r in parts)
+    mn = np.full(d, np.inf)
+    mx = np.full(d, -np.inf)
+    for r in parts:
+        i = int(r["dim"])
+        mn[i] = min(mn[i], r["mn"])
+        mx[i] = max(mx[i], r["mx"])
+    return mn, mx
+
+
+def _code_elements(x, dim, mn, rng, live, levels):
+    """Quantize flat embedding elements to exact float codes in
+    ``[0, levels)`` — the one arithmetic path shared by every
+    quantization consumer so DuckDB parity is provable once: the SQL
+    twin is ``least(greatest(floor((x - mn) * levels / (mx - mn)), 0),
+    levels - 1)`` with the identical left-associated operation order.
+    """
+    emn, erng, elive = mn[dim], rng[dim], live[dim]
+    scaled = (x - emn) * float(levels) / np.where(elive, erng, 1.0)
+    return np.where(elive,
+                    np.clip(np.floor(scaled), 0.0, float(levels - 1)),
+                    0.0)
+
+
 def quantize_embeddings(emb, *, levels: int = 256):
     """Per-dimension min/max scalar quantization to ``levels`` codes —
     the standard 4x vector-compression stage in front of a 100 TB ANN
@@ -1106,38 +1157,11 @@ def quantize_embeddings(emb, *, levels: int = 256):
     from smqtk_indexing_ray.context import ensure_data_context
     ensure_data_context()
 
-    part_schema = pa.schema([("dim", pa.int64()), ("mn", pa.float64()),
-                             ("mx", pa.float64())])
-
-    def minmax_partial(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return part_schema.empty_table()
-        x, dim, _ = _dim_elements(t)
-        if not len(x):
-            return part_schema.empty_table()
-        d = int(dim.max()) + 1
-        mn = np.full(d, np.inf)
-        mx = np.full(d, -np.inf)
-        np.fmin.at(mn, dim, x)
-        np.fmax.at(mx, dim, x)
-        return pa.table({"dim": pa.array(np.arange(d, dtype=np.int64)),
-                         "mn": pa.array(mn), "mx": pa.array(mx)},
-                        schema=part_schema)
-
-    # driver reduce over d x n_blocks partial rows (bounded by the
-    # embedding width, never the corpus)
-    parts = emb.select_columns(["embedding"]).map_batches(
-        minmax_partial, batch_format="pyarrow").take_all()
-    if not parts:
+    mm = _minmax_fold(emb)
+    if mm is None:
         import ray.data as rd
         return rd.from_arrow(QUANT_SCHEMA.empty_table())
-    d = 1 + max(int(r["dim"]) for r in parts)
-    mn = np.full(d, np.inf)
-    mx = np.full(d, -np.inf)
-    for r in parts:
-        i = int(r["dim"])
-        mn[i] = min(mn[i], r["mn"])
-        mx[i] = max(mx[i], r["mx"])
+    mn, mx = mm
     rng = mx - mn
     live = rng > 0
 
@@ -1157,10 +1181,7 @@ def quantize_embeddings(emb, *, levels: int = 256):
                 "max_abs_err": pa.array(np.zeros(n, np.float64)),
             }, schema=QUANT_SCHEMA)
         emn, erng, elive = mn[dim], rng[dim], live[dim]
-        scaled = (x - emn) * float(levels) / np.where(elive, erng, 1.0)
-        q = np.where(elive,
-                     np.clip(np.floor(scaled), 0.0, float(levels - 1)),
-                     0.0)
+        q = _code_elements(x, dim, mn, rng, live, levels)
         deq = emn + (q + 0.5) * erng / float(levels)
         err = np.where(elive, np.abs(x - deq), 0.0)
         qi = q.astype(np.int64)
@@ -1268,3 +1289,206 @@ def filtered_ann_topk(emb, *, n_queries: int = 16, k: int = 10,
             pa.array(round6(t["cos_sim"].to_numpy(zero_copy_only=False))))
 
     return out.map_batches(round_sim, batch_format="pyarrow")
+
+
+KMEANS_ASSIGN_SCHEMA = pa.schema([
+    ("vec_id", pa.int64()), ("cluster", pa.int64()),
+    ("dist2", pa.int64()),
+])
+
+KMEANS_UPDATE_SCHEMA = pa.schema([
+    ("cluster", pa.int64()), ("dim", pa.int64()),
+    ("centroid", pa.float64()), ("n_vecs", pa.int64()),
+])
+
+
+def _kmeans_centroids(emb, n_clusters, levels):
+    """Shared k-means setup: min/max fold + deterministic centroid
+    seeds (the ``n_clusters`` lowest vec_ids — k-means++ needs a
+    sequential-RNG scan; the lowest-id seed set is the deterministic,
+    SQL-expressible analog).  Each batch contributes its ``n_clusters``
+    smallest ids (bounded k x blocks driver merge), the winners are
+    quantized driver-side through the shared ``_code_elements`` path,
+    and the int64 centroid-code matrix rides every task closure.
+
+    Returns ``(mn, rng, live, cent_ids, cent_codes)`` or ``None`` on an
+    empty input.  Raises on ragged embedding widths — squared-L2
+    between different-dimensional vectors is undefined.
+    """
+    mm = _minmax_fold(emb)
+    if mm is None:
+        return None
+    mn, mx = mm
+    rng = mx - mn
+    live = rng > 0
+    d_full = len(mn)
+
+    seed_schema = pa.schema([("vec_id", pa.int64()),
+                             ("embedding", pa.list_(pa.float32()))])
+
+    def seed_cut(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "vec_id" not in t.column_names:
+            return seed_schema.empty_table()
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        idx = np.argsort(ids, kind="stable")[:n_clusters]
+        take = pa.array(idx.astype(np.int64))
+        return pa.table({
+            "vec_id": t["vec_id"].take(take),
+            "embedding": pc.cast(t["embedding"].take(take),
+                                 pa.list_(pa.float32())),
+        }, schema=seed_schema)
+
+    cands = emb.select_columns(["vec_id", "embedding"]).map_batches(
+        seed_cut, batch_format="pyarrow").take_all()
+    if not cands:
+        return None
+    cands.sort(key=lambda r: r["vec_id"])
+    seeds = cands[:n_clusters]
+    cent_ids = np.array([r["vec_id"] for r in seeds], np.int64)
+    cent_rows = []
+    for r in seeds:
+        v = np.asarray(r["embedding"], np.float64)
+        if len(v) != d_full:
+            raise ValueError(
+                f"kmeans over ragged embeddings: vec {r['vec_id']} has "
+                f"{len(v)} dims, corpus max {d_full}")
+        q = _code_elements(v, np.arange(d_full, dtype=np.int64),
+                           mn, rng, live, levels)
+        cent_rows.append(q.astype(np.int64))
+    cent_codes = np.stack(cent_rows, axis=0)       # (k, d) int64
+    return mn, rng, live, cent_ids, cent_codes
+
+
+def _assign_batch(t, mn, rng, live, cent_ids, cent_codes, levels):
+    """Quantize one batch and hard-assign to the nearest centroid.
+    Returns ``(vec_id_array, cluster, dist2)`` int64 arrays.  All
+    arithmetic is exact int64 on the uint8-scale codes, so the argmin
+    (first occurrence = lowest centroid vec_id, the SQL tiebreak)
+    cannot flip on float summation order."""
+    x, dim, off = _dim_elements(t)
+    lens = np.diff(off)
+    d_full = len(mn)
+    if len(lens) and (lens.min() != d_full or lens.max() != d_full):
+        raise ValueError("kmeans over ragged embeddings")
+    q = _code_elements(x, dim, mn, rng, live, levels).astype(
+        np.int64).reshape(-1, d_full)              # (n, d)
+    # exact squared L2: ||a||^2 + ||c||^2 - 2 a.c, all int64
+    a2 = np.einsum("ij,ij->i", q, q)
+    c2 = np.einsum("ij,ij->i", cent_codes, cent_codes)
+    cross = q @ cent_codes.T                       # (n, k) int64
+    d2 = a2[:, None] + c2[None, :] - 2 * cross
+    best = np.argmin(d2, axis=1)
+    return (t["vec_id"], cent_ids[best],
+            d2[np.arange(len(best)), best])
+
+
+def kmeans_assign(emb, *, n_clusters: int = 8, levels: int = 256):
+    """Hard k-means assignment over exactly-quantized embeddings — the
+    IVF-list / PQ-codebook assignment step as a standalone operator.
+
+    Vectors are uint8-quantized through the shared ``_code_elements``
+    path (bit-exact vs the SQL twin), centroids are the ``n_clusters``
+    lowest-vec_id vectors (deterministic and SQL-expressible, unlike a
+    sequential k-means++ scan), and each batch computes exact int64
+    squared-L2 distances to the broadcast (k, d) centroid matrix —
+    assignment never shuffles anything but its own output rows.
+
+    Output: ``vec_id, cluster, dist2`` — cluster is the centroid's
+    vec_id, ties broken toward the lowest; dist2 is the exact int64
+    squared distance in code space.
+
+    Reference analog: the IVF coarse quantizer's assign step
+    (/root/reference/smqtk_indexing/impls/nn_index/faiss.py:447-470
+    trains and assigns via faiss's own kmeans); here it is a streaming
+    Ray Data pass with an exact arithmetic contract.
+    """
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+    import ray.data as rd
+
+    setup = _kmeans_centroids(emb, n_clusters, levels)
+    if setup is None:
+        return rd.from_arrow(KMEANS_ASSIGN_SCHEMA.empty_table())
+    mn, rng, live, cent_ids, cent_codes = setup
+
+    def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "vec_id" not in t.column_names:
+            return KMEANS_ASSIGN_SCHEMA.empty_table()
+        vid, cl, d2 = _assign_batch(t, mn, rng, live, cent_ids,
+                                    cent_codes, levels)
+        return pa.table({"vec_id": vid, "cluster": pa.array(cl),
+                         "dist2": pa.array(d2)},
+                        schema=KMEANS_ASSIGN_SCHEMA)
+
+    return emb.select_columns(["vec_id", "embedding"]).map_batches(
+        assign, batch_format="pyarrow")
+
+
+def kmeans_update(emb, *, n_clusters: int = 8, levels: int = 256):
+    """One Lloyd update step on top of :func:`kmeans_assign`: the new
+    per-cluster per-dimension centroid (exact int64 code sums over
+    int64 counts — the only float is one final IEEE division) plus the
+    cluster population.
+
+    The combiner shape: each batch assigns locally and pre-reduces to
+    at most ``k x d`` (cluster, dim, sum, count) partial rows — the
+    shuffle carries codebook-sized partials, never vectors.
+
+    Output: ``cluster, dim, centroid, n_vecs``.
+    """
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+    import ray.data as rd
+
+    from smqtk_indexing_ray.stages.agg import sorted_group_agg
+
+    setup = _kmeans_centroids(emb, n_clusters, levels)
+    if setup is None:
+        return rd.from_arrow(KMEANS_UPDATE_SCHEMA.empty_table())
+    mn, rng, live, cent_ids, cent_codes = setup
+    d_full = len(mn)
+
+    part_schema = pa.schema([("cluster", pa.int64()), ("dim", pa.int64()),
+                             ("code_sum", pa.int64()),
+                             ("n_vecs", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "vec_id" not in t.column_names:
+            return part_schema.empty_table()
+        _, cl, _ = _assign_batch(t, mn, rng, live, cent_ids,
+                                 cent_codes, levels)
+        x, dim, _ = _dim_elements(t)
+        q = _code_elements(x, dim, mn, rng, live, levels).astype(
+            np.int64).reshape(-1, d_full)
+        uniq, inv = np.unique(cl, return_inverse=True)
+        sums = np.zeros((len(uniq), d_full), np.int64)
+        np.add.at(sums, inv, q)
+        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        k = len(uniq)
+        return pa.table({
+            "cluster": pa.array(np.repeat(uniq, d_full)),
+            "dim": pa.array(np.tile(np.arange(d_full, dtype=np.int64),
+                                    k)),
+            "code_sum": pa.array(sums.reshape(-1)),
+            "n_vecs": pa.array(np.repeat(cnt, d_full)),
+        }, schema=part_schema)
+
+    agg = sorted_group_agg(
+        emb.select_columns(["vec_id", "embedding"]).map_batches(
+            partial, batch_format="pyarrow"),
+        key=["cluster", "dim"],
+        aggs={"code_sum": "sum", "n_vecs": "sum"}, schema=part_schema)
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "code_sum" not in t.column_names:
+            return KMEANS_UPDATE_SCHEMA.empty_table()
+        s = t["code_sum"].to_numpy(zero_copy_only=False)
+        n = t["n_vecs"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "cluster": t["cluster"],
+            "dim": t["dim"],
+            "centroid": pa.array(s / (n * 1.0)),
+            "n_vecs": t["n_vecs"],
+        }, schema=KMEANS_UPDATE_SCHEMA)
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -334,3 +334,90 @@ def test_quantize_random_with_empties_property():
             assert got.loc[i, "code_max"] == qi.max()
             assert got.loc[i, "max_abs_err"] == float(
                 round6(np.array(err.max())))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestKmeans:
+    @staticmethod
+    def _corpus(n=80, d=5, seed=11):
+        rng = np.random.default_rng(seed)
+        m = rng.standard_normal((n, d)).astype(np.float32)
+        return m
+
+    @staticmethod
+    def _brute(m, k, levels=256):
+        """Plain numpy reimplementation: quantize, seed with the k
+        lowest vec_ids (= first k rows), exact int squared-L2 argmin
+        with lowest-seed tiebreak."""
+        x = m.astype(np.float64)
+        mn, mx = x.min(axis=0), x.max(axis=0)
+        rng_ = mx - mn
+        live = rng_ > 0
+        q = np.where(live[None, :],
+                     np.clip(np.floor((x - mn) * float(levels)
+                                      / np.where(live, rng_, 1.0)),
+                             0, levels - 1), 0.0).astype(np.int64)
+        cent = q[:k]
+        d2 = ((q[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        best = np.argmin(d2, axis=1)
+        return q, best, d2[np.arange(len(q)), best]
+
+    def test_assign_matches_bruteforce(self):
+        """Assignments and exact int64 distances vs the numpy
+        reimplementation, with blocks split so the seed scan and the
+        min/max fold must merge across batches."""
+        import ray.data as rd
+
+        from smqtk_indexing_ray.pipelines.ann import kmeans_assign
+        m = self._corpus()
+        ds = rd.from_arrow(pa.table({
+            "vec_id": pa.array(np.arange(len(m), dtype=np.int64)),
+            "embedding": pa.array([list(r) for r in m],
+                                  pa.list_(pa.float32())),
+        })).repartition(7)
+        got = kmeans_assign(ds, n_clusters=4).to_pandas().sort_values(
+            "vec_id", ignore_index=True)
+        _, best, d2 = self._brute(m, 4)
+        assert list(got.cluster) == list(best.astype(np.int64))
+        assert list(got.dist2) == list(d2)
+        # the seeds themselves sit at distance 0 in their own cluster
+        assert list(got.dist2[:4]) == [0, 0, 0, 0]
+
+    def test_update_matches_bruteforce(self):
+        """Lloyd-step centroids are the exact per-cluster per-dim code
+        means; cluster populations sum to n."""
+        import ray.data as rd
+
+        from smqtk_indexing_ray.pipelines.ann import kmeans_update
+        m = self._corpus(n=60, d=4, seed=13)
+        ds = rd.from_arrow(pa.table({
+            "vec_id": pa.array(np.arange(len(m), dtype=np.int64)),
+            "embedding": pa.array([list(r) for r in m],
+                                  pa.list_(pa.float32())),
+        })).repartition(5)
+        got = kmeans_update(ds, n_clusters=3).to_pandas().sort_values(
+            ["cluster", "dim"], ignore_index=True)
+        q, best, _ = self._brute(m, 3)
+        rows = []
+        for c in sorted(set(best)):
+            sel = q[best == c]
+            for dim in range(q.shape[1]):
+                rows.append((c, dim, sel[:, dim].sum() / (len(sel) * 1.0),
+                             len(sel)))
+        assert len(got) == len(rows)
+        for (c, dim, cent, n), (_, r) in zip(rows, got.iterrows()):
+            assert r.cluster == c and r.dim == dim and r.n_vecs == n
+            assert r.centroid == cent
+        assert got.groupby("cluster").n_vecs.first().sum() == len(m)
+
+    def test_ragged_embeddings_raise(self):
+        import ray.data as rd
+
+        from smqtk_indexing_ray.pipelines.ann import kmeans_assign
+        ds = rd.from_arrow(pa.table({
+            "vec_id": pa.array([0, 1, 2], pa.int64()),
+            "embedding": pa.array([[0.0, 1.0], [1.0], [0.5, 0.5]],
+                                  pa.list_(pa.float32())),
+        }))
+        with pytest.raises((ValueError, Exception)):
+            kmeans_assign(ds, n_clusters=2).to_pandas()

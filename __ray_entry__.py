@@ -401,6 +401,28 @@ def _q_jaccard_cluster_labels(sf_dir: str):
     return jaccard_cluster_labels(_docs(sf_dir), k=3, threshold=0.5)
 
 
+def _q_dup_triangles(sf_dir: str):
+    """Exact triangle enumeration over the near-dup pair graph: wedges
+    at the lowest vertex via the join-free pair stage + one sort-merge
+    semi-join on a packed edge key — template farms show up as
+    near-cliques.  Exact three-way self-join oracle."""
+    from smqtk_indexing_ray.pipelines.analysis import ngram_jaccard_pairs
+    from smqtk_indexing_ray.pipelines.graph import dup_triangles
+    return dup_triangles(ngram_jaccard_pairs(_docs(sf_dir), k=3,
+                                             threshold=0.5))
+
+
+def _q_clustering_coefficients(sf_dir: str):
+    """Per-doc local clustering coefficient on the near-dup graph —
+    hub-of-a-star (~0) vs member-of-a-clique (~1), the mirror-set
+    signal.  Degrees and triangle corners fold through batch-local
+    partials; coefficient is an exact int-over-int division."""
+    from smqtk_indexing_ray.pipelines.analysis import ngram_jaccard_pairs
+    from smqtk_indexing_ray.pipelines.graph import clustering_coefficients
+    return clustering_coefficients(ngram_jaccard_pairs(_docs(sf_dir), k=3,
+                                                       threshold=0.5))
+
+
 def _q_cosine_near_pairs(sf_dir: str):
     from smqtk_indexing_ray.pipelines.ann import cosine_near_pairs
     return cosine_near_pairs(_emb(sf_dir), threshold=0.4)
@@ -1537,6 +1559,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_commonness": _q_doc_commonness,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "jaccard_cluster_labels": _q_jaccard_cluster_labels,
+        "dup_triangles": _q_dup_triangles,
+        "clustering_coefficients": _q_clustering_coefficients,
         "cosine_near_pairs": _q_cosine_near_pairs,
         "ann_topk": _q_ann_topk,
         "lsh_dedup": _q_lsh_dedup,
@@ -1955,6 +1979,43 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": (
             "WITH " + _TOKS + ", " + _SHINGLES + " "
             "SELECT doc_a, doc_b, n_inter, jaccard FROM jpairs"
+        ),
+        "dup_triangles": (
+            "WITH " + _TOKS + ", " + _SHINGLES + " "
+            "SELECT e1.doc_a AS doc_a, e1.doc_b AS doc_b,"
+            " e2.doc_b AS doc_c"
+            " FROM jpairs e1"
+            " JOIN jpairs e2 ON e2.doc_a = e1.doc_b"
+            " JOIN jpairs e3 ON e3.doc_a = e1.doc_a"
+            " AND e3.doc_b = e2.doc_b"
+        ),
+        "clustering_coefficients": (
+            "WITH " + _TOKS + ", " + _SHINGLES + ", "
+            "tri AS ("
+            "  SELECT e1.doc_a, e1.doc_b, e2.doc_b AS doc_c"
+            "  FROM jpairs e1"
+            "  JOIN jpairs e2 ON e2.doc_a = e1.doc_b"
+            "  JOIN jpairs e3 ON e3.doc_a = e1.doc_a"
+            "  AND e3.doc_b = e2.doc_b"
+            "), deg AS ("
+            "  SELECT doc_id, count(*) AS degree FROM ("
+            "    SELECT doc_a AS doc_id FROM jpairs"
+            "    UNION ALL SELECT doc_b FROM jpairs"
+            "  ) GROUP BY doc_id"
+            "), tcnt AS ("
+            "  SELECT doc_id, count(*) AS n_triangles FROM ("
+            "    SELECT doc_a AS doc_id FROM tri"
+            "    UNION ALL SELECT doc_b FROM tri"
+            "    UNION ALL SELECT doc_c FROM tri"
+            "  ) GROUP BY doc_id"
+            ") "
+            "SELECT d.doc_id, d.degree,"
+            " CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles,"
+            " CASE WHEN d.degree >= 2 THEN"
+            "  (2 * coalesce(t.n_triangles, 0))"
+            "  / (d.degree * (d.degree - 1) * 1.0)"
+            " ELSE 0.0 END AS clustering"
+            " FROM deg d LEFT JOIN tcnt t USING (doc_id)"
         ),
         "jaccard_cluster_labels": (
             "WITH RECURSIVE " + _TOKS + ", " + _SHINGLES + ", "

@@ -79,6 +79,14 @@ def _q_normalized_dedup(sf_dir: str):
     return normalized_cluster_labels(_docs(sf_dir))
 
 
+def _q_decile_dup_rates(sf_dir: str):
+    """Dup-rate-by-length-decile correlation (the length-floor
+    question): ANSI-exact NTILE buckets x normalized-dup-cluster
+    membership, all sort-shaped, exact int-ratio shares."""
+    from smqtk_indexing_ray.pipelines.analysis import decile_dup_rates
+    return decile_dup_rates(_docs(sf_dir), nb=10)
+
+
 def _q_token_stats(sf_dir: str):
     from smqtk_indexing_ray.pipelines.analysis import token_stats
     return token_stats(_docs(sf_dir))
@@ -779,6 +787,17 @@ def _q_user_event_gaps(sf_dir: str):
     import ray.data as rd
     from smqtk_indexing_ray.pipelines.events import user_event_gaps
     return user_event_gaps(rd.read_parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_event_dedup(sf_dir: str):
+    """Windowed event dedup (the at-least-once-ingest repair pass):
+    duplicate = same (user, type) within the window before it; LAG
+    semantics in one sorted pass with a single-row boundary carry.
+    Exact SQL window oracle."""
+    import ray.data as rd
+    from smqtk_indexing_ray.pipelines.events import event_dedup
+    return event_dedup(rd.read_parquet(f"{sf_dir}/events.parquet"),
+                       window_s=300)
 
 
 def _q_props_field_stats(sf_dir: str):
@@ -1536,6 +1555,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_cluster_labels": _q_exact_cluster_labels,
         "exact_cluster_sizes": _q_exact_cluster_sizes,
         "normalized_dedup": _q_normalized_dedup,
+        "decile_dup_rates": _q_decile_dup_rates,
         "token_stats": _q_token_stats,
         "token_counts": _q_token_counts,
         "token_quantiles": _q_token_quantiles,
@@ -1598,6 +1618,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window_counts": _q_hopping_window_counts,
         "event_seq": _q_event_seq,
         "user_event_gaps": _q_user_event_gaps,
+        "event_dedup": _q_event_dedup,
         "props_field_stats": _q_props_field_stats,
         "user_first_last": _q_user_first_last,
         "length_percent_ranks": _q_length_percent_ranks,
@@ -1810,6 +1831,28 @@ def oracle_sql() -> dict[str, str]:
             r"  <> min(doc_id) OVER (PARTITION BY text) AS BIGINT)"
             r" AS merged_by_norm "
             r"FROM n"
+        ),
+        "decile_dup_rates": (
+            r"WITH n AS ("
+            r"  SELECT doc_id, n_chars,"
+            r"  lower(regexp_replace(regexp_replace("
+            r"    coalesce(text, ''), '\s+', ' ', 'g'),"
+            r"    '^ | $', '', 'g')) AS norm"
+            r"  FROM documents"
+            r"), lab AS ("
+            r"  SELECT doc_id,"
+            r"  count(*) OVER (PARTITION BY norm) AS csize FROM n"
+            r"), dec AS ("
+            r"  SELECT doc_id, CAST(NTILE(10) OVER ("
+            r"  ORDER BY n_chars, doc_id) AS BIGINT) AS bucket"
+            r"  FROM documents"
+            r") "
+            r"SELECT bucket, count(*) AS n_docs,"
+            r" CAST(sum(CASE WHEN csize > 1 THEN 1 ELSE 0 END)"
+            r"  AS BIGINT) AS n_dups,"
+            r" CAST(sum(CASE WHEN csize > 1 THEN 1 ELSE 0 END)"
+            r"  AS BIGINT) / (count(*) * 1.0) AS dup_share"
+            r" FROM dec JOIN lab USING (doc_id) GROUP BY bucket"
         ),
         "token_stats": (
             "WITH " + _TOKS + " "
@@ -2702,6 +2745,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER "
             "(PARTITION BY user_id ORDER BY ts, event_id), -1) "
             "AS BIGINT) AS gap_us FROM events"
+        ),
+        "event_dedup": (
+            "WITH l AS ("
+            "  SELECT event_id, user_id, event_type,"
+            "  epoch_us(ts) AS ts_us,"
+            "  lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type"
+            "  ORDER BY ts, event_id) AS prev FROM events"
+            ") "
+            "SELECT event_id, user_id, event_type, ts_us,"
+            " CAST(CASE WHEN prev IS NULL OR ts_us - prev > 300000000"
+            " THEN 1 ELSE 0 END AS BIGINT) AS kept FROM l"
         ),
         # ->> extracts as text, the integer-literal regex mirrors the
         # kernel's reject-non-integers rule; avg is the exact ratio

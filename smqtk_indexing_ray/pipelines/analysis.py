@@ -2256,3 +2256,137 @@ def id_integrity_audit(docs, *, num_partitions: int = 16):
         "max_id": pa.array([mx], pa.int64()),
         "n_missing": pa.array([(mx - mn + 1) - n_distinct], pa.int64()),
     }, schema=ID_AUDIT_SCHEMA)
+
+
+DECILE_DUP_SCHEMA = pa.schema([
+    ("bucket", pa.int64()), ("n_docs", pa.int64()),
+    ("n_dups", pa.int64()), ("dup_share", pa.float64()),
+])
+
+
+def decile_dup_rates(docs, *, nb: int = 10, num_partitions: int = 16):
+    """Dup-rate-by-length-decile correlation report: NTILE(nb) buckets
+    of doc length crossed with membership in a normalized exact-dup
+    cluster of size > 1 — "are short docs disproportionately
+    duplicates?", the first question a curation review asks before
+    picking a length floor.
+
+    Composition of existing primitives, all sort-shaped: the
+    normalized dedup labels (two 128-bit-hash attaches), one
+    ``count(*) OVER (PARTITION BY norm_cid)`` run-length sort for
+    cluster sizes, one ANSI-exact NTILE pass over ``(n_chars,
+    doc_id)``, one sort-merge attach to line them up, and an
+    nb-row rollup.  ``dup_share`` is the exact int64/int64 IEEE ratio.
+
+    Output: ``bucket, n_docs, n_dups, dup_share`` (bucket 1-based,
+    ascending length).
+    """
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+
+    from smqtk_indexing_ray.stages.agg import (
+        sorted_group_agg,
+        sorted_run_length_attach,
+    )
+    from smqtk_indexing_ray.stages.attach import sort_attach
+    from smqtk_indexing_ray.stages.topk import ntile_per_group
+
+    lab_schema = pa.schema([("doc_id", pa.int64()),
+                            ("norm_cid", pa.int64())])
+    labels = normalized_cluster_labels(
+        docs, num_partitions=num_partitions).map_batches(
+        lambda t: (lab_schema.empty_table()
+                   if t.num_rows == 0 or "norm_cid" not in t.column_names
+                   else pa.table({"doc_id": t["doc_id"],
+                                  "norm_cid": t["norm_cid"]},
+                                 schema=lab_schema)),
+        batch_format="pyarrow")
+
+    sized_schema = pa.schema([("doc_id", pa.int64()),
+                              ("norm_cid", pa.int64()),
+                              ("csize", pa.int64())])
+    sized = sorted_run_length_attach(labels, key="norm_cid",
+                                     out="csize", schema=lab_schema)
+
+    flag_schema = pa.schema([("doc_id", pa.int64()),
+                             ("is_dup", pa.int64())])
+
+    def flag(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "csize" not in t.column_names:
+            return flag_schema.empty_table()
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "is_dup": pc.cast(pc.greater(t["csize"], 1), pa.int64()),
+        }, schema=flag_schema)
+
+    flags = sized.map_batches(flag, batch_format="pyarrow")
+
+    len_schema = pa.schema([("doc_id", pa.int64()),
+                            ("n_chars", pa.int64()), ("g", pa.int64())])
+
+    def slim(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return len_schema.empty_table()
+        n = t.num_rows
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_chars": pc.cast(t["n_chars"], pa.int64()),
+            "g": pa.array(np.zeros(n, np.int64)),
+        }, schema=len_schema)
+
+    deciled = ntile_per_group(
+        docs.select_columns(["doc_id", "n_chars"]).map_batches(
+            slim, batch_format="pyarrow"),
+        group="g", order="n_chars", tiebreak="doc_id", nb=nb,
+        descending=False, schema=len_schema)
+
+    dec_schema = pa.schema([("doc_id", pa.int64()),
+                            ("bucket", pa.int64())])
+    slim_dec = deciled.map_batches(
+        lambda t: (dec_schema.empty_table()
+                   if t.num_rows == 0 or "bucket" not in t.column_names
+                   else pa.table({"doc_id": t["doc_id"],
+                                  "bucket": t["bucket"]},
+                                 schema=dec_schema)),
+        batch_format="pyarrow")
+
+    joined = sort_attach(slim_dec, flags, key="doc_id",
+                         payload_key="doc_id", payload_cols=["is_dup"],
+                         how="inner", rows_schema=dec_schema,
+                         payload_schema=flag_schema)
+
+    part_schema = pa.schema([("bucket", pa.int64()),
+                             ("n_docs", pa.int64()),
+                             ("n_dups", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "is_dup" not in t.column_names:
+            return part_schema.empty_table()
+        b = t["bucket"].to_numpy(zero_copy_only=False)
+        d = t["is_dup"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(b, return_inverse=True)
+        dups = np.zeros(len(uniq), np.int64)
+        np.add.at(dups, inv, d)
+        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(uniq.astype(np.int64)),
+            "n_docs": pa.array(cnt), "n_dups": pa.array(dups),
+        }, schema=part_schema)
+
+    agg = sorted_group_agg(
+        joined.map_batches(partial, batch_format="pyarrow"),
+        key="bucket", aggs={"n_docs": "sum", "n_dups": "sum"},
+        schema=part_schema)
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "n_docs" not in t.column_names:
+            return DECILE_DUP_SCHEMA.empty_table()
+        nd = t["n_docs"].to_numpy(zero_copy_only=False)
+        du = t["n_dups"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": t["bucket"], "n_docs": t["n_docs"],
+            "n_dups": t["n_dups"],
+            "dup_share": pa.array(du / (nd * 1.0)),
+        }, schema=DECILE_DUP_SCHEMA)
+
+    return agg.map_batches(finish, batch_format="pyarrow")

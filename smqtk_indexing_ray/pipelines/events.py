@@ -1578,3 +1578,81 @@ def user_session_stats(events, *, gap_minutes: int = 30,
         }, schema=USER_SESSION_SCHEMA)
 
     return g.map_batches(finish, batch_format="pyarrow")
+
+
+EVENT_DEDUP_SCHEMA = pa.schema([
+    ("event_id", pa.int64()), ("user_id", pa.int64()),
+    ("event_type", pa.string()), ("ts_us", pa.int64()),
+    ("kept", pa.int64()),
+])
+
+
+def event_dedup(events, *, window_s: int = 300,
+                num_partitions: int = 16):
+    """Windowed event deduplication: an event is a duplicate when the
+    SAME ``(user_id, event_type)`` fired within ``window_s`` seconds
+    before it — the standard at-least-once-ingest repair pass
+    (client retries, double-fired webhooks).
+
+    LAG semantics (each event compares against its immediate
+    predecessor, kept or not): the SQL-expressible form, one sorted
+    pass through ``stages/agg.sorted_lag_attach`` with a single-row
+    boundary carry per block.  Chained suppress-against-last-KEPT
+    semantics would need a sequential per-partition scan — that
+    variant is :func:`sessionize` with ``gap_s=window_s`` counting
+    session heads.
+
+    Output: every event with ``kept`` 0/1 — callers filter
+    ``kept == 1`` for the deduplicated stream; keeping the flags makes
+    the drop rate a one-aggregate audit.
+    """
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+
+    from smqtk_indexing_ray.stages._util import auto_blocks, stamp_schema
+    from smqtk_indexing_ray.stages.agg import sorted_lag_attach
+
+    slim_schema = pa.schema([("user_id", pa.int64()),
+                             ("event_type", pa.string()),
+                             ("ts_us", pa.int64()),
+                             ("event_id", pa.int64())])
+
+    def slim(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return slim_schema.empty_table()
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "event_type": t["event_type"],
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+        }, schema=slim_schema)
+
+    lagged = sorted_lag_attach(
+        events.select_columns(["user_id", "event_type", "ts",
+                               "event_id"])
+        .map_batches(slim, batch_format="pyarrow"),
+        key=["user_id", "event_type"], order=["ts_us", "event_id"],
+        value="ts_us", out="prev_ts_us",
+        num_blocks=max(num_partitions, auto_blocks()),
+        schema=slim_schema)
+
+    window_us = int(window_s) * 1_000_000
+
+    def flag(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "prev_ts_us" not in t.column_names:
+            return EVENT_DEDUP_SCHEMA.empty_table()
+        fresh = pc.or_kleene(
+            pc.is_null(t["prev_ts_us"]),
+            pc.greater(pc.subtract(t["ts_us"], t["prev_ts_us"]),
+                       window_us))
+        return pa.table({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "event_type": t["event_type"],
+            "ts_us": t["ts_us"],
+            "kept": pc.cast(pc.fill_null(fresh, True), pa.int64()),
+        }, schema=EVENT_DEDUP_SCHEMA)
+
+    return stamp_schema(
+        lagged.map_batches(flag, batch_format="pyarrow"),
+        EVENT_DEDUP_SCHEMA)

@@ -1450,3 +1450,62 @@ def test_id_integrity_audit():
     assert got.n_dup_ids == 1          # id 11 appears twice
     assert got.min_id == 10 and got.max_id == 14
     assert got.n_missing == 1          # id 12 absent
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_decile_dup_rates_matches_duckdb():
+    """Length-decile x dup-rate report vs the SQL oracle: short docs
+    planted as heavy normalized dups, NTILE remainders exercised
+    (n not divisible by nb), case/whitespace variants merged."""
+    import duckdb
+    import ray.data as rd
+
+    from smqtk_indexing_ray.pipelines.analysis import decile_dup_rates
+
+    rng = np.random.default_rng(23)
+    texts = []
+    n = 257                              # prime: NTILE remainder path
+    for i in range(n):
+        if i % 5 == 0:
+            # short template with case/space jitter -> normalized dup
+            base = "buy cheap widgets now"
+            texts.append(base.upper() if i % 2 else base + "  ")
+        else:
+            w = rng.integers(20, 120)
+            texts.append(" ".join(
+                rng.choice(["alpha", "beta", "gamma", "delta", "eps"],
+                           w)))
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * n),
+        "source": pa.array(["s"] * n),
+        "n_chars": pa.array(
+            np.array([len(x) for x in texts], np.int64)),
+    })
+    got = decile_dup_rates(
+        rd.from_arrow(t).repartition(6), nb=10).to_pandas().sort_values(
+        "bucket", ignore_index=True)
+    con = duckdb.connect()
+    con.register("documents", t.to_pandas())
+    want = con.execute(
+        r"WITH nrm AS (SELECT doc_id, n_chars,"
+        r" lower(regexp_replace(regexp_replace(coalesce(text, ''),"
+        r" '\s+', ' ', 'g'), '^ | $', '', 'g')) AS norm FROM documents),"
+        r" lab AS (SELECT doc_id, count(*) OVER (PARTITION BY norm)"
+        r"  AS csize FROM nrm),"
+        r" dec AS (SELECT doc_id, CAST(NTILE(10) OVER ("
+        r"  ORDER BY n_chars, doc_id) AS BIGINT) AS bucket"
+        r"  FROM documents)"
+        r" SELECT bucket, count(*) AS n_docs,"
+        r" CAST(sum(CASE WHEN csize > 1 THEN 1 ELSE 0 END) AS BIGINT)"
+        r"  AS n_dups,"
+        r" CAST(sum(CASE WHEN csize > 1 THEN 1 ELSE 0 END) AS BIGINT)"
+        r"  / (count(*) * 1.0) AS dup_share"
+        r" FROM dec JOIN lab USING (doc_id) GROUP BY bucket"
+        r" ORDER BY bucket").df()
+    assert len(got) == 10
+    for col in want.columns:
+        assert list(got[col]) == list(want[col]), col
+    # the dup mass concentrates in the short deciles by construction
+    assert got.n_dups[got.bucket <= 2].sum() > 0

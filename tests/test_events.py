@@ -807,3 +807,75 @@ def test_peak_event_rate_and_user_session_stats():
     assert sess.loc[1, "max_session_span_us"] == 9 * m
     assert sess.loc[2, "n_sessions"] == 2
     assert sess.loc[2, "max_session_span_us"] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_event_dedup_window_semantics():
+    """LAG-window dedup: a retry inside the window is dropped, one just
+    past it is kept, other event types never interfere, and the flags
+    match the SQL LAG oracle on a random stream."""
+    import duckdb
+    import ray.data as rd
+
+    from smqtk_indexing_ray.pipelines.events import event_dedup
+
+    us = 1_000_000
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+
+    def ts(sec):
+        return base + np.timedelta64(int(sec * us), "us")
+
+    rows = [
+        # user 1 click: t=0 kept, t=10 dup, t=311 kept (301 past prev)
+        (0, 1, "click", ts(0)),
+        (1, 1, "click", ts(10)),
+        (2, 1, "click", ts(311)),
+        # user 1 view interleaves and never interferes
+        (3, 1, "view", ts(5)),
+        (4, 1, "view", ts(6)),
+        # user 2 same timestamps — partitions are per user
+        (5, 2, "click", ts(10)),
+        # exactly window_s after previous is still a duplicate (>)
+        (6, 2, "click", ts(310)),
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+        "ts": pa.array(np.array([r[3] for r in rows],
+                                "datetime64[us]")),
+        "value": pa.array([0.0] * len(rows)),
+        "props": pa.array(["{}"] * len(rows)),
+    })
+    got = event_dedup(rd.from_arrow(t).repartition(3),
+                      window_s=300).to_pandas().set_index("event_id")
+    assert list(got.loc[[0, 1, 2, 3, 4, 5, 6], "kept"]) \
+        == [1, 0, 1, 1, 0, 1, 0]
+
+    # random stream vs the SQL oracle, blocks straddling partitions
+    rng = np.random.default_rng(17)
+    n = 3000
+    tt = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "user_id": pa.array(rng.integers(0, 40, n).astype(np.int64)),
+        "event_type": pa.array(
+            rng.choice(["a", "b", "c"], n).astype(object), pa.string()),
+        "ts": pa.array(
+            base + rng.integers(0, 3600 * us, n).astype(
+                "timedelta64[us]")),
+        "value": pa.array(np.zeros(n)),
+        "props": pa.array(["{}"] * n),
+    })
+    got = event_dedup(rd.from_arrow(tt).repartition(7),
+                      window_s=120).to_pandas().sort_values(
+        "event_id", ignore_index=True)
+    con = duckdb.connect()
+    con.register("events", tt.to_pandas())
+    want = con.execute(
+        "WITH l AS (SELECT event_id, epoch_us(ts) AS ts_us,"
+        " lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type"
+        " ORDER BY ts, event_id) AS prev FROM events)"
+        " SELECT event_id, CAST(CASE WHEN prev IS NULL OR"
+        " ts_us - prev > 120000000 THEN 1 ELSE 0 END AS BIGINT)"
+        " AS kept FROM l ORDER BY event_id").df()
+    assert list(got.kept) == list(want.kept)

@@ -1111,6 +1111,15 @@ def _q_kmeans_update(sf_dir: str):
     return kmeans_update(_emb(sf_dir), n_clusters=8)
 
 
+def _q_kmeans_fit(sf_dir: str):
+    """Full iterative Lloyd k-means (the iterative-fixpoint class —
+    not window-expressible, hence rows-only): one streaming
+    assign+partial-sum pass per round, fsum-deterministic driver fold;
+    pytest pins monotone inertia, determinism and the fixpoint."""
+    from smqtk_indexing_ray.pipelines.ann import kmeans_fit
+    return kmeans_fit(_emb(sf_dir), n_clusters=8, max_iters=15)
+
+
 def _q_ivf_topk(sf_dir: str):
     """IVF-list approximate top-k (FAISS-IVF analog; recall-vs-brute-force
     asserted in tests) — rows-only."""
@@ -1601,6 +1610,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantize_embeddings": _q_quantize_embeddings,
         "kmeans_assign": _q_kmeans_assign,
         "kmeans_update": _q_kmeans_update,
+        "kmeans_fit": _q_kmeans_fit,
         "filtered_ann_topk": _q_filtered_ann_topk,
         "best_rep_per_cluster": _q_best_rep_per_cluster,
         "sessionize": _q_sessionize,

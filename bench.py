@@ -289,6 +289,18 @@ def _q5_fn(sf_dir: str):
     return fn
 
 
+def _large_orders_fn(sf_dir: str):
+    def fn():
+        import ray.data as rd
+        from smqtk_indexing_ray.pipelines.warehouse import large_orders
+        return large_orders(
+            rd.read_parquet(f"{sf_dir}/lineitem.parquet"),
+            rd.read_parquet(f"{sf_dir}/orders.parquet"),
+            rd.read_parquet(f"{sf_dir}/customer.parquet"),
+            min_qty=300, k=100)
+    return fn
+
+
 def run_sf_suite(sf_dir: str) -> dict[str, float]:
     """Time the sf-dir operator pipelines (documents + embeddings)."""
     import ray.data as rd
@@ -368,6 +380,16 @@ def run_sf_suite(sf_dir: str) -> dict[str, float]:
         "event_transitions": event_transitions,
         "trailing_event_counts": trailing_event_counts,
         "quantize_embeddings": lambda: ann.quantize_embeddings(emb()),
+        "kmeans_update": lambda: ann.kmeans_update(emb(), n_clusters=8),
+        "clustering_coefficients": lambda: __import__(
+            "smqtk_indexing_ray.pipelines.graph",
+            fromlist=["clustering_coefficients"]).clustering_coefficients(
+            analysis.ngram_jaccard_pairs(docs(), k=3, threshold=0.5)),
+        "event_dedup": lambda: __import__(
+            "smqtk_indexing_ray.pipelines.events",
+            fromlist=["event_dedup"]).event_dedup(events()),
+        "decile_dup_rates": lambda: analysis.decile_dup_rates(docs()),
+        "large_orders": _large_orders_fn(sf_dir),
         "bloom_contamination": _bloom_contamination_fn(sf_dir),
         "cohort_retention": _cohort_retention_fn(sf_dir),
         "top_customer_revenue": _revenue_fn(sf_dir),

@@ -1492,3 +1492,150 @@ def kmeans_update(emb, *, n_clusters: int = 8, levels: int = 256):
         }, schema=KMEANS_UPDATE_SCHEMA)
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+KMEANS_FIT_SCHEMA = pa.schema([
+    ("cluster", pa.int64()), ("n_vecs", pa.int64()),
+    ("inertia", pa.float64()), ("n_iters", pa.int64()),
+])
+
+
+def kmeans_fit(emb, *, n_clusters: int = 8, max_iters: int = 20,
+               tol: float = 1e-6):
+    """Full iterative Lloyd k-means over the embedding corpus — the
+    iterative-algorithm class the Dataset API alone cannot express:
+    each round is ONE streaming assign-and-partial-sum pass (broadcast
+    (k, d) centroids in the task closure, per-batch (cluster, sum_vec,
+    count, inertia) combiner partials, bounded k x d x blocks driver
+    fold), and the driver loop owns convergence.
+
+    Determinism: partials are folded with ``math.fsum`` after sorting
+    by (cluster, batch key), so a given block layout produces
+    byte-identical output regardless of ARRIVAL order (the Ray
+    scheduler's nondeterminism is folded out).  Across different
+    layouts of the same rows the per-batch float partials themselves
+    round differently, so centroids/inertia agree only to ~1e-12
+    relative — inherent to float k-means, asserted in the pytest
+    contract.  Empty clusters keep their previous centroid.  Seeds are
+    the ``n_clusters`` lowest-vec_id vectors (deterministic; k-means++
+    needs a sequential scan).
+
+    Returns the per-cluster summary table ``cluster, n_vecs, inertia,
+    n_iters`` (cluster = seed vector's vec_id, inertia = that
+    cluster's exactly-summed squared-L2).  Rows-only vs SQL (iterative
+    fixpoints are not window-expressible); the pytest contract pins
+    monotone non-increasing total inertia, determinism, and the
+    assignment fixpoint.
+    """
+    import math
+
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+    import ray.data as rd
+
+    # --- seeds: k lowest-vec_id raw vectors (bounded driver merge) ---
+    seed_schema = pa.schema([("vec_id", pa.int64()),
+                             ("embedding", pa.list_(pa.float32()))])
+
+    def seed_cut(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "vec_id" not in t.column_names:
+            return seed_schema.empty_table()
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        idx = np.argsort(ids, kind="stable")[:n_clusters]
+        take = pa.array(idx.astype(np.int64))
+        return pa.table({
+            "vec_id": t["vec_id"].take(take),
+            "embedding": pc.cast(t["embedding"].take(take),
+                                 pa.list_(pa.float32())),
+        }, schema=seed_schema)
+
+    # column-pruned object-store cache: the iterative loop re-reads
+    # this per round; caching beats re-scanning parquet max_iters
+    # times, and the cached columns are exactly the two the rounds
+    # need (at cluster scale the object store spills overflow blocks
+    # to disk — still cheaper than max_iters remote re-reads)
+    src = emb.select_columns(["vec_id", "embedding"]).materialize()
+    cands = src.map_batches(seed_cut, batch_format="pyarrow").take_all()
+    if not cands:
+        return rd.from_arrow(KMEANS_FIT_SCHEMA.empty_table())
+    cands.sort(key=lambda r: r["vec_id"])
+    seeds = cands[:n_clusters]
+    cent_ids = np.array([r["vec_id"] for r in seeds], np.int64)
+    d_full = len(np.asarray(seeds[0]["embedding"]))
+    cent = np.stack([np.asarray(r["embedding"], np.float64)
+                     for r in seeds], axis=0)           # (k, d)
+    if any(len(np.asarray(r["embedding"])) != d_full for r in seeds):
+        raise ValueError("kmeans over ragged embeddings")
+    k = len(cent_ids)
+
+    part_fields = pa.schema(
+        [("cluster", pa.int64()), ("bkey", pa.int64()),
+         ("n", pa.int64()), ("inertia", pa.float64()),
+         ("sums", pa.list_(pa.float64()))])
+
+    def make_pass(cent_now: np.ndarray):
+        def partial(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "vec_id" not in t.column_names:
+                return part_fields.empty_table()
+            x, dim, off = _dim_elements(t)
+            lens = np.diff(off)
+            if len(lens) and (lens.min() != d_full
+                              or lens.max() != d_full):
+                raise ValueError("kmeans over ragged embeddings")
+            m = x.reshape(-1, d_full)                   # (n, d)
+            # ||a-c||^2 via broadcasting; float64 throughout
+            d2 = ((m[:, None, :] - cent_now[None, :, :]) ** 2).sum(
+                axis=2)                                 # (n, k)
+            best = np.argmin(d2, axis=1)
+            bi = d2[np.arange(len(best)), best]
+            uniq, inv = np.unique(best, return_inverse=True)
+            sums = np.zeros((len(uniq), d_full), np.float64)
+            np.add.at(sums, inv, m)
+            cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+            inert = np.zeros(len(uniq), np.float64)
+            np.add.at(inert, inv, bi)
+            bkey = int(t["vec_id"].to_numpy(
+                zero_copy_only=False).min())
+            return pa.table({
+                "cluster": pa.array(uniq.astype(np.int64)),
+                "bkey": pa.array(np.full(len(uniq), bkey, np.int64)),
+                "n": pa.array(cnt),
+                "inertia": pa.array(inert),
+                "sums": pa.array(list(sums)),
+            }, schema=part_fields)
+        return partial
+
+    n_iters = 0
+    n_vecs = np.zeros(k, np.int64)
+    inertia = np.zeros(k, np.float64)
+    for it in range(max_iters):
+        n_iters = it + 1
+        parts = src.map_batches(make_pass(cent),
+                                batch_format="pyarrow").take_all()
+        # deterministic fold: sort by (cluster, batch key), then fsum
+        parts.sort(key=lambda r: (r["cluster"], r["bkey"]))
+        by_cluster: dict[int, list] = {}
+        for r in parts:
+            by_cluster.setdefault(int(r["cluster"]), []).append(r)
+        new_cent = cent.copy()
+        n_vecs = np.zeros(k, np.int64)
+        inertia = np.zeros(k, np.float64)
+        for ci, rows in by_cluster.items():
+            n = sum(int(r["n"]) for r in rows)
+            n_vecs[ci] = n
+            inertia[ci] = math.fsum(float(r["inertia"]) for r in rows)
+            if n > 0:
+                for dd in range(d_full):
+                    new_cent[ci, dd] = math.fsum(
+                        float(r["sums"][dd]) for r in rows) / n
+        shift = float(np.abs(new_cent - cent).max())
+        cent = new_cent
+        if shift <= tol:
+            break
+
+    return rd.from_arrow(pa.table({
+        "cluster": pa.array(cent_ids),
+        "n_vecs": pa.array(n_vecs),
+        "inertia": pa.array(inertia),
+        "n_iters": pa.array(np.full(k, n_iters, np.int64)),
+    }, schema=KMEANS_FIT_SCHEMA))

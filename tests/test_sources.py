@@ -421,3 +421,54 @@ class TestKmeans:
         }))
         with pytest.raises((ValueError, Exception)):
             kmeans_assign(ds, n_clusters=2).to_pandas()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestKmeansFit:
+    @staticmethod
+    def _ds(n=120, d=6, seed=29, n_parts=7):
+        import ray.data as rd
+        rng = np.random.default_rng(seed)
+        # three well-separated blobs so Lloyd actually moves
+        centers = rng.standard_normal((3, d)) * 8.0
+        m = (centers[rng.integers(0, 3, n)]
+             + rng.standard_normal((n, d))).astype(np.float32)
+        return rd.from_arrow(pa.table({
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array([list(r) for r in m],
+                                  pa.list_(pa.float32())),
+        })).repartition(n_parts), m
+
+    def test_inertia_beats_one_step_and_converges(self):
+        """Iterated Lloyd's total inertia is <= the single-assignment
+        inertia of the same seeds, populations sum to n, and the run
+        reaches a fixpoint before max_iters on blobs."""
+        from smqtk_indexing_ray.pipelines.ann import kmeans_fit
+        ds, m = self._ds()
+        out = kmeans_fit(ds, n_clusters=3, max_iters=25).to_pandas()
+        assert out.n_vecs.sum() == len(m)
+        assert (out.n_iters < 25).all()
+        total = out.inertia.sum()
+
+        # brute one-step inertia with the same lowest-id float seeds
+        x = m.astype(np.float64)
+        cent = x[:3]
+        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        one_step = d2.min(axis=1).sum()
+        assert total <= one_step + 1e-9
+
+    def test_deterministic_per_layout_stable_across_layouts(self):
+        """Same layout -> byte-identical output (the fsum fold removes
+        arrival-order nondeterminism); different layouts -> identical
+        ints, floats to ~1e-12 (per-batch partials round differently,
+        inherent to float k-means)."""
+        from smqtk_indexing_ray.pipelines.ann import kmeans_fit
+        ds_a, m = self._ds(n_parts=3)
+        ds_b, _ = self._ds(n_parts=11)
+        a1 = kmeans_fit(ds_a, n_clusters=3).to_pandas()
+        a2 = kmeans_fit(ds_a, n_clusters=3).to_pandas()
+        assert a1.equals(a2)
+        b = kmeans_fit(ds_b, n_clusters=3).to_pandas()
+        for col in ("cluster", "n_vecs", "n_iters"):
+            assert list(a1[col]) == list(b[col])
+        assert np.allclose(a1.inertia, b.inertia, rtol=1e-12)

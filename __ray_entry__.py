@@ -1161,6 +1161,15 @@ def _q_token_entropy(sf_dir: str):
     return token_entropy(_docs(sf_dir))
 
 
+def _q_posting_lists(sf_dir: str):
+    """Inverted-index shard build: per term, exact df + the first
+    max_postings doc_ids comma-joined — per-batch lossless k-prune,
+    ranked global cap, ordered concat agg; the token stream never
+    crosses a shuffle.  Exact string_agg oracle."""
+    from smqtk_indexing_ray.pipelines.terms import posting_lists
+    return posting_lists(_docs(sf_dir), max_postings=16)
+
+
 def _q_term_frequencies(sf_dir: str):
     """Corpus-wide term frequency + document frequency via the
     partial-aggregate combiner shape (vocabulary-sized shuffle)."""
@@ -1649,6 +1658,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_signals": _q_repetition_signals,
         "token_entropy": _q_token_entropy,
         "term_frequencies": _q_term_frequencies,
+        "posting_lists": _q_posting_lists,
         "source_vocab_overlap": _q_source_vocab_overlap,
         "count_min_freqs": _q_count_min_freqs,
         "strided_windows": _q_strided_windows,
@@ -3123,6 +3133,23 @@ def oracle_sql() -> dict[str, str]:
             " count(DISTINCT doc_id) AS df "
             "FROM (SELECT doc_id, unnest(w) AS term FROM toks) "
             "GROUP BY term"
+        ),
+        "posting_lists": (
+            "WITH " + _TOKS + ", "
+            "td AS ("
+            "  SELECT DISTINCT doc_id, unnest(w) AS term FROM toks"
+            "), r AS ("
+            "  SELECT term, doc_id, row_number() OVER ("
+            "  PARTITION BY term ORDER BY doc_id) AS rn FROM td"
+            "), dfs AS ("
+            "  SELECT term, CAST(count(*) AS BIGINT) AS df FROM td"
+            "  GROUP BY term"
+            "), p AS ("
+            "  SELECT term, string_agg(CAST(doc_id AS VARCHAR), ','"
+            "  ORDER BY rn) AS postings FROM r WHERE rn <= 16"
+            "  GROUP BY term"
+            ") "
+            "SELECT term, df, postings FROM dfs JOIN p USING (term)"
         ),
         "top_terms_per_lang": (
             r"WITH t AS ("

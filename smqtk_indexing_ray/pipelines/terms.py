@@ -1823,3 +1823,117 @@ def vocab_growth(docs):
         "prefix_docs": pa.array(ladder),
         "n_distinct_terms": pa.array(cum),
     }, schema=VOCAB_GROWTH_SCHEMA)
+
+
+POSTING_SCHEMA = pa.schema([
+    ("term", pa.string()), ("df", pa.int64()),
+    ("postings", pa.string()),
+])
+
+
+def posting_lists(docs, *, max_postings: int = 16):
+    """Inverted-index shard build: per term, the exact document
+    frequency and the first ``max_postings`` doc_ids (ascending,
+    comma-joined) — the retrieval-index artifact a search stack
+    materializes from a crawled corpus.
+
+    Per-batch kernel: the dictionary-coded (doc, term) run structure
+    already computed for the tf ops yields the batch's DISTINCT
+    (term, doc_id) rows, pruned to each term's ``max_postings``
+    smallest doc_ids BEFORE anything shuffles (the global k smallest
+    survive any per-batch k-prune, so the prune is lossless for the
+    capped list).  One ranked per-term pass caps globally, one ordered
+    ``concat`` agg joins the survivors, and the exact df attaches from
+    the vocabulary-sized tf table — the token stream itself never
+    crosses a shuffle.
+    """
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+
+    from smqtk_indexing_ray.stages.agg import sorted_group_agg
+    from smqtk_indexing_ray.stages.topk import top_k_per_group
+
+    td_schema = pa.schema([("term", pa.string()), ("doc_id", pa.int64()),
+                           ("z", pa.int64())])
+
+    def explode(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0 or "text" not in t.column_names:
+            return td_schema.empty_table()
+        (vocab, _, _, _, s_code, run_starts, _, run_doc,
+         _) = _doc_term_runs(t["text"], n)
+        if not len(run_starts):
+            return td_schema.empty_table()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        code = s_code[run_starts]
+        doc = ids[run_doc]
+        # per-term k-prune inside the batch: keep each term's
+        # max_postings smallest doc_ids (lossless for the capped list)
+        order = np.lexsort((doc, code))
+        code_s, doc_s = code[order], doc[order]
+        new_run = np.empty(len(code_s), dtype=bool)
+        new_run[0] = True
+        new_run[1:] = code_s[1:] != code_s[:-1]
+        run_id = np.cumsum(new_run) - 1
+        pos_in_run = np.arange(len(code_s)) - np.repeat(
+            np.flatnonzero(new_run),
+            np.diff(np.append(np.flatnonzero(new_run), len(code_s))))
+        keep = pos_in_run < max_postings
+        return pa.table({
+            "term": vocab.take(pa.array(code_s[keep].astype(np.int64))),
+            "doc_id": pa.array(doc_s[keep].astype(np.int64)),
+            "z": pa.array(np.zeros(int(keep.sum()), np.int64)),
+        }, schema=td_schema)
+
+    exploded = docs.select_columns(["doc_id", "text"]).map_batches(
+        explode, batch_format="pyarrow")
+
+    ranked = top_k_per_group(exploded, group="term", order="doc_id",
+                             tiebreak="z", k=max_postings,
+                             descending=False, schema=td_schema)
+
+    cat_schema = pa.schema([("term", pa.string()),
+                            ("doc_str", pa.string()),
+                            ("rank", pa.int64())])
+
+    def stringify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return cat_schema.empty_table()
+        return pa.table({
+            "term": t["term"],
+            "doc_str": pc.cast(t["doc_id"], pa.string()),
+            "rank": t["rank"],
+        }, schema=cat_schema)
+
+    posts = sorted_group_agg(
+        ranked.map_batches(stringify, batch_format="pyarrow"),
+        key="term", order="rank",
+        aggs={"postings": ("doc_str", "concat")}, concat_sep=",",
+        schema=cat_schema)
+
+    # exact df rides the broadcast-vocabulary pattern (same gate as
+    # tfidf: a sort-merge attach would need an int64 key and a 64-bit
+    # term hash invites collisions; the vocab-sized (term, df) arrays
+    # belong in the closure up to TFIDF_MAX_VOCAB, raising loudly past
+    # it)
+    import ray
+
+    terms_sorted, _, df_arr = _collect_vocab(
+        docs, TFIDF_MAX_VOCAB, caller="posting_lists")
+    vocab_ref = ray.put((terms_sorted, df_arr))
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "postings" not in t.column_names:
+            return POSTING_SCHEMA.empty_table()
+        vt, vdf = ray.get(vocab_ref)
+        terms = t["term"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(vt, terms)
+        return pa.table({
+            "term": t["term"],
+            "df": pa.array(vdf[idx].astype(np.int64)),
+            "postings": t["postings"],
+        }, schema=POSTING_SCHEMA)
+
+    return stamp_schema(posts.map_batches(finish,
+                                          batch_format="pyarrow"),
+                        POSTING_SCHEMA)

@@ -757,3 +757,55 @@ def test_count_min_param_validation(ray_session):
         count_min_freqs(_ds(DOCS), ["cat"], depth=0)
     with pytest.raises(ValueError, match="width and depth"):
         count_min_freqs(_ds(DOCS), ["cat"], width=0)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_posting_lists_matches_duckdb():
+    """Inverted-index shard vs the SQL string_agg oracle: a hot term
+    present in more docs than the cap keeps exact df but truncated
+    postings; repeated terms within a doc post once."""
+    import duckdb
+    import ray.data as rd
+
+    from smqtk_indexing_ray.pipelines.terms import posting_lists
+
+    rng = np.random.default_rng(31)
+    n = 200
+    texts = []
+    for i in range(n):
+        words = list(rng.choice(
+            ["alpha", "beta", "gamma", "delta"],
+            rng.integers(3, 12)))
+        words += ["common"]            # in every doc -> df 200, cap 5
+        if i % 7 == 0:
+            words += ["rare", "rare"]  # repeated within doc
+        texts.append(" ".join(words))
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+    })
+    got = posting_lists(
+        rd.from_arrow(t).repartition(6),
+        max_postings=5).to_pandas().sort_values(
+        "term", ignore_index=True)
+    con = duckdb.connect()
+    con.register("documents", t.to_pandas())
+    want = con.execute(
+        r"WITH toks AS (SELECT doc_id, list_filter("
+        r" string_split_regex(text, '\s+'), x -> x <> '') AS w"
+        r" FROM documents),"
+        r" td AS (SELECT DISTINCT doc_id, unnest(w) AS term FROM toks),"
+        r" r AS (SELECT term, doc_id, row_number() OVER ("
+        r"  PARTITION BY term ORDER BY doc_id) AS rn FROM td),"
+        r" dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM td"
+        r"  GROUP BY term),"
+        r" p AS (SELECT term, string_agg(CAST(doc_id AS VARCHAR), ','"
+        r"  ORDER BY rn) AS postings FROM r WHERE rn <= 5"
+        r"  GROUP BY term)"
+        r" SELECT term, df, postings FROM dfs JOIN p USING (term)"
+        r" ORDER BY term").df()
+    assert len(got) == len(want) > 0
+    for col in want.columns:
+        assert list(got[col]) == list(want[col]), col
+    row = got.set_index("term").loc["common"]
+    assert row.df == n and row.postings == "0,1,2,3,4"

@@ -789,6 +789,19 @@ def _q_user_event_gaps(sf_dir: str):
     return user_event_gaps(rd.read_parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_events_profile(sf_dir: str):
+    """Per-column data-quality profile of the events table (the
+    DESCRIBE audit): exact null/DISTINCT counts + numeric min/max;
+    batch-distinct lanes, never rows, across the shuffle.  Exact
+    oracle."""
+    import ray.data as rd
+    from smqtk_indexing_ray.pipelines.analysis import table_profile
+    return table_profile(
+        rd.read_parquet(f"{sf_dir}/events.parquet"),
+        int_cols=("event_id", "user_id"), float_cols=("value",),
+        ts_cols=("ts",), str_cols=("event_type", "props"))
+
+
 def _q_event_dedup(sf_dir: str):
     """Windowed event dedup (the at-least-once-ingest repair pass):
     duplicate = same (user, type) within the window before it; LAG
@@ -1638,6 +1651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_seq": _q_event_seq,
         "user_event_gaps": _q_user_event_gaps,
         "event_dedup": _q_event_dedup,
+        "events_profile": _q_events_profile,
         "props_field_stats": _q_props_field_stats,
         "user_first_last": _q_user_first_last,
         "length_percent_ranks": _q_length_percent_ranks,
@@ -2765,6 +2779,33 @@ def oracle_sql() -> dict[str, str]:
             "CAST(coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER "
             "(PARTITION BY user_id ORDER BY ts, event_id), -1) "
             "AS BIGINT) AS gap_us FROM events"
+        ),
+        "events_profile": (
+            "SELECT 'event_id' AS col, count(*) AS n_rows,"
+            " CAST(count(*) - count(event_id) AS BIGINT) AS n_nulls,"
+            " count(DISTINCT event_id) AS n_distinct,"
+            " CAST(min(event_id) AS DOUBLE) AS min_num,"
+            " CAST(max(event_id) AS DOUBLE) AS max_num FROM events"
+            " UNION ALL SELECT 'user_id', count(*),"
+            " CAST(count(*) - count(user_id) AS BIGINT),"
+            " count(DISTINCT user_id), CAST(min(user_id) AS DOUBLE),"
+            " CAST(max(user_id) AS DOUBLE) FROM events"
+            " UNION ALL SELECT 'value', count(*),"
+            " CAST(count(*) - count(value) AS BIGINT),"
+            " count(DISTINCT value), min(value), max(value) FROM events"
+            " UNION ALL SELECT 'ts', count(*),"
+            " CAST(count(*) - count(ts) AS BIGINT),"
+            " count(DISTINCT ts),"
+            " CAST(epoch_us(min(ts)) AS DOUBLE),"
+            " CAST(epoch_us(max(ts)) AS DOUBLE) FROM events"
+            " UNION ALL SELECT 'event_type', count(*),"
+            " CAST(count(*) - count(event_type) AS BIGINT),"
+            " count(DISTINCT event_type), CAST(NULL AS DOUBLE),"
+            " CAST(NULL AS DOUBLE) FROM events"
+            " UNION ALL SELECT 'props', count(*),"
+            " CAST(count(*) - count(props) AS BIGINT),"
+            " count(DISTINCT props), CAST(NULL AS DOUBLE),"
+            " CAST(NULL AS DOUBLE) FROM events"
         ),
         "event_dedup": (
             "WITH l AS ("

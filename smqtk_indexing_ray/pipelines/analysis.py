@@ -2390,3 +2390,194 @@ def decile_dup_rates(docs, *, nb: int = 10, num_partitions: int = 16):
         }, schema=DECILE_DUP_SCHEMA)
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+PROFILE_SCHEMA = pa.schema([
+    ("col", pa.string()), ("n_rows", pa.int64()),
+    ("n_nulls", pa.int64()), ("n_distinct", pa.int64()),
+    ("min_num", pa.float64()), ("max_num", pa.float64()),
+])
+
+
+def table_profile(ds, *, int_cols=(), float_cols=(), str_cols=(),
+                  ts_cols=()):
+    """Per-column data-quality profile — the DESCRIBE/df.describe()
+    audit a pipeline runs before trusting a new drop: exact row/null/
+    DISTINCT counts per column plus numeric min/max.
+
+    One pass emits per-batch partials in two lanes: a numeric lane
+    (int64 — floats travel as their IEEE bit pattern via ``view``, so
+    distinctness is bit-exact; timestamps as epoch-us) and a string
+    lane, each pre-deduplicated per batch so the shuffle carries
+    batch-distinct values, never rows.  Exact distinct counts come from
+    one sorted pass per lane (the cross_source_dups two-level pattern);
+    null/min/max fold through a #cols-sized sorted agg.  The final
+    #cols-row assembly is driver-side.
+
+    min/max are reported as float64 (exact for ints < 2^53 and epoch
+    micros; NULL for string columns).  NULLs are excluded from
+    distinct counts (SQL COUNT(DISTINCT) semantics).
+    """
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+
+    import ray.data as rd
+
+    from smqtk_indexing_ray.stages.agg import sorted_group_agg
+
+    int_cols, float_cols = list(int_cols), list(float_cols)
+    str_cols, ts_cols = list(str_cols), list(ts_cols)
+    all_cols = int_cols + float_cols + ts_cols + str_cols
+    if not all_cols:
+        raise ValueError("table_profile: no columns configured")
+
+    num_lane = pa.schema([("col", pa.string()), ("v", pa.int64()),
+                          ("one", pa.int64())])
+    str_lane = pa.schema([("col", pa.string()), ("s", pa.string()),
+                          ("one", pa.int64())])
+    stat_schema = pa.schema([("col", pa.string()), ("n", pa.int64()),
+                             ("nulls", pa.int64()),
+                             ("mn", pa.float64()), ("mx", pa.float64())])
+
+    def _col_numeric(t, c):
+        """(int64 values with nulls dropped, n_nulls, mn, mx) or None
+        for string columns."""
+        arr = t[c]
+        nulls = int(arr.null_count)
+        if c in str_cols:
+            return None, nulls, None, None
+        valid = arr.drop_null()
+        if len(valid) == 0:
+            return np.empty(0, np.int64), nulls, None, None
+        if c in ts_cols:
+            v = valid.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            return v, nulls, float(v.min()), float(v.max())
+        if c in float_cols:
+            f = valid.cast(pa.float64()).to_numpy(zero_copy_only=False)
+            return (f.view(np.int64), nulls, float(f.min()),
+                    float(f.max()))
+        v = valid.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return v, nulls, float(v.min()), float(v.max())
+
+    def partial_num(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or all_cols[0] not in t.column_names:
+            return num_lane.empty_table()
+        cols, vals = [], []
+        for c in int_cols + float_cols + ts_cols:
+            v, _, _, _ = _col_numeric(t, c)
+            u = np.unique(v)
+            cols.extend([c] * len(u))
+            vals.append(u)
+        if not cols:
+            return num_lane.empty_table()
+        flat = np.concatenate(vals) if vals else np.empty(0, np.int64)
+        return pa.table({
+            "col": pa.array(cols, pa.string()),
+            "v": pa.array(flat.astype(np.int64)),
+            "one": pa.array(np.ones(len(cols), np.int64)),
+        }, schema=num_lane)
+
+    def partial_str(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or all_cols[0] not in t.column_names:
+            return str_lane.empty_table()
+        cols, vals = [], []
+        for c in str_cols:
+            u = pc.unique(t[c].drop_null())
+            cols.extend([c] * len(u))
+            vals.append(u)
+        if not cols:
+            return str_lane.empty_table()
+        return pa.table({
+            "col": pa.array(cols, pa.string()),
+            "s": pa.concat_arrays(
+                [v.combine_chunks() if isinstance(v, pa.ChunkedArray)
+                 else v for v in vals]),
+            "one": pa.array(np.ones(len(cols), np.int64)),
+        }, schema=str_lane)
+
+    def partial_stat(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or all_cols[0] not in t.column_names:
+            return stat_schema.empty_table()
+        rows = {"col": [], "n": [], "nulls": [], "mn": [], "mx": []}
+        for c in all_cols:
+            _, nulls, mn, mx = _col_numeric(t, c)
+            rows["col"].append(c)
+            rows["n"].append(t.num_rows)
+            rows["nulls"].append(nulls)
+            # +-inf sentinels: the sorted agg rejects nulls; string
+            # columns and all-null batches fold to +-inf, nulled out
+            # in the driver assembly
+            rows["mn"].append(np.inf if mn is None else mn)
+            rows["mx"].append(-np.inf if mx is None else mx)
+        return pa.table({
+            "col": pa.array(rows["col"], pa.string()),
+            "n": pa.array(rows["n"], pa.int64()),
+            "nulls": pa.array(rows["nulls"], pa.int64()),
+            "mn": pa.array(rows["mn"], pa.float64()),
+            "mx": pa.array(rows["mx"], pa.float64()),
+        }, schema=stat_schema)
+
+    src = ds.select_columns(all_cols)
+
+    # exact distinct: collapse (col, value) globally, then count per col
+    def _distinct_counts(lane_ds, value_col, schema):
+        collapsed = sorted_group_agg(lane_ds, key=["col", value_col],
+                                     aggs={"one": "max"}, schema=schema)
+        cnt_schema = pa.schema([("col", pa.string()),
+                                ("n_distinct", pa.int64())])
+
+        def cpart(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "col" not in t.column_names:
+                return cnt_schema.empty_table()
+            c = t["col"].to_numpy(zero_copy_only=False)
+            uniq, counts = np.unique(c, return_counts=True)
+            return pa.table({
+                "col": pa.array(uniq, pa.string()),
+                "n_distinct": pa.array(counts.astype(np.int64)),
+            }, schema=cnt_schema)
+
+        return sorted_group_agg(
+            collapsed.map_batches(cpart, batch_format="pyarrow"),
+            key="col", aggs={"n_distinct": "sum"}, schema=cnt_schema)
+
+    ndist: dict[str, int] = {}
+    if int_cols or float_cols or ts_cols:
+        for r in _distinct_counts(
+                src.map_batches(partial_num, batch_format="pyarrow"),
+                "v", num_lane).take_all():
+            ndist[r["col"]] = int(r["n_distinct"])
+    if str_cols:
+        for r in _distinct_counts(
+                src.map_batches(partial_str, batch_format="pyarrow"),
+                "s", str_lane).take_all():
+            ndist[r["col"]] = int(r["n_distinct"])
+
+    stats = sorted_group_agg(
+        src.map_batches(partial_stat, batch_format="pyarrow"),
+        key="col", aggs={"n": "sum", "nulls": "sum", "mn": "min",
+                         "mx": "max"}, schema=stat_schema).take_all()
+
+    by_col = {r["col"]: r for r in stats}
+    out = {"col": [], "n_rows": [], "n_nulls": [], "n_distinct": [],
+           "min_num": [], "max_num": []}
+    for c in all_cols:
+        r = by_col.get(c)
+        out["col"].append(c)
+        out["n_rows"].append(int(r["n"]) if r else 0)
+        out["n_nulls"].append(int(r["nulls"]) if r else 0)
+        out["n_distinct"].append(ndist.get(c, 0))
+        is_str = c in str_cols
+        mn = None if (is_str or not r or not np.isfinite(r["mn"])) \
+            else r["mn"]
+        mx = None if (is_str or not r or not np.isfinite(r["mx"])) \
+            else r["mx"]
+        out["min_num"].append(mn)
+        out["max_num"].append(mx)
+    return rd.from_arrow(pa.table({
+        "col": pa.array(out["col"], pa.string()),
+        "n_rows": pa.array(out["n_rows"], pa.int64()),
+        "n_nulls": pa.array(out["n_nulls"], pa.int64()),
+        "n_distinct": pa.array(out["n_distinct"], pa.int64()),
+        "min_num": pa.array(out["min_num"], pa.float64()),
+        "max_num": pa.array(out["max_num"], pa.float64()),
+    }, schema=PROFILE_SCHEMA))

@@ -1509,3 +1509,60 @@ def test_decile_dup_rates_matches_duckdb():
         assert list(got[col]) == list(want[col]), col
     # the dup mass concentrates in the short deciles by construction
     assert got.n_dups[got.bucket <= 2].sum() > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_table_profile_matches_duckdb():
+    """Per-column profile vs SQL: planted nulls in every lane, distinct
+    counts exclude NULLs, string columns get NULL min/max, float
+    distinctness is bit-exact, timestamps profile as epoch micros."""
+    import duckdb
+    import ray.data as rd
+
+    from smqtk_indexing_ray.pipelines.analysis import table_profile
+
+    rng = np.random.default_rng(41)
+    n = 500
+    base = np.datetime64("2024-03-01", "us")
+    ids = np.arange(n, dtype=np.int64)
+    vals = rng.choice([1.5, 2.25, -3.75, 0.5], n)
+    cats = rng.choice(["x", "y", "z"], n).astype(object)
+    ts = base + rng.integers(0, 10_000, n).astype("timedelta64[s]")
+    t = pa.table({
+        "uid": pa.array(np.where(ids % 10 == 0, None, ids),
+                        pa.int64()),
+        "val": pa.array(np.where(ids % 7 == 0, None, vals),
+                        pa.float64()),
+        "cat": pa.array([None if i % 13 == 0 else c
+                         for i, c in enumerate(cats)], pa.string()),
+        "stamp": pa.array(ts.astype("datetime64[us]")),
+    })
+    got = table_profile(
+        rd.from_arrow(t).repartition(6),
+        int_cols=("uid",), float_cols=("val",), str_cols=("cat",),
+        ts_cols=("stamp",)).to_pandas().set_index("col")
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    want = con.execute(
+        "SELECT 'uid' AS col, count(*) AS n_rows,"
+        " CAST(count(*) - count(uid) AS BIGINT) AS n_nulls,"
+        " count(DISTINCT uid) AS n_distinct,"
+        " CAST(min(uid) AS DOUBLE) AS min_num,"
+        " CAST(max(uid) AS DOUBLE) AS max_num FROM t"
+        " UNION ALL SELECT 'val', count(*),"
+        " CAST(count(*) - count(val) AS BIGINT), count(DISTINCT val),"
+        " min(val), max(val) FROM t"
+        " UNION ALL SELECT 'cat', count(*),"
+        " CAST(count(*) - count(cat) AS BIGINT), count(DISTINCT cat),"
+        " CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM t"
+        " UNION ALL SELECT 'stamp', count(*),"
+        " CAST(count(*) - count(stamp) AS BIGINT),"
+        " count(DISTINCT stamp), CAST(epoch_us(min(stamp)) AS DOUBLE),"
+        " CAST(epoch_us(max(stamp)) AS DOUBLE) FROM t").df().set_index(
+        "col")
+    for c in ("uid", "val", "cat", "stamp"):
+        for f in ("n_rows", "n_nulls", "n_distinct"):
+            assert got.loc[c, f] == want.loc[c, f], (c, f)
+        for f in ("min_num", "max_num"):
+            g, w = got.loc[c, f], want.loc[c, f]
+            assert (pd.isna(g) and pd.isna(w)) or g == w, (c, f)

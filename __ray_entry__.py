@@ -789,6 +789,17 @@ def _q_user_event_gaps(sf_dir: str):
     return user_event_gaps(rd.read_parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_peak_concurrency(sf_dir: str):
+    """Global peak simultaneously-active sessions via the sweep-line
+    boundary counter on the distributed prefix sum — never a range
+    self-join, only 2 x n_sessions boundary rows sort.  Exact
+    running-sum oracle."""
+    import ray.data as rd
+    from smqtk_indexing_ray.pipelines.events import peak_concurrency
+    return peak_concurrency(
+        rd.read_parquet(f"{sf_dir}/events.parquet"), gap_minutes=30)
+
+
 def _q_events_profile(sf_dir: str):
     """Per-column data-quality profile of the events table (the
     DESCRIBE audit): exact null/DISTINCT counts + numeric min/max;
@@ -1652,6 +1663,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_gaps": _q_user_event_gaps,
         "event_dedup": _q_event_dedup,
         "events_profile": _q_events_profile,
+        "peak_concurrency": _q_peak_concurrency,
         "props_field_stats": _q_props_field_stats,
         "user_first_last": _q_user_first_last,
         "length_percent_ranks": _q_length_percent_ranks,
@@ -2779,6 +2791,37 @@ def oracle_sql() -> dict[str, str]:
             "CAST(coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER "
             "(PARTITION BY user_id ORDER BY ts, event_id), -1) "
             "AS BIGINT) AS gap_us FROM events"
+        ),
+        "peak_concurrency": (
+            "WITH e AS ("
+            "  SELECT user_id, ts, event_id,"
+            "  CASE WHEN lag(ts) OVER w IS NULL"
+            "       OR epoch_us(ts) - epoch_us(lag(ts) OVER w)"
+            "          > 1800000000"
+            "       THEN 1 ELSE 0 END AS brk"
+            "  FROM events WINDOW w AS "
+            "  (PARTITION BY user_id ORDER BY ts, event_id)"
+            "), s AS ("
+            "  SELECT *, sum(brk) OVER "
+            "  (PARTITION BY user_id ORDER BY ts, event_id "
+            "   ROWS UNBOUNDED PRECEDING) AS sn FROM e"
+            "), sess AS ("
+            "  SELECT min(event_id) AS sk,"
+            "  min(epoch_us(ts)) AS t_start_us,"
+            "  max(epoch_us(ts)) AS t_end_us"
+            "  FROM s GROUP BY user_id, sn"
+            "), pts AS ("
+            "  SELECT t_start_us AS ts_us, 1 AS kind, 1 AS d, sk"
+            "  FROM sess"
+            "  UNION ALL SELECT t_end_us, 0, -1, sk FROM sess"
+            "), r AS ("
+            "  SELECT ts_us, sum(d) OVER (ORDER BY ts_us, kind, sk"
+            "  ROWS UNBOUNDED PRECEDING) AS conc FROM pts"
+            "), m AS (SELECT max(conc) AS peak FROM r) "
+            "SELECT CAST(m.peak AS BIGINT) AS peak_concurrency,"
+            " (SELECT CAST(min(ts_us) AS BIGINT) FROM r"
+            "  WHERE conc = m.peak) AS at_ts_us,"
+            " (SELECT count(*) FROM sess) AS n_sessions FROM m"
         ),
         "events_profile": (
             "SELECT 'event_id' AS col, count(*) AS n_rows,"

@@ -1656,3 +1656,109 @@ def event_dedup(events, *, window_s: int = 300,
     return stamp_schema(
         lagged.map_batches(flag, batch_format="pyarrow"),
         EVENT_DEDUP_SCHEMA)
+
+
+PEAK_CONC_SCHEMA = pa.schema([
+    ("peak_concurrency", pa.int64()), ("at_ts_us", pa.int64()),
+    ("n_sessions", pa.int64()),
+])
+
+
+def peak_concurrency(events, *, gap_minutes: int = 30):
+    """Global peak number of simultaneously-active sessions (and the
+    first instant it is reached) — the sweep-line interval-overlap
+    counter, the capacity-planning question a range self-join cannot
+    answer at scale.
+
+    Each session contributes a +start/+end boundary point; ends sort
+    BEFORE starts at equal timestamps (a back-to-back handoff never
+    overlaps, and a zero-length session never raises the peak — same
+    convention as the SQL running-sum oracle).  Concurrency at a start
+    row is ``starts_before + 1 - ends_before``, two passes of the
+    distributed exclusive prefix sum (``stages/prefix.running_total``);
+    the peak folds from per-block (max, argmin-ts) partials.  Only
+    2 x n_sessions boundary rows ever sort — never an event row, never
+    a range join.
+
+    Output: one row — ``peak_concurrency, at_ts_us, n_sessions``
+    (zeros/-1 on an empty corpus).
+    """
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+
+    import ray.data as rd
+
+    from smqtk_indexing_ray.stages.prefix import running_total
+
+    pts_schema = pa.schema([("ts_us", pa.int64()), ("kind", pa.int64()),
+                            ("sk", pa.int64()), ("s_one", pa.int64()),
+                            ("e_one", pa.int64())])
+
+    def pts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "session_key" not in t.column_names:
+            return pts_schema.empty_table()
+        n = t.num_rows
+        sk = t["session_key"].to_numpy(zero_copy_only=False)
+        st = t["t_start_us"].to_numpy(zero_copy_only=False)
+        en = t["t_end_us"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "ts_us": pa.array(np.concatenate([st, en]).astype(np.int64)),
+            "kind": pa.array(np.concatenate(
+                [np.ones(n, np.int64), np.zeros(n, np.int64)])),
+            "sk": pa.array(np.concatenate([sk, sk]).astype(np.int64)),
+            "s_one": pa.array(np.concatenate(
+                [np.ones(n, np.int64), np.zeros(n, np.int64)])),
+            "e_one": pa.array(np.concatenate(
+                [np.zeros(n, np.int64), np.ones(n, np.int64)])),
+        }, schema=pts_schema)
+
+    sess = sessionize(events, gap_minutes=gap_minutes)
+    boundary = sess.map_batches(pts, batch_format="pyarrow")
+
+    order = ["ts_us", "kind", "sk"]
+    rt = running_total(boundary, order=order, value="s_one",
+                       out="bs", schema=pts_schema)
+    rt = running_total(
+        rt, order=order, value="e_one", out="be",
+        schema=pts_schema.append(pa.field("bs", pa.int64())))
+
+    part_schema = pa.schema([("peak", pa.int64()), ("at_ts", pa.int64()),
+                             ("n_start", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "bs" not in t.column_names:
+            return part_schema.empty_table()
+        start = t["kind"].to_numpy(zero_copy_only=False) == 1
+        n_start = int(start.sum())
+        if not n_start:
+            return pa.table({"peak": pa.array([0], pa.int64()),
+                             "at_ts": pa.array([-1], pa.int64()),
+                             "n_start": pa.array([0], pa.int64())},
+                            schema=part_schema)
+        conc = (t["bs"].to_numpy(zero_copy_only=False)[start] + 1
+                - t["be"].to_numpy(zero_copy_only=False)[start])
+        ts = t["ts_us"].to_numpy(zero_copy_only=False)[start]
+        peak = int(conc.max())
+        at = int(ts[conc == peak].min())
+        return pa.table({"peak": pa.array([peak], pa.int64()),
+                         "at_ts": pa.array([at], pa.int64()),
+                         "n_start": pa.array([n_start], pa.int64())},
+                        schema=part_schema)
+
+    parts = rt.map_batches(partial, batch_format="pyarrow").take_all()
+    if not parts:
+        return rd.from_arrow(pa.table({
+            "peak_concurrency": pa.array([0], pa.int64()),
+            "at_ts_us": pa.array([-1], pa.int64()),
+            "n_sessions": pa.array([0], pa.int64()),
+        }, schema=PEAK_CONC_SCHEMA))
+    peak = max(int(r["peak"]) for r in parts)
+    n_sessions = sum(int(r["n_start"]) for r in parts)
+    ats = [int(r["at_ts"]) for r in parts if int(r["peak"]) == peak
+           and int(r["at_ts"]) >= 0]
+    at = min(ats) if ats else -1
+    return rd.from_arrow(pa.table({
+        "peak_concurrency": pa.array([peak], pa.int64()),
+        "at_ts_us": pa.array([at], pa.int64()),
+        "n_sessions": pa.array([n_sessions], pa.int64()),
+    }, schema=PEAK_CONC_SCHEMA))

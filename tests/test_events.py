@@ -879,3 +879,82 @@ def test_event_dedup_window_semantics():
         " ts_us - prev > 120000000 THEN 1 ELSE 0 END AS BIGINT)"
         " AS kept FROM l ORDER BY event_id").df()
     assert list(got.kept) == list(want.kept)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_peak_concurrency_sweep_line():
+    """Sweep-line overlap counter: hand-built overlap pattern with a
+    back-to-back handoff (never overlaps) and a zero-length session
+    (never raises the peak), then a random stream vs brute force."""
+    import ray.data as rd
+
+    from smqtk_indexing_ray.pipelines.events import peak_concurrency
+
+    m = 60 * 1_000_000
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+
+    def ev(eid, uid, t_min):
+        return (eid, uid, base + np.timedelta64(int(t_min * m), "us"))
+
+    # gap 30 min: each user's events < 30 min apart form one session.
+    # u1: [0, 20], u2: [10, 25], u3: [20, 40] (starts exactly at u1's
+    # end -> handoff, overlap only via u2), u4: [5, 5] zero-length.
+    rows = [ev(0, 1, 0), ev(1, 1, 20),
+            ev(2, 2, 10), ev(3, 2, 25),
+            ev(4, 3, 20), ev(5, 3, 40),
+            ev(6, 4, 5)]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array(["x"] * len(rows)),
+        "ts": pa.array(np.array([r[2] for r in rows],
+                                "datetime64[us]")),
+        "value": pa.array([0.0] * len(rows)),
+        "props": pa.array(["{}"] * len(rows)),
+    })
+    got = peak_concurrency(rd.from_arrow(t).repartition(3),
+                           gap_minutes=30).to_pandas()
+    assert got.n_sessions[0] == 4
+    # peak: u1+u2 overlap on [10, 20]; u4's instant at t=5 lands inside
+    # u1 only (zero-length never counts); handoff at 20 = still 2
+    assert got.peak_concurrency[0] == 2
+    assert got.at_ts_us[0] == (base + np.timedelta64(10 * m, "us")
+                               ).astype(np.int64)
+
+    # random stream vs brute-force sweep over the session bounds
+    rng = np.random.default_rng(43)
+    n = 2000
+    tt = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "user_id": pa.array(rng.integers(0, 60, n).astype(np.int64)),
+        "event_type": pa.array(["x"] * n),
+        "ts": pa.array(base + rng.integers(0, 600 * m, n).astype(
+            "timedelta64[us]")),
+        "value": pa.array(np.zeros(n)),
+        "props": pa.array(["{}"] * n),
+    })
+    got = peak_concurrency(rd.from_arrow(tt).repartition(7),
+                           gap_minutes=30).to_pandas()
+
+    # brute force: sessionize per user, then scan boundaries
+    df = tt.to_pandas().sort_values(["user_id", "ts", "event_id"])
+    sessions = []
+    for _, g in df.groupby("user_id"):
+        ts_us = g.ts.astype("int64").to_numpy()
+        brk = np.ones(len(ts_us), bool)
+        brk[1:] = np.diff(ts_us) > 30 * m
+        sid = np.cumsum(brk)
+        for s in np.unique(sid):
+            sel = ts_us[sid == s]
+            sessions.append((sel.min(), sel.max()))
+    pts = sorted([(s, 1) for s, _ in sessions]
+                 + [(e, 0) for _, e in sessions])
+    conc = peak = 0
+    at = -1
+    for ts_us, kind in pts:
+        conc += 1 if kind else -1
+        if kind and conc > peak:
+            peak, at = conc, ts_us
+    assert got.n_sessions[0] == len(sessions)
+    assert got.peak_concurrency[0] == peak
+    assert got.at_ts_us[0] == at

@@ -452,3 +452,108 @@ def test_sorted_group_agg_concat_requires_order():
     with pytest.raises(ValueError, match="requires order"):
         sorted_group_agg(rd.from_arrow(t), key="k",
                          aggs={"txt": ("s", "concat")})
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sorted_group_agg_randomized_vs_duckdb():
+    """Differential fuzz of the central shuffle primitive: random
+    skewed keys (including a hot key spanning many blocks), every agg
+    kind in one call, string + int composite keys, random block
+    layouts — all compared to DuckDB."""
+    import duckdb
+    import ray.data as rd
+
+    from smqtk_indexing_ray.stages.agg import sorted_group_agg
+
+    for seed in (3, 17, 59):
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(200, 2000))
+        # zipf-ish skew: one hot key gets ~40% of rows
+        keys = rng.choice(
+            np.arange(int(rng.integers(3, 40))), n,
+            p=None).astype(np.int64)
+        keys[rng.random(n) < 0.4] = 0
+        t = pa.table({
+            "g": pa.array(
+                np.array([f"k{k % 5}" for k in keys], object),
+                pa.string()),
+            "h": pa.array(keys),
+            "v": pa.array(rng.integers(-1000, 1000, n)
+                          .astype(np.int64)),
+            "o": pa.array(rng.permutation(n).astype(np.int64)),
+            "s": pa.array([f"s{i}" for i in range(n)], pa.string()),
+        })
+        got = sorted_group_agg(
+            rd.from_arrow(t).repartition(int(rng.integers(2, 12))),
+            key=["g", "h"], order=["o"],
+            aggs={"sv": ("v", "sum"), "mn": ("v", "min"),
+                  "mx": ("v", "max"), "cnt": "count",
+                  "fv": ("v", "first"), "lv": ("v", "last"),
+                  "cat": ("s", "concat")},
+            concat_sep="|").to_pandas().sort_values(
+            ["g", "h"], ignore_index=True)
+        con = duckdb.connect()
+        con.register("t", t.to_pandas())
+        want = con.execute(
+            "SELECT g, h, CAST(sum(v) AS BIGINT) AS sv,"
+            " min(v) AS mn, max(v) AS mx, count(*) AS cnt,"
+            " first(v ORDER BY o) AS fv, last(v ORDER BY o) AS lv,"
+            " string_agg(s, '|' ORDER BY o) AS cat"
+            " FROM t GROUP BY g, h ORDER BY g, h").df()
+        assert len(got) == len(want), seed
+        for col in want.columns:
+            assert list(got[col]) == list(want[col]), (seed, col)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sort_attach_randomized_vs_duckdb():
+    """Differential fuzz of the sort-merge attach: random row/payload
+    overlap (keys missing on either side), duplicate row keys, both
+    join modes, random layouts — vs DuckDB LEFT/INNER JOIN."""
+    import duckdb
+    import ray.data as rd
+
+    from smqtk_indexing_ray.stages.attach import sort_attach
+
+    for seed in (5, 23, 71):
+        rng = np.random.default_rng(seed)
+        n_rows = int(rng.integers(100, 1500))
+        n_pay = int(rng.integers(20, 400))
+        rows = pa.table({
+            "k": pa.array(rng.integers(0, n_pay + 50, n_rows)
+                          .astype(np.int64)),
+            "x": pa.array(np.arange(n_rows, dtype=np.int64)),
+        })
+        pay = pa.table({
+            "pk": pa.array(rng.permutation(n_pay + 30)[:n_pay]
+                           .astype(np.int64)),
+            "a": pa.array(rng.integers(0, 9, n_pay).astype(np.int64)),
+            "b": pa.array([f"p{i}" for i in range(n_pay)], pa.string()),
+        })
+        for how in ("left", "inner"):
+            got = sort_attach(
+                rd.from_arrow(rows).repartition(
+                    int(rng.integers(2, 9))),
+                rd.from_arrow(pay).repartition(
+                    int(rng.integers(2, 5))),
+                key="k", payload_key="pk", payload_cols=["a", "b"],
+                how=how,
+                rows_schema=rows.schema,
+                payload_schema=pay.schema).to_pandas().sort_values(
+                ["k", "x"], ignore_index=True)
+            con = duckdb.connect()
+            con.register("r", rows.to_pandas())
+            con.register("p", pay.to_pandas())
+            join = "LEFT JOIN" if how == "left" else "JOIN"
+            want = con.execute(
+                f"SELECT k, x, a, b FROM r {join} p ON pk = k"
+                " ORDER BY k, x").df()
+            assert len(got) == len(want), (seed, how)
+            assert list(got.k) == list(want.k), (seed, how)
+            assert list(got.x) == list(want.x), (seed, how)
+            ga = got.a.fillna(-1).astype(np.int64)
+            wa = want.a.fillna(-1).astype(np.int64)
+            assert list(ga) == list(wa), (seed, how)
+            gb = got.b.fillna("-")
+            wb = want.b.fillna("-")
+            assert list(gb) == list(wb), (seed, how)

@@ -431,6 +431,18 @@ def _q_clustering_coefficients(sf_dir: str):
                                                        threshold=0.5))
 
 
+def _q_minhash_containment(sf_dir: str):
+    """MinHash containment estimator at LSH scale (the quote/embed
+    detector, scale twin of the exact suffix pass): same candidate
+    generation as the flagship, one extra int32 per endpoint across
+    the verify attach.  Hash-seeded — rows-only; pytest pins the
+    planted containment class near 1.0."""
+    from smqtk_indexing_ray.pipelines.dedup import (
+        containment_pairs, documents_as_pages)
+    return containment_pairs(documents_as_pages(_docs(sf_dir)),
+                             threshold=0.8)
+
+
 def _q_cosine_near_pairs(sf_dir: str):
     from smqtk_indexing_ray.pipelines.ann import cosine_near_pairs
     return cosine_near_pairs(_emb(sf_dir), threshold=0.4)
@@ -1622,6 +1634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "jaccard_cluster_labels": _q_jaccard_cluster_labels,
         "dup_triangles": _q_dup_triangles,
+        "minhash_containment": _q_minhash_containment,
         "clustering_coefficients": _q_clustering_coefficients,
         "cosine_near_pairs": _q_cosine_near_pairs,
         "ann_topk": _q_ann_topk,

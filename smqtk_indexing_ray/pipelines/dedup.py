@@ -420,3 +420,105 @@ def dedup_pipeline(pages, cfg: DedupConfig, *, num_partitions: int = 32,
                        num_partitions=num_partitions)
     return DedupResult(signatures=sigs, edges=all_edges, labels=labels,
                        output=output)
+
+
+CONTAINMENT_PAIRS_SCHEMA = pa.schema([
+    ("u", pa.int64()), ("v", pa.int64()),
+    ("est_jaccard", pa.float64()), ("est_containment", pa.float64()),
+])
+
+
+def containment_pairs(pages, cfg: DedupConfig | None = None, *,
+                      threshold: float = 0.8):
+    """MinHash containment estimator at LSH scale — the quote/embed
+    detector: containment ``C(A,B) = |A∩B| / min(|A|,|B|)`` inflates
+    toward 1 when one doc wraps the other even though their Jaccard is
+    diluted by the wrapper's padding.
+
+    Scale twin of the exact suffix-array containment pass
+    (pipelines/suffix.py): same candidate generation as the flagship
+    (signatures -> banding -> star edges), one extra int32 per endpoint
+    across the verify attach (``n_shingles``), and the containment
+    estimate is pure per-batch arithmetic on the est-Jaccard:
+    ``inter = J/(1+J) * (|A|+|B|)``, ``C = inter / min(|A|,|B|)``.
+    Hash-seeded output (rows-only vs SQL); the pytest contract pins the
+    planted containment class near 1.0 and ABOVE its own diluted
+    Jaccard.
+
+    Reference analog: the post-LSH exact re-rank
+    (/root/reference/smqtk_indexing/impls/nn_index/lsh.py:499-518),
+    re-scored with the containment normalization.
+    """
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+
+    from smqtk_indexing_ray.functions.metrics import est_jaccard, round6
+    from smqtk_indexing_ray.stages.attach import sort_attach
+
+    cfg = cfg or DedupConfig()
+    num_perms = cfg.num_perms
+    mh8_type = pa.binary(num_perms)
+
+    sigs = compute_signatures(pages, cfg).materialize()
+    edges = candidate_edges(sigs, cfg)
+
+    sig = sigs.select_columns(["doc_id", "mh8", "n_shingles"])
+    sig_schema = pa.schema([("doc_id", pa.int64()), ("mh8", mh8_type),
+                            ("n_shingles", pa.int32())])
+    uv_schema = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+
+    def _rn(mapping):
+        def f(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or any(
+                    c not in t.column_names for c in mapping):
+                return t
+            return t.rename_columns(
+                [mapping.get(c, c) for c in t.column_names])
+        return f
+
+    e1 = sort_attach(edges, sig, key="u", payload_key="doc_id",
+                     payload_cols=["mh8", "n_shingles"], how="inner",
+                     rows_schema=uv_schema, payload_schema=sig_schema,
+                     dedup_rows_on=["v"])
+    e1 = e1.map_batches(_rn({"mh8": "mh8_u", "n_shingles": "n_u"}),
+                        batch_format="pyarrow")
+    e1_schema = pa.schema([("u", pa.int64()), ("v", pa.int64()),
+                           ("mh8_u", mh8_type), ("n_u", pa.int32())])
+    e2 = sort_attach(e1, sig, key="v", payload_key="doc_id",
+                     payload_cols=["mh8", "n_shingles"], how="inner",
+                     rows_schema=e1_schema, payload_schema=sig_schema)
+    e2 = e2.map_batches(_rn({"mh8": "mh8_v", "n_shingles": "n_v"}),
+                        batch_format="pyarrow")
+
+    def u8_matrix(col, p):
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        buf = col.buffers()[1]
+        arr = np.frombuffer(buf, dtype=np.uint8)
+        start = col.offset * p
+        return arr[start:start + len(col) * p].reshape(len(col), p)
+
+    def score(t: pa.Table) -> pa.Table:
+        needed = ("u", "v", "mh8_u", "mh8_v", "n_u", "n_v")
+        if t.num_rows == 0 or any(c not in t.column_names
+                                  for c in needed):
+            return CONTAINMENT_PAIRS_SCHEMA.empty_table()
+        mu = u8_matrix(t["mh8_u"], num_perms)
+        mv = u8_matrix(t["mh8_v"], num_perms)
+        ej = est_jaccard(mu, mv)
+        na = t["n_u"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = t["n_v"].to_numpy(zero_copy_only=False).astype(np.float64)
+        inter = ej / (1.0 + ej) * (na + nb)
+        denom = np.minimum(na, nb)
+        cont = np.where(denom > 0,
+                        np.minimum(inter / np.where(denom > 0, denom,
+                                                    1.0), 1.0), 0.0)
+        keep = cont >= threshold
+        return pa.table({
+            "u": t["u"].to_numpy(zero_copy_only=False)[keep],
+            "v": t["v"].to_numpy(zero_copy_only=False)[keep],
+            "est_jaccard": pa.array(round6(ej[keep])),
+            "est_containment": pa.array(round6(cont[keep])),
+        }, schema=CONTAINMENT_PAIRS_SCHEMA)
+
+    return e2.map_batches(score, batch_format="pyarrow")

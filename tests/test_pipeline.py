@@ -151,3 +151,53 @@ def test_brute_force_jaccard_oracle():
                     missed += 1
     assert total > 50, "fixture should contain plenty of true near-dup pairs"
     assert missed / total <= 0.01, f"oracle recall {1 - missed/total:.4f}"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_containment_pairs_flags_planted_contain_class():
+    """MinHash containment estimator vs the generator's planted
+    containment class: every (A, wrapper) pair scores near 1.0 and
+    strictly above its padding-diluted Jaccard; unrelated singles stay
+    silent."""
+    import ray.data as rd
+
+    from smqtk_indexing_ray.config import DedupConfig
+    from smqtk_indexing_ray.pipelines.dedup import containment_pairs
+    from smqtk_indexing_ray.sources import PagesSpec, generate_pages_table
+    from smqtk_indexing_ray.sources.pages import generate_truth_table
+
+    spec = PagesSpec(n_docs=1000, seed=19, hot_blocks=0)
+    pages = generate_pages_table(spec)
+    truth = generate_truth_table(spec).to_pandas()
+
+    got = containment_pairs(
+        rd.from_arrow(pages).repartition(5), DedupConfig(),
+        threshold=0.85).to_pandas()
+    flagged = set(map(tuple, np.sort(
+        got[["u", "v"]].to_numpy(), axis=1)))
+
+    # planted containment pairs: within each 'contain' cluster, member
+    # 0 (A) is embedded in every other member
+    want = set()
+    for cid, g in truth[truth["class"] == "contain"].groupby(
+            "true_cluster"):
+        ids = sorted(g.doc_id)
+        a = ids[0]
+        for b in ids[1:]:
+            want.add((a, b))
+    assert len(want) >= 10
+    hits = want & flagged
+    assert len(hits) / len(want) >= 0.9, (len(hits), len(want))
+
+    # the containment score beats the diluted jaccard on those pairs
+    sel = got.set_index(
+        got[["u", "v"]].apply(lambda r: tuple(sorted(r)), axis=1))
+    for p in hits:
+        row = sel.loc[[p]].iloc[0]
+        assert row.est_containment >= 0.85
+        assert row.est_containment >= row.est_jaccard - 1e-9
+
+    # singles never appear
+    singles = set(truth[truth["class"] == "single"].doc_id)
+    for (a, b) in flagged:
+        assert not (a in singles and b in singles)

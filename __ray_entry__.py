@@ -1171,6 +1171,15 @@ def _q_mrpt_topk(sf_dir: str):
     return mrpt_topk(_emb(sf_dir), n_queries=8, k=10, n_trees=8, depth=4)
 
 
+def _q_media_dedup(sf_dir: str):
+    """Exact multimodal payload dedup per kind: 128-bit content hashes
+    (payload bytes never shuffle), one group-min attach + one
+    run-length sort.  Exact window oracle."""
+    from smqtk_indexing_ray.stages.multimodal import (
+        media_dedup, media_from_documents)
+    return media_dedup(media_from_documents(_docs(sf_dir)))
+
+
 def _q_itq_codes(sf_dir: str):
     """ITQ trained functor (reference's flagship LshFunctor): distributed
     mean/covariance fit + driver-side rotation, batched code emission.
@@ -1649,6 +1658,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_containment": _q_cluster_containment,
         "cluster_dup_spans": _q_cluster_dup_spans,
         "media_features": _q_media_features,
+        "media_dedup": _q_media_dedup,
         "itq_codes": _q_itq_codes,
         "ivf_topk": _q_ivf_topk,
         "mrpt_topk": _q_mrpt_topk,
@@ -3141,6 +3151,17 @@ def oracle_sql() -> dict[str, str]:
             "ON a.doc_id <> b.doc_id AND length(b.text) >= length(a.text) "
             "AND strpos(b.text, a.text) > 0 "
             "WHERE a.text <> '' GROUP BY a.doc_id"
+        ),
+        "media_dedup": (
+            "WITH m AS ("
+            "  SELECT doc_id AS media_id,"
+            "  CASE WHEN doc_id % 3 = 0 THEN 'audio' ELSE 'image' END"
+            "  AS kind, coalesce(text, '') AS p FROM documents"
+            ") "
+            "SELECT media_id, kind,"
+            " min(media_id) OVER (PARTITION BY kind, p) AS cluster_id,"
+            " CAST(count(*) OVER (PARTITION BY kind, p) AS BIGINT)"
+            " AS n_copies FROM m"
         ),
         "media_features": (
             "SELECT doc_id AS media_id, "

@@ -95,3 +95,36 @@ class TestMediaFeatures:
                                capture_output=True, text=True, check=True)
             outs.append(json.loads(r.stdout))
         assert outs[0] == outs[1]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_media_dedup_exact_per_kind():
+    """Byte-identical payloads cluster to the min media_id WITHIN a
+    kind; the same bytes under a different kind stay separate; copy
+    counts are exact; null payloads dedup as empty bytes."""
+    import ray.data as rd
+
+    from smqtk_indexing_ray.stages.multimodal import media_dedup
+
+    rows = [
+        (0, "image", b"AAA"), (1, "image", b"AAA"), (2, "image", b"AAA"),
+        (3, "audio", b"AAA"),              # same bytes, other kind
+        (4, "image", b"BBB"),
+        (5, "audio", None), (6, "audio", b""),   # null == empty
+        (7, "video", b"CCC"),
+    ]
+    t = pa.table({
+        "media_id": pa.array([r[0] for r in rows], pa.int64()),
+        "kind": pa.array([r[1] for r in rows], pa.string()),
+        "payload": pa.array([r[2] for r in rows], pa.binary()),
+    })
+    got = media_dedup(
+        rd.from_arrow(t).repartition(3)).to_pandas().set_index(
+        "media_id")
+    assert list(got.loc[[0, 1, 2], "cluster_id"]) == [0, 0, 0]
+    assert list(got.loc[[0, 1, 2], "n_copies"]) == [3, 3, 3]
+    assert got.loc[3, "cluster_id"] == 3 and got.loc[3, "n_copies"] == 1
+    assert got.loc[4, "cluster_id"] == 4
+    assert got.loc[5, "cluster_id"] == 5 and got.loc[6, "cluster_id"] == 5
+    assert got.loc[5, "n_copies"] == 2
+    assert got.loc[7, "cluster_id"] == 7

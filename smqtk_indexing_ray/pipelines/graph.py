@@ -68,6 +68,11 @@ def dup_triangles(pairs, *, pairs_schema: pa.Schema | None = None,
     from smqtk_indexing_ray.stages.attach import sort_attach
     from smqtk_indexing_ray.stages.pairs import sorted_self_pairs
 
+    # the edge set is consumed twice (wedge side + closing-edge side);
+    # without this the upstream pair pipeline re-executes per consumer.
+    # Bounded: the near-dup pair set, never the corpus.
+    pairs = pairs.materialize()
+
     adj_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
                             ("u", pa.int64())])
 
@@ -145,6 +150,11 @@ def clustering_coefficients(pairs, *, pairs_schema: pa.Schema | None = None,
 
     from smqtk_indexing_ray.stages.agg import sorted_group_agg
     from smqtk_indexing_ray.stages.attach import sort_attach
+
+    # consumed by the degree fold AND (twice) inside dup_triangles —
+    # cache the bounded pair set once instead of re-running the
+    # upstream pair pipeline three times
+    pairs = pairs.materialize()
 
     cnt_schema = pa.schema([("doc_id", pa.int64()), ("n", pa.int64())])
 

@@ -2302,9 +2302,6 @@ def decile_dup_rates(docs, *, nb: int = 10, num_partitions: int = 16):
                                  schema=lab_schema)),
         batch_format="pyarrow")
 
-    sized_schema = pa.schema([("doc_id", pa.int64()),
-                              ("norm_cid", pa.int64()),
-                              ("csize", pa.int64())])
     sized = sorted_run_length_attach(labels, key="norm_cid",
                                      out="csize", schema=lab_schema)
 
@@ -2454,6 +2451,11 @@ def table_profile(ds, *, int_cols=(), float_cols=(), str_cols=(),
             return v, nulls, float(v.min()), float(v.max())
         if c in float_cols:
             f = valid.cast(pa.float64()).to_numpy(zero_copy_only=False)
+            # + 0.0 folds -0.0 into +0.0 BEFORE the bit view so float
+            # distinctness matches SQL COUNT(DISTINCT), which treats
+            # them as one value (NaN columns are out of contract —
+            # profile NaN-bearing floats via an explicit cleaning pass)
+            f = f + 0.0
             return (f.view(np.int64), nulls, float(f.min()),
                     float(f.max()))
         v = valid.cast(pa.int64()).to_numpy(zero_copy_only=False)

@@ -1323,6 +1323,24 @@ def _kmeans_centroids(emb, n_clusters, levels):
     live = rng > 0
     d_full = len(mn)
 
+    seeds = _kmeans_seeds(emb, n_clusters, d_full)
+    if seeds is None:
+        return None
+    cent_ids, seed_vecs = seeds
+    cent_rows = [
+        _code_elements(v, np.arange(d_full, dtype=np.int64),
+                       mn, rng, live, levels).astype(np.int64)
+        for v in seed_vecs]
+    cent_codes = np.stack(cent_rows, axis=0)       # (k, d) int64
+    return mn, rng, live, cent_ids, cent_codes
+
+
+def _kmeans_seeds(emb, n_clusters, d_full=None):
+    """Deterministic seed selection shared by every k-means entry: the
+    ``n_clusters`` lowest-vec_id vectors (each batch contributes its k
+    smallest ids — a bounded k x blocks driver merge).  Returns
+    ``(cent_ids, [float64 vectors])`` or ``None`` on an empty input;
+    raises on ragged widths when ``d_full`` is given."""
     seed_schema = pa.schema([("vec_id", pa.int64()),
                              ("embedding", pa.list_(pa.float32()))])
 
@@ -1345,26 +1363,24 @@ def _kmeans_centroids(emb, n_clusters, levels):
     cands.sort(key=lambda r: r["vec_id"])
     seeds = cands[:n_clusters]
     cent_ids = np.array([r["vec_id"] for r in seeds], np.int64)
-    cent_rows = []
-    for r in seeds:
-        v = np.asarray(r["embedding"], np.float64)
-        if len(v) != d_full:
-            raise ValueError(
-                f"kmeans over ragged embeddings: vec {r['vec_id']} has "
-                f"{len(v)} dims, corpus max {d_full}")
-        q = _code_elements(v, np.arange(d_full, dtype=np.int64),
-                           mn, rng, live, levels)
-        cent_rows.append(q.astype(np.int64))
-    cent_codes = np.stack(cent_rows, axis=0)       # (k, d) int64
-    return mn, rng, live, cent_ids, cent_codes
+    vecs = [np.asarray(r["embedding"], np.float64) for r in seeds]
+    widths = {len(v) for v in vecs}
+    if d_full is not None:
+        widths.add(int(d_full))
+    if len(widths) > 1:
+        raise ValueError(
+            f"kmeans over ragged embeddings: seed widths {sorted(widths)}")
+    return cent_ids, vecs
 
 
 def _assign_batch(t, mn, rng, live, cent_ids, cent_codes, levels):
     """Quantize one batch and hard-assign to the nearest centroid.
-    Returns ``(vec_id_array, cluster, dist2)`` int64 arrays.  All
-    arithmetic is exact int64 on the uint8-scale codes, so the argmin
-    (first occurrence = lowest centroid vec_id, the SQL tiebreak)
-    cannot flip on float summation order."""
+    Returns ``(vec_id_array, cluster, dist2, codes)`` — codes is the
+    (n, d) int64 matrix so callers needing per-dim sums (the Lloyd
+    update) never quantize twice.  All arithmetic is exact int64 on
+    the uint8-scale codes, so the argmin (first occurrence = lowest
+    centroid vec_id, the SQL tiebreak) cannot flip on float summation
+    order."""
     x, dim, off = _dim_elements(t)
     lens = np.diff(off)
     d_full = len(mn)
@@ -1379,7 +1395,7 @@ def _assign_batch(t, mn, rng, live, cent_ids, cent_codes, levels):
     d2 = a2[:, None] + c2[None, :] - 2 * cross
     best = np.argmin(d2, axis=1)
     return (t["vec_id"], cent_ids[best],
-            d2[np.arange(len(best)), best])
+            d2[np.arange(len(best)), best], q)
 
 
 def kmeans_assign(emb, *, n_clusters: int = 8, levels: int = 256):
@@ -1414,8 +1430,8 @@ def kmeans_assign(emb, *, n_clusters: int = 8, levels: int = 256):
     def assign(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "vec_id" not in t.column_names:
             return KMEANS_ASSIGN_SCHEMA.empty_table()
-        vid, cl, d2 = _assign_batch(t, mn, rng, live, cent_ids,
-                                    cent_codes, levels)
+        vid, cl, d2, _ = _assign_batch(t, mn, rng, live, cent_ids,
+                                       cent_codes, levels)
         return pa.table({"vec_id": vid, "cluster": pa.array(cl),
                          "dist2": pa.array(d2)},
                         schema=KMEANS_ASSIGN_SCHEMA)
@@ -1455,11 +1471,8 @@ def kmeans_update(emb, *, n_clusters: int = 8, levels: int = 256):
     def partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "vec_id" not in t.column_names:
             return part_schema.empty_table()
-        _, cl, _ = _assign_batch(t, mn, rng, live, cent_ids,
-                                 cent_codes, levels)
-        x, dim, _ = _dim_elements(t)
-        q = _code_elements(x, dim, mn, rng, live, levels).astype(
-            np.int64).reshape(-1, d_full)
+        _, cl, _, q = _assign_batch(t, mn, rng, live, cent_ids,
+                                    cent_codes, levels)
         uniq, inv = np.unique(cl, return_inverse=True)
         sums = np.zeros((len(uniq), d_full), np.int64)
         np.add.at(sums, inv, q)
@@ -1533,39 +1546,18 @@ def kmeans_fit(emb, *, n_clusters: int = 8, max_iters: int = 20,
     ensure_data_context()
     import ray.data as rd
 
-    # --- seeds: k lowest-vec_id raw vectors (bounded driver merge) ---
-    seed_schema = pa.schema([("vec_id", pa.int64()),
-                             ("embedding", pa.list_(pa.float32()))])
-
-    def seed_cut(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "vec_id" not in t.column_names:
-            return seed_schema.empty_table()
-        ids = t["vec_id"].to_numpy(zero_copy_only=False)
-        idx = np.argsort(ids, kind="stable")[:n_clusters]
-        take = pa.array(idx.astype(np.int64))
-        return pa.table({
-            "vec_id": t["vec_id"].take(take),
-            "embedding": pc.cast(t["embedding"].take(take),
-                                 pa.list_(pa.float32())),
-        }, schema=seed_schema)
-
     # column-pruned object-store cache: the iterative loop re-reads
     # this per round; caching beats re-scanning parquet max_iters
     # times, and the cached columns are exactly the two the rounds
     # need (at cluster scale the object store spills overflow blocks
     # to disk — still cheaper than max_iters remote re-reads)
     src = emb.select_columns(["vec_id", "embedding"]).materialize()
-    cands = src.map_batches(seed_cut, batch_format="pyarrow").take_all()
-    if not cands:
+    seeds = _kmeans_seeds(src, n_clusters)   # shared deterministic seeds
+    if seeds is None:
         return rd.from_arrow(KMEANS_FIT_SCHEMA.empty_table())
-    cands.sort(key=lambda r: r["vec_id"])
-    seeds = cands[:n_clusters]
-    cent_ids = np.array([r["vec_id"] for r in seeds], np.int64)
-    d_full = len(np.asarray(seeds[0]["embedding"]))
-    cent = np.stack([np.asarray(r["embedding"], np.float64)
-                     for r in seeds], axis=0)           # (k, d)
-    if any(len(np.asarray(r["embedding"])) != d_full for r in seeds):
-        raise ValueError("kmeans over ragged embeddings")
+    cent_ids, seed_vecs = seeds              # ragged widths raise there
+    d_full = len(seed_vecs[0])
+    cent = np.stack(seed_vecs, axis=0)                  # (k, d)
     k = len(cent_ids)
 
     part_fields = pa.schema(

@@ -454,6 +454,7 @@ def containment_pairs(pages, cfg: DedupConfig | None = None, *,
 
     from smqtk_indexing_ray.functions.metrics import est_jaccard, round6
     from smqtk_indexing_ray.stages.attach import sort_attach
+    from smqtk_indexing_ray.stages.verify import _rename, u8_matrix
 
     cfg = cfg or DedupConfig()
     num_perms = cfg.num_perms
@@ -467,36 +468,19 @@ def containment_pairs(pages, cfg: DedupConfig | None = None, *,
                             ("n_shingles", pa.int32())])
     uv_schema = pa.schema([("u", pa.int64()), ("v", pa.int64())])
 
-    def _rn(mapping):
-        def f(t: pa.Table) -> pa.Table:
-            if t.num_rows == 0 or any(
-                    c not in t.column_names for c in mapping):
-                return t
-            return t.rename_columns(
-                [mapping.get(c, c) for c in t.column_names])
-        return f
-
     e1 = sort_attach(edges, sig, key="u", payload_key="doc_id",
                      payload_cols=["mh8", "n_shingles"], how="inner",
                      rows_schema=uv_schema, payload_schema=sig_schema,
                      dedup_rows_on=["v"])
-    e1 = e1.map_batches(_rn({"mh8": "mh8_u", "n_shingles": "n_u"}),
+    e1 = e1.map_batches(_rename({"mh8": "mh8_u", "n_shingles": "n_u"}),
                         batch_format="pyarrow")
     e1_schema = pa.schema([("u", pa.int64()), ("v", pa.int64()),
                            ("mh8_u", mh8_type), ("n_u", pa.int32())])
     e2 = sort_attach(e1, sig, key="v", payload_key="doc_id",
                      payload_cols=["mh8", "n_shingles"], how="inner",
                      rows_schema=e1_schema, payload_schema=sig_schema)
-    e2 = e2.map_batches(_rn({"mh8": "mh8_v", "n_shingles": "n_v"}),
+    e2 = e2.map_batches(_rename({"mh8": "mh8_v", "n_shingles": "n_v"}),
                         batch_format="pyarrow")
-
-    def u8_matrix(col, p):
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        buf = col.buffers()[1]
-        arr = np.frombuffer(buf, dtype=np.uint8)
-        start = col.offset * p
-        return arr[start:start + len(col) * p].reshape(len(col), p)
 
     def score(t: pa.Table) -> pa.Table:
         needed = ("u", "v", "mh8_u", "mh8_v", "n_u", "n_v")

@@ -44,15 +44,15 @@ _PACK_LIMIT = 1 << 31
 
 def _pack_pairs(v: np.ndarray, w: np.ndarray) -> np.ndarray:
     if len(v) and (int(v.max()) >= _PACK_LIMIT
-                   or int(w.max()) >= _PACK_LIMIT):
+                   or int(w.max()) >= _PACK_LIMIT
+                   or int(v.min()) < 0 or int(w.min()) < 0):
         raise ValueError(
-            "doc_id >= 2^31: widen the packed edge key to "
+            "doc_id outside [0, 2^31): widen the packed edge key to "
             "fixed_size_binary[16] for this corpus")
     return (v.astype(np.int64) << 32) | w.astype(np.int64)
 
 
-def dup_triangles(pairs, *, pairs_schema: pa.Schema | None = None,
-                  max_degree: int | None = None):
+def dup_triangles(pairs, *, max_degree: int | None = None):
     """Enumerate every triangle in the undirected pair graph exactly
     once as ``(doc_a < doc_b < doc_c)``.
 
@@ -133,8 +133,7 @@ def dup_triangles(pairs, *, pairs_schema: pa.Schema | None = None,
     return closed.map_batches(finish, batch_format="pyarrow")
 
 
-def clustering_coefficients(pairs, *, pairs_schema: pa.Schema | None = None,
-                            max_degree: int | None = None):
+def clustering_coefficients(pairs, *, max_degree: int | None = None):
     """Per-doc degree, triangle membership count and local clustering
     coefficient ``2T / (d * (d - 1))`` over the pair graph.
 
@@ -176,8 +175,7 @@ def clustering_coefficients(pairs, *, pairs_schema: pa.Schema | None = None,
                           batch_format="pyarrow"),
         key="doc_id", aggs={"n": "sum"}, schema=cnt_schema)
 
-    tris = dup_triangles(pairs, pairs_schema=pairs_schema,
-                         max_degree=max_degree)
+    tris = dup_triangles(pairs, max_degree=max_degree)
     tri_schema = pa.schema([("doc_id", pa.int64()),
                             ("n_triangles", pa.int64())])
 

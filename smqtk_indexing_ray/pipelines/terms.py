@@ -1842,17 +1842,24 @@ def posting_lists(docs, *, max_postings: int = 16):
     (term, doc_id) rows, pruned to each term's ``max_postings``
     smallest doc_ids BEFORE anything shuffles (the global k smallest
     survive any per-batch k-prune, so the prune is lossless for the
-    capped list).  One ranked per-term pass caps globally, one ordered
-    ``concat`` agg joins the survivors, and the exact df attaches from
-    the vocabulary-sized tf table — the token stream itself never
-    crosses a shuffle.
+    capped list) — and the SAME pass emits the batch's per-term df
+    partials as tagged rows, so the corpus is tokenized exactly once.
+    One ranked per-term pass caps globally, one ordered ``concat`` agg
+    joins the survivors, and the exact df folds from the tagged
+    partials into a broadcast vocabulary lookup (gated at
+    ``TFIDF_MAX_VOCAB``) — the token stream itself never crosses a
+    shuffle.
     """
     from smqtk_indexing_ray.context import ensure_data_context
     ensure_data_context()
 
+    import ray
+
     from smqtk_indexing_ray.stages.agg import sorted_group_agg
     from smqtk_indexing_ray.stages.topk import top_k_per_group
 
+    # z doubles as the row tag: 0 = a pruned (term, doc) posting row,
+    # >0 = this batch's COMPLETE df partial for the term (doc_id = -1)
     td_schema = pa.schema([("term", pa.string()), ("doc_id", pa.int64()),
                            ("z", pa.int64())])
 
@@ -1867,6 +1874,10 @@ def posting_lists(docs, *, max_postings: int = 16):
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         code = s_code[run_starts]
         doc = ids[run_doc]
+        # per-batch df partial: COMPLETE run count per term, computed
+        # BEFORE the posting prune
+        df_part = np.bincount(code, minlength=len(vocab))
+        live = np.flatnonzero(df_part)
         # per-term k-prune inside the batch: keep each term's
         # max_postings smallest doc_ids (lossless for the capped list)
         order = np.lexsort((doc, code))
@@ -1874,23 +1885,61 @@ def posting_lists(docs, *, max_postings: int = 16):
         new_run = np.empty(len(code_s), dtype=bool)
         new_run[0] = True
         new_run[1:] = code_s[1:] != code_s[:-1]
-        run_id = np.cumsum(new_run) - 1
         pos_in_run = np.arange(len(code_s)) - np.repeat(
             np.flatnonzero(new_run),
             np.diff(np.append(np.flatnonzero(new_run), len(code_s))))
         keep = pos_in_run < max_postings
+        n_keep = int(keep.sum())
+
+        def _flat(a):
+            return (a.combine_chunks()
+                    if isinstance(a, pa.ChunkedArray) else a)
+
         return pa.table({
-            "term": vocab.take(pa.array(code_s[keep].astype(np.int64))),
-            "doc_id": pa.array(doc_s[keep].astype(np.int64)),
-            "z": pa.array(np.zeros(int(keep.sum()), np.int64)),
+            "term": pa.concat_arrays([
+                _flat(vocab.take(
+                    pa.array(code_s[keep].astype(np.int64)))),
+                _flat(vocab.take(
+                    pa.array(live.astype(np.int64))))]).cast(
+                pa.string()),
+            "doc_id": pa.array(np.concatenate(
+                [doc_s[keep], np.full(len(live), -1)]).astype(np.int64)),
+            "z": pa.array(np.concatenate(
+                [np.zeros(n_keep), df_part[live]]).astype(np.int64)),
         }, schema=td_schema)
 
     exploded = docs.select_columns(["doc_id", "text"]).map_batches(
-        explode, batch_format="pyarrow")
+        explode, batch_format="pyarrow").materialize()
+    # materialized: consumed by BOTH the posting rank and the df fold —
+    # bounded by k x vocab posting rows + vocab x blocks df partials,
+    # far below the token stream a second tokenize pass would re-walk
 
-    ranked = top_k_per_group(exploded, group="term", order="doc_id",
-                             tiebreak="z", k=max_postings,
-                             descending=False, schema=td_schema)
+    def only_postings(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "z" not in t.column_names:
+            return td_schema.empty_table()
+        return t.filter(pc.equal(t["z"], 0))
+
+    def only_df(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "z" not in t.column_names:
+            return td_schema.empty_table()
+        return t.filter(pc.greater(t["z"], 0))
+
+    dfs = sorted_group_agg(
+        exploded.map_batches(only_df, batch_format="pyarrow"),
+        key="term", aggs={"z": "sum"}, schema=td_schema).take_all()
+    if len(dfs) > TFIDF_MAX_VOCAB:
+        raise ValueError(
+            f"posting_lists: vocabulary has {len(dfs)} terms > "
+            f"max_vocab={TFIDF_MAX_VOCAB}; prune the corpus first")
+    vt = np.array([r["term"] for r in dfs], object)
+    vdf = np.array([r["z"] for r in dfs], np.int64)
+    order = np.argsort(vt, kind="stable")
+    terms_sorted, df_arr = vt[order], vdf[order]
+
+    ranked = top_k_per_group(
+        exploded.map_batches(only_postings, batch_format="pyarrow"),
+        group="term", order="doc_id", tiebreak="z", k=max_postings,
+        descending=False, schema=td_schema)
 
     cat_schema = pa.schema([("term", pa.string()),
                             ("doc_str", pa.string()),
@@ -1911,15 +1960,10 @@ def posting_lists(docs, *, max_postings: int = 16):
         aggs={"postings": ("doc_str", "concat")}, concat_sep=",",
         schema=cat_schema)
 
-    # exact df rides the broadcast-vocabulary pattern (same gate as
-    # tfidf: a sort-merge attach would need an int64 key and a 64-bit
-    # term hash invites collisions; the vocab-sized (term, df) arrays
-    # belong in the closure up to TFIDF_MAX_VOCAB, raising loudly past
-    # it)
-    import ray
-
-    terms_sorted, _, df_arr = _collect_vocab(
-        docs, TFIDF_MAX_VOCAB, caller="posting_lists")
+    # exact df rides the broadcast-vocabulary pattern (a sort-merge
+    # attach would need an int64 key and a 64-bit term hash invites
+    # collisions; the vocab-sized (term, df) arrays belong in the
+    # closure up to TFIDF_MAX_VOCAB)
     vocab_ref = ray.put((terms_sorted, df_arr))
 
     def finish(t: pa.Table) -> pa.Table:

@@ -1149,10 +1149,17 @@ def dormant_customers(customer, orders, nation, *,
         bal = np.zeros(len(uniq), np.int64)
         np.add.at(bal, inv, cents)
         cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        # inner-join semantics: a nationkey missing from the dimension
+        # drops the group, matching the oracle's JOIN (never KeyError)
+        names = [nmap.get(int(x)) for x in uniq]
+        keep = np.array([nm is not None for nm in names], bool)
+        if not keep.any():
+            return part2.empty_table()
         return pa.table({
-            "n_name": pa.array([nmap[int(x)] for x in uniq], pa.string()),
-            "numcust": pa.array(cnt),
-            "bal_cents": pa.array(bal),
+            "n_name": pa.array(
+                [nm for nm in names if nm is not None], pa.string()),
+            "numcust": pa.array(cnt[keep]),
+            "bal_cents": pa.array(bal[keep]),
         }, schema=part2)
 
     agg = sorted_group_agg(

@@ -50,6 +50,19 @@ def keep_simhash_only(ej: np.ndarray, ham: np.ndarray,
     return ham <= cfg.simhash_hamming_max
 
 
+def u8_matrix(col, p: int) -> np.ndarray:
+    """Zero-copy (n, p) uint8 view of a ``fixed_size_binary[p]`` column
+    (the MinHash verify sketch).  Honors chunk offsets; shared by every
+    signature-scoring consumer so the buffer-slicing subtlety lives in
+    exactly one place."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    buf = col.buffers()[1]
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    start = col.offset * p
+    return arr[start:start + len(col) * p].reshape(len(col), p)
+
+
 def _rename(mapping):
     def f(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or any(c not in t.column_names for c in mapping):
@@ -95,14 +108,6 @@ def verify_edges(edges, signatures, cfg: DedupConfig, *,
                      rows_schema=e1_schema, payload_schema=sig_schema)
     e2 = e2.map_batches(_rename({"mh8": "mh8_v", "simhash": "simhash_v"}),
                         batch_format="pyarrow")
-
-    def u8_matrix(col, p):
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        buf = col.buffers()[1]
-        arr = np.frombuffer(buf, dtype=np.uint8)
-        start = col.offset * p
-        return arr[start:start + len(col) * p].reshape(len(col), p)
 
     def score(t: pa.Table) -> pa.Table:
         needed = ("u", "v", "mh8_u", "mh8_v", "simhash_u", "simhash_v")

@@ -1566,3 +1566,19 @@ def test_table_profile_matches_duckdb():
         for f in ("min_num", "max_num"):
             g, w = got.loc[c, f], want.loc[c, f]
             assert (pd.isna(g) and pd.isna(w)) or g == w, (c, f)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_table_profile_negative_zero_folds():
+    """-0.0 and 0.0 count as ONE distinct float value (SQL COUNT
+    DISTINCT semantics), not two bit patterns."""
+    import ray.data as rd
+
+    from smqtk_indexing_ray.pipelines.analysis import table_profile
+
+    t = pa.table({"val": pa.array([0.0, -0.0, 1.5, 1.5, -0.0],
+                                  pa.float64())})
+    got = table_profile(rd.from_arrow(t).repartition(2),
+                        float_cols=("val",)).to_pandas()
+    assert got.n_distinct[0] == 2
+    assert got.min_num[0] == 0.0 and got.max_num[0] == 1.5

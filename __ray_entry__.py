@@ -1147,6 +1147,15 @@ def _q_kmeans_update(sf_dir: str):
     return kmeans_update(_emb(sf_dir), n_clusters=8)
 
 
+def _q_label_scatter(sf_dir: str):
+    """Per-label per-dim scatter of the quantized embedding space (the
+    class-separability audit): exact int64 sum/sum-of-squares partials,
+    computational-formula variance as one IEEE division.  Exact
+    oracle."""
+    from smqtk_indexing_ray.pipelines.ann import label_scatter
+    return label_scatter(_emb(sf_dir))
+
+
 def _q_kmeans_fit(sf_dir: str):
     """Full iterative Lloyd k-means (the iterative-fixpoint class —
     not window-expressible, hence rows-only): one streaming
@@ -1667,6 +1676,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_assign": _q_kmeans_assign,
         "kmeans_update": _q_kmeans_update,
         "kmeans_fit": _q_kmeans_fit,
+        "label_scatter": _q_label_scatter,
         "filtered_ann_topk": _q_filtered_ann_topk,
         "best_rep_per_cluster": _q_best_rep_per_cluster,
         "sessionize": _q_sessionize,
@@ -3108,6 +3118,31 @@ def oracle_sql() -> dict[str, str]:
             "  PARTITION BY vec_id ORDER BY dist2, cid) AS rn FROM dist"
             ") "
             "SELECT vec_id, cid AS cluster, dist2 FROM r WHERE rn = 1"
+        ),
+        "label_scatter": (
+            "WITH e AS ("
+            "  SELECT vec_id, unnest(embedding) AS x,"
+            "  unnest(generate_series(1, len(embedding))) AS dim"
+            "  FROM embeddings"
+            "), mm AS ("
+            "  SELECT dim, min(x) AS mn, max(x) AS mx FROM e GROUP BY dim"
+            "), q AS ("
+            "  SELECT vec_id, dim,"
+            "  CAST(CASE WHEN mm.mx > mm.mn THEN least(greatest(floor("
+            "    (CAST(e.x AS DOUBLE) - CAST(mm.mn AS DOUBLE)) * 256.0"
+            "    / (CAST(mm.mx AS DOUBLE) - CAST(mm.mn AS DOUBLE))),"
+            "    0.0), 255.0) ELSE 0.0 END AS BIGINT) AS c"
+            "  FROM e JOIN mm USING (dim)"
+            ") "
+            "SELECT CAST(emb.label AS BIGINT) AS label,"
+            " CAST(q.dim - 1 AS BIGINT) AS dim,"
+            " count(*) AS n_vecs,"
+            " CAST(sum(q.c) AS BIGINT) / (count(*) * 1.0) AS mean_code,"
+            " (count(*) * CAST(sum(q.c * q.c) AS BIGINT)"
+            "  - CAST(sum(q.c) AS BIGINT) * CAST(sum(q.c) AS BIGINT))"
+            " / (count(*) * count(*) * 1.0) AS var_code"
+            " FROM q JOIN embeddings emb USING (vec_id)"
+            " GROUP BY emb.label, q.dim"
         ),
         "kmeans_update": (
             "WITH e AS ("

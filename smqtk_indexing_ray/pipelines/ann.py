@@ -1631,3 +1631,100 @@ def kmeans_fit(emb, *, n_clusters: int = 8, max_iters: int = 20,
         "inertia": pa.array(inertia),
         "n_iters": pa.array(np.full(k, n_iters, np.int64)),
     }, schema=KMEANS_FIT_SCHEMA))
+
+
+LABEL_SCATTER_SCHEMA = pa.schema([
+    ("label", pa.int64()), ("dim", pa.int64()),
+    ("n_vecs", pa.int64()), ("mean_code", pa.float64()),
+    ("var_code", pa.float64()),
+])
+
+
+def label_scatter(emb, *, levels: int = 256):
+    """Per-label per-dimension scatter of the quantized embedding
+    space — the class-separability audit (tight per-label variance +
+    separated means = labels are learnable from these vectors; one
+    label with corpus-wide variance = mislabeled or collapsed).
+
+    All arithmetic is exact int64 on the uint8-scale codes: each batch
+    emits (label, dim, sum, sum-of-squares, count) partials (bounded
+    by labels x d per batch), one sorted fold collapses them, and the
+    only floats are the final IEEE divisions ``mean = s / n`` and the
+    computational-formula variance ``var = (n*ss - s*s) / (n*n)`` —
+    bit-identical to the SQL twin, no float summation anywhere.
+
+    Output: ``label, dim, n_vecs, mean_code, var_code``.
+    """
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+    import ray.data as rd
+
+    from smqtk_indexing_ray.stages.agg import sorted_group_agg
+
+    mm = _minmax_fold(emb)
+    if mm is None:
+        return rd.from_arrow(LABEL_SCATTER_SCHEMA.empty_table())
+    mn, mx = mm
+    rng = mx - mn
+    live = rng > 0
+    d_full = len(mn)
+
+    part_schema = pa.schema([("label", pa.int64()), ("dim", pa.int64()),
+                             ("s", pa.int64()), ("ss", pa.int64()),
+                             ("n_vecs", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "label" not in t.column_names:
+            return part_schema.empty_table()
+        x, dim, off = _dim_elements(t)
+        lens = np.diff(off)
+        if len(lens) and (lens.min() != d_full or lens.max() != d_full):
+            raise ValueError("label_scatter over ragged embeddings")
+        q = _code_elements(x, dim, mn, rng, live, levels).astype(
+            np.int64).reshape(-1, d_full)
+        lab = pc.cast(t["label"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        uniq, inv = np.unique(lab, return_inverse=True)
+        k = len(uniq)
+        s = np.zeros((k, d_full), np.int64)
+        ss = np.zeros((k, d_full), np.int64)
+        np.add.at(s, inv, q)
+        np.add.at(ss, inv, q * q)
+        cnt = np.bincount(inv, minlength=k).astype(np.int64)
+        return pa.table({
+            "label": pa.array(np.repeat(uniq, d_full)),
+            "dim": pa.array(np.tile(np.arange(d_full, dtype=np.int64),
+                                    k)),
+            "s": pa.array(s.reshape(-1)),
+            "ss": pa.array(ss.reshape(-1)),
+            "n_vecs": pa.array(np.repeat(cnt, d_full)),
+        }, schema=part_schema)
+
+    agg = sorted_group_agg(
+        emb.select_columns(["label", "embedding"]).map_batches(
+            partial, batch_format="pyarrow"),
+        key=["label", "dim"],
+        aggs={"s": "sum", "ss": "sum", "n_vecs": "sum"},
+        schema=part_schema)
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "ss" not in t.column_names:
+            return LABEL_SCATTER_SCHEMA.empty_table()
+        s = t["s"].to_numpy(zero_copy_only=False)
+        ss = t["ss"].to_numpy(zero_copy_only=False)
+        n = t["n_vecs"].to_numpy(zero_copy_only=False)
+        # n*ss must fit int64 (n < ~1.4e14 at 255^2 codes); past that
+        # the exact computational formula needs 128-bit ints — raise
+        # rather than silently wrap (the SQL twin widens to HUGEINT)
+        if len(n) and max(float(n.max()) * float(ss.max()),
+                          float(n.max()) ** 2) > 9.0e18:
+            raise OverflowError(
+                "label_scatter: n*ss exceeds int64 — shard by label "
+                "range or widen the fold to 128-bit")
+        return pa.table({
+            "label": t["label"], "dim": t["dim"], "n_vecs": t["n_vecs"],
+            "mean_code": pa.array(s / (n * 1.0)),
+            "var_code": pa.array((n * ss - s * s) / (n * n * 1.0)),
+        }, schema=LABEL_SCATTER_SCHEMA)
+
+    return agg.map_batches(finish, batch_format="pyarrow")

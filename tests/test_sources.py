@@ -472,3 +472,49 @@ class TestKmeansFit:
         for col in ("cluster", "n_vecs", "n_iters"):
             assert list(a1[col]) == list(b[col])
         assert np.allclose(a1.inertia, b.inertia, rtol=1e-12)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_label_scatter_matches_bruteforce():
+    """Per-label quantized scatter vs plain numpy: exact integer
+    moments, computational-formula variance, constant dims at var 0."""
+    import ray.data as rd
+
+    from smqtk_indexing_ray.pipelines.ann import label_scatter
+
+    rng = np.random.default_rng(47)
+    n, d = 90, 5
+    m = rng.standard_normal((n, d)).astype(np.float32)
+    m[:, 3] = 2.5                          # constant dim -> var 0
+    labels = rng.integers(0, 3, n).astype(np.int32)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([list(r) for r in m],
+                              pa.list_(pa.float32())),
+        "label": pa.array(labels),
+    })).repartition(6)
+    got = label_scatter(ds).to_pandas().sort_values(
+        ["label", "dim"], ignore_index=True)
+
+    x = m.astype(np.float64)
+    mn, mx = x.min(axis=0), x.max(axis=0)
+    rng_ = mx - mn
+    live = rng_ > 0
+    q = np.where(live[None, :],
+                 np.clip(np.floor((x - mn) * 256.0
+                                  / np.where(live, rng_, 1.0)),
+                         0, 255), 0.0).astype(np.int64)
+    i = 0
+    for lab in sorted(set(labels)):
+        sel = q[labels == lab]
+        nn = len(sel)
+        for dim in range(d):
+            r = got.iloc[i]
+            s, ss = sel[:, dim].sum(), (sel[:, dim] ** 2).sum()
+            assert (r.label, r.dim, r.n_vecs) == (lab, dim, nn)
+            assert r.mean_code == s / (nn * 1.0)
+            assert r.var_code == (nn * ss - s * s) / (nn * nn * 1.0)
+            i += 1
+    # constant dim has zero variance in every label
+    const = got[got.dim == 3]
+    assert (const.var_code == 0.0).all()

@@ -431,6 +431,14 @@ def _q_clustering_coefficients(sf_dir: str):
                                                        threshold=0.5))
 
 
+def _q_source_pair_matrix(sf_dir: str):
+    """Syndication matrix: near-dup pair counts per unordered source
+    pair (within-source boilerplate vs cross-source copying) — two
+    int64-keyed attaches + #sources^2 partials.  Exact oracle."""
+    from smqtk_indexing_ray.pipelines.analysis import source_pair_matrix
+    return source_pair_matrix(_docs(sf_dir), k=3, threshold=0.5)
+
+
 def _q_minhash_containment(sf_dir: str):
     """MinHash containment estimator at LSH scale (the quote/embed
     detector, scale twin of the exact suffix pass): same candidate
@@ -1653,6 +1661,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_cluster_labels": _q_jaccard_cluster_labels,
         "dup_triangles": _q_dup_triangles,
         "minhash_containment": _q_minhash_containment,
+        "source_pair_matrix": _q_source_pair_matrix,
         "clustering_coefficients": _q_clustering_coefficients,
         "cosine_near_pairs": _q_cosine_near_pairs,
         "ann_topk": _q_ann_topk,
@@ -2101,6 +2110,18 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": (
             "WITH " + _TOKS + ", " + _SHINGLES + " "
             "SELECT doc_a, doc_b, n_inter, jaccard FROM jpairs"
+        ),
+        "source_pair_matrix": (
+            "WITH " + _TOKS + ", " + _SHINGLES + " "
+            "SELECT least(coalesce(da.source, ''),"
+            " coalesce(db.source, '')) AS src_lo,"
+            " greatest(coalesce(da.source, ''),"
+            " coalesce(db.source, '')) AS src_hi,"
+            " count(*) AS n_pairs"
+            " FROM jpairs"
+            " JOIN documents da ON da.doc_id = doc_a"
+            " JOIN documents db ON db.doc_id = doc_b"
+            " GROUP BY 1, 2"
         ),
         "dup_triangles": (
             "WITH " + _TOKS + ", " + _SHINGLES + " "

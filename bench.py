@@ -381,6 +381,18 @@ def run_sf_suite(sf_dir: str) -> dict[str, float]:
         "trailing_event_counts": trailing_event_counts,
         "quantize_embeddings": lambda: ann.quantize_embeddings(emb()),
         "kmeans_update": lambda: ann.kmeans_update(emb(), n_clusters=8),
+        "label_scatter": lambda: ann.label_scatter(emb()),
+        "posting_lists": lambda: terms.posting_lists(docs(),
+                                                     max_postings=16),
+        "peak_concurrency": lambda: __import__(
+            "smqtk_indexing_ray.pipelines.events",
+            fromlist=["peak_concurrency"]).peak_concurrency(events()),
+        "media_dedup": lambda: __import__(
+            "smqtk_indexing_ray.stages.multimodal",
+            fromlist=["media_dedup"]).media_dedup(__import__(
+                "smqtk_indexing_ray.stages.multimodal",
+                fromlist=["media_from_documents"]).media_from_documents(
+                docs())),
         "clustering_coefficients": lambda: __import__(
             "smqtk_indexing_ray.pipelines.graph",
             fromlist=["clustering_coefficients"]).clustering_coefficients(

@@ -2583,3 +2583,95 @@ def table_profile(ds, *, int_cols=(), float_cols=(), str_cols=(),
         "min_num": pa.array(out["min_num"], pa.float64()),
         "max_num": pa.array(out["max_num"], pa.float64()),
     }, schema=PROFILE_SCHEMA))
+
+
+SOURCE_PAIR_SCHEMA = pa.schema([
+    ("src_lo", pa.string()), ("src_hi", pa.string()),
+    ("n_pairs", pa.int64()),
+])
+
+
+def source_pair_matrix(docs, *, k: int = 3, threshold: float = 0.5):
+    """Syndication matrix: near-dup pair counts per unordered SOURCE
+    pair — which feeds copy from which (the diagonal is within-source
+    boilerplate, the off-diagonal is cross-source syndication).
+
+    Rides the exact n-gram-Jaccard pair set; each endpoint's source
+    attaches via one int64-keyed sort-merge attach, pairs fold to
+    #sources^2-bounded batch partials, and the unordered normalization
+    (``least/greatest``) happens vectorized before anything shuffles.
+
+    Output: ``src_lo, src_hi, n_pairs``.
+    """
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+
+    from smqtk_indexing_ray.stages.agg import sorted_group_agg
+    from smqtk_indexing_ray.stages.attach import sort_attach
+
+    pairs = ngram_jaccard_pairs(docs, k=k, threshold=threshold)
+
+    uv_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+    src_schema = pa.schema([("doc_id", pa.int64()),
+                            ("source", pa.string())])
+
+    def slim_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_a" not in t.column_names:
+            return uv_schema.empty_table()
+        return pa.table({"doc_a": t["doc_a"], "doc_b": t["doc_b"]},
+                        schema=uv_schema)
+
+    def slim_docs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return src_schema.empty_table()
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "source": pc.fill_null(t["source"], ""),
+        }, schema=src_schema)
+
+    srcs = docs.select_columns(["doc_id", "source"]).map_batches(
+        slim_docs, batch_format="pyarrow")
+
+    e1 = sort_attach(
+        pairs.map_batches(slim_pairs, batch_format="pyarrow"), srcs,
+        key="doc_a", payload_key="doc_id", payload_cols=["source"],
+        how="inner", rows_schema=uv_schema, payload_schema=src_schema)
+
+    def rn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "source" not in t.column_names:
+            return t
+        return t.rename_columns(
+            ["src_a" if c == "source" else c for c in t.column_names])
+
+    e1 = e1.map_batches(rn, batch_format="pyarrow")
+    e1_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                           ("src_a", pa.string())])
+    e2 = sort_attach(e1, srcs, key="doc_b", payload_key="doc_id",
+                     payload_cols=["source"], how="inner",
+                     rows_schema=e1_schema, payload_schema=src_schema)
+
+    part_schema = pa.schema([("src_lo", pa.string()),
+                             ("src_hi", pa.string()),
+                             ("n_pairs", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "source" not in t.column_names:
+            return part_schema.empty_table()
+        a = t["src_a"]
+        b = t["source"]
+        lo = pc.min_element_wise(a, b)
+        hi = pc.max_element_wise(a, b)
+        key = pc.binary_join_element_wise(lo, hi, "\x1f")
+        ka = key.to_numpy(zero_copy_only=False)
+        uniq, counts = np.unique(ka, return_counts=True)
+        split = [u.split("\x1f", 1) for u in uniq]
+        return pa.table({
+            "src_lo": pa.array([s[0] for s in split], pa.string()),
+            "src_hi": pa.array([s[1] for s in split], pa.string()),
+            "n_pairs": pa.array(counts.astype(np.int64)),
+        }, schema=part_schema)
+
+    return sorted_group_agg(
+        e2.map_batches(partial, batch_format="pyarrow"),
+        key=["src_lo", "src_hi"], aggs={"n_pairs": "sum"},
+        schema=part_schema)

@@ -1582,3 +1582,72 @@ def test_table_profile_negative_zero_folds():
                         float_cols=("val",)).to_pandas()
     assert got.n_distinct[0] == 2
     assert got.min_num[0] == 0.0 and got.max_num[0] == 1.5
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_source_pair_matrix_matches_duckdb():
+    """Syndication matrix vs SQL: unordered source-pair normalization,
+    within-source diagonal counted, null sources fold to ''."""
+    import duckdb
+    import ray.data as rd
+
+    from smqtk_indexing_ray.pipelines.analysis import source_pair_matrix
+
+    rng = np.random.default_rng(53)
+    n = 120
+    texts, sources = [], []
+    base = " ".join(rng.choice(["aa", "bb", "cc", "dd", "ee"], 40))
+    for i in range(n):
+        if i % 4 == 0:
+            texts.append(base + f" tail{i % 2}")  # near-dup family
+            sources.append(["wire", "mirror", None][i % 3])
+        else:
+            texts.append(" ".join(
+                rng.choice(["xx", "yy", "zz", "ww", "vv"],
+                           rng.integers(20, 40))))
+            sources.append("organic")
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * n),
+        "source": pa.array(sources, pa.string()),
+        "n_chars": pa.array(
+            np.array([len(x) for x in texts], np.int64)),
+    })
+    got = source_pair_matrix(
+        rd.from_arrow(t).repartition(5)).to_pandas().sort_values(
+        ["src_lo", "src_hi"], ignore_index=True)
+    con = duckdb.connect()
+    con.register("documents", t.to_pandas())
+    want = con.execute(
+        r"WITH toks AS (SELECT doc_id, length(text) AS n_chars,"
+        r" list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
+        r" AS w FROM documents),"
+        r" sh AS (SELECT DISTINCT doc_id,"
+        r"  unnest(list_transform(generate_series(1,"
+        r"  greatest(len(w) - 2, 0)),"
+        r"  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle"
+        r"  FROM toks),"
+        r" sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh"
+        r"  GROUP BY doc_id),"
+        r" shk AS (SELECT doc_id, shingle FROM sh QUALIFY count(*)"
+        r"  OVER (PARTITION BY shingle) <= 1000),"
+        r" inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+        r"  count(*) AS n_inter FROM shk a JOIN shk b"
+        r"  ON a.shingle = b.shingle AND a.doc_id < b.doc_id"
+        r"  GROUP BY 1, 2),"
+        r" jpairs AS (SELECT doc_a, doc_b FROM inter"
+        r"  JOIN sizes sa ON sa.doc_id = doc_a"
+        r"  JOIN sizes sb ON sb.doc_id = doc_b"
+        r"  WHERE CAST(n_inter AS DOUBLE)"
+        r"  / (sa.n_sh + sb.n_sh - n_inter) >= 0.5)"
+        r" SELECT least(coalesce(da.source, ''),"
+        r"  coalesce(db.source, '')) AS src_lo,"
+        r"  greatest(coalesce(da.source, ''),"
+        r"  coalesce(db.source, '')) AS src_hi, count(*) AS n_pairs"
+        r" FROM jpairs JOIN documents da ON da.doc_id = doc_a"
+        r" JOIN documents db ON db.doc_id = doc_b"
+        r" GROUP BY 1, 2 ORDER BY 1, 2").df()
+    assert len(got) == len(want) > 1
+    for col in want.columns:
+        assert list(got[col]) == list(want[col]), col

@@ -507,12 +507,16 @@ def test_dormant_customers_matches_duckdb():
 
     rng = np.random.default_rng(101)
     n_cust, n_ord, n_nat = 300, 500, 5
+    nkeys = rng.integers(0, n_nat, n_cust).astype(np.int32)
+    bals = rng.integers(-50000, 999800, n_cust) / 100.0
+    # orphan nationkey on a rich, orderless customer: the inner join
+    # must DROP it (matching SQL), never KeyError
+    nkeys[n_cust - 1] = 99
+    bals[n_cust - 1] = 9999.99
     cust = pa.table({
         "c_custkey": pa.array(np.arange(n_cust, dtype=np.int64)),
-        "c_nationkey": pa.array(
-            rng.integers(0, n_nat, n_cust).astype(np.int32)),
-        "c_acctbal": pa.array(
-            (rng.integers(-50000, 999800, n_cust) / 100.0)),
+        "c_nationkey": pa.array(nkeys),
+        "c_acctbal": pa.array(bals),
     })
     base = np.datetime64("1997-01-01")
     # only the first 2/3 of customers ever order; order dates straddle

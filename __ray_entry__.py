@@ -79,6 +79,18 @@ def _q_normalized_dedup(sf_dir: str):
     return normalized_cluster_labels(_docs(sf_dir))
 
 
+def _q_mixture_plan(sf_dir: str):
+    """Dataset-mixture plan (the static source-blending step in front
+    of training): per-source sampling rates for a token budget from
+    integer weights — one combiner pass, exact int64 arithmetic, one
+    IEEE division per source.  Exact oracle."""
+    from smqtk_indexing_ray.pipelines.analysis import mixture_plan
+    return mixture_plan(_docs(sf_dir), budget_tokens=100_000,
+                        weights_pct={"src0": 30, "src1": 20,
+                                     "src2": 10},
+                        default_pct=2)
+
+
 def _q_decile_dup_rates(sf_dir: str):
     """Dup-rate-by-length-decile correlation (the length-floor
     question): ANSI-exact NTILE buckets x normalized-dup-cluster
@@ -1636,6 +1648,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_cluster_sizes": _q_exact_cluster_sizes,
         "normalized_dedup": _q_normalized_dedup,
         "decile_dup_rates": _q_decile_dup_rates,
+        "mixture_plan": _q_mixture_plan,
         "token_stats": _q_token_stats,
         "token_counts": _q_token_counts,
         "token_quantiles": _q_token_quantiles,
@@ -1919,6 +1932,26 @@ def oracle_sql() -> dict[str, str]:
             r"  <> min(doc_id) OVER (PARTITION BY text) AS BIGINT)"
             r" AS merged_by_norm "
             r"FROM n"
+        ),
+        "mixture_plan": (
+            r"WITH tok AS ("
+            r"  SELECT coalesce(source, '') AS source, count(*)"
+            r"  AS n_docs,"
+            r"  CAST(sum(len(list_filter(string_split_regex(text,"
+            r"  '\s+'), x -> x <> ''))) AS BIGINT) AS n_tokens"
+            r"  FROM documents GROUP BY 1"
+            r"), w AS ("
+            r"  SELECT source, n_docs, n_tokens,"
+            r"  CAST(CASE source WHEN 'src0' THEN 30 WHEN 'src1'"
+            r"  THEN 20 WHEN 'src2' THEN 10 ELSE 2 END AS BIGINT)"
+            r"  AS weight_pct FROM tok"
+            r") "
+            r"SELECT source, n_docs, n_tokens, weight_pct,"
+            r" least(1.0, (100000 * weight_pct) / (n_tokens * 100.0))"
+            r" AS sample_rate,"
+            r" CAST(floor(n_tokens * least(1.0, (100000 * weight_pct)"
+            r" / (n_tokens * 100.0))) AS BIGINT) AS expected_tokens"
+            r" FROM w"
         ),
         "decile_dup_rates": (
             r"WITH n AS ("

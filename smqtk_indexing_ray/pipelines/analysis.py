@@ -2675,3 +2675,87 @@ def source_pair_matrix(docs, *, k: int = 3, threshold: float = 0.5):
         e2.map_batches(partial, batch_format="pyarrow"),
         key=["src_lo", "src_hi"], aggs={"n_pairs": "sum"},
         schema=part_schema)
+
+
+MIXTURE_SCHEMA = pa.schema([
+    ("source", pa.string()), ("n_docs", pa.int64()),
+    ("n_tokens", pa.int64()), ("weight_pct", pa.int64()),
+    ("sample_rate", pa.float64()), ("expected_tokens", pa.int64()),
+])
+
+
+def mixture_plan(docs, *, budget_tokens: int,
+                 weights_pct: dict[str, int],
+                 default_pct: int = 0):
+    """Dataset-mixture plan: given a total training token ``budget``
+    and integer per-source weight percentages, compute each source's
+    sampling rate — the static-mixture step (DoReMi-style weights, C4/
+    Pile-style source blending) that sits directly in front of a
+    training run.
+
+    One combiner pass folds per-batch (source, docs, whitespace-token)
+    partials to a #sources-row table; the plan arithmetic is exact:
+    ``target = budget * weight_pct`` in int64,
+    ``rate = min(1, target / (tokens * 100))`` as ONE IEEE division,
+    ``expected = floor(tokens * rate)`` — every float op
+    order-identical to the SQL twin.  Sources absent from
+    ``weights_pct`` get ``default_pct``.
+
+    Output: ``source, n_docs, n_tokens, weight_pct, sample_rate,
+    expected_tokens``.
+    """
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+
+    from smqtk_indexing_ray.functions.tokenize import tokens_flat
+    from smqtk_indexing_ray.stages.agg import sorted_group_agg
+
+    part_schema = pa.schema([("source", pa.string()),
+                             ("n_docs", pa.int64()),
+                             ("n_tokens", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "text" not in t.column_names:
+            return part_schema.empty_table()
+        _, off = tokens_flat(t["text"], lowercase=False)
+        ntok = np.diff(off)
+        src = pc.fill_null(t["source"], "").to_numpy(
+            zero_copy_only=False)
+        uniq, inv = np.unique(src, return_inverse=True)
+        toks = np.zeros(len(uniq), np.int64)
+        np.add.at(toks, inv, ntok)
+        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table({
+            "source": pa.array(uniq, pa.string()),
+            "n_docs": pa.array(cnt),
+            "n_tokens": pa.array(toks),
+        }, schema=part_schema)
+
+    agg = sorted_group_agg(
+        docs.select_columns(["source", "text"]).map_batches(
+            partial, batch_format="pyarrow"),
+        key="source", aggs={"n_docs": "sum", "n_tokens": "sum"},
+        schema=part_schema)
+
+    budget = int(budget_tokens)
+
+    def plan(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "n_tokens" not in t.column_names:
+            return MIXTURE_SCHEMA.empty_table()
+        src = t["source"].to_pylist()
+        toks = t["n_tokens"].to_numpy(zero_copy_only=False)
+        w = np.array([int(weights_pct.get(s, default_pct))
+                      for s in src], np.int64)
+        target = budget * w                      # int64, exact
+        rate = np.minimum(1.0, target / (toks * 100.0))
+        return pa.table({
+            "source": t["source"],
+            "n_docs": t["n_docs"],
+            "n_tokens": t["n_tokens"],
+            "weight_pct": pa.array(w),
+            "sample_rate": pa.array(rate),
+            "expected_tokens": pa.array(
+                np.floor(toks * rate).astype(np.int64)),
+        }, schema=MIXTURE_SCHEMA)
+
+    return agg.map_batches(plan, batch_format="pyarrow")

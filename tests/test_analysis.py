@@ -1651,3 +1651,43 @@ def test_source_pair_matrix_matches_duckdb():
     assert len(got) == len(want) > 1
     for col in want.columns:
         assert list(got[col]) == list(want[col]), col
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_mixture_plan_exact_arithmetic():
+    """Mixture plan: over-budget sources clamp to rate 1.0 (take all),
+    unweighted sources fall to the default, expected tokens floor
+    exactly, counts fold across blocks."""
+    import ray.data as rd
+
+    from smqtk_indexing_ray.pipelines.analysis import mixture_plan
+
+    docs = []
+    for i in range(60):
+        src = ["big", "small", "other"][i % 3]
+        n_tok = {"big": 100, "small": 5, "other": 20}[src]
+        docs.append((i, " ".join(["w"] * n_tok), src))
+    t = pa.table({
+        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+        "text": pa.array([d[1] for d in docs], pa.string()),
+        "lang": pa.array(["en"] * len(docs)),
+        "source": pa.array([d[2] for d in docs], pa.string()),
+        "n_chars": pa.array(
+            np.array([len(d[1]) for d in docs], np.int64)),
+    })
+    got = mixture_plan(
+        rd.from_arrow(t).repartition(5), budget_tokens=1000,
+        weights_pct={"big": 50, "small": 40},
+        default_pct=5).to_pandas().set_index("source")
+    # big: 2000 tokens, target 500 -> rate 0.25, expected 500
+    assert got.loc["big", "n_tokens"] == 2000
+    assert got.loc["big", "sample_rate"] == (1000 * 50) / (2000 * 100.0)
+    assert got.loc["big", "expected_tokens"] == 500
+    # small: 100 tokens, target 400 -> clamps to 1.0, takes all 100
+    assert got.loc["small", "sample_rate"] == 1.0
+    assert got.loc["small", "expected_tokens"] == 100
+    # other: default 5% -> target 50 of 400 tokens -> rate 0.125
+    assert got.loc["other", "weight_pct"] == 5
+    assert got.loc["other", "sample_rate"] == (1000 * 5) / (400 * 100.0)
+    assert got.loc["other", "expected_tokens"] == 50
+    assert got.n_docs.sum() == 60

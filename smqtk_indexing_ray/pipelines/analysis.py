@@ -2661,13 +2661,26 @@ def source_pair_matrix(docs, *, k: int = 3, threshold: float = 0.5):
         b = t["source"]
         lo = pc.min_element_wise(a, b)
         hi = pc.max_element_wise(a, b)
-        key = pc.binary_join_element_wise(lo, hi, "\x1f")
-        ka = key.to_numpy(zero_copy_only=False)
-        uniq, counts = np.unique(ka, return_counts=True)
-        split = [u.split("\x1f", 1) for u in uniq]
+        # pack via a shared dictionary, NOT a string separator —
+        # source strings are arbitrary user data and any separator
+        # byte they contain would corrupt the pair key
+        if isinstance(lo, pa.ChunkedArray):
+            lo = lo.combine_chunks()
+        if isinstance(hi, pa.ChunkedArray):
+            hi = hi.combine_chunks()
+        both = pc.dictionary_encode(pa.concat_arrays([lo, hi]))
+        if isinstance(both, pa.ChunkedArray):
+            both = both.combine_chunks()
+        idx = both.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        vocab = both.dictionary
+        n = len(lo)
+        key = idx[:n] * len(vocab) + idx[n:]
+        uniq, counts = np.unique(key, return_counts=True)
+        lo_i, hi_i = uniq // len(vocab), uniq % len(vocab)
         return pa.table({
-            "src_lo": pa.array([s[0] for s in split], pa.string()),
-            "src_hi": pa.array([s[1] for s in split], pa.string()),
+            "src_lo": vocab.take(pa.array(lo_i)).cast(pa.string()),
+            "src_hi": vocab.take(pa.array(hi_i)).cast(pa.string()),
             "n_pairs": pa.array(counts.astype(np.int64)),
         }, schema=part_schema)
 
@@ -2746,8 +2759,17 @@ def mixture_plan(docs, *, budget_tokens: int,
         toks = t["n_tokens"].to_numpy(zero_copy_only=False)
         w = np.array([int(weights_pct.get(s, default_pct))
                       for s in src], np.int64)
+        if len(w) and float(budget) * float(w.max()) > 9.0e18:
+            raise OverflowError(
+                "mixture_plan: budget * weight exceeds int64 — the "
+                "SQL twin would raise on BIGINT overflow too")
         target = budget * w                      # int64, exact
-        rate = np.minimum(1.0, target / (toks * 100.0))
+        # a zero-token source takes everything it has (rate 1.0, the
+        # SQL least(1.0, x/0.0) behavior), never NaN
+        denom = toks * 100.0
+        rate = np.minimum(1.0, np.where(
+            denom > 0, target / np.where(denom > 0, denom, 1.0),
+            np.inf))
         return pa.table({
             "source": t["source"],
             "n_docs": t["n_docs"],

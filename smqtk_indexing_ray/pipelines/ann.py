@@ -1682,8 +1682,10 @@ def label_scatter(emb, *, levels: int = 256):
             raise ValueError("label_scatter over ragged embeddings")
         q = _code_elements(x, dim, mn, rng, live, levels).astype(
             np.int64).reshape(-1, d_full)
-        lab = pc.cast(t["label"], pa.int64()).to_numpy(
-            zero_copy_only=False)
+        # null labels fold to the pinned -1 group (the repo-wide
+        # null-group-key convention) instead of crashing the int cast
+        lab = pc.fill_null(pc.cast(t["label"], pa.int64()),
+                           -1).to_numpy(zero_copy_only=False)
         uniq, inv = np.unique(lab, return_inverse=True)
         k = len(uniq)
         s = np.zeros((k, d_full), np.int64)

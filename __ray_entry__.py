@@ -1244,6 +1244,15 @@ def _q_posting_lists(sf_dir: str):
     return posting_lists(_docs(sf_dir), max_postings=16)
 
 
+def _q_dup_ngram_chars(sf_dir: str):
+    """Gopher-style duplicate-n-gram character fractions (n=2,3,4):
+    the within-doc repetition gate unigram signals miss.  Batch-local
+    dictionary-coded n-gram runs, exact int-ratio fractions.  Exact
+    oracle."""
+    from smqtk_indexing_ray.pipelines.terms import dup_ngram_chars
+    return dup_ngram_chars(_docs(sf_dir))
+
+
 def _q_term_frequencies(sf_dir: str):
     """Corpus-wide term frequency + document frequency via the
     partial-aggregate combiner shape (vocabulary-sized shuffle)."""
@@ -1740,6 +1749,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_entropy": _q_token_entropy,
         "term_frequencies": _q_term_frequencies,
         "posting_lists": _q_posting_lists,
+        "dup_ngram_chars": _q_dup_ngram_chars,
         "source_vocab_overlap": _q_source_vocab_overlap,
         "count_min_freqs": _q_count_min_freqs,
         "strided_windows": _q_strided_windows,
@@ -3340,6 +3350,53 @@ def oracle_sql() -> dict[str, str]:
             " count(DISTINCT doc_id) AS df "
             "FROM (SELECT doc_id, unnest(w) AS term FROM toks) "
             "GROUP BY term"
+        ),
+        "dup_ngram_chars": (
+            "WITH " + _TOKS + ", "
+            "ng2 AS ("
+            "  SELECT doc_id, unnest(list_transform("
+            "  generate_series(1, greatest(len(w) - 1, 0)),"
+            "  i -> w[i] || ' ' || w[i+1])) AS g FROM toks"
+            "), c2 AS ("
+            "  SELECT doc_id, g, count(*) AS cnt FROM ng2 GROUP BY 1, 2"
+            "), d2 AS ("
+            "  SELECT doc_id, CAST(sum(CASE WHEN cnt >= 2"
+            "  THEN cnt * length(g) ELSE 0 END) AS BIGINT) AS dup"
+            "  FROM c2 GROUP BY doc_id"
+            "), ng3 AS ("
+            "  SELECT doc_id, unnest(list_transform("
+            "  generate_series(1, greatest(len(w) - 2, 0)),"
+            "  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g"
+            "  FROM toks"
+            "), c3 AS ("
+            "  SELECT doc_id, g, count(*) AS cnt FROM ng3 GROUP BY 1, 2"
+            "), d3 AS ("
+            "  SELECT doc_id, CAST(sum(CASE WHEN cnt >= 2"
+            "  THEN cnt * length(g) ELSE 0 END) AS BIGINT) AS dup"
+            "  FROM c3 GROUP BY doc_id"
+            "), ng4 AS ("
+            "  SELECT doc_id, unnest(list_transform("
+            "  generate_series(1, greatest(len(w) - 3, 0)),"
+            "  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '"
+            "  || w[i+3])) AS g FROM toks"
+            "), c4 AS ("
+            "  SELECT doc_id, g, count(*) AS cnt FROM ng4 GROUP BY 1, 2"
+            "), d4 AS ("
+            "  SELECT doc_id, CAST(sum(CASE WHEN cnt >= 2"
+            "  THEN cnt * length(g) ELSE 0 END) AS BIGINT) AS dup"
+            "  FROM c4 GROUP BY doc_id"
+            ") "
+            "SELECT d.doc_id,"
+            " CASE WHEN d.n_chars > 0 THEN coalesce(d2.dup, 0)"
+            "  / (d.n_chars * 1.0) ELSE 0.0 END AS dup2_frac,"
+            " CASE WHEN d.n_chars > 0 THEN coalesce(d3.dup, 0)"
+            "  / (d.n_chars * 1.0) ELSE 0.0 END AS dup3_frac,"
+            " CASE WHEN d.n_chars > 0 THEN coalesce(d4.dup, 0)"
+            "  / (d.n_chars * 1.0) ELSE 0.0 END AS dup4_frac"
+            " FROM documents d"
+            " LEFT JOIN d2 ON d2.doc_id = d.doc_id"
+            " LEFT JOIN d3 ON d3.doc_id = d.doc_id"
+            " LEFT JOIN d4 ON d4.doc_id = d.doc_id"
         ),
         "posting_lists": (
             "WITH " + _TOKS + ", "

@@ -1981,3 +1981,103 @@ def posting_lists(docs, *, max_postings: int = 16):
     return stamp_schema(posts.map_batches(finish,
                                           batch_format="pyarrow"),
                         POSTING_SCHEMA)
+
+
+DUP_NGRAM_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()), ("dup2_frac", pa.float64()),
+    ("dup3_frac", pa.float64()), ("dup4_frac", pa.float64()),
+])
+
+
+def _dup_ngram_batch(t: pa.Table) -> pa.Table:
+    n_docs = t.num_rows
+    if n_docs == 0:
+        return DUP_NGRAM_SCHEMA.empty_table()
+    toks, off = tokens_flat(t["text"], lowercase=False)
+    counts = np.diff(off)
+    doc_rep = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+    d = pc.dictionary_encode(toks)
+    if isinstance(d, pa.ChunkedArray):
+        d = d.combine_chunks()
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    tok_chars = pc.utf8_length(toks).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    cc = np.concatenate([[0], np.cumsum(tok_chars)])
+    n_chars = pc.cast(t["n_chars"], pa.int64()).to_numpy(
+        zero_copy_only=False)
+
+    fracs = {}
+    # iterative n-gram key compaction: key_n for window [i, i+n) is
+    # compact(key_{n-1}[i]) * V + codes[i+n-1], so identity stays
+    # string-exact (dictionary codes, never hashes) and the packed key
+    # stays < (#distinct_{n-1} windows) * V — no 64-bit overflow at
+    # any realistic batch size
+    key = codes.copy()
+    valid_len = len(codes)
+    for n in (2, 3, 4):
+        dup_chars = np.zeros(n_docs, np.int64)
+        if valid_len >= 1 and len(codes) >= n:
+            prev = key[:valid_len]
+            _, prev_c = np.unique(prev, return_inverse=True)
+            nxt = codes[n - 1:]
+            m = len(codes) - n + 1
+            key = prev_c[:m] * np.int64(len(d.dictionary) + 1) \
+                + nxt[:m]
+            valid_len = m
+            if m > 0:
+                pos = np.arange(m)
+                same_doc = doc_rep[pos] == doc_rep[pos + n - 1]
+                vpos = pos[same_doc]
+                if len(vpos):
+                    vdoc = doc_rep[vpos]
+                    vkey = key[vpos]
+                    gch = cc[vpos + n] - cc[vpos] + (n - 1)
+                    order = np.lexsort((vkey, vdoc))
+                    sd, sk = vdoc[order], vkey[order]
+                    sch_ = gch[order]
+                    new_run = np.empty(len(sd), bool)
+                    new_run[0] = True
+                    np.logical_or(sd[1:] != sd[:-1],
+                                  sk[1:] != sk[:-1], out=new_run[1:])
+                    starts = np.flatnonzero(new_run)
+                    lens = np.diff(np.append(starts, len(sd)))
+                    run_chars = np.add.reduceat(sch_, starts)
+                    dup = lens >= 2
+                    if dup.any():
+                        np.add.at(dup_chars, sd[starts[dup]],
+                                  run_chars[dup])
+        frac = np.where(n_chars > 0,
+                        dup_chars / np.where(n_chars > 0, n_chars,
+                                             1).astype(np.float64),
+                        0.0)
+        fracs[n] = frac
+    return pa.table({
+        "doc_id": t["doc_id"],
+        "dup2_frac": pa.array(fracs[2]),
+        "dup3_frac": pa.array(fracs[3]),
+        "dup4_frac": pa.array(fracs[4]),
+    }, schema=DUP_NGRAM_SCHEMA)
+
+
+def dup_ngram_chars(docs):
+    """Gopher-style duplicate-n-gram character fractions (n = 2, 3,
+    4): per doc, the fraction of characters covered by word n-grams
+    that occur at least twice WITHIN the doc — the repetition gate the
+    unigram signals (:func:`repetition_signals`) cannot see (looping
+    paragraphs, chorus spam, template stutter).
+
+    Batch-local (no shuffle): dictionary-coded n-gram identity via
+    iterative key compaction (string-exact, never hashed), occurrence
+    character spans from one token-length cumsum, per-(doc, n-gram)
+    runs from one lexsort.  Fractions are exact int64-over-int64 IEEE
+    divisions against the doc's ``n_chars``.
+
+    Output: ``doc_id, dup2_frac, dup3_frac, dup4_frac``.
+    """
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+
+    return stamp_schema(
+        docs.select_columns(["doc_id", "text", "n_chars"]).map_batches(
+            _dup_ngram_batch, batch_format="pyarrow"),
+        DUP_NGRAM_SCHEMA)

@@ -809,3 +809,50 @@ def test_posting_lists_matches_duckdb():
         assert list(got[col]) == list(want[col]), col
     row = got.set_index("term").loc["common"]
     assert row.df == n and row.postings == "0,1,2,3,4"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dup_ngram_chars_matches_bruteforce():
+    """Gopher duplicate-n-gram char fractions vs a plain dict-based
+    brute force: a looping doc scores high at every n, a unique doc
+    scores 0, short docs (< n tokens) score 0, repeats crossing block
+    layouts stay batch-local per doc."""
+    import ray.data as rd
+
+    from smqtk_indexing_ray.pipelines.terms import dup_ngram_chars
+
+    texts = [
+        "spam ham spam ham spam ham",       # heavy bigram repetition
+        "one two three four five six",      # all unique
+        "x",                                # < 2 tokens
+        "",                                 # empty
+        "a b c a b c a b c",                # repeated trigram chorus
+    ]
+    t = pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+        "n_chars": pa.array(
+            np.array([len(x) for x in texts], np.int64)),
+    })
+    got = dup_ngram_chars(
+        rd.from_arrow(t).repartition(3)).to_pandas().sort_values(
+        "doc_id", ignore_index=True)
+
+    def brute(text, n):
+        w = text.split()
+        if len(w) < n or not text:
+            return 0.0
+        grams = [" ".join(w[i:i + n]) for i in range(len(w) - n + 1)]
+        cnt = {}
+        for g in grams:
+            cnt[g] = cnt.get(g, 0) + 1
+        dup = sum(len(g) * c for g, c in cnt.items() if c >= 2)
+        return dup / float(len(text)) if len(text) else 0.0
+
+    for i, text in enumerate(texts):
+        for n, col in ((2, "dup2_frac"), (3, "dup3_frac"),
+                       (4, "dup4_frac")):
+            assert got.loc[i, col] == brute(text, n), (i, n)
+    assert got.loc[0, "dup2_frac"] > 0.9        # the loop
+    assert got.loc[1, "dup2_frac"] == 0.0
+    assert got.loc[4, "dup3_frac"] > 0.5        # the chorus

@@ -3198,7 +3198,7 @@ def oracle_sql() -> dict[str, str]:
             "    0.0), 255.0) ELSE 0.0 END AS BIGINT) AS c"
             "  FROM e JOIN mm USING (dim)"
             ") "
-            "SELECT CAST(emb.label AS BIGINT) AS label,"
+            "SELECT coalesce(CAST(emb.label AS BIGINT), -1) AS label,"
             " CAST(q.dim - 1 AS BIGINT) AS dim,"
             " count(*) AS n_vecs,"
             " CAST(sum(q.c) AS BIGINT) / (count(*) * 1.0) AS mean_code,"
@@ -3206,7 +3206,7 @@ def oracle_sql() -> dict[str, str]:
             "  - CAST(sum(q.c) AS BIGINT) * CAST(sum(q.c) AS BIGINT))"
             " / (count(*) * count(*) * 1.0) AS var_code"
             " FROM q JOIN embeddings emb USING (vec_id)"
-            " GROUP BY emb.label, q.dim"
+            " GROUP BY coalesce(CAST(emb.label AS BIGINT), -1), q.dim"
         ),
         "kmeans_update": (
             "WITH e AS ("

@@ -1683,9 +1683,15 @@ def label_scatter(emb, *, levels: int = 256):
         q = _code_elements(x, dim, mn, rng, live, levels).astype(
             np.int64).reshape(-1, d_full)
         # null labels fold to the pinned -1 group (the repo-wide
-        # null-group-key convention) instead of crashing the int cast
-        lab = pc.fill_null(pc.cast(t["label"], pa.int64()),
-                           -1).to_numpy(zero_copy_only=False)
+        # null-group-key convention) instead of crashing the int cast.
+        # -1 is therefore RESERVED: a genuine -1 label would silently
+        # merge with the null group, so refuse it loudly instead.
+        lab_col = pc.cast(t["label"], pa.int64())
+        if pc.any(pc.equal(lab_col, -1)).as_py():
+            raise ValueError(
+                "label_scatter: label value -1 is reserved as the "
+                "null-label sentinel; re-map genuine -1 labels first")
+        lab = pc.fill_null(lab_col, -1).to_numpy(zero_copy_only=False)
         uniq, inv = np.unique(lab, return_inverse=True)
         k = len(uniq)
         s = np.zeros((k, d_full), np.int64)

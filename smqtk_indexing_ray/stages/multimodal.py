@@ -31,10 +31,21 @@ _FEAT_SCHEMA = pa.schema([
 ])
 
 
-def _bytes_hash64(p: bytes) -> int:
-    """Value-stable 64-bit hash of a byte string (splitmix64 word mix) —
-    PYTHONHASHSEED-independent, so task retries / multi-process runs see
-    identical values (unlike builtin ``hash``)."""
+# Seed of the second (independent) hash lane.  An arbitrary odd 64-bit
+# constant — any fixed value works as long as it differs from lane 1's
+# implicit seed of 0.
+_H2_SEED = np.uint64(0xA24BAED4963EE407)
+
+
+def _bytes_hash64(p: bytes, seed: np.uint64 = np.uint64(0)) -> int:
+    """Value-stable 64-bit keyed hash of a byte string (splitmix64 word
+    mix) — PYTHONHASHSEED-independent, so task retries / multi-process
+    runs see identical values (unlike builtin ``hash``).  ``seed``
+    mixes into every word of the stream, so hashes under distinct seeds
+    are independent functions of the payload (NOT derivable from each
+    other) — the same keyed-lane shape as ``_LK1``/``_LK2`` in
+    ``pipelines/terms.py``.  ``seed=0`` reproduces the historical
+    unkeyed values."""
     arr = np.frombuffer(p, dtype=np.uint8)
     pad = (-len(arr)) % 8
     if pad:
@@ -42,9 +53,9 @@ def _bytes_hash64(p: bytes) -> int:
     words = arr.view(np.uint64)
     idx = np.arange(len(words), dtype=np.uint64)
     with np.errstate(over="ignore"):
-        h = splitmix64(words ^ splitmix64(idx + np.uint64(len(p))))
+        h = splitmix64((words ^ seed) ^ splitmix64(idx + np.uint64(len(p)) + seed))
         acc = np.bitwise_xor.reduce(h) if len(h) else np.uint64(0)
-        return int(splitmix64(np.uint64([acc]))[0])
+        return int(splitmix64(np.uint64([acc ^ seed]))[0])
 
 
 def _fake_decode_meta(payloads: list[bytes | None]) -> tuple[np.ndarray, np.ndarray]:
@@ -250,9 +261,12 @@ def media_dedup(media):
         pays = t["payload"].to_pylist()
         h1 = np.array([_bytes_hash64(p or b"") for p in pays],
                       np.uint64)
-        # second 64-bit lane: re-seed through splitmix so (h1, h2) is a
-        # 128-bit content key
-        h2 = splitmix64(h1 ^ np.uint64(0x9E3779B97F4A7C15))
+        # second 64-bit lane: an INDEPENDENT keyed hash of the payload
+        # bytes (not a function of h1 — that would leave only 64 bits
+        # of entropy in the pair), so (h1, h2) is a true 128-bit
+        # content key, birthday-safe at 10^12 items
+        h2 = np.array([_bytes_hash64(p or b"", seed=_H2_SEED)
+                       for p in pays], np.uint64)
         return pa.table({
             "kind": t["kind"],
             "h1": pa.array(h1.view(np.int64)),

@@ -128,3 +128,32 @@ def test_media_dedup_exact_per_kind():
     assert got.loc[5, "cluster_id"] == 5 and got.loc[6, "cluster_id"] == 5
     assert got.loc[5, "n_copies"] == 2
     assert got.loc[7, "cluster_id"] == 7
+
+
+def test_media_hash_lanes_independent():
+    """The (h1, h2) exact-dedup key must carry 128 bits: h2 is an
+    INDEPENDENT keyed hash of the payload, not a function of h1
+    (ADVICE r3: h2 = splitmix64(h1 ^ const) left only 64 bits, so any
+    h1 collision silently collided the full key)."""
+    from smqtk_indexing_ray.functions.hashing import splitmix64
+    from smqtk_indexing_ray.stages.multimodal import (
+        _H2_SEED,
+        _bytes_hash64,
+    )
+
+    payloads = [b"", b"a", b"payload-one", b"abc" * 99, bytes(range(256))]
+    for p in payloads:
+        h1 = np.uint64(_bytes_hash64(p))
+        h2 = np.uint64(_bytes_hash64(p, seed=_H2_SEED))
+        assert h1 != h2
+        # not derivable via the old lane-2 construction (or trivial mixes)
+        with np.errstate(over="ignore"):
+            assert h2 != splitmix64(
+                h1 ^ np.uint64(0x9E3779B97F4A7C15))[()]
+            assert h2 != splitmix64(np.uint64([h1]))[0]
+    # seed=0 preserves the historical unkeyed values (golden)
+    assert _bytes_hash64(b"payload-one") == _bytes_hash64(
+        b"payload-one", seed=np.uint64(0))
+    # distinct payloads keep distinct lane-2 values
+    lane2 = {_bytes_hash64(p, seed=_H2_SEED) for p in payloads}
+    assert len(lane2) == len(payloads)

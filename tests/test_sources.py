@@ -419,7 +419,7 @@ class TestKmeans:
             "embedding": pa.array([[0.0, 1.0], [1.0], [0.5, 0.5]],
                                   pa.list_(pa.float32())),
         }))
-        with pytest.raises((ValueError, Exception)):
+        with pytest.raises(Exception, match="ragged"):
             kmeans_assign(ds, n_clusters=2).to_pandas()
 
 
@@ -518,3 +518,41 @@ def test_label_scatter_matches_bruteforce():
     # constant dim has zero variance in every label
     const = got[got.dim == 3]
     assert (const.var_code == 0.0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_label_scatter_rejects_reserved_label():
+    """-1 is reserved as the null-label sentinel: a genuine -1 label
+    would silently merge with the null group, so it must raise."""
+    import ray.data as rd
+
+    from smqtk_indexing_ray.pipelines.ann import label_scatter
+
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array([0, 1, 2], pa.int64()),
+        "embedding": pa.array([[0.0, 1.0], [1.0, 0.0], [0.5, 0.5]],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0, -1, None], pa.int32()),
+    }))
+    with pytest.raises(Exception, match="reserved"):
+        label_scatter(ds).to_pandas()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_label_scatter_null_labels_fold_to_sentinel():
+    """Null labels land in the -1 group (repo-wide null-group-key
+    convention; the registered oracle mirrors it via coalesce)."""
+    import ray.data as rd
+
+    from smqtk_indexing_ray.pipelines.ann import label_scatter
+
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "embedding": pa.array([[0.0, 1.0], [1.0, 0.0],
+                               [0.5, 0.5], [0.25, 0.75]],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0, None, 0, None], pa.int32()),
+    }))
+    got = label_scatter(ds).to_pandas()
+    assert set(got.label) == {-1, 0}
+    assert (got[got.label == -1].n_vecs == 2).all()

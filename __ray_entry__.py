@@ -1167,6 +1167,16 @@ def _q_kmeans_update(sf_dir: str):
     return kmeans_update(_emb(sf_dir), n_clusters=8)
 
 
+def _q_semantic_dedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023): k-means-bucketed embedding
+    near-dup pruning — within each bucket, drop every vector with a
+    lower-vec_id neighbor at quantized squared-L2 <= tau.  All-integer
+    arithmetic on the shared uint8 quantization, so assignment AND the
+    tau compare are bit-exact vs the SQL EXISTS twin."""
+    from smqtk_indexing_ray.pipelines.ann import semantic_dedup
+    return semantic_dedup(_emb(sf_dir), n_clusters=8, tau=150_000)
+
+
 def _q_label_scatter(sf_dir: str):
     """Per-label per-dim scatter of the quantized embedding space (the
     class-separability audit): exact int64 sum/sum-of-squares partials,
@@ -1707,6 +1717,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_assign": _q_kmeans_assign,
         "kmeans_update": _q_kmeans_update,
         "kmeans_fit": _q_kmeans_fit,
+        "semantic_dedup": _q_semantic_dedup,
         "label_scatter": _q_label_scatter,
         "filtered_ann_topk": _q_filtered_ann_topk,
         "best_rep_per_cluster": _q_best_rep_per_cluster,
@@ -3182,6 +3193,50 @@ def oracle_sql() -> dict[str, str]:
             "  PARTITION BY vec_id ORDER BY dist2, cid) AS rn FROM dist"
             ") "
             "SELECT vec_id, cid AS cluster, dist2 FROM r WHERE rn = 1"
+        ),
+        "semantic_dedup": (
+            "WITH e AS ("
+            "  SELECT vec_id, unnest(embedding) AS x,"
+            "  unnest(generate_series(1, len(embedding))) AS dim"
+            "  FROM embeddings"
+            "), mm AS ("
+            "  SELECT dim, min(x) AS mn, max(x) AS mx FROM e GROUP BY dim"
+            "), q AS ("
+            "  SELECT vec_id, dim,"
+            "  CAST(CASE WHEN mm.mx > mm.mn THEN least(greatest(floor("
+            "    (CAST(e.x AS DOUBLE) - CAST(mm.mn AS DOUBLE)) * 256.0"
+            "    / (CAST(mm.mx AS DOUBLE) - CAST(mm.mn AS DOUBLE))),"
+            "    0.0), 255.0) ELSE 0.0 END AS BIGINT) AS c"
+            "  FROM e JOIN mm USING (dim)"
+            "), seeds AS ("
+            "  SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8"
+            "), qc AS ("
+            "  SELECT q.vec_id AS cid, dim, c AS cc"
+            "  FROM q JOIN seeds USING (vec_id)"
+            "), dist AS ("
+            "  SELECT q.vec_id, qc.cid,"
+            "  CAST(sum((q.c - qc.cc) * (q.c - qc.cc)) AS BIGINT)"
+            "  AS dist2"
+            "  FROM q JOIN qc USING (dim) GROUP BY q.vec_id, qc.cid"
+            "), r AS ("
+            "  SELECT vec_id, cid, row_number() OVER ("
+            "  PARTITION BY vec_id ORDER BY dist2, cid) AS rn FROM dist"
+            "), a AS ("
+            "  SELECT vec_id, cid AS cluster FROM r WHERE rn = 1"
+            "), pd AS ("
+            "  SELECT hi.vec_id AS v,"
+            "  CAST(sum((qh.c - ql.c) * (qh.c - ql.c)) AS BIGINT) AS d2"
+            "  FROM a hi JOIN a lo ON hi.cluster = lo.cluster"
+            "  AND lo.vec_id < hi.vec_id"
+            "  JOIN q qh ON qh.vec_id = hi.vec_id"
+            "  JOIN q ql ON ql.vec_id = lo.vec_id AND ql.dim = qh.dim"
+            "  GROUP BY hi.vec_id, lo.vec_id"
+            ") "
+            "SELECT a.vec_id, a.cluster,"
+            " NOT EXISTS (SELECT 1 FROM pd"
+            "             WHERE pd.v = a.vec_id AND pd.d2 <= 150000)"
+            " AS keep"
+            " FROM a"
         ),
         "label_scatter": (
             "WITH e AS ("

@@ -1507,6 +1507,109 @@ def kmeans_update(emb, *, n_clusters: int = 8, levels: int = 256):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+SEMANTIC_DEDUP_SCHEMA = pa.schema([
+    ("vec_id", pa.int64()), ("cluster", pa.int64()),
+    ("keep", pa.bool_()),
+])
+
+
+def semantic_dedup(emb, *, n_clusters: int = 8, tau: int = 150_000,
+                   levels: int = 256, max_cluster: int = 50_000,
+                   batch_size: int = 4096):
+    """SemDeDup-style embedding near-dup pruning (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-bucket the corpus, then within each
+    bucket drop every vector with a LOWER-vec_id neighbor at quantized
+    squared-L2 ``<= tau`` — the deterministic lowest-id analog of the
+    paper's keep-one-per-semantic-duplicate-set rule (the witness need
+    not itself survive; the greedy sweep and its SQL ``EXISTS`` twin
+    agree by construction).
+
+    Exact arithmetic contract: vectors ride the shared uint8
+    quantization (:func:`_code_elements`), every distance is int64, so
+    the assignment argmin AND the ``tau`` compare are bit-exact vs the
+    DuckDB oracle — no float-summation-order sensitivity anywhere.
+
+    Scale design: the codebook bounds the quadratic — pairwise work is
+    O(Σ_c |c|² d) confined per cluster (the SemDeDup design point:
+    ``n_clusters`` grows with the corpus so bucket sizes stay roughly
+    constant); a cluster above ``max_cluster`` members raises loudly
+    instead of melting one task.  Codes cross the ONE shuffle as
+    d-byte fixed-width binary (uint8/dim), never float vectors; the
+    pairwise scan runs in row stripes so scratch stays
+    O(stripe x |c|), not O(|c|²).
+
+    Reference analog: the LSH bucket -> exact re-rank shape of
+    /root/reference/smqtk_indexing/impls/nn_index/lsh.py:462-486
+    (coarse partition, exact verify within), with k-means buckets in
+    place of hash buckets.
+
+    Output: ``vec_id, cluster, keep`` — cluster is the winning seed's
+    vec_id.
+    """
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+    import ray.data as rd
+
+    setup = _kmeans_centroids(emb, n_clusters, levels)
+    if setup is None:
+        return rd.from_arrow(SEMANTIC_DEDUP_SCHEMA.empty_table())
+    mn, rng, live, cent_ids, cent_codes = setup
+    d_full = len(mn)
+
+    packed_schema = pa.schema([("vec_id", pa.int64()),
+                               ("cluster", pa.int64()),
+                               ("code", pa.binary(d_full))])
+
+    def assign_pack(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "vec_id" not in t.column_names:
+            return packed_schema.empty_table()
+        vid, cl, _, q = _assign_batch(t, mn, rng, live, cent_ids,
+                                      cent_codes, levels)
+        # codes are < levels <= 256: one byte per dim
+        code_bytes = q.astype(np.uint8).tobytes()
+        codes = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(d_full), len(q), [None, pa.py_buffer(code_bytes)])
+        return pa.table({"vec_id": vid, "cluster": pa.array(cl),
+                         "code": codes}, schema=packed_schema)
+
+    packed = emb.select_columns(["vec_id", "embedding"]).map_batches(
+        assign_pack, batch_format="pyarrow", batch_size=batch_size)
+
+    def per_cluster(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "vec_id" not in t.column_names:
+            return SEMANTIC_DEDUP_SCHEMA.empty_table()
+        n = t.num_rows
+        if n > max_cluster:
+            raise ValueError(
+                f"semantic_dedup: cluster of {n} rows exceeds "
+                f"max_cluster={max_cluster}; raise n_clusters (the "
+                "quadratic bound is per bucket) or max_cluster")
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        arr = t["code"].combine_chunks()
+        flat = np.frombuffer(arr.buffers()[1], np.uint8)
+        q = flat[arr.offset * d_full:(arr.offset + n) * d_full].reshape(
+            n, d_full)[order].astype(np.int64)
+        keep = np.ones(n, bool)
+        a2 = np.einsum("ij,ij->i", q, q)
+        stripe = max(1, 8_000_000 // max(1, n))
+        for s0 in range(1, n, stripe):
+            s1 = min(s0 + stripe, n)
+            cross = q[s0:s1] @ q.T                 # (s, n) int64
+            d2 = a2[s0:s1, None] + a2[None, :] - 2 * cross
+            lower = np.arange(n)[None, :] < np.arange(s0, s1)[:, None]
+            keep[s0:s1] = ~((d2 <= tau) & lower).any(axis=1)
+        return pa.table({
+            "vec_id": pa.array(ids),
+            "cluster": t["cluster"].take(pa.array(order)),
+            "keep": pa.array(keep),
+        }, schema=SEMANTIC_DEDUP_SCHEMA)
+
+    return packed.groupby("cluster").map_groups(
+        per_cluster, batch_format="pyarrow")
+
+
 KMEANS_FIT_SCHEMA = pa.schema([
     ("cluster", pa.int64()), ("n_vecs", pa.int64()),
     ("inertia", pa.float64()), ("n_iters", pa.int64()),

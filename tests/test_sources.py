@@ -556,3 +556,101 @@ def test_label_scatter_null_labels_fold_to_sentinel():
     got = label_scatter(ds).to_pandas()
     assert set(got.label) == {-1, 0}
     assert (got[got.label == -1].n_vecs == 2).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSemanticDedup:
+    def _ds(self, m, ids=None, parts=4):
+        import ray.data as rd
+        n = len(m)
+        if ids is None:
+            ids = np.arange(n, dtype=np.int64)
+        return rd.from_arrow(pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([list(r) for r in m],
+                                  pa.list_(pa.float32())),
+        })).repartition(parts)
+
+    @staticmethod
+    def _brute(m, ids, k, tau, levels=256):
+        """Pure-numpy reference: quantize, assign to lowest-id seeds,
+        dominated filter within cluster."""
+        x = m.astype(np.float64)
+        mn, mx = x.min(0), x.max(0)
+        rng = mx - mn
+        live = rng > 0
+        q = np.where(live,
+                     np.clip(np.floor((x - mn) * float(levels)
+                                      / np.where(live, rng, 1.0)),
+                             0, levels - 1), 0.0).astype(np.int64)
+        order = np.argsort(ids)
+        cent = q[order[:k]]
+        cent_ids = ids[order[:k]]
+        d2 = ((q[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        cl = cent_ids[np.argmin(d2, 1)]
+        keep = {}
+        for c in set(cl):
+            sel = np.flatnonzero(cl == c)
+            sel = sel[np.argsort(ids[sel])]
+            for i, si in enumerate(sel):
+                dom = any(((q[si] - q[sj]) ** 2).sum() <= tau
+                          for sj in sel[:i])
+                keep[int(ids[si])] = (int(c), not dom)
+        return keep
+
+    def test_matches_bruteforce_with_planted_dups(self):
+        from smqtk_indexing_ray.pipelines.ann import semantic_dedup
+        rng = np.random.default_rng(13)
+        centers = rng.standard_normal((4, 16)) * 3
+        base = np.stack([centers[i % 4]
+                         + rng.standard_normal(16) * 0.5
+                         for i in range(60)])
+        # plant near-dups: tiny perturbations of existing rows
+        dups = base[:20] + rng.standard_normal((20, 16)) * 1e-3
+        m = np.concatenate([base, dups]).astype(np.float32)
+        ids = np.arange(len(m), dtype=np.int64)
+        tau = 500
+        got = semantic_dedup(self._ds(m), n_clusters=4,
+                             tau=tau).to_pandas()
+        want = self._brute(m, ids, 4, tau)
+        assert len(got) == len(m)
+        for r in got.itertuples():
+            wc, wk = want[int(r.vec_id)]
+            assert (r.cluster, bool(r.keep)) == (wc, wk), r.vec_id
+        # the planted copies must actually be dropped
+        dropped = set(got[~got.keep].vec_id)
+        assert len(dropped & set(range(60, 80))) >= 18
+
+    def test_lowest_id_always_kept_and_deterministic(self):
+        from smqtk_indexing_ray.pipelines.ann import semantic_dedup
+        rng = np.random.default_rng(5)
+        m = rng.standard_normal((80, 8)).astype(np.float32)
+        a = semantic_dedup(self._ds(m, parts=3), n_clusters=4,
+                           tau=10_000).to_pandas().sort_values(
+            "vec_id", ignore_index=True)
+        b = semantic_dedup(self._ds(m, parts=7), n_clusters=4,
+                           tau=10_000).to_pandas().sort_values(
+            "vec_id", ignore_index=True)
+        assert a.equals(b)
+        # within every cluster the lowest vec_id survives
+        for _, grp in a.groupby("cluster"):
+            assert bool(grp.loc[grp.vec_id.idxmin(), "keep"])
+
+    def test_cluster_cap_raises(self):
+        from smqtk_indexing_ray.pipelines.ann import semantic_dedup
+        rng = np.random.default_rng(2)
+        m = rng.standard_normal((50, 4)).astype(np.float32)
+        with pytest.raises(Exception, match="max_cluster"):
+            semantic_dedup(self._ds(m), n_clusters=1, tau=0,
+                           max_cluster=10).to_pandas()
+
+    def test_empty_input(self):
+        import ray.data as rd
+        from smqtk_indexing_ray.pipelines.ann import (
+            SEMANTIC_DEDUP_SCHEMA, semantic_dedup)
+        empty = rd.from_arrow(pa.table({
+            "vec_id": pa.array([], pa.int64()),
+            "embedding": pa.array([], pa.list_(pa.float32())),
+        }))
+        out = semantic_dedup(empty)
+        assert out.count() == 0

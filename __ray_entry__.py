@@ -502,6 +502,16 @@ def _q_doc_fingerprints(sf_dir: str):
     return doc_fingerprints(_docs(sf_dir))
 
 
+def _q_cdc_chunk_stats(sf_dir: str):
+    """Chunk-level dedup accounting via content-defined chunking (the
+    shift-tolerant dedup grain): gear rolling hash cuts, chunk-hash
+    distinct-doc counts, per-doc shared-byte fraction.  Rolling hashes
+    are not SQL-expressible — rows-only here; the kernel and pipeline
+    are pinned by brute-force pytest oracles (tests/test_cdc.py)."""
+    from smqtk_indexing_ray.pipelines.cdc import cdc_chunk_stats
+    return cdc_chunk_stats(_docs(sf_dir))
+
+
 def _q_lang_id(sf_dir: str):
     from smqtk_indexing_ray.pipelines.analysis import lang_id
     return lang_id(_docs(sf_dir))
@@ -1700,6 +1710,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_dedup": _q_lsh_dedup,
         "simhash_near_pairs": _q_simhash_near_pairs,
         "doc_fingerprints": _q_doc_fingerprints,
+        "cdc_chunk_stats": _q_cdc_chunk_stats,
         "lang_id": _q_lang_id,
         "hamming_topk": _q_hamming_topk,
         "hamming_topk_wide": _q_hamming_topk_wide,

@@ -1,0 +1,179 @@
+"""Chunk-level exact dedup via content-defined chunking.
+
+The fourth dedup grain in the engine (document exact / MinHash near /
+line-level / CDC chunk): documents are cut into content-defined chunks
+(:mod:`smqtk_indexing_ray.functions.cdc`), chunk hashes are counted
+across distinct documents, and each document reports how much of its
+byte mass lives in chunks shared with at least one OTHER document —
+the shift-tolerant "how much of this page exists elsewhere" signal
+that byte-offset shingles miss when boilerplate is inserted or
+reordered.
+
+Shuffle discipline: text never crosses a shuffle.  Stage 1 reduces
+each batch to one row per ``(chunk_hash, doc_id)`` (a document lives
+in exactly one batch row, so these rows are globally unique); the ONE
+wide exchange is a sort by ``chunk_hash`` whose run lengths ARE the
+distinct-document counts (``stages/agg.sorted_run_length_attach``),
+and the per-document rollup rides the measured sort-based aggregation
+(``sorted_group_agg``).  At 10^12 docs the exchanged rows are
+O(chunks), ~24 B each — never document bytes.
+
+Reference analog: the bucket-multimap accounting of
+/root/reference/smqtk_indexing/impls/nn_index/lsh.py:315-323 (hash ->
+member-set sizes), applied to content-defined chunk keys instead of
+LSH band keys.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from smqtk_indexing_ray.functions.cdc import cdc_cut_points, gear_hashes_padded
+from smqtk_indexing_ray.functions.hashing import hash_strings_u64
+
+_CDC_HASH_KEY = "smqtk-ray-cdc-16"      # pandas SipHash keys are 16 bytes
+
+CDC_CHUNK_STATS_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()), ("n_chunks", pa.int64()),
+    ("n_shared_chunks", pa.int64()), ("total_bytes", pa.int64()),
+    ("dup_bytes", pa.int64()), ("dup_byte_frac", pa.float64()),
+])
+
+_PAIR_SCHEMA = pa.schema([
+    ("chunk_hash", pa.int64()), ("doc_id", pa.int64()),
+    ("n_in_doc", pa.int64()), ("len_sum", pa.int64()),
+])
+
+
+def _chunk_batch(t: pa.Table, mask_bits: int, min_size: int,
+                 max_size: int) -> pa.Table:
+    """One batch -> one row per (chunk_hash, doc_id) with the in-doc
+    instance count and byte sum.  Zero-length texts contribute no
+    rows (documented: empty docs are omitted from the stats)."""
+    if t.num_rows == 0 or "doc_id" not in t.column_names:
+        return _PAIR_SCHEMA.empty_table()
+    texts = t["text"].to_pylist()
+    streams = [x.encode("utf-8") if x else b"" for x in texts]
+    dids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    h, offs = gear_hashes_padded(streams)
+
+    chunk_doc: list[np.ndarray] = []
+    chunk_str: list[str] = []
+    chunk_len: list[np.ndarray] = []
+    for i, s in enumerate(streams):
+        n = len(s)
+        if n == 0:
+            continue
+        ends = cdc_cut_points(h[offs[i]:offs[i] + n], mask_bits=mask_bits,
+                              min_size=min_size, max_size=max_size)
+        starts = np.concatenate([[0], ends[:-1] + 1])
+        # latin-1 is a bijective bytes<->str map: chunk bytes ride the
+        # vectorized dictionary-encode + SipHash string kernel unchanged
+        chunk_str.extend(
+            s[a:e + 1].decode("latin-1") for a, e in zip(starts, ends))
+        chunk_doc.append(np.full(len(ends), dids[i], np.int64))
+        chunk_len.append(ends - starts + 1)
+    if not chunk_str:
+        return _PAIR_SCHEMA.empty_table()
+    doc = np.concatenate(chunk_doc)
+    ln = np.concatenate(chunk_len)
+    ch = hash_strings_u64(chunk_str, hash_key=_CDC_HASH_KEY).view(np.int64)
+
+    order = np.lexsort((ch, doc))
+    doc, ch, ln = doc[order], ch[order], ln[order]
+    first = np.empty(len(doc), bool)
+    first[0] = True
+    first[1:] = (doc[1:] != doc[:-1]) | (ch[1:] != ch[:-1])
+    starts_i = np.flatnonzero(first)
+    cnt = np.diff(np.append(starts_i, len(doc))).astype(np.int64)
+    lsum = np.add.reduceat(ln, starts_i)
+    return pa.table({
+        "chunk_hash": pa.array(ch[starts_i]),
+        "doc_id": pa.array(doc[starts_i]),
+        "n_in_doc": pa.array(cnt),
+        "len_sum": pa.array(lsum.astype(np.int64)),
+    }, schema=_PAIR_SCHEMA)
+
+
+def cdc_chunk_stats(docs, *, mask_bits: int = 6, min_size: int = 32,
+                    max_size: int = 256, batch_size: int = 2048):
+    """Per-document CDC duplicate accounting.
+
+    Output: ``doc_id, n_chunks, n_shared_chunks, total_bytes,
+    dup_bytes, dup_byte_frac`` — a chunk instance is *shared* when its
+    content hash occurs in >= 2 distinct documents corpus-wide;
+    ``dup_byte_frac`` is the exact int64 ratio ``dup_bytes /
+    total_bytes``.  Exact duplicates report 1.0; a page that embeds a
+    syndicated article inside unique boilerplate reports the embedded
+    fraction (shifted offsets included — the CDC property).
+
+    Defaults target the synthetic corpus's ~300-byte documents
+    (expected chunk ``2**mask_bits`` = 64 B); production webtext wants
+    ``mask_bits``~12, ``min_size``~2048, ``max_size``~16384.
+    """
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+
+    from smqtk_indexing_ray.stages.agg import (
+        sorted_group_agg,
+        sorted_run_length_attach,
+    )
+
+    def chunk(t: pa.Table) -> pa.Table:
+        return _chunk_batch(t, mask_bits, min_size, max_size)
+
+    pairs = docs.select_columns(["doc_id", "text"]).map_batches(
+        chunk, batch_format="pyarrow", batch_size=batch_size)
+
+    # run length over (hash, doc)-unique rows == distinct-doc count
+    sized = sorted_run_length_attach(pairs, key="chunk_hash",
+                                     out="n_docs", schema=_PAIR_SCHEMA)
+
+    part_schema = pa.schema([
+        ("doc_id", pa.int64()), ("n_chunks", pa.int64()),
+        ("n_shared_chunks", pa.int64()), ("total_bytes", pa.int64()),
+        ("dup_bytes", pa.int64()),
+    ])
+
+    def per_doc_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "n_docs" not in t.column_names:
+            return part_schema.empty_table()
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        cnt = t["n_in_doc"].to_numpy(zero_copy_only=False)
+        ls = t["len_sum"].to_numpy(zero_copy_only=False)
+        shared = t["n_docs"].to_numpy(zero_copy_only=False) >= 2
+        uniq, inv = np.unique(doc, return_inverse=True)
+        k = len(uniq)
+        out = np.zeros((k, 4), np.int64)
+        np.add.at(out[:, 0], inv, cnt)
+        np.add.at(out[:, 1], inv, np.where(shared, cnt, 0))
+        np.add.at(out[:, 2], inv, ls)
+        np.add.at(out[:, 3], inv, np.where(shared, ls, 0))
+        return pa.table({
+            "doc_id": pa.array(uniq), "n_chunks": pa.array(out[:, 0]),
+            "n_shared_chunks": pa.array(out[:, 1]),
+            "total_bytes": pa.array(out[:, 2]),
+            "dup_bytes": pa.array(out[:, 3]),
+        }, schema=part_schema)
+
+    agg = sorted_group_agg(
+        sized.map_batches(per_doc_partial, batch_format="pyarrow"),
+        key="doc_id",
+        aggs={"n_chunks": "sum", "n_shared_chunks": "sum",
+              "total_bytes": "sum", "dup_bytes": "sum"},
+        schema=part_schema)
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "dup_bytes" not in t.column_names:
+            return CDC_CHUNK_STATS_SCHEMA.empty_table()
+        tot = t["total_bytes"].to_numpy(zero_copy_only=False)
+        dup = t["dup_bytes"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t["doc_id"], "n_chunks": t["n_chunks"],
+            "n_shared_chunks": t["n_shared_chunks"],
+            "total_bytes": t["total_bytes"], "dup_bytes": t["dup_bytes"],
+            "dup_byte_frac": pa.array(dup / (tot * 1.0)),
+        }, schema=CDC_CHUNK_STATS_SCHEMA)
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -502,6 +502,15 @@ def _q_doc_fingerprints(sf_dir: str):
     return doc_fingerprints(_docs(sf_dir))
 
 
+def _q_dsir_weights(sf_dir: str):
+    """DSIR importance weights (Xie et al. 2023): per-doc log ratio of
+    target (lang='en') vs rest unigram LMs with add-0.5 smoothing —
+    the pretraining data-selection score.  Vocabulary-sized shuffle,
+    broadcast log-ratio arrays, batch-local scoring; round6 floats."""
+    from smqtk_indexing_ray.pipelines.terms import dsir_weights
+    return dsir_weights(_docs(sf_dir), target_lang="en")
+
+
 def _q_cdc_chunk_stats(sf_dir: str):
     """Chunk-level dedup accounting via content-defined chunking (the
     shift-tolerant dedup grain): gear rolling hash cuts, chunk-hash
@@ -1711,6 +1720,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_pairs": _q_simhash_near_pairs,
         "doc_fingerprints": _q_doc_fingerprints,
         "cdc_chunk_stats": _q_cdc_chunk_stats,
+        "dsir_weights": _q_dsir_weights,
         "lang_id": _q_lang_id,
         "hamming_topk": _q_hamming_topk,
         "hamming_topk_wide": _q_hamming_topk_wide,
@@ -3534,6 +3544,32 @@ def oracle_sql() -> dict[str, str]:
             "CAST(win_idx * 64 AS BIGINT) AS tok_start, "
             "CAST(least(128, n - win_idx * 64) AS BIGINT) AS tok_len, "
             "least(128, n - win_idx * 64) = 128 AS is_full FROM e"
+        ),
+        "dsir_weights": (
+            r"WITH " + _TOKS + r", "
+            r"tok AS (SELECT doc_id, unnest(w) AS term FROM toks), "
+            r"lab AS (SELECT doc_id,"
+            r"  coalesce(lang = 'en', false) AS is_tgt FROM documents), "
+            r"cnt AS (SELECT term,"
+            r"  sum(CASE WHEN lab.is_tgt THEN 1 ELSE 0 END) AS tgt,"
+            r"  sum(CASE WHEN lab.is_tgt THEN 0 ELSE 1 END) AS raw"
+            r"  FROM tok JOIN lab USING (doc_id) GROUP BY term), "
+            r"tots AS (SELECT CAST(sum(tgt) AS DOUBLE) AS tgt_tot,"
+            r"  CAST(sum(raw) AS DOUBLE) AS raw_tot,"
+            r"  CAST(count(*) AS DOUBLE) AS v FROM cnt), "
+            r"ratio AS (SELECT term,"
+            r"  ln((CAST(tgt AS DOUBLE) + 0.5) / (tgt_tot + 0.5 * v))"
+            r"  - ln((CAST(raw AS DOUBLE) + 0.5) / (raw_tot + 0.5 * v))"
+            r"  AS r FROM cnt CROSS JOIN tots), "
+            r"dw AS (SELECT doc_id, term, count(*) AS tf FROM tok"
+            r"  GROUP BY doc_id, term), "
+            r"nt AS (SELECT doc_id, count(*) AS n_tokens FROM tok"
+            r"  GROUP BY doc_id) "
+            r"SELECT dw.doc_id, nt.n_tokens,"
+            r" round(sum(CAST(dw.tf AS DOUBLE) * ratio.r), 6) AS weight"
+            r" FROM dw JOIN ratio USING (term)"
+            r" JOIN nt ON nt.doc_id = dw.doc_id"
+            r" GROUP BY dw.doc_id, nt.n_tokens"
         ),
         "bm25_topk": (
             r"WITH " + _TOKS + r", "

@@ -361,6 +361,123 @@ def tfidf_top_terms(docs, *, k: int = 3, max_vocab: int = TFIDF_MAX_VOCAB):
     return stamp_schema(out, TFIDF_SCHEMA)
 
 
+DSIR_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()),
+    ("n_tokens", pa.int64()),
+    ("weight", pa.float64()),
+])
+
+
+def dsir_weights(docs, *, target_lang: str = "en", alpha: float = 0.5,
+                 max_vocab: int = TFIDF_MAX_VOCAB):
+    """DSIR-style importance weights (Xie et al., NeurIPS'23 "Data
+    Selection for Language Models via Importance Resampling",
+    arXiv:2302.03169): per-document log importance weight under unigram
+    bag-of-words models of a TARGET slice (``lang == target_lang``)
+    versus the rest of the corpus — the static data-selection score a
+    pretraining pipeline samples against.
+
+    ``weight(d) = Σ_runs tf(d, t) · [ln p_tgt(t) − ln p_raw(t)]`` with
+    add-``alpha`` smoothing over the union vocabulary ``V``:
+    ``p_side(t) = (cnt_side(t) + alpha) / (tot_side + alpha·|V|)``.
+    Positive = looks like the target distribution.
+
+    Two passes, both combiner-shaped: pass 1 aggregates per-term
+    (target_cnt, raw_cnt) partials (the shuffle carries vocabulary
+    rows, never tokens), gated at ``max_vocab`` exactly like the tf-idf
+    broadcast; pass 2 broadcasts the sorted term -> log-ratio arrays
+    once via ``ray.put`` and scores each batch locally (one
+    searchsorted per batch-distinct term + a per-doc bincount sum).
+    The paper's hashed-n-gram bucketing is the above-the-gate move: it
+    bounds |V|, the only thing the gate protects.
+
+    Output: ``doc_id, n_tokens, weight`` (round6 — the summation-order
+    contract of token_entropy/bm25 applies).  Token-less documents are
+    omitted.
+    """
+    import ray
+
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+
+    from smqtk_indexing_ray.functions.metrics import round6
+    from smqtk_indexing_ray.stages.agg import sorted_group_agg
+
+    cnt_schema = pa.schema([("term", pa.string()), ("tgt", pa.int64()),
+                            ("raw", pa.int64())])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0 or "text" not in t.column_names:
+            return cnt_schema.empty_table()
+        vocab, doc_rep, code, _, _, _, _, _, _ = _doc_term_runs(
+            t["text"], n)
+        v = len(vocab)
+        if v == 0:
+            return cnt_schema.empty_table()
+        is_tgt = pc.fill_null(
+            pc.equal(t["lang"], target_lang), False).to_numpy(
+            zero_copy_only=False)
+        tok_tgt = is_tgt[doc_rep]
+        tgt = np.bincount(code[tok_tgt], minlength=v).astype(np.int64)
+        raw = np.bincount(code[~tok_tgt], minlength=v).astype(np.int64)
+        return pa.table({"term": vocab, "tgt": pa.array(tgt),
+                         "raw": pa.array(raw)}, schema=cnt_schema)
+
+    agg = sorted_group_agg(
+        docs.select_columns(["doc_id", "text", "lang"]).map_batches(
+            count_partial, batch_format="pyarrow"),
+        key="term", aggs={"tgt": "sum", "raw": "sum"},
+        schema=cnt_schema).materialize()
+    n_vocab = agg.count()
+    if n_vocab == 0:
+        import ray.data as rd
+        return rd.from_arrow(DSIR_SCHEMA.empty_table())
+    if n_vocab > max_vocab:
+        raise ValueError(
+            f"dsir_weights: vocabulary has {n_vocab} terms > max_vocab="
+            f"{max_vocab}; hash features into bounded buckets (the "
+            "DSIR paper's move) or prune before broadcasting")
+    vt = pa.concat_tables(
+        [b for b in agg.iter_batches(batch_size=None,
+                                     batch_format="pyarrow")]
+    ).combine_chunks()
+    terms = vt["term"].to_numpy(zero_copy_only=False).astype(object)
+    tgt = vt["tgt"].to_numpy(zero_copy_only=False).astype(np.float64)
+    raw = vt["raw"].to_numpy(zero_copy_only=False).astype(np.float64)
+    order = np.argsort(terms, kind="stable")
+    terms, tgt, raw = terms[order], tgt[order], raw[order]
+    r = (np.log((tgt + alpha) / (tgt.sum() + alpha * n_vocab))
+         - np.log((raw + alpha) / (raw.sum() + alpha * n_vocab)))
+    ref = ray.put((terms, r))
+
+    def score(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0 or "text" not in t.column_names:
+            return DSIR_SCHEMA.empty_table()
+        sorted_terms, ratio = ray.get(ref)
+        (vocab, _, _, _, s_code, run_starts, run_len, run_doc,
+         counts) = _doc_term_runs(t["text"], n)
+        if not len(run_starts):
+            return DSIR_SCHEMA.empty_table()
+        batch_terms = vocab.to_numpy(zero_copy_only=False).astype(object)
+        # every batch term is in the union vocabulary by construction
+        r_term = ratio[np.searchsorted(sorted_terms, batch_terms)]
+        contrib = run_len.astype(np.float64) * r_term[s_code[run_starts]]
+        w = np.bincount(run_doc, weights=contrib, minlength=n)
+        keep = counts > 0
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(doc_ids[keep].astype(np.int64)),
+            "n_tokens": pa.array(counts[keep].astype(np.int64)),
+            "weight": pa.array(round6(w[keep])),
+        }, schema=DSIR_SCHEMA)
+
+    out = docs.select_columns(["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow")
+    return stamp_schema(out, DSIR_SCHEMA)
+
+
 def _pair_member(hot1: np.ndarray, hot2: np.ndarray,
                  a1: np.ndarray, a2: np.ndarray) -> np.ndarray:
     """Vectorized membership of 128-bit pairs (a1, a2) in the

@@ -856,3 +856,78 @@ def test_dup_ngram_chars_matches_bruteforce():
     assert got.loc[0, "dup2_frac"] > 0.9        # the loop
     assert got.loc[1, "dup2_frac"] == 0.0
     assert got.loc[4, "dup3_frac"] > 0.5        # the chorus
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDsirWeights:
+    def _ds(self, texts, langs, parts=3):
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        })).repartition(parts)
+
+    @staticmethod
+    def _brute(texts, langs, target="en", alpha=0.5):
+        from collections import Counter
+        tgt, raw = Counter(), Counter()
+        for txt, lg in zip(texts, langs):
+            (tgt if lg == target else raw).update((txt or "").split())
+        vocab = set(tgt) | set(raw)
+        v = len(vocab)
+        tt, rt = sum(tgt.values()), sum(raw.values())
+        r = {w: (np.log((tgt[w] + alpha) / (tt + alpha * v))
+                 - np.log((raw[w] + alpha) / (rt + alpha * v)))
+             for w in vocab}
+        out = {}
+        for i, txt in enumerate(texts):
+            ws = (txt or "").split()
+            if ws:
+                out[i] = (len(ws), sum(r[w] for w in ws))
+        return out
+
+    def test_matches_bruteforce(self):
+        from smqtk_indexing_ray.functions.metrics import round6
+        from smqtk_indexing_ray.pipelines.terms import dsir_weights
+        rng = np.random.default_rng(17)
+        tgt_words = ["alpha", "beta", "gamma", "shared"]
+        raw_words = ["uno", "dos", "tres", "shared"]
+        texts, langs = [], []
+        for i in range(30):
+            pool = tgt_words if i % 2 == 0 else raw_words
+            texts.append(" ".join(rng.choice(pool, 25)))
+            langs.append("en" if i % 2 == 0 else "de")
+        texts.append("")                         # token-less: omitted
+        langs.append("en")
+        got = dsir_weights(self._ds(texts, langs)).to_pandas(
+        ).set_index("doc_id")
+        want = self._brute(texts, langs)
+        assert set(got.index) == set(want)
+        for i, (n, w) in want.items():
+            assert got.loc[i, "n_tokens"] == n
+            assert got.loc[i, "weight"] == round6(np.array([w]))[0]
+        # target-like docs score positive, raw-like negative
+        assert (got.loc[[i for i in got.index if i % 2 == 0],
+                        "weight"] > 0).all()
+        assert (got.loc[[i for i in got.index if i % 2 == 1],
+                        "weight"] < 0).all()
+
+    def test_vocab_gate_raises(self):
+        from smqtk_indexing_ray.pipelines.terms import dsir_weights
+        texts = ["w%d x%d y%d" % (i, i + 1, i + 2) for i in range(20)]
+        with pytest.raises(ValueError, match="max_vocab"):
+            dsir_weights(self._ds(texts, ["en"] * 20),
+                         max_vocab=5).to_pandas()
+
+    def test_deterministic_across_partitioning(self):
+        from smqtk_indexing_ray.pipelines.terms import dsir_weights
+        rng = np.random.default_rng(3)
+        texts = [" ".join(rng.choice(["a", "bb", "ccc", "dd"], 40))
+                 for _ in range(25)]
+        langs = ["en" if i < 10 else "fr" for i in range(25)]
+        a = dsir_weights(self._ds(texts, langs, parts=2)).to_pandas(
+        ).sort_values("doc_id", ignore_index=True)
+        b = dsir_weights(self._ds(texts, langs, parts=8)).to_pandas(
+        ).sort_values("doc_id", ignore_index=True)
+        assert a.equals(b)

@@ -401,6 +401,13 @@ def run_sf_suite(sf_dir: str) -> dict[str, float]:
             "smqtk_indexing_ray.pipelines.events",
             fromlist=["event_dedup"]).event_dedup(events()),
         "decile_dup_rates": lambda: analysis.decile_dup_rates(docs()),
+        "semantic_dedup": lambda: ann.semantic_dedup(
+            emb(), n_clusters=8, tau=150_000),
+        "cdc_chunk_stats": lambda: __import__(
+            "smqtk_indexing_ray.pipelines.cdc",
+            fromlist=["cdc_chunk_stats"]).cdc_chunk_stats(docs()),
+        "dsir_weights": lambda: terms.dsir_weights(docs(),
+                                                   target_lang="en"),
         "large_orders": _large_orders_fn(sf_dir),
         "bloom_contamination": _bloom_contamination_fn(sf_dir),
         "cohort_retention": _cohort_retention_fn(sf_dir),

@@ -82,7 +82,11 @@ def asof_join(left, right, *, key: str, ts: str,
 
     tagged = right.map_batches(tag_right, batch_format="pyarrow").union(
         left.map_batches(tag_left, batch_format="pyarrow"))
-    srt = tagged.sort(["_k", "_ts", "_tag"]).materialize()
+    # coalesce before the sort (O(blocks x partitions) merge tasks —
+    # the shared pre-sort lever of stages/agg.py and sort_attach)
+    from smqtk_indexing_ray.stages._util import auto_blocks
+    srt = tagged.repartition(auto_blocks()).sort(
+        ["_k", "_ts", "_tag"]).materialize()
 
     # ---- per-block carry state ------------------------------------------
     # probe: each block's LAST right row (key, ts, payload).  A prefix

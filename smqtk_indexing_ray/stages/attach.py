@@ -152,7 +152,8 @@ def sort_attach(rows, payload, *, key: str, payload_key: str,
                 payload_cols: list[str], how: str = "left",
                 rows_schema: pa.Schema | None = None,
                 payload_schema: pa.Schema | None = None,
-                dedup_rows_on: list[str] | None = None):
+                dedup_rows_on: list[str] | None = None,
+                num_blocks: int | None = None):
     """Attach ``payload_cols`` (from ``payload``, keyed by unique
     ``payload_key``) onto ``rows`` matching ``rows[key]``.
 
@@ -213,7 +214,13 @@ def sort_attach(rows, payload, *, key: str, payload_key: str,
     # payload rows (_tag=0) sort before data rows per key regardless of the
     # dedup columns' null values on the payload side (_tag precedes them)
     sort_keys = ["_k", "_tag"] + list(dedup_rows_on or [])
-    srt = tagged.sort(sort_keys).materialize()
+    # sorts cost O(input_blocks x output_partitions) merge tasks;
+    # coalesce the union first (the measured r2 lever — agg.py/pairs.py
+    # already do this; a 64-row-group parquet read otherwise fans the
+    # sort into thousands of merge tasks)
+    from smqtk_indexing_ray.stages._util import auto_blocks
+    srt = tagged.repartition(num_blocks or auto_blocks()).sort(
+        sort_keys).materialize()
 
     # --- probe: payload values of each batch's first/last segment --------
     def probe(t: pa.Table) -> pa.Table:

@@ -25,7 +25,10 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from smqtk_indexing_ray.functions.metrics import round6
-from smqtk_indexing_ray.stages._util import probe_blocks
+from smqtk_indexing_ray.stages._util import (
+    auto_blocks as _auto_blocks,
+    probe_blocks,
+)
 
 _OUT_SCHEMA = pa.schema([
     ("user_id", pa.int64()), ("session_key", pa.int64()),
@@ -66,7 +69,7 @@ def sessionize(events, *, gap_minutes: int = 30, num_partitions: int = 16):
 
     srt = events.select_columns(["user_id", "ts", "event_id", "value"]) \
         .map_batches(slim, batch_format="pyarrow") \
-        .sort(["user_id", "ts_us", "event_id"]).materialize()
+        .repartition(_auto_blocks()).sort(["user_id", "ts_us", "event_id"]).materialize()
 
     # --- boundary probe: first/last row + provisional heads per block ----
     def probe(t: pa.Table):
@@ -620,7 +623,7 @@ def funnel(events, *, steps: tuple[str, ...] = ("view", "click",
     srt = events.select_columns(["user_id", "ts", "event_id",
                                  "event_type"]) \
         .map_batches(slim, batch_format="pyarrow") \
-        .sort(["user_id", "ts_us", "event_id"]).materialize()
+        .repartition(_auto_blocks()).sort(["user_id", "ts_us", "event_id"]).materialize()
 
     def _arrays(t: pa.Table):
         u = t["user_id"].to_numpy(zero_copy_only=False)

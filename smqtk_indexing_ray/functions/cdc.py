@@ -66,10 +66,29 @@ def gear_hashes_padded(streams: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
             buf[pos:pos + len(b)] = b
             pos += len(b)
     g = _GEAR[buf]
-    h = g.copy()
+    n = len(g)
+    h = np.empty(n, np.uint64)
+    # cache-blocked tap sweep: the naive form (h[k:] += g[:-k] << k for
+    # each of 64 taps) streams the whole gear array from DRAM 64x; a
+    # segment + its 63-word overlap stays in L2 across all taps instead
+    # (the same blocking lever as the minhash/simhash kernels)
+    seg = 1 << 18
     with np.errstate(over="ignore"):
-        for k in range(1, _WIN):
-            h[k:] += g[:-k] << np.uint64(k)
+        for s0 in range(0, n, seg):
+            s1 = min(s0 + seg, n)
+            lo = max(s0 - _PAD, 0)
+            gs = g[lo:s1]
+            m = s1 - s0
+            hs = np.zeros(m, np.uint64)
+            off = s0 - lo
+            for k in range(_WIN):
+                a = off - k
+                if a >= 0:
+                    hs += gs[a:a + m] << np.uint64(k)
+                elif m + a > 0:
+                    # first segment only: global i < k has no tap k
+                    hs[-a:] += gs[:m + a] << np.uint64(k)
+            h[s0:s1] = hs
     return h, offs
 
 

@@ -104,6 +104,16 @@ def cdc_cut_points(h_doc: np.ndarray, *, mask_bits: int,
     end regardless (it may be shorter than ``min_size``).
     """
     n = len(h_doc)
+    if not 1 <= mask_bits <= 63:
+        # mask_bits=0 would shift 1<<64 -> 0 (every candidate silently
+        # lost); >=64 can never fire
+        raise ValueError(f"mask_bits must be in [1, 63], got {mask_bits}")
+    if min_size < 1 or max_size < min_size:
+        # min_size<=0 re-finds the consumed candidate forever (lo falls
+        # behind s) — the greedy sweep would spin until OOM
+        raise ValueError(
+            f"need 1 <= min_size <= max_size, got min_size={min_size} "
+            f"max_size={max_size}")
     if n == 0:
         return np.empty(0, np.int64)
     thresh = np.uint64(1) << np.uint64(64 - mask_bits)

@@ -1550,6 +1550,10 @@ def semantic_dedup(emb, *, n_clusters: int = 8, tau: int = 150_000,
     ensure_data_context()
     import ray.data as rd
 
+    if levels > 256:
+        raise ValueError(
+            f"semantic_dedup: levels={levels} exceeds the one-byte "
+            "code pack (max 256); use kmeans_assign for wider codes")
     setup = _kmeans_centroids(emb, n_clusters, levels)
     if setup is None:
         return rd.from_arrow(SEMANTIC_DEDUP_SCHEMA.empty_table())
@@ -1606,7 +1610,10 @@ def semantic_dedup(emb, *, n_clusters: int = 8, tau: int = 150_000,
             "keep": pa.array(keep),
         }, schema=SEMANTIC_DEDUP_SCHEMA)
 
-    return packed.groupby("cluster").map_groups(
+    from smqtk_indexing_ray.stages._util import auto_blocks
+    # coalesce before the groupby shuffle (same O(blocks x partitions)
+    # merge-task argument as the pre-sort repartitions)
+    return packed.repartition(auto_blocks()).groupby("cluster").map_groups(
         per_cluster, batch_format="pyarrow")
 
 

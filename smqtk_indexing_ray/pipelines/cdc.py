@@ -16,7 +16,10 @@ wide exchange is a sort by ``chunk_hash`` whose run lengths ARE the
 distinct-document counts (``stages/agg.sorted_run_length_attach``),
 and the per-document rollup rides the measured sort-based aggregation
 (``sorted_group_agg``).  At 10^12 docs the exchanged rows are
-O(chunks), ~24 B each — never document bytes.
+O(chunks), ~32 B each — never document bytes.  Chunk identity is a
+128-bit two-lane keyed SipHash pair (birthday-safe at that scale; one
+64-bit lane would silently merge colliding chunks into "shared"
+content).
 
 Reference analog: the bucket-multimap accounting of
 /root/reference/smqtk_indexing/impls/nn_index/lsh.py:315-323 (hash ->
@@ -32,7 +35,12 @@ import pyarrow as pa
 from smqtk_indexing_ray.functions.cdc import cdc_cut_points, gear_hashes_padded
 from smqtk_indexing_ray.functions.hashing import hash_strings_u64
 
-_CDC_HASH_KEY = "smqtk-ray-cdc-16"      # pandas SipHash keys are 16 bytes
+# Two independent keyed SipHash lanes (16-byte pandas hash keys): the
+# chunk identity is the 128-bit (h1, h2) pair — a single 64-bit lane
+# silently merges colliding chunks into 'shared' content at the 10^12-doc
+# design scale (the same birthday argument as media_dedup's key).
+_CDC_HASH_KEY1 = "smqtk-ray-cdc-16"
+_CDC_HASH_KEY2 = "smqtk-ray-cdc2-x"
 
 CDC_CHUNK_STATS_SCHEMA = pa.schema([
     ("doc_id", pa.int64()), ("n_chunks", pa.int64()),
@@ -41,7 +49,8 @@ CDC_CHUNK_STATS_SCHEMA = pa.schema([
 ])
 
 _PAIR_SCHEMA = pa.schema([
-    ("chunk_hash", pa.int64()), ("doc_id", pa.int64()),
+    ("chunk_h1", pa.int64()), ("chunk_h2", pa.int64()),
+    ("doc_id", pa.int64()),
     ("n_in_doc", pa.int64()), ("len_sum", pa.int64()),
 ])
 
@@ -78,18 +87,21 @@ def _chunk_batch(t: pa.Table, mask_bits: int, min_size: int,
         return _PAIR_SCHEMA.empty_table()
     doc = np.concatenate(chunk_doc)
     ln = np.concatenate(chunk_len)
-    ch = hash_strings_u64(chunk_str, hash_key=_CDC_HASH_KEY).view(np.int64)
+    h1 = hash_strings_u64(chunk_str, hash_key=_CDC_HASH_KEY1).view(np.int64)
+    h2 = hash_strings_u64(chunk_str, hash_key=_CDC_HASH_KEY2).view(np.int64)
 
-    order = np.lexsort((ch, doc))
-    doc, ch, ln = doc[order], ch[order], ln[order]
+    order = np.lexsort((h2, h1, doc))
+    doc, h1, h2, ln = doc[order], h1[order], h2[order], ln[order]
     first = np.empty(len(doc), bool)
     first[0] = True
-    first[1:] = (doc[1:] != doc[:-1]) | (ch[1:] != ch[:-1])
+    first[1:] = ((doc[1:] != doc[:-1]) | (h1[1:] != h1[:-1])
+                 | (h2[1:] != h2[:-1]))
     starts_i = np.flatnonzero(first)
     cnt = np.diff(np.append(starts_i, len(doc))).astype(np.int64)
     lsum = np.add.reduceat(ln, starts_i)
     return pa.table({
-        "chunk_hash": pa.array(ch[starts_i]),
+        "chunk_h1": pa.array(h1[starts_i]),
+        "chunk_h2": pa.array(h2[starts_i]),
         "doc_id": pa.array(doc[starts_i]),
         "n_in_doc": pa.array(cnt),
         "len_sum": pa.array(lsum.astype(np.int64)),
@@ -127,7 +139,7 @@ def cdc_chunk_stats(docs, *, mask_bits: int = 6, min_size: int = 32,
         chunk, batch_format="pyarrow", batch_size=batch_size)
 
     # run length over (hash, doc)-unique rows == distinct-doc count
-    sized = sorted_run_length_attach(pairs, key="chunk_hash",
+    sized = sorted_run_length_attach(pairs, key=["chunk_h1", "chunk_h2"],
                                      out="n_docs", schema=_PAIR_SCHEMA)
 
     part_schema = pa.schema([

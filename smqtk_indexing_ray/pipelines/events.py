@@ -25,10 +25,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from smqtk_indexing_ray.functions.metrics import round6
-from smqtk_indexing_ray.stages._util import (
-    auto_blocks as _auto_blocks,
-    probe_blocks,
-)
+from smqtk_indexing_ray.stages._util import probe_blocks
 
 _OUT_SCHEMA = pa.schema([
     ("user_id", pa.int64()), ("session_key", pa.int64()),
@@ -67,9 +64,11 @@ def sessionize(events, *, gap_minutes: int = 30, num_partitions: int = 16):
             "value": pc.cast(t["value"], pa.float64()),
         })
 
-    srt = events.select_columns(["user_id", "ts", "event_id", "value"]) \
-        .map_batches(slim, batch_format="pyarrow") \
-        .repartition(_auto_blocks()).sort(["user_id", "ts_us", "event_id"]).materialize()
+    from smqtk_indexing_ray.stages._util import coalesced_sort
+    srt = coalesced_sort(
+        events.select_columns(["user_id", "ts", "event_id", "value"])
+        .map_batches(slim, batch_format="pyarrow"),
+        ["user_id", "ts_us", "event_id"])
 
     # --- boundary probe: first/last row + provisional heads per block ----
     def probe(t: pa.Table):
@@ -620,10 +619,12 @@ def funnel(events, *, steps: tuple[str, ...] = ("view", "click",
             "step": pc.cast(sidx, pa.int64()).filter(mask),
         })
 
-    srt = events.select_columns(["user_id", "ts", "event_id",
-                                 "event_type"]) \
-        .map_batches(slim, batch_format="pyarrow") \
-        .repartition(_auto_blocks()).sort(["user_id", "ts_us", "event_id"]).materialize()
+    from smqtk_indexing_ray.stages._util import coalesced_sort
+    srt = coalesced_sort(
+        events.select_columns(["user_id", "ts", "event_id",
+                               "event_type"])
+        .map_batches(slim, batch_format="pyarrow"),
+        ["user_id", "ts_us", "event_id"])
 
     def _arrays(t: pa.Table):
         u = t["user_id"].to_numpy(zero_copy_only=False)

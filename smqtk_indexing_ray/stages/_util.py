@@ -18,6 +18,18 @@ def auto_blocks(cap: int = 64) -> int:
     return max(8, min(cap, cpus))
 
 
+def coalesced_sort(ds, keys, *, descending=None, num_blocks: int | None = None):
+    """``repartition(~CPUs).sort(keys).materialize()`` — the shared
+    pre-sort lever: sorts cost O(input_blocks x output_partitions)
+    merge tasks and Ray picks partitions ~ input blocks, so a fan-out
+    stage (or a many-row-group parquet read) must be coalesced first
+    (measured: a 44M-row sort dropped 11.4 s -> 1.7 s at 32 blocks)."""
+    rp = ds.repartition(num_blocks or auto_blocks())
+    if descending is None:
+        return rp.sort(keys).materialize()
+    return rp.sort(keys, descending=descending).materialize()
+
+
 def safe_coalesce(a, b):
     """``pc.coalesce(a, b)`` hardened against a pyarrow 16.1 kernel bug.
 

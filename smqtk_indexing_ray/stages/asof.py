@@ -82,11 +82,8 @@ def asof_join(left, right, *, key: str, ts: str,
 
     tagged = right.map_batches(tag_right, batch_format="pyarrow").union(
         left.map_batches(tag_left, batch_format="pyarrow"))
-    # coalesce before the sort (O(blocks x partitions) merge tasks —
-    # the shared pre-sort lever of stages/agg.py and sort_attach)
-    from smqtk_indexing_ray.stages._util import auto_blocks
-    srt = tagged.repartition(auto_blocks()).sort(
-        ["_k", "_ts", "_tag"]).materialize()
+    from smqtk_indexing_ray.stages._util import coalesced_sort
+    srt = coalesced_sort(tagged, ["_k", "_ts", "_tag"])
 
     # ---- per-block carry state ------------------------------------------
     # probe: each block's LAST right row (key, ts, payload).  A prefix

@@ -214,13 +214,8 @@ def sort_attach(rows, payload, *, key: str, payload_key: str,
     # payload rows (_tag=0) sort before data rows per key regardless of the
     # dedup columns' null values on the payload side (_tag precedes them)
     sort_keys = ["_k", "_tag"] + list(dedup_rows_on or [])
-    # sorts cost O(input_blocks x output_partitions) merge tasks;
-    # coalesce the union first (the measured r2 lever — agg.py/pairs.py
-    # already do this; a 64-row-group parquet read otherwise fans the
-    # sort into thousands of merge tasks)
-    from smqtk_indexing_ray.stages._util import auto_blocks
-    srt = tagged.repartition(num_blocks or auto_blocks()).sort(
-        sort_keys).materialize()
+    from smqtk_indexing_ray.stages._util import coalesced_sort
+    srt = coalesced_sort(tagged, sort_keys, num_blocks=num_blocks)
 
     # --- probe: payload values of each batch's first/last segment --------
     def probe(t: pa.Table) -> pa.Table:

@@ -46,11 +46,8 @@ def running_total(ds, *, order: str | list[str], value: str,
 
     sch = schema or _arrow_schema(ds)
     out_schema = pa.schema(list(sch) + [pa.field(out, pa.int64())])
-    from smqtk_indexing_ray.stages._util import auto_blocks
-    # coalesce before the sort (O(blocks x partitions) merge tasks --
-    # the shared pre-sort lever of stages/agg.py)
-    srt = ds.repartition(auto_blocks()).sort(
-        order, descending=descending).materialize()
+    from smqtk_indexing_ray.stages._util import coalesced_sort
+    srt = coalesced_sort(ds, order, descending=descending)
 
     def probe(t: pa.Table) -> pa.Table:
         psch = pa.schema([("total", pa.int64())])

@@ -158,3 +158,21 @@ class TestCdcChunkStats:
     def test_empty_docs_omitted(self):
         got = self._run(["hello world " * 20, "", None])
         assert list(got.index) == [0]
+
+
+class TestCutPointGuards:
+    def test_min_size_zero_raises(self):
+        with pytest.raises(ValueError, match="min_size"):
+            cdc_cut_points(np.zeros(10, np.uint64), mask_bits=6,
+                           min_size=0, max_size=100)
+
+    def test_max_below_min_raises(self):
+        with pytest.raises(ValueError, match="min_size"):
+            cdc_cut_points(np.zeros(10, np.uint64), mask_bits=6,
+                           min_size=50, max_size=10)
+
+    def test_mask_bits_bounds(self):
+        for bad in (0, 64, -1):
+            with pytest.raises(ValueError, match="mask_bits"):
+                cdc_cut_points(np.zeros(10, np.uint64), mask_bits=bad,
+                               min_size=4, max_size=8)

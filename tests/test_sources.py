@@ -654,3 +654,16 @@ class TestSemanticDedup:
         }))
         out = semantic_dedup(empty)
         assert out.count() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_semantic_dedup_levels_gate():
+    import ray.data as rd
+    from smqtk_indexing_ray.pipelines.ann import semantic_dedup
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array([0, 1], pa.int64()),
+        "embedding": pa.array([[0.0, 1.0], [1.0, 0.0]],
+                              pa.list_(pa.float32())),
+    }))
+    with pytest.raises(ValueError, match="levels"):
+        semantic_dedup(ds, levels=512).to_pandas()

@@ -416,6 +416,17 @@ def _q_ngram_jaccard_pairs(sf_dir: str):
     return ngram_jaccard_pairs(_docs(sf_dir), k=3, threshold=0.5)
 
 
+def _q_ppjoin_pairs(sf_dir: str):
+    """Exact Jaccard pairs via PPJoin prefix filtering (Xiao et al.
+    2008): only the rarest-first prefix of each shingle set enters the
+    pair-emission sort (no recall loss by the prefix bound), survivors
+    verified exactly against packed shingle-set blobs.  The scale path
+    for EXACT set similarity; oracle = the pure uncapped Jaccard
+    join."""
+    from smqtk_indexing_ray.pipelines.analysis import ppjoin_pairs
+    return ppjoin_pairs(_docs(sf_dir), k=3, threshold=0.5)
+
+
 def _q_jaccard_cluster_labels(sf_dir: str):
     from smqtk_indexing_ray.pipelines.analysis import jaccard_cluster_labels
     return jaccard_cluster_labels(_docs(sf_dir), k=3, threshold=0.5)
@@ -1709,6 +1720,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_histogram": _q_length_histogram,
         "doc_commonness": _q_doc_commonness,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "ppjoin_pairs": _q_ppjoin_pairs,
         "jaccard_cluster_labels": _q_jaccard_cluster_labels,
         "dup_triangles": _q_dup_triangles,
         "minhash_containment": _q_minhash_containment,
@@ -2185,6 +2197,33 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": (
             "WITH " + _TOKS + ", " + _SHINGLES + " "
             "SELECT doc_a, doc_b, n_inter, jaccard FROM jpairs"
+        ),
+        "ppjoin_pairs": (
+            # the PURE uncapped Jaccard join — ppjoin's prefix filter
+            # is exact, so no QUALIFY df cap here
+            "WITH " + _TOKS + ", "
+            "sh AS ("
+            "  SELECT DISTINCT doc_id,"
+            "  unnest(list_transform(generate_series(1,"
+            "    greatest(len(w) - 2, 0)),"
+            "    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle"
+            "  FROM toks"
+            "), sizes AS ("
+            "  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id"
+            "), inter AS ("
+            "  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+            "  count(*) AS n_inter"
+            "  FROM sh a JOIN sh b ON a.shingle = b.shingle"
+            "  AND a.doc_id < b.doc_id GROUP BY 1, 2"
+            ") "
+            "SELECT doc_a, doc_b, n_inter,"
+            " CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)"
+            " AS jaccard"
+            " FROM inter"
+            " JOIN sizes sa ON sa.doc_id = doc_a"
+            " JOIN sizes sb ON sb.doc_id = doc_b"
+            " WHERE CAST(n_inter AS DOUBLE)"
+            " / (sa.n_sh + sb.n_sh - n_inter) >= 0.5"
         ),
         "source_pair_matrix": (
             "WITH " + _TOKS + ", " + _SHINGLES + " "

@@ -910,6 +910,219 @@ def ngram_jaccard_pairs(docs, *, k: int = 3, threshold: float = 0.5,
                         out_schema)
 
 
+PPJOIN_MAX_VOCAB = 8_000_000
+
+
+def ppjoin_pairs(docs, *, k: int = 3, threshold: float = 0.5,
+                 num_partitions: int = 8,
+                 max_vocab: int = PPJOIN_MAX_VOCAB):
+    """Exact n-gram-Jaccard pairs via PPJoin-style prefix filtering
+    (Xiao et al., WWW'08) — the scale path for EXACT set-similarity
+    where :func:`ngram_jaccard_pairs` pays Σ df² pair emission.
+
+    Under a global shingle order (rarest first: ascending document
+    frequency, hash tiebreak), two sets with ``J >= t`` MUST share an
+    element within their prefixes of length ``n − ⌈t·n⌉ + 1`` — so only
+    prefix shingles enter the pair-emission sort, cutting candidates by
+    ~t/(1+t) of every set plus the whole frequent tail, with no recall
+    loss.  Survivors are verified EXACTLY: each side's full sorted
+    shingle-hash set rides two ``sort_attach`` passes as a packed
+    binary blob, and one vectorized ``searchsorted`` per candidate
+    computes the true intersection.  Same output contract as
+    ``ngram_jaccard_pairs`` but with NO stop-shingle cap: the oracle is
+    the pure uncapped Jaccard join.
+
+    The shingle→df table is broadcast (gated at ``max_vocab``, the
+    tf-idf/DSIR convention); above the gate swap the broadcast for a
+    df ``sort_attach`` onto the exploded stream.  Document-frequency
+    skew no longer threatens the pass — a boilerplate shingle in 10⁶
+    docs lands at the END of the global order and never enters a
+    prefix unless a doc is almost entirely boilerplate.
+
+    Output: ``doc_a, doc_b, n_inter, jaccard`` (ascending doc ids).
+    """
+    import ray
+
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+
+    from smqtk_indexing_ray.stages._util import (
+        auto_blocks,
+        drop_empty_blocks,
+    )
+    from smqtk_indexing_ray.stages.agg import sorted_group_agg
+    from smqtk_indexing_ray.stages.attach import sort_attach
+    from smqtk_indexing_ray.stages.pairs import sorted_self_pairs
+
+    exp_schema = pa.schema([("shingle", pa.int64()), ("doc_id", pa.int64()),
+                            ("n_sh", pa.int64())])
+
+    # --- pass A: global shingle document frequencies -----------------
+    exploded = drop_empty_blocks(
+        docs.select_columns(["doc_id", "text"]).map_batches(
+            lambda t: _shingle_explode(t, k), batch_format="pyarrow"),
+        exp_schema)
+    df_tab = sorted_group_agg(
+        exploded, key="shingle", aggs={"df": "count"},
+        num_blocks=max(num_partitions, auto_blocks()),
+        schema=exp_schema).materialize()
+    n_vocab = df_tab.count()
+    if n_vocab > max_vocab:
+        raise ValueError(
+            f"ppjoin_pairs: {n_vocab} distinct shingles > max_vocab="
+            f"{max_vocab}; swap the broadcast df table for a df "
+            "sort_attach onto the exploded stream")
+    if n_vocab:
+        vt = pa.concat_tables(
+            [b for b in df_tab.iter_batches(batch_size=None,
+                                            batch_format="pyarrow")]
+        ).combine_chunks()
+        v_sh = vt["shingle"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v_df = vt["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.argsort(v_sh, kind="stable")
+        v_sh, v_df = v_sh[o], v_df[o]
+    else:
+        v_sh = np.empty(0, np.int64)
+        v_df = np.empty(0, np.int64)
+    df_ref = ray.put((v_sh, v_df))
+
+    # --- pass B: prefix-shingle emission ------------------------------
+    def prefix_rows(t: pa.Table) -> pa.Table:
+        ex = _shingle_explode(t, k)
+        if ex.num_rows == 0:
+            return exp_schema.empty_table()
+        sv, dv = ray.get(df_ref)
+        sh = ex["shingle"].to_numpy(zero_copy_only=False)
+        did = ex["doc_id"].to_numpy(zero_copy_only=False)
+        nsh = ex["n_sh"].to_numpy(zero_copy_only=False)
+        dfs = dv[np.searchsorted(sv, sh)]
+        # global rarest-first order: (df, shingle) ascending, per doc
+        order = np.lexsort((sh, dfs, did))
+        did_s, sh_s, nsh_s = did[order], sh[order], nsh[order]
+        starts = np.concatenate(
+            [[0], np.flatnonzero(did_s[1:] != did_s[:-1]) + 1])
+        sizes = np.diff(np.append(starts, len(did_s)))
+        # Jaccard prefix bound: p = n - ceil(t*n) + 1
+        plen = sizes - np.ceil(threshold * sizes).astype(np.int64) + 1
+        rank = np.arange(len(did_s)) - np.repeat(starts, sizes)
+        keep = rank < np.repeat(plen, sizes)
+        return pa.table({
+            "shingle": pa.array(sh_s[keep]),
+            "doc_id": pa.array(did_s[keep]),
+            "n_sh": pa.array(nsh_s[keep]),
+        }, schema=exp_schema)
+
+    prefixes = drop_empty_blocks(
+        docs.select_columns(["doc_id", "text"]).map_batches(
+            prefix_rows, batch_format="pyarrow"), exp_schema)
+
+    nb = max(num_partitions, auto_blocks())
+    raw = sorted_self_pairs(
+        prefixes, key="shingle", item="doc_id", carry=["n_sh"],
+        max_group=None, cap=10_000_000, num_blocks=nb, schema=exp_schema)
+
+    cand_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                             ("na", pa.int64()), ("nb", pa.int64())])
+
+    def ren(t: pa.Table) -> pa.Table:
+        src = ("doc_id_a", "doc_id_b", "n_sh_a", "n_sh_b")
+        if t.num_rows == 0 or any(c not in t.column_names for c in src):
+            return cand_schema.empty_table()
+        out = t.select(list(src)).rename_columns(
+            ["doc_a", "doc_b", "na", "nb"])
+        # size filter: J >= t requires min(na, nb) >= t * max(na, nb)
+        na = out["na"].to_numpy(zero_copy_only=False)
+        nbv = out["nb"].to_numpy(zero_copy_only=False)
+        ok = np.minimum(na, nbv) >= threshold * np.maximum(na, nbv)
+        return out.filter(pa.array(ok))
+
+    cands = sorted_group_agg(
+        raw.map_batches(ren, batch_format="pyarrow"),
+        key=["doc_a", "doc_b"], aggs={"na": "min", "nb": "min"},
+        num_blocks=nb, schema=cand_schema)
+
+    # --- pass C: packed per-doc shingle sets --------------------------
+    blob_schema = pa.schema([("doc_id", pa.int64()),
+                             ("blob", pa.binary())])
+
+    def pack(t: pa.Table) -> pa.Table:
+        ex = _shingle_explode(t, k)
+        if ex.num_rows == 0:
+            return blob_schema.empty_table()
+        sh = ex["shingle"].to_numpy(zero_copy_only=False)
+        did = ex["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((sh, did))
+        did_s, sh_s = did[order], sh[order]
+        starts = np.concatenate(
+            [[0], np.flatnonzero(did_s[1:] != did_s[:-1]) + 1])
+        ends = np.append(starts[1:], len(did_s))
+        return pa.table({
+            "doc_id": pa.array(did_s[starts]),
+            "blob": pa.array([sh_s[s:e].tobytes()
+                              for s, e in zip(starts, ends)],
+                             pa.binary()),
+        }, schema=blob_schema)
+
+    blobs = drop_empty_blocks(
+        docs.select_columns(["doc_id", "text"]).map_batches(
+            pack, batch_format="pyarrow"), blob_schema)
+
+    with_a = sort_attach(
+        cands, blobs, key="doc_a", payload_key="doc_id",
+        payload_cols=["blob"], how="inner",
+        rows_schema=cand_schema, payload_schema=blob_schema)
+    ren_a_schema = pa.schema(list(cand_schema)
+                             + [pa.field("blob_a", pa.binary())])
+
+    def ren_a(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "blob" not in t.column_names:
+            return ren_a_schema.empty_table()
+        return t.rename_columns(
+            [{"blob": "blob_a"}.get(c, c) for c in t.column_names])
+
+    with_ab = sort_attach(
+        with_a.map_batches(ren_a, batch_format="pyarrow"), blobs,
+        key="doc_b", payload_key="doc_id", payload_cols=["blob"],
+        how="inner",
+        rows_schema=pa.schema(list(cand_schema)
+                              + [pa.field("blob_a", pa.binary())]),
+        payload_schema=blob_schema)
+
+    out_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                            ("n_inter", pa.int64()),
+                            ("jaccard", pa.float64())])
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "blob" not in t.column_names:
+            return out_schema.empty_table()
+        na = t["na"].to_numpy(zero_copy_only=False)
+        nbv = t["nb"].to_numpy(zero_copy_only=False)
+        ba = t["blob_a"].to_pylist()
+        bb = t["blob"].to_pylist()
+        n = t.num_rows
+        inter = np.empty(n, np.int64)
+        for i in range(n):
+            a = np.frombuffer(ba[i], np.int64)
+            b = np.frombuffer(bb[i], np.int64)
+            if len(b) < len(a):
+                a, b = b, a
+            pos = np.searchsorted(b, a)
+            pos[pos == len(b)] = len(b) - 1 if len(b) else 0
+            inter[i] = int((b[pos] == a).sum()) if len(b) else 0
+        union = na + nbv - inter
+        jv = inter.astype(np.float64) / union.astype(np.float64)
+        keep = jv >= threshold
+        return pa.table({
+            "doc_a": pc.cast(t["doc_a"].filter(pa.array(keep)), pa.int64()),
+            "doc_b": pc.cast(t["doc_b"].filter(pa.array(keep)), pa.int64()),
+            "n_inter": pa.array(inter[keep]),
+            "jaccard": pa.array(jv[keep]),
+        }, schema=out_schema)
+
+    return stamp_schema(
+        with_ab.map_batches(verify, batch_format="pyarrow"), out_schema)
+
+
 def jaccard_cluster_labels(docs, *, k: int = 3, threshold: float = 0.5,
                            num_partitions: int = 16, cc_max_iters: int = 25):
     """Connected components over exact-Jaccard pairs -> full doc labeling.

@@ -1691,3 +1691,53 @@ def test_mixture_plan_exact_arithmetic():
     assert got.loc["other", "sample_rate"] == (1000 * 5) / (400 * 100.0)
     assert got.loc["other", "expected_tokens"] == 50
     assert got.n_docs.sum() == 60
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPpjoinPairs:
+    def _docs(self, texts, parts=4):
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        })).repartition(parts)
+
+    def test_matches_uncapped_exact_join(self):
+        """PPJoin's prefix filter loses NO pairs: output must equal the
+        uncapped all-pairs exact join on a corpus with planted
+        near-dups."""
+        from smqtk_indexing_ray.pipelines.analysis import (
+            ngram_jaccard_pairs, ppjoin_pairs)
+        rng = np.random.default_rng(23)
+        words = ["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"]
+        base = [" ".join(rng.choice(words, 40)) for _ in range(20)]
+        near = [t + " tail extra bit" for t in base[:6]]   # near-dups
+        texts = base + near + [base[0], base[1]]           # exact dups
+        pp = ppjoin_pairs(self._docs(texts)).to_pandas().sort_values(
+            ["doc_a", "doc_b"], ignore_index=True)
+        ng = ngram_jaccard_pairs(
+            self._docs(texts), max_shingle_freq=None).to_pandas(
+        ).sort_values(["doc_a", "doc_b"], ignore_index=True)
+        assert len(pp) > 0
+        assert pp.equals(ng)
+
+    def test_boilerplate_shingle_does_not_explode(self):
+        """A shingle present in EVERY doc sits at the end of the
+        rarest-first order and never enters a prefix — the hot-key
+        blowup ngram_jaccard_pairs needs its DF cap for."""
+        from smqtk_indexing_ray.pipelines.analysis import ppjoin_pairs
+        rng = np.random.default_rng(5)
+        boiler = "copyright footer text"
+        texts = [" ".join(rng.choice(["x%d" % i for i in range(40)], 30))
+                 + " " + boiler for _ in range(50)]
+        got = ppjoin_pairs(self._docs(texts)).to_pandas()
+        # distinct random bodies share only boilerplate -> low jaccard,
+        # no pair reaches 0.5
+        assert len(got) == 0
+
+    def test_vocab_gate_raises(self):
+        from smqtk_indexing_ray.pipelines.analysis import ppjoin_pairs
+        texts = ["a%d b%d c%d d%d e%d" % (i, i, i, i, i)
+                 for i in range(10)]
+        with pytest.raises(ValueError, match="max_vocab"):
+            ppjoin_pairs(self._docs(texts), max_vocab=3).to_pandas()

@@ -957,13 +957,18 @@ def ppjoin_pairs(docs, *, k: int = 3, threshold: float = 0.5,
     exp_schema = pa.schema([("shingle", pa.int64()), ("doc_id", pa.int64()),
                             ("n_sh", pa.int64())])
 
+    # --- shingle ONCE; every pass below reads the materialized stream.
+    # _shingle_explode emits each input batch's docs complete and
+    # doc-contiguous within one output block, so whole-block consumers
+    # (batch_size=None) see every doc's full shingle set locally.
+    exploded = docs.select_columns(["doc_id", "text"]).map_batches(
+        lambda t: _shingle_explode(t, k),
+        batch_format="pyarrow").materialize()
+
     # --- pass A: global shingle document frequencies -----------------
-    exploded = drop_empty_blocks(
-        docs.select_columns(["doc_id", "text"]).map_batches(
-            lambda t: _shingle_explode(t, k), batch_format="pyarrow"),
-        exp_schema)
     df_tab = sorted_group_agg(
-        exploded, key="shingle", aggs={"df": "count"},
+        drop_empty_blocks(exploded, exp_schema),
+        key="shingle", aggs={"df": "count"},
         num_blocks=max(num_partitions, auto_blocks()),
         schema=exp_schema).materialize()
     n_vocab = df_tab.count()
@@ -987,9 +992,8 @@ def ppjoin_pairs(docs, *, k: int = 3, threshold: float = 0.5,
     df_ref = ray.put((v_sh, v_df))
 
     # --- pass B: prefix-shingle emission ------------------------------
-    def prefix_rows(t: pa.Table) -> pa.Table:
-        ex = _shingle_explode(t, k)
-        if ex.num_rows == 0:
+    def prefix_rows(ex: pa.Table) -> pa.Table:
+        if ex.num_rows == 0 or "shingle" not in ex.column_names:
             return exp_schema.empty_table()
         sv, dv = ray.get(df_ref)
         sh = ex["shingle"].to_numpy(zero_copy_only=False)
@@ -1002,8 +1006,23 @@ def ppjoin_pairs(docs, *, k: int = 3, threshold: float = 0.5,
         starts = np.concatenate(
             [[0], np.flatnonzero(did_s[1:] != did_s[:-1]) + 1])
         sizes = np.diff(np.append(starts, len(did_s)))
-        # Jaccard prefix bound: p = n - ceil(t*n) + 1
-        plen = sizes - np.ceil(threshold * sizes).astype(np.int64) + 1
+        # whole-doc locality check: each row carries its doc's TOTAL
+        # distinct-shingle count, so a doc split across blocks (dynamic
+        # block slicing of an oversized map output) is detectable —
+        # fail loudly instead of emitting a wrong shorter prefix
+        if (sizes != nsh_s[starts]).any():
+            raise ValueError(
+                "ppjoin_pairs: a document's shingle rows were split "
+                "across blocks; raise DataContext.target_max_block_size "
+                "or shrink the upstream batch")
+        # Jaccard prefix bound: p = n - ceil(t*n) + 1.  The ceil must
+        # be of the REAL product: float64 rounds 0.55*100 UP to
+        # 55.000000000000007, whose ceil (56) would shorten the prefix
+        # and silently drop a true overlap-55 pair.  Nudging down by
+        # an epsilon only ever LENGTHENS the prefix (extra candidates,
+        # exact verify decides) — recall is never lost.
+        plen = sizes - np.ceil(
+            threshold * sizes - 1e-9).astype(np.int64) + 1
         rank = np.arange(len(did_s)) - np.repeat(starts, sizes)
         keep = rank < np.repeat(plen, sizes)
         return pa.table({
@@ -1013,8 +1032,8 @@ def ppjoin_pairs(docs, *, k: int = 3, threshold: float = 0.5,
         }, schema=exp_schema)
 
     prefixes = drop_empty_blocks(
-        docs.select_columns(["doc_id", "text"]).map_batches(
-            prefix_rows, batch_format="pyarrow"), exp_schema)
+        exploded.map_batches(prefix_rows, batch_format="pyarrow",
+                             batch_size=None), exp_schema)
 
     nb = max(num_partitions, auto_blocks())
     raw = sorted_self_pairs(
@@ -1030,10 +1049,13 @@ def ppjoin_pairs(docs, *, k: int = 3, threshold: float = 0.5,
             return cand_schema.empty_table()
         out = t.select(list(src)).rename_columns(
             ["doc_a", "doc_b", "na", "nb"])
-        # size filter: J >= t requires min(na, nb) >= t * max(na, nb)
+        # size filter: J >= t requires min(na, nb) >= t * max(na, nb);
+        # same epsilon-down nudge as the prefix bound so float round-up
+        # can only over-admit (verify is exact), never drop
         na = out["na"].to_numpy(zero_copy_only=False)
         nbv = out["nb"].to_numpy(zero_copy_only=False)
-        ok = np.minimum(na, nbv) >= threshold * np.maximum(na, nbv)
+        ok = (np.minimum(na, nbv)
+              >= threshold * np.maximum(na, nbv) - 1e-9)
         return out.filter(pa.array(ok))
 
     cands = sorted_group_agg(
@@ -1045,17 +1067,22 @@ def ppjoin_pairs(docs, *, k: int = 3, threshold: float = 0.5,
     blob_schema = pa.schema([("doc_id", pa.int64()),
                              ("blob", pa.binary())])
 
-    def pack(t: pa.Table) -> pa.Table:
-        ex = _shingle_explode(t, k)
-        if ex.num_rows == 0:
+    def pack(ex: pa.Table) -> pa.Table:
+        if ex.num_rows == 0 or "shingle" not in ex.column_names:
             return blob_schema.empty_table()
         sh = ex["shingle"].to_numpy(zero_copy_only=False)
         did = ex["doc_id"].to_numpy(zero_copy_only=False)
+        nsh = ex["n_sh"].to_numpy(zero_copy_only=False)
         order = np.lexsort((sh, did))
         did_s, sh_s = did[order], sh[order]
         starts = np.concatenate(
             [[0], np.flatnonzero(did_s[1:] != did_s[:-1]) + 1])
         ends = np.append(starts[1:], len(did_s))
+        if (ends - starts != nsh[order][starts]).any():
+            raise ValueError(
+                "ppjoin_pairs: a document's shingle rows were split "
+                "across blocks; raise DataContext.target_max_block_size "
+                "or shrink the upstream batch")
         return pa.table({
             "doc_id": pa.array(did_s[starts]),
             "blob": pa.array([sh_s[s:e].tobytes()
@@ -1064,8 +1091,8 @@ def ppjoin_pairs(docs, *, k: int = 3, threshold: float = 0.5,
         }, schema=blob_schema)
 
     blobs = drop_empty_blocks(
-        docs.select_columns(["doc_id", "text"]).map_batches(
-            pack, batch_format="pyarrow"), blob_schema)
+        exploded.map_batches(pack, batch_format="pyarrow",
+                             batch_size=None), blob_schema)
 
     with_a = sort_attach(
         cands, blobs, key="doc_a", payload_key="doc_id",

@@ -1515,7 +1515,7 @@ SEMANTIC_DEDUP_SCHEMA = pa.schema([
 
 def semantic_dedup(emb, *, n_clusters: int = 8, tau: int = 150_000,
                    levels: int = 256, max_cluster: int = 50_000,
-                   batch_size: int = 4096):
+                   batch_size: int = 4096, num_partitions: int = 8):
     """SemDeDup-style embedding near-dup pruning (Abbas et al. 2023,
     arXiv:2303.09540): k-means-bucket the corpus, then within each
     bucket drop every vector with a LOWER-vec_id neighbor at quantized
@@ -1612,8 +1612,11 @@ def semantic_dedup(emb, *, n_clusters: int = 8, tau: int = 150_000,
 
     from smqtk_indexing_ray.stages._util import auto_blocks
     # coalesce before the groupby shuffle (same O(blocks x partitions)
-    # merge-task argument as the pre-sort repartitions)
-    return packed.repartition(auto_blocks()).groupby("cluster").map_groups(
+    # merge-task argument as the pre-sort repartitions); num_partitions
+    # keeps corpus-scale packed blocks ~100 MB instead of capping at
+    # auto_blocks (the sorted_group_agg convention)
+    return packed.repartition(
+        max(num_partitions, auto_blocks())).groupby("cluster").map_groups(
         per_cluster, batch_format="pyarrow")
 
 

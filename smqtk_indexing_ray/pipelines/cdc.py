@@ -16,7 +16,7 @@ wide exchange is a sort by ``chunk_hash`` whose run lengths ARE the
 distinct-document counts (``stages/agg.sorted_run_length_attach``),
 and the per-document rollup rides the measured sort-based aggregation
 (``sorted_group_agg``).  At 10^12 docs the exchanged rows are
-O(chunks), ~32 B each — never document bytes.  Chunk identity is a
+O(chunks), ~40 B each — never document bytes.  Chunk identity is a
 128-bit two-lane keyed SipHash pair (birthday-safe at that scale; one
 64-bit lane would silently merge colliding chunks into "shared"
 content).

@@ -83,7 +83,7 @@ def sorted_first_attach(ds, *, key: str | list[str],
 
     from smqtk_indexing_ray.stages._util import (
         _get_probe_task,
-        auto_blocks,
+        coalesced_sort,
     )
 
     keys = [key] if isinstance(key, str) else list(key)
@@ -101,8 +101,7 @@ def sorted_first_attach(ds, *, key: str | list[str],
     out_schema = pa.schema(list(sch) + [pa.field(o, vt)
                                         for o, vt in zip(outs, vtypes)])
 
-    srt = ds.repartition(num_blocks or auto_blocks()).sort(
-        keys + values).materialize()
+    srt = coalesced_sort(ds, keys + values, num_blocks=num_blocks)
     refs = [ref for bundle in srt.iter_internal_ref_bundles()
             for ref, _meta in bundle.blocks]
     if not refs:
@@ -209,7 +208,7 @@ def sorted_run_length_attach(ds, *, key: str | list[str],
 
     from smqtk_indexing_ray.stages._util import (
         _get_probe_task,
-        auto_blocks,
+        coalesced_sort,
     )
 
     keys = [key] if isinstance(key, str) else list(key)
@@ -221,8 +220,7 @@ def sorted_run_length_attach(ds, *, key: str | list[str],
     sch = schema or _arrow_schema(ds)
     out_schema = pa.schema(list(sch) + [pa.field(out, pa.int64())])
 
-    srt = ds.repartition(num_blocks or auto_blocks()).sort(
-        keys).materialize()
+    srt = coalesced_sort(ds, keys, num_blocks=num_blocks)
     refs = [ref for bundle in srt.iter_internal_ref_bundles()
             for ref, _meta in bundle.blocks]
     if not refs:
@@ -337,7 +335,7 @@ def sorted_lag_attach(ds, *, key: str | list[str],
 
     from smqtk_indexing_ray.stages._util import (
         _get_probe_task,
-        auto_blocks,
+        coalesced_sort,
     )
 
     keys = [key] if isinstance(key, str) else list(key)
@@ -356,8 +354,7 @@ def sorted_lag_attach(ds, *, key: str | list[str],
     out_schema = pa.schema(list(sch) + [pa.field(o, vt)
                                         for o, vt in zip(outs, vtypes)])
 
-    srt = ds.repartition(num_blocks or auto_blocks()).sort(
-        keys + orders).materialize()
+    srt = coalesced_sort(ds, keys + orders, num_blocks=num_blocks)
     refs = [ref for bundle in srt.iter_internal_ref_bundles()
             for ref, _meta in bundle.blocks]
     if not refs:
@@ -462,7 +459,7 @@ def sorted_rolling_attach(ds, *, key: str | list[str],
 
     from smqtk_indexing_ray.stages._util import (
         _get_probe_task,
-        auto_blocks,
+        coalesced_sort,
     )
 
     if k < 0:
@@ -479,8 +476,7 @@ def sorted_rolling_attach(ds, *, key: str | list[str],
     out_schema = pa.schema(list(sch) + [pa.field(out_count, pa.int64()),
                                         pa.field(out_max, vtype)])
 
-    srt = ds.repartition(num_blocks or auto_blocks()).sort(
-        keys + orders).materialize()
+    srt = coalesced_sort(ds, keys + orders, num_blocks=num_blocks)
     refs = [ref for bundle in srt.iter_internal_ref_bundles()
             for ref, _meta in bundle.blocks]
     if not refs:
@@ -602,7 +598,7 @@ def sorted_group_agg(ds, *, key: str | list[str], aggs: dict[str, str],
 
     from smqtk_indexing_ray.stages._util import (
         _get_probe_task,
-        auto_blocks,
+        coalesced_sort,
     )
 
     keys = [key] if isinstance(key, str) else list(key)
@@ -635,10 +631,7 @@ def sorted_group_agg(ds, *, key: str | list[str], aggs: dict[str, str],
             pa.int64() if op == "count" else sch.field(src).type))
     out_schema = pa.schema(out_fields)
 
-    # sorts cost O(input_blocks x output_partitions) merge tasks, so
-    # coalesce fan-out inputs first (the measured r2 lever)
-    srt = ds.repartition(num_blocks or auto_blocks()).sort(
-        keys + orders).materialize()
+    srt = coalesced_sort(ds, keys + orders, num_blocks=num_blocks)
     refs = [ref for bundle in srt.iter_internal_ref_bundles()
             for ref, _meta in bundle.blocks]
     if not refs:

@@ -128,7 +128,7 @@ def sorted_self_pairs(ds, *, key: str, item: str,
 
     from smqtk_indexing_ray.stages._util import (
         _get_probe_task,
-        auto_blocks,
+        coalesced_sort,
     )
 
     carry = carry or []
@@ -146,8 +146,7 @@ def sorted_self_pairs(ds, *, key: str, item: str,
            for f in (pa.field(f"{c}_a", sch.field(c).type),
                      pa.field(f"{c}_b", sch.field(c).type))])
 
-    srt = ds.repartition(num_blocks or auto_blocks()).sort(
-        [key, item]).materialize()
+    srt = coalesced_sort(ds, [key, item], num_blocks=num_blocks)
     refs = [ref for bundle in srt.iter_internal_ref_bundles()
             for ref, _meta in bundle.blocks]
     if not refs:

@@ -1741,3 +1741,26 @@ class TestPpjoinPairs:
                  for i in range(10)]
         with pytest.raises(ValueError, match="max_vocab"):
             ppjoin_pairs(self._docs(texts), max_vocab=3).to_pandas()
+
+    def test_non_dyadic_threshold_no_recall_loss(self):
+        """threshold=0.55: float64 rounds 0.55*100 UP past the integer
+        (55.000000000000007), which without the epsilon nudge shortens
+        the prefix by one and drops a true overlap-55 pair (r4 review
+        finding).  PPJoin must still equal the uncapped exact join."""
+        from smqtk_indexing_ray.pipelines.analysis import (
+            ngram_jaccard_pairs, ppjoin_pairs)
+        rng = np.random.default_rng(31)
+        words = ["w%d" % i for i in range(30)]
+        base = [" ".join(rng.choice(words, 50)) for _ in range(12)]
+        # near-dup family with varied overlap around the threshold
+        fam = [b + " extra%d tail%d" % (i, i) for i, b in
+               enumerate(base[:5])]
+        texts = base + fam
+        t = 0.55
+        pp = ppjoin_pairs(self._docs(texts), threshold=t).to_pandas(
+        ).sort_values(["doc_a", "doc_b"], ignore_index=True)
+        ng = ngram_jaccard_pairs(
+            self._docs(texts), threshold=t,
+            max_shingle_freq=None).to_pandas().sort_values(
+            ["doc_a", "doc_b"], ignore_index=True)
+        assert pp.equals(ng)

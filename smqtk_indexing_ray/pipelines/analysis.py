@@ -913,6 +913,25 @@ def ngram_jaccard_pairs(docs, *, k: int = 3, threshold: float = 0.5,
 PPJOIN_MAX_VOCAB = 8_000_000
 
 
+def _unpack_sets(col) -> "tuple[np.ndarray, np.ndarray]":
+    """(values, per-row element counts) of a large_binary column of
+    packed sorted int64 sets — zero Python per row: the offsets and the
+    concatenated element stream ride the Arrow buffers directly."""
+    arr = (col.combine_chunks() if isinstance(col, pa.ChunkedArray)
+           else col)
+    if arr.type != pa.large_binary():
+        arr = arr.cast(pa.large_binary())
+    if arr.null_count:
+        raise ValueError("_unpack_sets: null packed-set blob")
+    off = np.frombuffer(arr.buffers()[1], np.int64)[
+        arr.offset: arr.offset + len(arr) + 1]
+    cnt = (np.diff(off) // 8).astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], np.uint8)
+    # fresh copy => 8-byte aligned, safe to view as int64
+    vals = data[off[0]:off[-1]].copy().view(np.int64)
+    return vals, cnt
+
+
 def ppjoin_pairs(docs, *, k: int = 3, threshold: float = 0.5,
                  num_partitions: int = 8,
                  max_vocab: int = PPJOIN_MAX_VOCAB):
@@ -925,17 +944,27 @@ def ppjoin_pairs(docs, *, k: int = 3, threshold: float = 0.5,
     element within their prefixes of length ``n − ⌈t·n⌉ + 1`` — so only
     prefix shingles enter the pair-emission sort, cutting candidates by
     ~t/(1+t) of every set plus the whole frequent tail, with no recall
-    loss.  Survivors are verified EXACTLY: each side's full sorted
-    shingle-hash set rides two ``sort_attach`` passes as a packed
-    binary blob, and one vectorized ``searchsorted`` per candidate
-    computes the true intersection.  Same output contract as
-    ``ngram_jaccard_pairs`` but with NO stop-shingle cap: the oracle is
-    the pure uncapped Jaccard join.
+    loss.  Survivors are verified EXACTLY against each side's full
+    sorted shingle-hash set with one vectorized sort-merge per batch.
+    Same output contract as ``ngram_jaccard_pairs`` but with NO
+    stop-shingle cap: the oracle is the pure uncapped Jaccard join.
 
-    The shingle→df table is broadcast (gated at ``max_vocab``, the
-    tf-idf/DSIR convention); above the gate swap the broadcast for a
-    df ``sort_attach`` onto the exploded stream.  Document-frequency
-    skew no longer threatens the pass — a boilerplate shingle in 10⁶
+    Documents are shingled ONCE, directly into the packed per-doc blob
+    form (one row per doc: doc_id + the sorted distinct shingle hashes
+    as one binary value, ~8 B/shingle — 3x smaller than a row-per-
+    shingle stream and immune to dynamic block slicing ever splitting
+    a document).  That materialized table feeds all four consumers
+    batch-locally: the df partial count, the prefix emission, and both
+    verify-side ``sort_attach`` payloads — text is read from storage
+    exactly once and never re-tokenized.
+
+    The shingle→df table drives the prefix bound two ways: broadcast
+    once via ``ray.put`` when the vocabulary fits ``max_vocab`` (the
+    tf-idf/DSIR convention), else df rides a ``sort_attach`` onto the
+    blob-exploded stream and the per-doc rarest-first rank comes from
+    one more range-partitioned sort (``stages/agg.sorted_rank_attach``)
+    — the web-scale vocabulary path never aborts.  Document-frequency
+    skew does not threaten either path: a boilerplate shingle in 10⁶
     docs lands at the END of the global order and never enters a
     prefix unless a doc is almost entirely boilerplate.
 
@@ -948,94 +977,185 @@ def ppjoin_pairs(docs, *, k: int = 3, threshold: float = 0.5,
 
     from smqtk_indexing_ray.stages._util import (
         auto_blocks,
+        collect_table,
         drop_empty_blocks,
     )
-    from smqtk_indexing_ray.stages.agg import sorted_group_agg
-    from smqtk_indexing_ray.stages.attach import sort_attach
+    from smqtk_indexing_ray.stages.agg import (
+        sorted_group_agg,
+        sorted_rank_attach,
+    )
+    from smqtk_indexing_ray.stages.attach import (
+        _broadcast_cache_get,
+        sort_attach,
+    )
     from smqtk_indexing_ray.stages.pairs import sorted_self_pairs
 
     exp_schema = pa.schema([("shingle", pa.int64()), ("doc_id", pa.int64()),
                             ("n_sh", pa.int64())])
+    df_schema = pa.schema([("shingle", pa.int64()), ("df", pa.int64())])
+    nb = max(num_partitions, auto_blocks())
 
-    # --- shingle ONCE; every pass below reads the materialized stream.
-    # _shingle_explode emits each input batch's docs complete and
-    # doc-contiguous within one output block, so whole-block consumers
-    # (batch_size=None) see every doc's full shingle set locally.
-    exploded = docs.select_columns(["doc_id", "text"]).map_batches(
-        lambda t: _shingle_explode(t, k),
-        batch_format="pyarrow").materialize()
+    # --- the ONE shingling pass: docs -> packed per-doc sets ---------
+    # (_shingle_explode emits (doc-contiguous, shingle-ascending) rows,
+    # so its int64 column IS the concatenated blob data and the run
+    # starts ARE the offsets — zero per-doc Python)
+    blob_schema = pa.schema([("doc_id", pa.int64()),
+                             ("blob", pa.large_binary())])
 
-    # --- pass A: global shingle document frequencies -----------------
+    def pack(t: pa.Table) -> pa.Table:
+        ex = _shingle_explode(t, k)
+        if ex.num_rows == 0:
+            return blob_schema.empty_table()
+        sh = ex["shingle"].to_numpy(zero_copy_only=False)
+        did = ex["doc_id"].to_numpy(zero_copy_only=False)
+        starts = np.concatenate(
+            [[0], np.flatnonzero(did[1:] != did[:-1]) + 1])
+        nd = len(starts)
+        byte_off = np.empty(nd + 1, np.int64)
+        byte_off[:-1] = starts * 8
+        byte_off[-1] = len(sh) * 8
+        blob_arr = pa.Array.from_buffers(
+            pa.large_binary(), nd,
+            [None, pa.py_buffer(byte_off.tobytes()),
+             pa.py_buffer(np.ascontiguousarray(sh, np.int64).tobytes())])
+        return pa.table({
+            "doc_id": pa.array(did[starts].astype(np.int64)),
+            "blob": blob_arr,
+        }, schema=blob_schema)
+
+    blobs = docs.select_columns(["doc_id", "text"]).map_batches(
+        pack, batch_format="pyarrow", batch_size=None).materialize()
+
+    # --- pass A: global shingle document frequencies, partial-counted
+    # per batch (set elements are per-doc distinct, so the per-batch
+    # unique count IS a df partial; the shuffle carries one row per
+    # batch-distinct shingle, never the token stream)
+    def df_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "blob" not in t.column_names:
+            return df_schema.empty_table()
+        vals, _cnt = _unpack_sets(t["blob"])
+        if not len(vals):
+            return df_schema.empty_table()
+        uniq, counts = np.unique(vals, return_counts=True)
+        return pa.table({"shingle": pa.array(uniq.astype(np.int64)),
+                         "df": pa.array(counts.astype(np.int64))},
+                        schema=df_schema)
+
     df_tab = sorted_group_agg(
-        drop_empty_blocks(exploded, exp_schema),
-        key="shingle", aggs={"df": "count"},
-        num_blocks=max(num_partitions, auto_blocks()),
-        schema=exp_schema).materialize()
+        blobs.map_batches(df_partial, batch_format="pyarrow",
+                          batch_size=None),
+        key="shingle", aggs={"df": "sum"},
+        num_blocks=nb, schema=df_schema).materialize()
     n_vocab = df_tab.count()
-    if n_vocab > max_vocab:
-        raise ValueError(
-            f"ppjoin_pairs: {n_vocab} distinct shingles > max_vocab="
-            f"{max_vocab}; swap the broadcast df table for a df "
-            "sort_attach onto the exploded stream")
-    if n_vocab:
-        vt = pa.concat_tables(
-            [b for b in df_tab.iter_batches(batch_size=None,
-                                            batch_format="pyarrow")]
-        ).combine_chunks()
+
+    # Jaccard prefix bound: p = n - ceil(t*n) + 1.  The ceil must be
+    # of the REAL product: float64 rounds 0.55*100 UP to
+    # 55.000000000000007, whose ceil (56) would shorten the prefix and
+    # silently drop a true overlap-55 pair.  Nudging down by an
+    # epsilon only ever LENGTHENS the prefix (extra candidates, exact
+    # verify decides) — recall is never lost.
+    def _prefix_len(sizes: np.ndarray) -> np.ndarray:
+        return sizes - np.ceil(
+            threshold * sizes - 1e-9).astype(np.int64) + 1
+
+    if n_vocab <= max_vocab:
+        # --- pass B (broadcast df): per-batch prefix emission --------
+        vt = collect_table(df_tab, df_schema)
         v_sh = vt["shingle"].to_numpy(zero_copy_only=False).astype(np.int64)
         v_df = vt["df"].to_numpy(zero_copy_only=False).astype(np.int64)
         o = np.argsort(v_sh, kind="stable")
-        v_sh, v_df = v_sh[o], v_df[o]
+        df_ref = ray.put((np.ascontiguousarray(v_sh[o]),
+                          np.ascontiguousarray(v_df[o])))
+
+        def prefix_rows(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "blob" not in t.column_names:
+                return exp_schema.empty_table()
+            sh, cnt = _unpack_sets(t["blob"])
+            if not len(sh):
+                return exp_schema.empty_table()
+            sv, dv = _broadcast_cache_get(df_ref)
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            did = np.repeat(ids, cnt)
+            nsh = np.repeat(cnt, cnt)
+            pos = np.clip(np.searchsorted(sv, sh), 0,
+                          max(len(sv) - 1, 0))
+            if len(sv) == 0 or not (sv[pos] == sh).all():
+                # pass A counted these exact materialized sets; a miss
+                # means the blob table mutated between passes — fail
+                # loudly instead of taking a neighbor's df
+                raise ValueError(
+                    "ppjoin_pairs: shingle missing from the pass-A df "
+                    "table")
+            dfs = dv[pos]
+            # global rarest-first order: (df, shingle) asc within doc
+            order = np.lexsort((sh, dfs, did))
+            did_s, sh_s, nsh_s = did[order], sh[order], nsh[order]
+            starts = np.concatenate(
+                [[0], np.flatnonzero(did_s[1:] != did_s[:-1]) + 1])
+            sizes = np.diff(np.append(starts, len(did_s)))
+            plen = _prefix_len(sizes)
+            rank = np.arange(len(did_s)) - np.repeat(starts, sizes)
+            keep = rank < np.repeat(plen, sizes)
+            return pa.table({
+                "shingle": pa.array(sh_s[keep]),
+                "doc_id": pa.array(did_s[keep]),
+                "n_sh": pa.array(nsh_s[keep]),
+            }, schema=exp_schema)
+
+        prefixes = drop_empty_blocks(
+            blobs.map_batches(prefix_rows, batch_format="pyarrow",
+                              batch_size=None), exp_schema)
     else:
-        v_sh = np.empty(0, np.int64)
-        v_df = np.empty(0, np.int64)
-    df_ref = ray.put((v_sh, v_df))
+        # --- pass B (web-scale vocabulary): df rides a sort_attach
+        # onto the blob-exploded stream, the per-doc rarest-first rank
+        # comes from one more range-partitioned sort — no broadcast,
+        # no driver-side vocabulary, no abort
+        def explode_blobs(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "blob" not in t.column_names:
+                return exp_schema.empty_table()
+            sh, cnt = _unpack_sets(t["blob"])
+            if not len(sh):
+                return exp_schema.empty_table()
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "shingle": pa.array(sh),
+                "doc_id": pa.array(np.repeat(ids, cnt).astype(np.int64)),
+                "n_sh": pa.array(np.repeat(cnt, cnt)),
+            }, schema=exp_schema)
 
-    # --- pass B: prefix-shingle emission ------------------------------
-    def prefix_rows(ex: pa.Table) -> pa.Table:
-        if ex.num_rows == 0 or "shingle" not in ex.column_names:
-            return exp_schema.empty_table()
-        sv, dv = ray.get(df_ref)
-        sh = ex["shingle"].to_numpy(zero_copy_only=False)
-        did = ex["doc_id"].to_numpy(zero_copy_only=False)
-        nsh = ex["n_sh"].to_numpy(zero_copy_only=False)
-        dfs = dv[np.searchsorted(sv, sh)]
-        # global rarest-first order: (df, shingle) ascending, per doc
-        order = np.lexsort((sh, dfs, did))
-        did_s, sh_s, nsh_s = did[order], sh[order], nsh[order]
-        starts = np.concatenate(
-            [[0], np.flatnonzero(did_s[1:] != did_s[:-1]) + 1])
-        sizes = np.diff(np.append(starts, len(did_s)))
-        # whole-doc locality check: each row carries its doc's TOTAL
-        # distinct-shingle count, so a doc split across blocks (dynamic
-        # block slicing of an oversized map output) is detectable —
-        # fail loudly instead of emitting a wrong shorter prefix
-        if (sizes != nsh_s[starts]).any():
-            raise ValueError(
-                "ppjoin_pairs: a document's shingle rows were split "
-                "across blocks; raise DataContext.target_max_block_size "
-                "or shrink the upstream batch")
-        # Jaccard prefix bound: p = n - ceil(t*n) + 1.  The ceil must
-        # be of the REAL product: float64 rounds 0.55*100 UP to
-        # 55.000000000000007, whose ceil (56) would shorten the prefix
-        # and silently drop a true overlap-55 pair.  Nudging down by
-        # an epsilon only ever LENGTHENS the prefix (extra candidates,
-        # exact verify decides) — recall is never lost.
-        plen = sizes - np.ceil(
-            threshold * sizes - 1e-9).astype(np.int64) + 1
-        rank = np.arange(len(did_s)) - np.repeat(starts, sizes)
-        keep = rank < np.repeat(plen, sizes)
-        return pa.table({
-            "shingle": pa.array(sh_s[keep]),
-            "doc_id": pa.array(did_s[keep]),
-            "n_sh": pa.array(nsh_s[keep]),
-        }, schema=exp_schema)
+        exploded = blobs.map_batches(explode_blobs,
+                                     batch_format="pyarrow",
+                                     batch_size=None)
+        with_df = sort_attach(
+            exploded, df_tab, key="shingle", payload_key="shingle",
+            payload_cols=["df"], how="inner",
+            rows_schema=exp_schema, payload_schema=df_schema,
+            num_blocks=nb)
+        wd_schema = pa.schema([("shingle", pa.int64()),
+                               ("doc_id", pa.int64()),
+                               ("n_sh", pa.int64()),
+                               ("df", pa.int64())])
+        ranked = sorted_rank_attach(
+            with_df, key="doc_id", order=["df", "shingle"], out="rank",
+            num_blocks=nb, schema=wd_schema)
 
-    prefixes = drop_empty_blocks(
-        exploded.map_batches(prefix_rows, batch_format="pyarrow",
-                             batch_size=None), exp_schema)
+        def prefix_filter(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "rank" not in t.column_names:
+                return exp_schema.empty_table()
+            nsh = t["n_sh"].to_numpy(zero_copy_only=False)
+            rank = t["rank"].to_numpy(zero_copy_only=False)
+            keep = pa.array(rank < _prefix_len(nsh))
+            return pa.table({
+                "shingle": pc.cast(t["shingle"].filter(keep),
+                                   pa.int64()),
+                "doc_id": pc.cast(t["doc_id"].filter(keep), pa.int64()),
+                "n_sh": pc.cast(t["n_sh"].filter(keep), pa.int64()),
+            }, schema=exp_schema)
 
-    nb = max(num_partitions, auto_blocks())
+        prefixes = drop_empty_blocks(
+            ranked.map_batches(prefix_filter, batch_format="pyarrow"),
+            exp_schema)
+
     raw = sorted_self_pairs(
         prefixes, key="shingle", item="doc_id", carry=["n_sh"],
         max_group=None, cap=10_000_000, num_blocks=nb, schema=exp_schema)
@@ -1063,43 +1183,13 @@ def ppjoin_pairs(docs, *, k: int = 3, threshold: float = 0.5,
         key=["doc_a", "doc_b"], aggs={"na": "min", "nb": "min"},
         num_blocks=nb, schema=cand_schema)
 
-    # --- pass C: packed per-doc shingle sets --------------------------
-    blob_schema = pa.schema([("doc_id", pa.int64()),
-                             ("blob", pa.binary())])
-
-    def pack(ex: pa.Table) -> pa.Table:
-        if ex.num_rows == 0 or "shingle" not in ex.column_names:
-            return blob_schema.empty_table()
-        sh = ex["shingle"].to_numpy(zero_copy_only=False)
-        did = ex["doc_id"].to_numpy(zero_copy_only=False)
-        nsh = ex["n_sh"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((sh, did))
-        did_s, sh_s = did[order], sh[order]
-        starts = np.concatenate(
-            [[0], np.flatnonzero(did_s[1:] != did_s[:-1]) + 1])
-        ends = np.append(starts[1:], len(did_s))
-        if (ends - starts != nsh[order][starts]).any():
-            raise ValueError(
-                "ppjoin_pairs: a document's shingle rows were split "
-                "across blocks; raise DataContext.target_max_block_size "
-                "or shrink the upstream batch")
-        return pa.table({
-            "doc_id": pa.array(did_s[starts]),
-            "blob": pa.array([sh_s[s:e].tobytes()
-                              for s, e in zip(starts, ends)],
-                             pa.binary()),
-        }, schema=blob_schema)
-
-    blobs = drop_empty_blocks(
-        exploded.map_batches(pack, batch_format="pyarrow",
-                             batch_size=None), blob_schema)
-
+    # --- verify: attach both packed sets, intersect vectorized -------
     with_a = sort_attach(
         cands, blobs, key="doc_a", payload_key="doc_id",
         payload_cols=["blob"], how="inner",
         rows_schema=cand_schema, payload_schema=blob_schema)
     ren_a_schema = pa.schema(list(cand_schema)
-                             + [pa.field("blob_a", pa.binary())])
+                             + [pa.field("blob_a", pa.large_binary())])
 
     def ren_a(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "blob" not in t.column_names:
@@ -1111,8 +1201,7 @@ def ppjoin_pairs(docs, *, k: int = 3, threshold: float = 0.5,
         with_a.map_batches(ren_a, batch_format="pyarrow"), blobs,
         key="doc_b", payload_key="doc_id", payload_cols=["blob"],
         how="inner",
-        rows_schema=pa.schema(list(cand_schema)
-                              + [pa.field("blob_a", pa.binary())]),
+        rows_schema=ren_a_schema,
         payload_schema=blob_schema)
 
     out_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
@@ -1124,18 +1213,25 @@ def ppjoin_pairs(docs, *, k: int = 3, threshold: float = 0.5,
             return out_schema.empty_table()
         na = t["na"].to_numpy(zero_copy_only=False)
         nbv = t["nb"].to_numpy(zero_copy_only=False)
-        ba = t["blob_a"].to_pylist()
-        bb = t["blob"].to_pylist()
+        va, ca = _unpack_sets(t["blob_a"])
+        vb, cb = _unpack_sets(t["blob"])
+        if (ca != na).any() or (cb != nbv).any():
+            raise ValueError(
+                "ppjoin_pairs: blob element counts disagree with the "
+                "candidate n_sh — attach produced a wrong payload")
         n = t.num_rows
-        inter = np.empty(n, np.int64)
-        for i in range(n):
-            a = np.frombuffer(ba[i], np.int64)
-            b = np.frombuffer(bb[i], np.int64)
-            if len(b) < len(a):
-                a, b = b, a
-            pos = np.searchsorted(b, a)
-            pos[pos == len(b)] = len(b) - 1 if len(b) else 0
-            inter[i] = int((b[pos] == a).sum()) if len(b) else 0
+        # one global sort-merge instead of a per-candidate Python loop:
+        # tag every set element with its candidate row, lexsort by
+        # (row, value) — within a row each side's elements are
+        # distinct, so equal adjacent (row, value) pairs are exactly
+        # the intersections
+        p = np.concatenate([np.repeat(np.arange(n, dtype=np.int64), ca),
+                            np.repeat(np.arange(n, dtype=np.int64), cb)])
+        v = np.concatenate([va, vb])
+        order = np.lexsort((v, p))
+        ps, vs = p[order], v[order]
+        m = (ps[1:] == ps[:-1]) & (vs[1:] == vs[:-1])
+        inter = np.bincount(ps[:-1][m], minlength=n).astype(np.int64)
         union = na + nbv - inter
         jv = inter.astype(np.float64) / union.astype(np.float64)
         keep = jv >= threshold

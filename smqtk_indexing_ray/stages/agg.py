@@ -309,6 +309,126 @@ def sorted_run_length_attach(ds, *, key: str | list[str],
     return rd.from_arrow_refs(filled)
 
 
+def sorted_rank_attach(ds, *, key: str | list[str],
+                       order: str | list[str],
+                       out: str = "rank",
+                       num_blocks: int | None = None,
+                       schema: pa.Schema | None = None):
+    """Attach each row's 0-based position within its key partition in
+    ``(keys..., order...)`` sort order — ``row_number() OVER (PARTITION
+    BY keys ORDER BY order) - 1`` in one sort.
+
+    A row's rank is its local offset inside its run plus the count of
+    the run's rows living in EARLIER blocks; that count is the same
+    forward chain the other stages here fold (probe each block's
+    first/last key and edge-run lengths, accumulate block-to-block on
+    the driver — O(blocks) scalars).
+
+    Reference analog: the ascending candidate ordering of the exact
+    re-rank (/root/reference/smqtk_indexing/impls/nn_index/
+    lsh.py:513-518), attached as a persistent per-partition position.
+    """
+    import ray
+    import ray.data as rd
+
+    from smqtk_indexing_ray.stages._util import (
+        _get_probe_task,
+        coalesced_sort,
+    )
+
+    keys = [key] if isinstance(key, str) else list(key)
+    orders = [order] if isinstance(order, str) else list(order)
+
+    def _arrow_schema(d) -> pa.Schema:
+        s = d.schema()
+        return s.base_schema if hasattr(s, "base_schema") else s
+
+    sch = schema or _arrow_schema(ds)
+    out_schema = pa.schema(list(sch) + [pa.field(out, pa.int64())])
+
+    srt = coalesced_sort(ds, keys + orders, num_blocks=num_blocks)
+    refs = [ref for bundle in srt.iter_internal_ref_bundles()
+            for ref, _meta in bundle.blocks]
+    if not refs:
+        return rd.from_arrow(out_schema.empty_table())
+    task = _get_probe_task()
+
+    def _segments(t: pa.Table):
+        n = t.num_rows
+        change = np.zeros(n - 1, bool) if n > 1 else np.zeros(0, bool)
+        for k in keys:
+            if t[k].null_count:
+                raise ValueError(
+                    f"sorted_rank_attach: key {k!r} contains nulls; "
+                    f"fill or filter them upstream")
+            col = t[k].to_numpy(zero_copy_only=False)
+            if n > 1:
+                change |= col[1:] != col[:-1]
+        starts = np.concatenate([[0], np.flatnonzero(change) + 1])
+        ends = np.concatenate([starts[1:], [n]])
+        return starts, ends
+
+    def probe(t: pa.Table) -> pa.Table:
+        psch = pa.schema(
+            [pa.field(f"fk_{k}", sch.field(k).type) for k in keys]
+            + [pa.field(f"lk_{k}", sch.field(k).type) for k in keys]
+            + [pa.field("last_len", pa.int64()),
+               pa.field("n_rows", pa.int64())])
+        if t.num_rows == 0 or any(k not in t.column_names
+                                  for k in keys):
+            return psch.empty_table()
+        starts, ends = _segments(t)
+        data = {}
+        for k in keys:
+            data[f"fk_{k}"] = t[k].slice(0, 1)
+            data[f"lk_{k}"] = t[k].slice(t.num_rows - 1, 1)
+        data["last_len"] = pa.array([int(ends[-1] - starts[-1])],
+                                    pa.int64())
+        data["n_rows"] = pa.array([t.num_rows], pa.int64())
+        return pa.table(data, schema=psch)
+
+    per_block = ray.get([task.remote(probe, r) for r in refs])
+
+    # carry[i] = rows of block i's FIRST key run in earlier blocks
+    carries: list[tuple | None] = []   # (key_tuple, count_before)
+    acc_key: tuple | None = None
+    acc_cnt = 0
+    for tbl in per_block:
+        carries.append(None if acc_key is None else (acc_key, acc_cnt))
+        if tbl is None or tbl.num_rows == 0:
+            continue
+        fk = tuple(tbl[f"fk_{k}"][0].as_py() for k in keys)
+        lk = tuple(tbl[f"lk_{k}"][0].as_py() for k in keys)
+        n_rows = int(tbl["n_rows"][0].as_py())
+        last_len = int(tbl["last_len"][0].as_py())
+        if fk == lk and acc_key == fk:
+            # whole block continues the chained run
+            acc_cnt += n_rows
+        else:
+            acc_key = lk
+            # single-run block starting a new chain counts all its rows;
+            # otherwise the last run starts locally at last_len rows
+            acc_cnt = n_rows if fk == lk else last_len
+
+    def fill(t: pa.Table, carry: tuple | None) -> pa.Table:
+        if t.num_rows == 0 or any(k not in t.column_names
+                                  for k in keys):
+            return out_schema.empty_table()
+        starts, ends = _segments(t)
+        rank = (np.arange(t.num_rows, dtype=np.int64)
+                - np.repeat(starts, ends - starts))
+        if carry is not None:
+            first_key = tuple(t[k][0].as_py() for k in keys)
+            if carry[0] == first_key:
+                rank[:ends[0]] += carry[1]
+        return t.append_column(out, pa.array(rank, pa.int64()))
+
+    filled = [task.remote(
+        functools.partial(fill, carry=carries[i]), r)
+        for i, r in enumerate(refs)]
+    return rd.from_arrow_refs(filled)
+
+
 def sorted_lag_attach(ds, *, key: str | list[str],
                       order: str | list[str],
                       value: str | list[str],

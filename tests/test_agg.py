@@ -240,6 +240,40 @@ def test_sorted_run_length_attach_multikey_and_empty():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_sorted_rank_attach_matches_row_number():
+    """row_number() OVER (PARTITION BY key ORDER BY o, v) - 1 in one
+    sort: a hot key spanning several blocks must rank continuously
+    across the block boundary."""
+    import ray.data as rd
+
+    from smqtk_indexing_ray.stages.agg import sorted_rank_attach
+
+    rng = np.random.default_rng(211)
+    n = 4000
+    k = rng.integers(0, 300, n)
+    k[:2200] = 11                       # hot key spans blocks
+    o = rng.integers(0, 5, n).astype(np.int64)
+    v = rng.permutation(n).astype(np.int64)   # unique tiebreak
+    t = pa.table({"k": pa.array(k.astype(np.int64)), "o": pa.array(o),
+                  "v": pa.array(v)})
+    got = sorted_rank_attach(
+        rd.from_arrow(t).repartition(13), key="k", order=["o", "v"],
+        out="rnk").to_pandas().sort_values(["k", "o", "v"],
+                                           ignore_index=True)
+    df = t.to_pandas().sort_values(["k", "o", "v"], ignore_index=True)
+    df["rnk"] = df.groupby("k").cumcount()
+    assert list(got.rnk) == list(df.rnk)
+    assert got.shape[0] == n
+
+    sch = pa.schema([("k", pa.int64()), ("o", pa.int64()),
+                     ("v", pa.int64())])
+    empty = sorted_rank_attach(
+        rd.from_arrow(sch.empty_table()), key="k", order="o",
+        out="rnk", schema=sch)
+    assert empty.count() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_sorted_group_agg_string_keys_and_empty():
     import ray.data as rd
 

@@ -1735,12 +1735,46 @@ class TestPpjoinPairs:
         # no pair reaches 0.5
         assert len(got) == 0
 
-    def test_vocab_gate_raises(self):
-        from smqtk_indexing_ray.pipelines.analysis import ppjoin_pairs
-        texts = ["a%d b%d c%d d%d e%d" % (i, i, i, i, i)
-                 for i in range(10)]
-        with pytest.raises(ValueError, match="max_vocab"):
-            ppjoin_pairs(self._docs(texts), max_vocab=3).to_pandas()
+    def test_above_vocab_gate_takes_df_attach_fallback(self):
+        """max_vocab forced tiny drives the web-scale path (df
+        sort_attach + sorted_rank_attach instead of the broadcast):
+        output must STILL equal the uncapped exact join."""
+        from smqtk_indexing_ray.pipelines.analysis import (
+            ngram_jaccard_pairs, ppjoin_pairs)
+        rng = np.random.default_rng(23)
+        words = ["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"]
+        base = [" ".join(rng.choice(words, 40)) for _ in range(20)]
+        near = [t + " tail extra bit" for t in base[:6]]
+        texts = base + near + [base[0], base[1]]
+        pp = ppjoin_pairs(self._docs(texts),
+                          max_vocab=3).to_pandas().sort_values(
+            ["doc_a", "doc_b"], ignore_index=True)
+        ng = ngram_jaccard_pairs(
+            self._docs(texts), max_shingle_freq=None).to_pandas(
+        ).sort_values(["doc_a", "doc_b"], ignore_index=True)
+        assert len(pp) > 0
+        assert pp.equals(ng)
+
+    def test_fallback_non_dyadic_threshold(self):
+        """The epsilon-safe prefix bound must hold on the fallback
+        path too (rank computed by sorted_rank_attach, not locally)."""
+        from smqtk_indexing_ray.pipelines.analysis import (
+            ngram_jaccard_pairs, ppjoin_pairs)
+        rng = np.random.default_rng(31)
+        words = ["w%d" % i for i in range(30)]
+        base = [" ".join(rng.choice(words, 50)) for _ in range(12)]
+        fam = [b + " extra%d tail%d" % (i, i) for i, b in
+               enumerate(base[:5])]
+        texts = base + fam
+        t = 0.55
+        pp = ppjoin_pairs(self._docs(texts), threshold=t,
+                          max_vocab=1).to_pandas().sort_values(
+            ["doc_a", "doc_b"], ignore_index=True)
+        ng = ngram_jaccard_pairs(
+            self._docs(texts), threshold=t,
+            max_shingle_freq=None).to_pandas().sort_values(
+            ["doc_a", "doc_b"], ignore_index=True)
+        assert pp.equals(ng)
 
     def test_non_dyadic_threshold_no_recall_loss(self):
         """threshold=0.55: float64 rounds 0.55*100 UP past the integer

@@ -60,6 +60,46 @@ def hash_strings_u64(arr: pa.Array | pa.ChunkedArray | np.ndarray | list,
     return hashed_uniques[indices]
 
 
+def hash_byte_segments_u64(data: np.ndarray, offsets: np.ndarray,
+                           *, seed: int | np.uint64 = 0) -> np.ndarray:
+    """Keyed 64-bit hash of variable-length byte SEGMENTS of one
+    contiguous uint8 stream — fully vectorized, zero Python per
+    segment (the batched replacement for hashing each segment's bytes
+    through a per-item loop).
+
+    Segment ``i`` is ``data[offsets[i]:offsets[i+1]]`` (``offsets`` has
+    ``k+1`` entries; segments tile the covered range, empty segments
+    allowed).  Each byte mixes with its within-segment position and the
+    seed through splitmix64 — ``(pos << 8) | byte`` is injective for
+    segments under 2^56 bytes — the per-segment fold is one
+    ``np.bitwise_xor.reduceat`` (empty segments occupy zero bytes, so
+    reducing between consecutive NON-empty starts is exact), and a
+    length-keyed splitmix64 finalizes.  Hashes under distinct seeds
+    are independent functions of the bytes (the keyed-lane shape of
+    ``_bytes_hash64`` in ``stages/multimodal.py``, batched).
+    """
+    offs = np.asarray(offsets, np.int64)
+    k = len(offs) - 1
+    if k <= 0:
+        return np.empty(0, np.uint64)
+    seed = np.uint64(seed)
+    lens = np.diff(offs)
+    base = offs[0]
+    with np.errstate(over="ignore"):
+        seed_mix = splitmix64(np.array([seed], np.uint64))[0]
+        flat = np.asarray(data[base:offs[-1]]).astype(np.uint64)
+        rel_starts = offs[:-1] - base
+        pos = (np.arange(len(flat), dtype=np.uint64)
+               - np.repeat(rel_starts, lens).astype(np.uint64))
+        m = splitmix64(((pos << np.uint64(8)) | flat) + seed_mix)
+        acc = np.zeros(k, np.uint64)
+        ne = lens > 0
+        if ne.any():
+            acc[ne] = np.bitwise_xor.reduceat(m, rel_starts[ne])
+        return splitmix64(acc ^ splitmix64(lens.astype(np.uint64)
+                                           + seed_mix))
+
+
 def fold_rows_u64(mat: np.ndarray, salt: np.uint64 | int = 0) -> np.ndarray:
     """Fold each row of a 2-D unsigned array into one uint64 key.
 

@@ -1533,7 +1533,11 @@ def semantic_dedup(emb, *, n_clusters: int = 8, tau: int = 150_000,
     O(Σ_c |c|² d) confined per cluster (the SemDeDup design point:
     ``n_clusters`` grows with the corpus so bucket sizes stay roughly
     constant); a cluster above ``max_cluster`` members raises loudly
-    instead of melting one task.  Codes cross the ONE shuffle as
+    instead of melting one task.  ``max_cluster`` is an abort guard,
+    not a tuning target: size ``n_clusters`` for ~5-10k members per
+    bucket (a 10k x 10k x d float64-BLAS stripe scan is sub-second;
+    a 49k bucket is legal but ~25x that in one task).  Codes cross
+    the ONE shuffle as
     d-byte fixed-width binary (uint8/dim), never float vectors; the
     pairwise scan runs in row stripes so scratch stays
     O(stripe x |c|), not O(|c|²).
@@ -1597,10 +1601,23 @@ def semantic_dedup(emb, *, n_clusters: int = 8, tau: int = 150_000,
             n, d_full)[order].astype(np.int64)
         keep = np.ones(n, bool)
         a2 = np.einsum("ij,ij->i", q, q)
+        # cross products in float64 BLAS: every dot is a sum of d
+        # products of codes <= 255, bounded by d*255^2 — exactly
+        # representable in float64 while that stays under 2^53 (any
+        # realistic d; ~10^8 dims before the guard trips), so the
+        # rounded int64 equals the integer matmul bit-for-bit at
+        # ~10-50x the speed (numpy has no BLAS path for int dtypes —
+        # a near-max_cluster bucket would be ~10^12 scalar MACs in
+        # one task on the int64 path)
+        if d_full * (levels - 1) ** 2 > 2 ** 53:
+            raise ValueError(
+                "semantic_dedup: d * (levels-1)^2 exceeds the exact "
+                "float64 dot bound; lower levels")
+        qf = q.astype(np.float64)
         stripe = max(1, 8_000_000 // max(1, n))
         for s0 in range(1, n, stripe):
             s1 = min(s0 + stripe, n)
-            cross = q[s0:s1] @ q.T                 # (s, n) int64
+            cross = np.rint(qf[s0:s1] @ qf.T).astype(np.int64)  # exact
             d2 = a2[s0:s1, None] + a2[None, :] - 2 * cross
             lower = np.arange(n)[None, :] < np.arange(s0, s1)[:, None]
             keep[s0:s1] = ~((d2 <= tau) & lower).any(axis=1)

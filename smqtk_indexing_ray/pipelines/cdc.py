@@ -17,9 +17,10 @@ distinct-document counts (``stages/agg.sorted_run_length_attach``),
 and the per-document rollup rides the measured sort-based aggregation
 (``sorted_group_agg``).  At 10^12 docs the exchanged rows are
 O(chunks), ~40 B each — never document bytes.  Chunk identity is a
-128-bit two-lane keyed SipHash pair (birthday-safe at that scale; one
-64-bit lane would silently merge colliding chunks into "shared"
-content).
+128-bit two-lane keyed hash pair computed by the vectorized segmented
+byte kernel (``functions.hashing.hash_byte_segments_u64`` — zero
+Python per chunk; birthday-safe at that scale, one 64-bit lane would
+silently merge colliding chunks into "shared" content).
 
 Reference analog: the bucket-multimap accounting of
 /root/reference/smqtk_indexing/impls/nn_index/lsh.py:315-323 (hash ->
@@ -33,14 +34,14 @@ import numpy as np
 import pyarrow as pa
 
 from smqtk_indexing_ray.functions.cdc import cdc_cut_points, gear_hashes_padded
-from smqtk_indexing_ray.functions.hashing import hash_strings_u64
+from smqtk_indexing_ray.functions.hashing import hash_byte_segments_u64
 
-# Two independent keyed SipHash lanes (16-byte pandas hash keys): the
+# Two independent keyed hash lanes (arbitrary fixed 64-bit seeds): the
 # chunk identity is the 128-bit (h1, h2) pair — a single 64-bit lane
 # silently merges colliding chunks into 'shared' content at the 10^12-doc
 # design scale (the same birthday argument as media_dedup's key).
-_CDC_HASH_KEY1 = "smqtk-ray-cdc-16"
-_CDC_HASH_KEY2 = "smqtk-ray-cdc2-x"
+_CDC_SEED1 = np.uint64(0x63D1_6C75_11B4_90A7)
+_CDC_SEED2 = np.uint64(0x1F8E_2A6B_D90C_4E35)
 
 CDC_CHUNK_STATS_SCHEMA = pa.schema([
     ("doc_id", pa.int64()), ("n_chunks", pa.int64()),
@@ -67,8 +68,15 @@ def _chunk_batch(t: pa.Table, mask_bits: int, min_size: int,
     dids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     h, offs = gear_hashes_padded(streams)
 
+    # chunks tile each document's byte stream completely and documents
+    # tile the unpadded concatenation, so the batch's chunk bytes ARE
+    # one contiguous stream with per-chunk offsets — no per-chunk
+    # Python slices/strings, the identity hash rides the vectorized
+    # segmented kernel over the whole batch at once
+    doc_lens = np.array([len(s) for s in streams], np.int64)
+    doc_base = np.concatenate([[0], np.cumsum(doc_lens)])
     chunk_doc: list[np.ndarray] = []
-    chunk_str: list[str] = []
+    chunk_start: list[np.ndarray] = []
     chunk_len: list[np.ndarray] = []
     for i, s in enumerate(streams):
         n = len(s)
@@ -77,18 +85,19 @@ def _chunk_batch(t: pa.Table, mask_bits: int, min_size: int,
         ends = cdc_cut_points(h[offs[i]:offs[i] + n], mask_bits=mask_bits,
                               min_size=min_size, max_size=max_size)
         starts = np.concatenate([[0], ends[:-1] + 1])
-        # latin-1 is a bijective bytes<->str map: chunk bytes ride the
-        # vectorized dictionary-encode + SipHash string kernel unchanged
-        chunk_str.extend(
-            s[a:e + 1].decode("latin-1") for a, e in zip(starts, ends))
         chunk_doc.append(np.full(len(ends), dids[i], np.int64))
+        chunk_start.append(doc_base[i] + starts)
         chunk_len.append(ends - starts + 1)
-    if not chunk_str:
+    if not chunk_doc:
         return _PAIR_SCHEMA.empty_table()
     doc = np.concatenate(chunk_doc)
     ln = np.concatenate(chunk_len)
-    h1 = hash_strings_u64(chunk_str, hash_key=_CDC_HASH_KEY1).view(np.int64)
-    h2 = hash_strings_u64(chunk_str, hash_key=_CDC_HASH_KEY2).view(np.int64)
+    raw = np.frombuffer(b"".join(streams), np.uint8)
+    seg_offs = np.append(np.concatenate(chunk_start), doc_base[-1])
+    h1 = hash_byte_segments_u64(raw, seg_offs,
+                                seed=_CDC_SEED1).view(np.int64)
+    h2 = hash_byte_segments_u64(raw, seg_offs,
+                                seed=_CDC_SEED2).view(np.int64)
 
     order = np.lexsort((h2, h1, doc))
     doc, h1, h2, ln = doc[order], h1[order], h2[order], ln[order]

@@ -329,8 +329,16 @@ def tfidf_top_terms(docs, *, k: int = 3, max_vocab: int = TFIDF_MAX_VOCAB):
             return TFIDF_SCHEMA.empty_table()
         # one row per (doc, term): tf = run length
         batch_terms = vocab.to_numpy(zero_copy_only=False).astype(object)
-        vidx = np.searchsorted(sorted_terms, batch_terms)
-        # every batch term exists in the corpus vocabulary by construction
+        vidx = np.clip(np.searchsorted(sorted_terms, batch_terms), 0,
+                       max(len(sorted_terms) - 1, 0))
+        # every batch term exists in the corpus vocabulary by
+        # construction; a miss means the upstream dataset is
+        # nondeterministic between the count and score passes
+        if len(sorted_terms) == 0 or not (
+                sorted_terms[vidx] == batch_terms).all():
+            raise ValueError(
+                "tfidf: batch term missing from the corpus vocabulary; "
+                "upstream dataset is nondeterministic between passes")
         term_df = sorted_df[vidx]
         tf = run_len.astype(np.int64)
         df_run = term_df[s_code[run_starts]]
@@ -462,7 +470,18 @@ def dsir_weights(docs, *, target_lang: str = "en", alpha: float = 0.5,
             return DSIR_SCHEMA.empty_table()
         batch_terms = vocab.to_numpy(zero_copy_only=False).astype(object)
         # every batch term is in the union vocabulary by construction
-        r_term = ratio[np.searchsorted(sorted_terms, batch_terms)]
+        # (pass 1 re-executed the same upstream); a miss means the
+        # upstream dataset is nondeterministic between passes — fail
+        # loudly instead of silently taking a neighbor term's ratio
+        pos = np.clip(np.searchsorted(sorted_terms, batch_terms), 0,
+                      max(len(sorted_terms) - 1, 0))
+        if len(sorted_terms) == 0 or not (
+                sorted_terms[pos] == batch_terms).all():
+            raise ValueError(
+                "dsir_weights: batch term missing from the pass-1 "
+                "vocabulary; upstream dataset is nondeterministic "
+                "between passes")
+        r_term = ratio[pos]
         contrib = run_len.astype(np.float64) * r_term[s_code[run_starts]]
         w = np.bincount(run_doc, weights=contrib, minlength=n)
         keep = counts > 0
@@ -1215,8 +1234,17 @@ def doc_commonness(docs, *, max_vocab: int = TFIDF_MAX_VOCAB):
         if not len(run_starts):
             return DOC_COMMONNESS_SCHEMA.empty_table()
         batch_terms = vocab.to_numpy(zero_copy_only=False).astype(object)
-        vidx = np.searchsorted(terms_sorted, batch_terms)
-        # every batch term exists in the corpus vocabulary by construction
+        vidx = np.clip(np.searchsorted(terms_sorted, batch_terms), 0,
+                       max(len(terms_sorted) - 1, 0))
+        # every batch term exists in the corpus vocabulary by
+        # construction; a miss means the upstream dataset is
+        # nondeterministic between the count and score passes
+        if len(terms_sorted) == 0 or not (
+                terms_sorted[vidx] == batch_terms).all():
+            raise ValueError(
+                "doc_commonness: batch term missing from the corpus "
+                "vocabulary; upstream dataset is nondeterministic "
+                "between passes")
         cnt_run = cnt_sorted[vidx][s_code[run_starts]]
         tf = run_len.astype(np.int64)
         # run_doc is nondecreasing (lexsort is doc-primary): reduceat per doc

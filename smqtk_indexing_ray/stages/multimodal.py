@@ -258,15 +258,26 @@ def media_dedup(media):
     def slim(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "payload" not in t.column_names:
             return slim_schema.empty_table()
-        pays = t["payload"].to_pylist()
-        h1 = np.array([_bytes_hash64(p or b"") for p in pays],
-                      np.uint64)
+        from smqtk_indexing_ray.functions.hashing import (
+            hash_byte_segments_u64,
+        )
+        arr = t["payload"]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        arr = pc.fill_null(arr, b"").cast(pa.large_binary())
+        off = np.frombuffer(arr.buffers()[1], np.int64)[
+            arr.offset: arr.offset + len(arr) + 1]
+        buf = arr.buffers()[2]
+        data = (np.frombuffer(buf, np.uint8) if buf is not None
+                else np.empty(0, np.uint8))
+        # one vectorized segmented-hash pass over the batch's
+        # concatenated payload buffer (no per-payload Python loop);
         # second 64-bit lane: an INDEPENDENT keyed hash of the payload
         # bytes (not a function of h1 — that would leave only 64 bits
         # of entropy in the pair), so (h1, h2) is a true 128-bit
         # content key, birthday-safe at 10^12 items
-        h2 = np.array([_bytes_hash64(p or b"", seed=_H2_SEED)
-                       for p in pays], np.uint64)
+        h1 = hash_byte_segments_u64(data, off)
+        h2 = hash_byte_segments_u64(data, off, seed=_H2_SEED)
         return pa.table({
             "kind": t["kind"],
             "h1": pa.array(h1.view(np.int64)),

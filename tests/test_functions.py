@@ -46,6 +46,34 @@ class TestGoldens:
         assert got.tolist() == [7662307786963288888, 15541520539892041105,
                                 7662307786963288888]
 
+    def test_hash_byte_segments(self):
+        """The vectorized segmented kernel must hash each segment as a
+        pure function of (bytes, seed): batch layout, neighbors, and
+        position in the stream must not matter; empty segments are
+        legal; seeds give independent lanes."""
+        from smqtk_indexing_ray.functions.hashing import (
+            hash_byte_segments_u64,
+        )
+        segs = [b"hello", b"", b"hello", b"world!!", b"h", b"\x00" * 9]
+        data = np.frombuffer(b"".join(segs), np.uint8)
+        offs = np.cumsum([0] + [len(s) for s in segs])
+        got = hash_byte_segments_u64(data, offs)
+        # per-segment independent recompute (layout-independence)
+        solo = [hash_byte_segments_u64(
+            np.frombuffer(s, np.uint8), np.array([0, len(s)]))[0]
+            for s in segs]
+        assert got.tolist() == [int(x) for x in solo]
+        assert got[0] == got[2]                      # equal content
+        assert len({int(x) for x in got}) == 5       # distinct content
+        # a slice of the stream (non-zero base offset) hashes the same
+        sub = hash_byte_segments_u64(data, offs[2:5])
+        assert sub.tolist() == got.tolist()[2:4]
+        # seeds are independent lanes
+        lane2 = hash_byte_segments_u64(data, offs, seed=12345)
+        assert all(int(a) != int(b) for a, b in zip(got, lane2))
+        assert len(hash_byte_segments_u64(
+            np.empty(0, np.uint8), np.array([0]))) == 0
+
     def test_token_and_shingle_hashes(self):
         tok, off = tokenize_flat(pa.array([DOG]))
         assert off.tolist() == [0, 9]

@@ -41,33 +41,22 @@ def _revenue_units(t: pa.Table) -> np.ndarray:
     return cents * bp
 
 
-def supplier_nation_volume(lineitem, supplier, nation, region):
-    """Revenue volume per (region, nation) — the broadcast-dimension
-    join shape: the fact table pre-reduces per batch to its distinct
-    supplier keys, and the supplier->nation->region dimension chain
-    (hundreds of rows) is composed DRIVER-SIDE into one small map,
-    ``ray.put`` once and looked up inside ``map_batches`` — no shuffle
-    ever sees a dimension row, and the only exchange is the
-    #suppliers-per-batch partial aggregate.
+#: Row gate for driver-collected dimension broadcasts — the same
+#: convention as the ``max_vocab`` gates and
+#: ``stages/attach.BROADCAST_ATTACH_MAX_ROWS``: a dimension above it
+#: takes the sort-merge ``sort_attach`` fallback instead of the driver
+#: heap.  Nation (25 rows) and region (5 rows) are CONSTANT-size by the
+#: TPC-H spec and are never gated; supplier/part/customer scale with SF
+#: and are.
+WAREHOUSE_DIM_MAX_ROWS = 8_000_000
 
-    This is the documented broadcast path for small-side joins (vs the
-    sort-merge ``sort_attach`` used when the payload side is large —
-    see :func:`top_customer_revenue` for that shape).
 
-    Output: ``r_name, n_name, revenue, n_items`` (exact unit-division
-    doubles, exact int64 counts).
-    """
-    import ray
-    from ray.data.aggregate import Sum
-
+def _nation_region_maps(nation, region):
+    """Driver-side nation/region chain (25 + 5 rows, constant by spec):
+    returns ``rmap`` (regionkey -> r_name) and ``nmap`` (nationkey ->
+    (r_name, n_name))."""
     from smqtk_indexing_ray.stages._util import collect_table
 
-    # dimension chain -> one suppkey -> (region, nation) map; bounded
-    # by the supplier dimension (the reference scale for TPC-H dims)
-    sup = collect_table(supplier.select_columns(
-        ["s_suppkey", "s_nationkey"]),
-        pa.schema([("s_suppkey", pa.int64()),
-                   ("s_nationkey", pa.int64())]))
     nat = collect_table(nation.select_columns(
         ["n_nationkey", "n_name", "n_regionkey"]),
         pa.schema([("n_nationkey", pa.int64()), ("n_name", pa.string()),
@@ -81,9 +70,37 @@ def supplier_nation_volume(lineitem, supplier, nation, region):
     nmap = {k: (rmap[rk], nm) for k, nm, rk in zip(
         nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist(),
         nat["n_regionkey"].to_pylist())}
-    smap = {k: nmap[nk] for k, nk in zip(
-        sup["s_suppkey"].to_pylist(), sup["s_nationkey"].to_pylist())}
-    smap_ref = ray.put(smap)
+    return rmap, nmap
+
+
+def supplier_nation_volume(lineitem, supplier, nation, region, *,
+                           max_dim_rows: int = WAREHOUSE_DIM_MAX_ROWS):
+    """Revenue volume per (region, nation) — the broadcast-dimension
+    join shape: the fact table pre-reduces per batch to its distinct
+    supplier keys, and the supplier->nation->region dimension chain
+    (hundreds of rows) is composed DRIVER-SIDE into one small map,
+    ``ray.put`` once and looked up inside ``map_batches`` — no shuffle
+    ever sees a dimension row, and the only exchange is the
+    #suppliers-per-batch partial aggregate.
+
+    This is the documented broadcast path for small-side joins (vs the
+    sort-merge ``sort_attach`` used when the payload side is large —
+    see :func:`top_customer_revenue` for that shape).  A supplier
+    dimension above ``max_dim_rows`` takes that sort-merge path
+    automatically: per-batch suppkey partials collapse through one
+    sorted aggregate (one row per supplier), ``s_nationkey`` attaches
+    by ``sort_attach``, and only the constant-size nation/region chain
+    rides the driver — same output bit-for-bit.
+
+    Output: ``r_name, n_name, revenue, n_items`` (exact unit-division
+    doubles, exact int64 counts).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from smqtk_indexing_ray.stages._util import collect_table
+
+    rmap, nmap = _nation_region_maps(nation, region)
 
     part_schema = pa.schema([("r_name", pa.string()),
                              ("n_name", pa.string()),
@@ -94,27 +111,91 @@ def supplier_nation_volume(lineitem, supplier, nation, region):
                             ("revenue", pa.float64()),
                             ("n_items", pa.int64())])
 
-    def partial(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "l_suppkey" not in t.column_names:
-            return part_schema.empty_table()
-        m = ray.get(smap_ref)
-        skey = t["l_suppkey"].to_numpy(zero_copy_only=False)
-        units = _revenue_units(t)
-        uniq, inv = np.unique(skey, return_inverse=True)
-        out = np.zeros(len(uniq), np.int64)
-        np.add.at(out, inv, units)
-        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
-        names = [m[int(s)] for s in uniq]     # distinct keys, not rows
-        return pa.table({
-            "r_name": pa.array([r for r, _ in names], pa.string()),
-            "n_name": pa.array([n for _, n in names], pa.string()),
-            "units": pa.array(out),
-            "n_items": pa.array(cnt),
-        })
+    sup_sel = supplier.select_columns(["s_suppkey", "s_nationkey"])
+    sup_schema = pa.schema([("s_suppkey", pa.int64()),
+                            ("s_nationkey", pa.int64())])
 
-    parts = lineitem.select_columns(
-        ["l_suppkey", "l_extendedprice", "l_discount"]).map_batches(
-        partial, batch_format="pyarrow")
+    if sup_sel.count() <= max_dim_rows:
+        sup = collect_table(sup_sel, sup_schema)
+        smap = {k: nmap[nk] for k, nk in zip(
+            sup["s_suppkey"].to_pylist(), sup["s_nationkey"].to_pylist())}
+        smap_ref = ray.put(smap)
+
+        def partial(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "l_suppkey" not in t.column_names:
+                return part_schema.empty_table()
+            m = ray.get(smap_ref)
+            skey = t["l_suppkey"].to_numpy(zero_copy_only=False)
+            units = _revenue_units(t)
+            uniq, inv = np.unique(skey, return_inverse=True)
+            out = np.zeros(len(uniq), np.int64)
+            np.add.at(out, inv, units)
+            cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+            names = [m[int(s)] for s in uniq]  # distinct keys, not rows
+            return pa.table({
+                "r_name": pa.array([r for r, _ in names], pa.string()),
+                "n_name": pa.array([n for _, n in names], pa.string()),
+                "units": pa.array(out),
+                "n_items": pa.array(cnt),
+            })
+
+        parts = lineitem.select_columns(
+            ["l_suppkey", "l_extendedprice", "l_discount"]).map_batches(
+            partial, batch_format="pyarrow")
+    else:
+        # sort-merge fallback: suppkey partials -> one row/supplier ->
+        # nationkey attach -> constant-size name lookup
+        from smqtk_indexing_ray.stages.agg import sorted_group_agg
+        from smqtk_indexing_ray.stages.attach import sort_attach
+
+        sp_schema = pa.schema([("l_suppkey", pa.int64()),
+                               ("units", pa.int64()),
+                               ("n_items", pa.int64())])
+
+        def spart(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "l_suppkey" not in t.column_names:
+                return sp_schema.empty_table()
+            skey = t["l_suppkey"].to_numpy(zero_copy_only=False)
+            units = _revenue_units(t)
+            uniq, inv = np.unique(skey, return_inverse=True)
+            out = np.zeros(len(uniq), np.int64)
+            np.add.at(out, inv, units)
+            cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+            return pa.table({
+                "l_suppkey": pa.array(uniq.astype(np.int64)),
+                "units": pa.array(out),
+                "n_items": pa.array(cnt),
+            }, schema=sp_schema)
+
+        per_sup = sorted_group_agg(
+            lineitem.select_columns(
+                ["l_suppkey", "l_extendedprice", "l_discount"]
+            ).map_batches(spart, batch_format="pyarrow"),
+            key="l_suppkey", aggs={"units": "sum", "n_items": "sum"},
+            schema=sp_schema)
+        att = sort_attach(
+            per_sup, sup_sel, key="l_suppkey",
+            payload_key="s_suppkey", payload_cols=["s_nationkey"],
+            how="inner", rows_schema=sp_schema,
+            payload_schema=sup_schema)
+        nk_keys = np.array(sorted(nmap), np.int64)
+        nk_r = np.array([nmap[int(k)][0] for k in nk_keys], object)
+        nk_n = np.array([nmap[int(k)][1] for k in nk_keys], object)
+
+        def to_names(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "s_nationkey" not in t.column_names:
+                return part_schema.empty_table()
+            nk = t["s_nationkey"].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(nk_keys, nk)
+            return pa.table({
+                "r_name": pa.array(nk_r[idx], pa.string()),
+                "n_name": pa.array(nk_n[idx], pa.string()),
+                "units": t["units"],
+                "n_items": t["n_items"],
+            }, schema=part_schema)
+
+        parts = att.map_batches(to_names, batch_format="pyarrow")
+
     out = parts.groupby(["r_name", "n_name"]).aggregate(
         Sum("units", alias_name="units"),
         Sum("n_items", alias_name="n_items"))
@@ -428,7 +509,8 @@ def top_customer_revenue(lineitem, orders, customer, *, k: int = 10):
 
 def promo_revenue_share(lineitem, part, *,
                         start: str = "1996-01-01",
-                        end: str = "1997-01-01"):
+                        end: str = "1997-01-01",
+                        max_dim_rows: int = WAREHOUSE_DIM_MAX_ROWS):
     """TPC-H-Q14-shaped promotion revenue share: of all revenue shipped
     in ``[start, end)``, what percentage came from parts of type
     ``PROMO``.
@@ -439,7 +521,11 @@ def promo_revenue_share(lineitem, part, *,
     vectorized ``searchsorted`` — the broadcast-semi-join shape for a
     small dimension against a 100-TB fact table.  Each batch reduces to
     a single partial row (promo/total unit sums + counts), so the final
-    "shuffle" moves one row per batch.  Money math is exact int64 units
+    "shuffle" moves one row per batch.  A part dimension above
+    ``max_dim_rows`` swaps the broadcast for the sort-merge path:
+    per-batch partkey partials collapse through one sorted aggregate
+    and the promo flag attaches by ``sort_attach`` — same output
+    bit-for-bit.  Money math is exact int64 units
     (:func:`_revenue_units`); the output percentage is one
     ``100.0 * int64 / int64`` IEEE expression, bit-identical to the SQL
     oracle's.
@@ -456,14 +542,6 @@ def promo_revenue_share(lineitem, part, *,
     from smqtk_indexing_ray.stages._util import collect_table
     from smqtk_indexing_ray.stages.agg import sorted_group_agg
 
-    pt = collect_table(
-        part.select_columns(["p_partkey", "p_type"]),
-        pa.schema([("p_partkey", pa.int64()), ("p_type", pa.string())]))
-    import pyarrow.compute as pc
-    promo_keys = np.sort(
-        pt.filter(pc.equal(pt["p_type"], "PROMO"))["p_partkey"]
-        .to_numpy(zero_copy_only=False).astype(np.int64))
-    promo_ref = ray.put(promo_keys)
     s64 = np.datetime64(start)
     e64 = np.datetime64(end)
 
@@ -471,32 +549,114 @@ def promo_revenue_share(lineitem, part, *,
         ("g", pa.int64()), ("promo_units", pa.int64()),
         ("units", pa.int64()), ("n_promo_items", pa.int64()),
         ("n_items", pa.int64())])
+    part_sel = part.select_columns(["p_partkey", "p_type"])
+    lcols = ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"]
 
-    def partial(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "l_partkey" not in t.column_names:
-            return part_schema.empty_table()
-        ship = t["l_shipdate"].to_numpy(zero_copy_only=False)
-        keep = (ship >= s64) & (ship < e64)
-        if not keep.any():
-            return part_schema.empty_table()
-        pk = t["l_partkey"].to_numpy(zero_copy_only=False)[keep]
-        units = _revenue_units(t)[keep]
-        keys = ray.get(promo_ref)
-        pos = np.searchsorted(keys, pk)
-        is_promo = ((pos < len(keys))
-                    & (keys[np.minimum(pos, max(len(keys) - 1, 0))]
-                       == pk)) if len(keys) else np.zeros(len(pk), bool)
-        return pa.table({
-            "g": pa.array([0], pa.int64()),
-            "promo_units": pa.array([int(units[is_promo].sum())]),
-            "units": pa.array([int(units.sum())]),
-            "n_promo_items": pa.array([int(is_promo.sum())]),
-            "n_items": pa.array([int(keep.sum())]),
-        }, schema=part_schema)
+    if part_sel.count() <= max_dim_rows:
+        pt = collect_table(
+            part_sel,
+            pa.schema([("p_partkey", pa.int64()),
+                       ("p_type", pa.string())]))
+        promo_keys = np.sort(
+            pt.filter(pc.equal(pt["p_type"], "PROMO"))["p_partkey"]
+            .to_numpy(zero_copy_only=False).astype(np.int64))
+        promo_ref = ray.put(promo_keys)
 
-    parts = lineitem.select_columns(
-        ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"]
-    ).map_batches(partial, batch_format="pyarrow")
+        def partial(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "l_partkey" not in t.column_names:
+                return part_schema.empty_table()
+            ship = t["l_shipdate"].to_numpy(zero_copy_only=False)
+            keep = (ship >= s64) & (ship < e64)
+            if not keep.any():
+                return part_schema.empty_table()
+            pk = t["l_partkey"].to_numpy(zero_copy_only=False)[keep]
+            units = _revenue_units(t)[keep]
+            keys = ray.get(promo_ref)
+            pos = np.searchsorted(keys, pk)
+            is_promo = ((pos < len(keys))
+                        & (keys[np.minimum(pos, max(len(keys) - 1, 0))]
+                           == pk)) if len(keys) \
+                else np.zeros(len(pk), bool)
+            return pa.table({
+                "g": pa.array([0], pa.int64()),
+                "promo_units": pa.array([int(units[is_promo].sum())]),
+                "units": pa.array([int(units.sum())]),
+                "n_promo_items": pa.array([int(is_promo.sum())]),
+                "n_items": pa.array([int(keep.sum())]),
+            }, schema=part_schema)
+
+        parts = lineitem.select_columns(lcols).map_batches(
+            partial, batch_format="pyarrow")
+    else:
+        # sort-merge fallback: partkey partials -> one row/part ->
+        # promo-flag attach -> one global partial row per batch
+        from smqtk_indexing_ray.stages.attach import sort_attach
+
+        pp_schema = pa.schema([("l_partkey", pa.int64()),
+                               ("units", pa.int64()),
+                               ("n_items", pa.int64())])
+
+        def ppart(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "l_partkey" not in t.column_names:
+                return pp_schema.empty_table()
+            ship = t["l_shipdate"].to_numpy(zero_copy_only=False)
+            keep = (ship >= s64) & (ship < e64)
+            if not keep.any():
+                return pp_schema.empty_table()
+            pk = t["l_partkey"].to_numpy(zero_copy_only=False)[keep]
+            units = _revenue_units(t)[keep]
+            uniq, inv = np.unique(pk, return_inverse=True)
+            usum = np.zeros(len(uniq), np.int64)
+            np.add.at(usum, inv, units)
+            cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+            return pa.table({
+                "l_partkey": pa.array(uniq.astype(np.int64)),
+                "units": pa.array(usum),
+                "n_items": pa.array(cnt),
+            }, schema=pp_schema)
+
+        per_part = sorted_group_agg(
+            lineitem.select_columns(lcols).map_batches(
+                ppart, batch_format="pyarrow"),
+            key="l_partkey", aggs={"units": "sum", "n_items": "sum"},
+            schema=pp_schema)
+
+        flag_schema = pa.schema([("p_partkey", pa.int64()),
+                                 ("is_promo", pa.int64())])
+
+        def flag(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "p_partkey" not in t.column_names:
+                return flag_schema.empty_table()
+            return pa.table({
+                "p_partkey": pc.cast(t["p_partkey"], pa.int64()),
+                "is_promo": pc.cast(
+                    pc.equal(t["p_type"], "PROMO"), pa.int64()),
+            }, schema=flag_schema)
+
+        att = sort_attach(
+            per_part, part_sel.map_batches(flag,
+                                           batch_format="pyarrow"),
+            key="l_partkey", payload_key="p_partkey",
+            payload_cols=["is_promo"], how="left",
+            rows_schema=pp_schema, payload_schema=flag_schema)
+
+        def fpart(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "is_promo" not in t.column_names:
+                return part_schema.empty_table()
+            u = t["units"].to_numpy(zero_copy_only=False)
+            n = t["n_items"].to_numpy(zero_copy_only=False)
+            promo = pc.fill_null(t["is_promo"], 0).to_numpy(
+                zero_copy_only=False).astype(bool)
+            return pa.table({
+                "g": pa.array([0], pa.int64()),
+                "promo_units": pa.array([int(u[promo].sum())]),
+                "units": pa.array([int(u.sum())]),
+                "n_promo_items": pa.array([int(n[promo].sum())]),
+                "n_items": pa.array([int(n.sum())]),
+            }, schema=part_schema)
+
+        parts = att.map_batches(fpart, batch_format="pyarrow")
+
     agg = sorted_group_agg(
         parts, key="g",
         aggs={"promo_units": "sum", "units": "sum",
@@ -585,7 +745,8 @@ def customer_order_distribution(orders, customer):
 def local_supplier_volume(lineitem, orders, customer, supplier, nation,
                           region, *, r_name: str = "ASIA",
                           start: str = "1996-01-01",
-                          end: str = "1997-01-01"):
+                          end: str = "1997-01-01",
+                          max_dim_rows: int = WAREHOUSE_DIM_MAX_ROWS):
     """TPC-H-Q5-shaped local-supplier volume: revenue per nation from
     lineitems whose SUPPLIER and ordering CUSTOMER share a nation
     inside one region, over one order-date year.
@@ -596,7 +757,11 @@ def local_supplier_volume(lineitem, orders, customer, supplier, nation,
     - the ``supplier -> nation -> region`` dimension chain composes
       DRIVER-side into one ``suppkey -> nationkey`` map restricted to
       the target region (TPC-H suppliers are 1/600 of lineitems by
-      construction), broadcast once via ``ray.put``;
+      construction), broadcast once via ``ray.put``; a supplier
+      dimension above ``max_dim_rows`` swaps that broadcast for a
+      sort-merge ``sort_attach`` of ``s_nationkey`` onto per-batch
+      ``(l_orderkey, l_suppkey)`` partials (the region filter then
+      runs against the constant-size nation chain) — same output;
     - ``orders`` is date-filtered at the read projection, then the
       customer's nationkey is attached by the sort-merge
       ``sort_attach`` (both sides are fact-scale);
@@ -618,29 +783,10 @@ def local_supplier_volume(lineitem, orders, customer, supplier, nation,
     from smqtk_indexing_ray.stages.agg import sorted_group_agg
     from smqtk_indexing_ray.stages.attach import sort_attach
 
-    # --- dimension chain -> region-filtered suppkey -> nationkey map
-    sup = collect_table(
-        supplier.select_columns(["s_suppkey", "s_nationkey"]),
-        pa.schema([("s_suppkey", pa.int64()),
-                   ("s_nationkey", pa.int64())]))
-    nat = collect_table(
-        nation.select_columns(["n_nationkey", "n_name", "n_regionkey"]),
-        pa.schema([("n_nationkey", pa.int64()), ("n_name", pa.string()),
-                   ("n_regionkey", pa.int64())]))
-    reg = collect_table(
-        region.select_columns(["r_regionkey", "r_name"]),
-        pa.schema([("r_regionkey", pa.int64()),
-                   ("r_name", pa.string())]))
-    region_keys = {k for k, nm in zip(reg["r_regionkey"].to_pylist(),
-                                      reg["r_name"].to_pylist())
-                   if nm == r_name}
-    nname = {k: nm for k, nm, rk in zip(
-        nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist(),
-        nat["n_regionkey"].to_pylist()) if rk in region_keys}
-    smap = {k: nk for k, nk in zip(sup["s_suppkey"].to_pylist(),
-                                   sup["s_nationkey"].to_pylist())
-            if nk in nname}
-    smap_ref = ray.put(smap)
+    # --- dimension chain -> region-filtered nationkey -> name map
+    # (nation/region are constant-size by spec; supplier is gated)
+    _rmap, nmap = _nation_region_maps(nation, region)
+    nname = {k: nm for k, (rn, nm) in nmap.items() if rn == r_name}
 
     start_us = np.datetime64(start, "us").view(np.int64)
     end_us = np.datetime64(end, "us").view(np.int64)
@@ -687,42 +833,108 @@ def local_supplier_volume(lineitem, orders, customer, supplier, nation,
                               ("s_nationkey", pa.int64()),
                               ("units", pa.int64()),
                               ("n_items", pa.int64())])
+    lcols = ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    sup_sel = supplier.select_columns(["s_suppkey", "s_nationkey"])
+    sup_schema = pa.schema([("s_suppkey", pa.int64()),
+                            ("s_nationkey", pa.int64())])
 
-    def lpart(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "l_orderkey" not in t.column_names:
-            return lpart_schema.empty_table()
-        m = ray.get(smap_ref)
-        skey = t["l_suppkey"].to_numpy(zero_copy_only=False)
-        uniq_s, inv_s = np.unique(skey, return_inverse=True)
-        snat = np.array([m.get(int(s), -1) for s in uniq_s],
-                        dtype=np.int64)[inv_s]
-        keep = snat >= 0
-        if not keep.any():
-            return lpart_schema.empty_table()
-        okey = t["l_orderkey"].to_numpy(zero_copy_only=False)[keep]
-        snat = snat[keep]
-        units = _revenue_units(t)[keep]
-        # nationkeys are < 32 (TPC-H has 25): pack (orderkey, nation)
-        # into one int64 so the per-batch reduce is a single np.unique
-        if snat.max() >= 32 or okey.max() >= (1 << 58):
-            raise ValueError("local_supplier_volume: key packing bounds "
-                             "exceeded (nationkey >= 32 or orderkey >= "
-                             "2**58)")
-        packed = (okey << 5) | snat
-        uniq, inv = np.unique(packed, return_inverse=True)
-        usum = np.zeros(len(uniq), np.int64)
-        np.add.at(usum, inv, units)
-        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
-        return pa.table({
-            "l_orderkey": pa.array((uniq >> 5).astype(np.int64)),
-            "s_nationkey": pa.array((uniq & 31).astype(np.int64)),
-            "units": pa.array(usum),
-            "n_items": pa.array(cnt),
-        }, schema=lpart_schema)
+    if sup_sel.count() <= max_dim_rows:
+        sup = collect_table(sup_sel, sup_schema)
+        smap = {k: nk for k, nk in zip(sup["s_suppkey"].to_pylist(),
+                                       sup["s_nationkey"].to_pylist())
+                if nk in nname}
+        smap_ref = ray.put(smap)
 
-    lrev = lineitem.select_columns(
-        ["l_orderkey", "l_suppkey", "l_extendedprice",
-         "l_discount"]).map_batches(lpart, batch_format="pyarrow")
+        def lpart(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "l_orderkey" not in t.column_names:
+                return lpart_schema.empty_table()
+            m = ray.get(smap_ref)
+            skey = t["l_suppkey"].to_numpy(zero_copy_only=False)
+            uniq_s, inv_s = np.unique(skey, return_inverse=True)
+            snat = np.array([m.get(int(s), -1) for s in uniq_s],
+                            dtype=np.int64)[inv_s]
+            keep = snat >= 0
+            if not keep.any():
+                return lpart_schema.empty_table()
+            okey = t["l_orderkey"].to_numpy(zero_copy_only=False)[keep]
+            snat = snat[keep]
+            units = _revenue_units(t)[keep]
+            # nationkeys are < 32 (TPC-H has 25): pack (orderkey,
+            # nation) into one int64 so the reduce is one np.unique
+            if snat.max() >= 32 or okey.max() >= (1 << 58):
+                raise ValueError(
+                    "local_supplier_volume: key packing bounds "
+                    "exceeded (nationkey >= 32 or orderkey >= 2**58)")
+            packed = (okey << 5) | snat
+            uniq, inv = np.unique(packed, return_inverse=True)
+            usum = np.zeros(len(uniq), np.int64)
+            np.add.at(usum, inv, units)
+            cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+            return pa.table({
+                "l_orderkey": pa.array((uniq >> 5).astype(np.int64)),
+                "s_nationkey": pa.array((uniq & 31).astype(np.int64)),
+                "units": pa.array(usum),
+                "n_items": pa.array(cnt),
+            }, schema=lpart_schema)
+
+        lrev = lineitem.select_columns(lcols).map_batches(
+            lpart, batch_format="pyarrow")
+    else:
+        # sort-merge fallback: (l_orderkey, l_suppkey) partials ->
+        # s_nationkey attach -> region filter against the constant-size
+        # nation chain; downstream is identical (lrev keeps its schema)
+        lsp_schema = pa.schema([("l_orderkey", pa.int64()),
+                                ("l_suppkey", pa.int64()),
+                                ("units", pa.int64()),
+                                ("n_items", pa.int64())])
+
+        def lpart_fb(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "l_orderkey" not in t.column_names:
+                return lsp_schema.empty_table()
+            okey = t["l_orderkey"].to_numpy(zero_copy_only=False)
+            skey = t["l_suppkey"].to_numpy(zero_copy_only=False)
+            units = _revenue_units(t)
+            order = np.lexsort((skey, okey))
+            ok_s, sk_s, u_s = okey[order], skey[order], units[order]
+            head = np.concatenate([[True], (ok_s[1:] != ok_s[:-1])
+                                   | (sk_s[1:] != sk_s[:-1])])
+            starts = np.flatnonzero(head)
+            cnt = np.diff(np.append(starts, len(ok_s))).astype(np.int64)
+            usum = np.add.reduceat(u_s, starts)
+            return pa.table({
+                "l_orderkey": pa.array(ok_s[starts].astype(np.int64)),
+                "l_suppkey": pa.array(sk_s[starts].astype(np.int64)),
+                "units": pa.array(usum.astype(np.int64)),
+                "n_items": pa.array(cnt),
+            }, schema=lsp_schema)
+
+        lsp = lineitem.select_columns(lcols).map_batches(
+            lpart_fb, batch_format="pyarrow")
+        att = sort_attach(
+            lsp, sup_sel, key="l_suppkey", payload_key="s_suppkey",
+            payload_cols=["s_nationkey"], how="inner",
+            rows_schema=lsp_schema, payload_schema=sup_schema)
+        local_keys = np.array(sorted(nname), np.int64)
+
+        def region_filter(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "s_nationkey" not in t.column_names:
+                return lpart_schema.empty_table()
+            nk = t["s_nationkey"].to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(local_keys, nk), 0,
+                          max(len(local_keys) - 1, 0))
+            keep = (local_keys[pos] == nk) if len(local_keys) \
+                else np.zeros(len(nk), bool)
+            mask = pa.array(keep)
+            return pa.table({
+                "l_orderkey": pc.cast(t["l_orderkey"].filter(mask),
+                                      pa.int64()),
+                "s_nationkey": pc.cast(t["s_nationkey"].filter(mask),
+                                       pa.int64()),
+                "units": t["units"].filter(mask),
+                "n_items": t["n_items"].filter(mask),
+            }, schema=lpart_schema)
+
+        lrev = att.map_batches(region_filter, batch_format="pyarrow")
 
     joined = sort_attach(
         lrev, onat, key="l_orderkey", payload_key="o_orderkey",

@@ -608,3 +608,101 @@ def test_brand_supplier_counts_matches_duckdb():
     assert len(got) == len(want) > 0
     for col in want.columns:
         assert list(got[col]) == list(want[col]), col
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dim_gate_fallback_matches_broadcast():
+    """max_dim_rows forced to 0 drives the sort-merge dimension
+    fallback in all three gated rollups; output must equal the
+    broadcast path bit-for-bit (same int64-unit math either way)."""
+    import ray.data as rd
+
+    from smqtk_indexing_ray.pipelines.warehouse import (
+        local_supplier_volume,
+        promo_revenue_share,
+        supplier_nation_volume,
+    )
+
+    rng = np.random.default_rng(311)
+    n_nat, n_sup, n_cust, n_ord, n_li = 6, 40, 150, 800, 4000
+    region = pa.table({
+        "r_regionkey": pa.array(np.arange(2, dtype=np.int64)),
+        "r_name": pa.array(["EAST", "WEST"]),
+    })
+    nation = pa.table({
+        "n_nationkey": pa.array(np.arange(n_nat, dtype=np.int64)),
+        "n_name": pa.array([f"N{i}" for i in range(n_nat)]),
+        "n_regionkey": pa.array(
+            (np.arange(n_nat) % 2).astype(np.int64)),
+    })
+    supplier = pa.table({
+        "s_suppkey": pa.array(np.arange(n_sup, dtype=np.int64)),
+        "s_nationkey": pa.array(
+            rng.integers(0, n_nat, n_sup).astype(np.int64)),
+    })
+    customer = pa.table({
+        "c_custkey": pa.array(np.arange(n_cust, dtype=np.int64)),
+        "c_nationkey": pa.array(
+            rng.integers(0, n_nat, n_cust).astype(np.int64)),
+    })
+    base = np.datetime64("1995-06-01")
+    orders = pa.table({
+        "o_orderkey": pa.array(np.arange(n_ord, dtype=np.int64)),
+        "o_custkey": pa.array(
+            rng.integers(0, n_cust, n_ord).astype(np.int64)),
+        "o_orderdate": pa.array(
+            (base + rng.integers(0, 900, n_ord).astype("timedelta64[D]"))
+            .astype("datetime64[us]")),
+    })
+    li = pa.table({
+        "l_orderkey": pa.array(
+            rng.integers(0, n_ord, n_li).astype(np.int64)),
+        "l_suppkey": pa.array(
+            rng.integers(0, n_sup, n_li).astype(np.int64)),
+        "l_partkey": pa.array(
+            rng.integers(0, 300, n_li).astype(np.int64)),
+        "l_shipdate": pa.array(
+            (base + rng.integers(0, 900, n_li).astype("timedelta64[D]"))
+            .astype("datetime64[us]")),
+        "l_extendedprice": pa.array(rng.uniform(100, 9000, n_li).round(2)),
+        "l_discount": pa.array(rng.uniform(0, 0.1, n_li).round(2)),
+    })
+    part = pa.table({
+        "p_partkey": pa.array(np.arange(300, dtype=np.int64)),
+        "p_type": pa.array(rng.choice(
+            ["PROMO", "STANDARD", "LARGE"], 300)),
+    })
+
+    def ds(t, parts=1):
+        return rd.from_arrow(t).repartition(parts)
+
+    # supplier_nation_volume
+    a = supplier_nation_volume(
+        ds(li, 7), ds(supplier, 3), ds(nation), ds(region)
+    ).to_pandas().sort_values(["r_name", "n_name"], ignore_index=True)
+    b = supplier_nation_volume(
+        ds(li, 7), ds(supplier, 3), ds(nation), ds(region),
+        max_dim_rows=0
+    ).to_pandas().sort_values(["r_name", "n_name"], ignore_index=True)
+    assert len(a) > 0 and a.equals(b)
+
+    # local_supplier_volume
+    kw = dict(r_name="EAST", start="1996-01-01", end="1997-01-01")
+    a = local_supplier_volume(
+        ds(li, 7), ds(orders, 5), ds(customer, 3), ds(supplier),
+        ds(nation), ds(region), **kw).to_pandas().sort_values(
+        "n_name", ignore_index=True)
+    b = local_supplier_volume(
+        ds(li, 7), ds(orders, 5), ds(customer, 3), ds(supplier),
+        ds(nation), ds(region), max_dim_rows=0,
+        **kw).to_pandas().sort_values("n_name", ignore_index=True)
+    assert len(a) > 0 and a.equals(b)
+
+    # promo_revenue_share
+    a = promo_revenue_share(
+        ds(li, 7), ds(part, 3), start="1996-01-01",
+        end="1997-01-01").to_pandas()
+    b = promo_revenue_share(
+        ds(li, 7), ds(part, 3), start="1996-01-01", end="1997-01-01",
+        max_dim_rows=0).to_pandas()
+    assert len(a) == 1 and a.equals(b)

@@ -131,24 +131,69 @@ def candidate_edges(signatures, cfg: DedupConfig):
 
 
 def dedup_edges(edges):
-    """Drop duplicate (u, v) rows (same pair found by several bands).
+    """Drop duplicate (u, v) rows (same pair found by several bands) —
+    EXACT, block boundaries included.
 
-    Sort-based consecutive dedup: exact within a batch; at most one
-    duplicate pair can survive per batch boundary, which is harmless for
-    both verification cost and connected components (the verify attach's
-    ``dedup_rows_on`` catches batch-boundary stragglers for free).
+    Sort-based consecutive dedup handles everything inside a block; a
+    pair whose run straddles a block boundary is caught by the shared
+    probe chain (each block's first/last pair, folded on the driver —
+    the stages/agg boundary convention), so the output is globally
+    duplicate-free and consumers need no own straggler handling (the
+    broadcast verify path relies on this).
     """
-    def drop_consecutive(t: pa.Table) -> pa.Table:
-        if t.num_rows <= 1:
-            return t
-        u = t["u"].to_numpy(zero_copy_only=False)
-        v = t["v"].to_numpy(zero_copy_only=False)
-        keep = np.concatenate([[True], (u[1:] != u[:-1]) | (v[1:] != v[:-1])])
-        return t.filter(pa.array(keep))
+    import functools
 
-    from smqtk_indexing_ray.stages._util import auto_blocks
-    return edges.repartition(auto_blocks()).sort(["u", "v"]).map_batches(
-        drop_consecutive, batch_format="pyarrow")
+    import ray
+    import ray.data as rd
+
+    from smqtk_indexing_ray.stages._util import (
+        _get_probe_task,
+        coalesced_sort,
+    )
+
+    uv_schema = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+    srt = coalesced_sort(edges, ["u", "v"])
+    refs = [ref for bundle in srt.iter_internal_ref_bundles()
+            for ref, _meta in bundle.blocks]
+    if not refs:
+        return rd.from_arrow(uv_schema.empty_table())
+    task = _get_probe_task()
+
+    def probe(t: pa.Table) -> pa.Table:
+        psch = pa.schema([("fu", pa.int64()), ("fv", pa.int64()),
+                          ("lu", pa.int64()), ("lv", pa.int64())])
+        if t.num_rows == 0 or "u" not in t.column_names:
+            return psch.empty_table()
+        last = t.num_rows - 1
+        return pa.table({
+            "fu": t["u"].slice(0, 1), "fv": t["v"].slice(0, 1),
+            "lu": t["u"].slice(last, 1), "lv": t["v"].slice(last, 1),
+        }, schema=psch)
+
+    per_block = ray.get([task.remote(probe, r) for r in refs])
+    skip_first = [False] * len(refs)
+    prev_last = None
+    for i, tbl in enumerate(per_block):
+        if tbl is None or tbl.num_rows == 0:
+            continue
+        first = (tbl["fu"][0].as_py(), tbl["fv"][0].as_py())
+        skip_first[i] = prev_last == first
+        prev_last = (tbl["lu"][0].as_py(), tbl["lv"][0].as_py())
+
+    def drop_consecutive(t: pa.Table, skip: bool) -> pa.Table:
+        if t.num_rows == 0 or "u" not in t.column_names:
+            return uv_schema.empty_table()
+        body = t.select(["u", "v"])
+        u = body["u"].to_numpy(zero_copy_only=False)
+        v = body["v"].to_numpy(zero_copy_only=False)
+        keep = np.concatenate(
+            [[not skip], (u[1:] != u[:-1]) | (v[1:] != v[:-1])])
+        return body.filter(pa.array(keep))
+
+    filled = [task.remote(
+        functools.partial(drop_consecutive, skip=skip_first[i]), r)
+        for i, r in enumerate(refs)]
+    return rd.from_arrow_refs(filled)
 
 
 def exact_dup_edges(signatures, *, zero_shingle_only: bool = True):

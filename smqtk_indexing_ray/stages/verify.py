@@ -72,17 +72,39 @@ def _rename(mapping):
     return f
 
 
+#: Broadcast gate for the verify sketch table: below this many
+#: signature rows the (doc_id, mh8, simhash) arrays are ``ray.put``
+#: once (~(num_perms + 16) B/row, e.g. 2M x 144 B = ~290 MB pinned in
+#: plasma, read zero-copy by every task) and BOTH endpoint attaches
+#: collapse into one streaming lookup map over the edges — no union
+#: sorts.  Above it the two sort-merge attaches run (the 100-TB path);
+#: same convention as ``stages/attach.BROADCAST_ATTACH_MAX_ROWS``.
+VERIFY_BROADCAST_MAX_ROWS = 2_000_000
+
+
 def verify_edges(edges, signatures, cfg: DedupConfig, *,
-                 num_partitions: int = 32):
+                 num_partitions: int = 32,
+                 broadcast_max_rows: int = VERIFY_BROADCAST_MAX_ROWS):
     """edges(u, v) x signatures -> verified edges (u, v, est_jaccard,
     hamming).  The keep mask comes from the ``cfg.verify_kernel`` registry
     entry (default ``est-jaccard-or-simhash``: est_jaccard above threshold
     OR hamming at most the max); resolution happens here at pipeline-build
     time so test-local kernels ship in the task closure.  ``num_partitions``
-    kept for API symmetry (sort_attach's sort picks its own partitioning)."""
+    kept for API symmetry (sort_attach's sort picks its own partitioning).
+
+    ``edges`` must be globally (u, v)-duplicate-free on the broadcast
+    path (``dedup_edges`` guarantees this exactly); the sort path also
+    tolerates duplicates via its fused ``dedup_rows_on``.  Callers pass
+    MATERIALIZED or checkpoint-backed signatures (every call site does),
+    so the row-count gate probe is metadata-cheap.
+    """
     keep_fn = resolve_kernel("verify", cfg.verify_kernel)
     num_perms = cfg.num_perms
     mh8_type = pa.binary(num_perms)
+
+    if signatures.count() <= broadcast_max_rows:
+        return _verify_broadcast(edges, signatures, cfg, keep_fn,
+                                 num_perms)
 
     # The signature stage already emits the 8-bit-per-perm verify sketch
     # (est-Jaccard bias from low-byte truncation is (1-J)/256 < 0.004);
@@ -132,3 +154,74 @@ def verify_edges(edges, signatures, cfg: DedupConfig, *,
         })
 
     return e2.map_batches(score, batch_format="pyarrow")
+
+
+def _verify_broadcast(edges, signatures, cfg: DedupConfig, keep_fn,
+                      num_perms: int):
+    """Broadcast twin of the sort-merge verify: the whole
+    (doc_id, mh8, simhash) sketch table rides plasma once and each edge
+    batch gathers both endpoints' sketches with two ``searchsorted``
+    lookups — the edges stream through ONE map, no union sorts.  Exact
+    same scoring kernel and inner-endpoint-join semantics."""
+    import ray
+
+    from smqtk_indexing_ray.stages.attach import _broadcast_cache_get
+
+    sig = signatures.select_columns(["doc_id", "mh8", "simhash"])
+    mat = sig.materialize()
+    refs = [ref for bundle in mat.iter_internal_ref_bundles()
+            for ref, meta in bundle.blocks
+            if meta.num_rows is None or meta.num_rows > 0]
+    tables = [t for t in ray.get(refs)
+              if t.num_rows and "doc_id" in t.column_names]
+    if tables:
+        tbl = pa.concat_tables(tables).combine_chunks()
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64, copy=False)
+        mh = u8_matrix(tbl["mh8"], num_perms)
+        sh = tbl["simhash"].to_numpy(zero_copy_only=False).astype(
+            np.int64, copy=False)
+        o = np.argsort(ids, kind="stable")
+        ids = np.ascontiguousarray(ids[o])
+        mh = np.ascontiguousarray(mh[o])
+        sh = np.ascontiguousarray(sh[o])
+    else:
+        ids = np.empty(0, np.int64)
+        mh = np.empty((0, num_perms), np.uint8)
+        sh = np.empty(0, np.int64)
+    ref = ray.put((ids, mh, sh))
+
+    def score_direct(t: pa.Table) -> pa.Table:
+        empty = pa.table({"u": pa.array([], pa.int64()),
+                          "v": pa.array([], pa.int64()),
+                          "est_jaccard": pa.array([], pa.float64()),
+                          "hamming": pa.array([], pa.int32())})
+        if t.num_rows == 0 or "u" not in t.column_names:
+            return empty
+        bids, bmh, bsh = _broadcast_cache_get(ref)
+        u = t["u"].to_numpy(zero_copy_only=False).astype(np.int64,
+                                                         copy=False)
+        v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64,
+                                                         copy=False)
+        if not len(bids):
+            return empty
+        iu = np.clip(np.searchsorted(bids, u), 0, len(bids) - 1)
+        iv = np.clip(np.searchsorted(bids, v), 0, len(bids) - 1)
+        # inner-join semantics on both endpoints (matches the sort path)
+        hit = (bids[iu] == u) & (bids[iv] == v)
+        if not hit.any():
+            return empty
+        u, v, iu, iv = u[hit], v[hit], iu[hit], iv[hit]
+        ej = est_jaccard(bmh[iu], bmh[iv])
+        ham = hamming_u64(bsh[iu].view(np.uint64),
+                          bsh[iv].view(np.uint64)).astype(np.int32)
+        keep = keep_fn(ej, ham, cfg)
+        return pa.table({
+            "u": u[keep], "v": v[keep],
+            "est_jaccard": ej[keep], "hamming": ham[keep],
+        })
+
+    # batch_size=None: the lookup is vectorized, slicing into default
+    # batches only multiplies per-call overhead (broadcast_attach note)
+    return edges.map_batches(score_direct, batch_format="pyarrow",
+                             batch_size=None)

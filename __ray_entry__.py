@@ -532,6 +532,127 @@ def _q_cdc_chunk_stats(sf_dir: str):
     return cdc_chunk_stats(_docs(sf_dir))
 
 
+def _q_cdc_fixed_cut_stats(sf_dir: str):
+    """Partial SQL oracle for the CDC pipeline (VERDICT r4 #6):
+    ``mask_bits=63`` makes the gear mask fire with probability 2^-63 —
+    never in practice — so every cut lands at ``max_size`` exactly and
+    the per-doc chunk count / byte total become SQL-expressible
+    (``ceil(octet_length/64)`` / ``octet_length``) while still driving
+    the REAL pipeline end-to-end: gear hashing, content-hash identity,
+    the run-length distinct-doc attach, and the sorted per-doc rollup."""
+    import pyarrow as pa
+
+    from smqtk_indexing_ray.pipelines.cdc import cdc_chunk_stats
+    out = cdc_chunk_stats(_docs(sf_dir), mask_bits=63, min_size=1,
+                          max_size=64)
+
+    def slim(t: pa.Table) -> pa.Table:
+        cols = ["doc_id", "n_chunks", "total_bytes"]
+        if t.num_rows == 0 or any(c not in t.column_names for c in cols):
+            return pa.schema([("doc_id", pa.int64()),
+                              ("n_chunks", pa.int64()),
+                              ("total_bytes", pa.int64())]).empty_table()
+        return t.select(cols)
+
+    return out.map_batches(slim, batch_format="pyarrow")
+
+
+def _q_lsh_exact_group_consistency(sf_dir: str):
+    """Partial SQL oracle for the flagship LSH pipeline (VERDICT r4
+    #6): every byte-identical text group of >= 2 docs must land in
+    exactly ONE predicted cluster — identical text gives identical
+    MinHash signatures, identical band buckets, and an
+    est_jaccard=1.0 edge (zero-shingle docs ride the 128-bit
+    content-hash path).  Output one row per exact-text group (ALL
+    groups — sf0.01 plants no exact dups, so a dups-only projection
+    would be vacuously empty there): ``exact_cluster`` (the group's
+    min doc_id, same convention as the green ``exact_cluster_labels``
+    oracle), ``n_docs``, and ``n_lsh_clusters`` — the SQL twin derives
+    the first two exactly and pins the third to the invariant value 1
+    (trivial for singletons, the real co-clustering check for dup
+    groups)."""
+    import pyarrow as pa
+
+    from smqtk_indexing_ray.config import DedupConfig
+    from smqtk_indexing_ray.pipelines.analysis import exact_cluster_labels
+    from smqtk_indexing_ray.pipelines.dedup import (
+        dedup_pipeline, documents_as_pages)
+    from smqtk_indexing_ray.stages.agg import sorted_group_agg
+    from smqtk_indexing_ray.stages.attach import sort_attach
+
+    docs = _docs(sf_dir)
+    res = dedup_pipeline(documents_as_pages(docs), DedupConfig(),
+                         num_partitions=8)
+
+    ex_schema = pa.schema([("doc_id", pa.int64()),
+                           ("exact_cluster", pa.int64())])
+
+    def ex_slim(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "cluster_id" not in t.column_names:
+            return ex_schema.empty_table()
+        return pa.table({"doc_id": t["doc_id"],
+                         "exact_cluster": t["cluster_id"]},
+                        schema=ex_schema)
+
+    ex = exact_cluster_labels(docs).map_batches(
+        ex_slim, batch_format="pyarrow")
+
+    lsh_schema = pa.schema([("doc_id", pa.int64()),
+                            ("lsh_cluster", pa.int64())])
+
+    def lsh_slim(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "cluster_id" not in t.column_names:
+            return lsh_schema.empty_table()
+        return pa.table({"doc_id": t["doc_id"],
+                         "lsh_cluster": t["cluster_id"]},
+                        schema=lsh_schema)
+
+    j = sort_attach(
+        ex, res.output.map_batches(lsh_slim, batch_format="pyarrow"),
+        key="doc_id", payload_key="doc_id", payload_cols=["lsh_cluster"],
+        how="inner", rows_schema=ex_schema, payload_schema=lsh_schema)
+
+    pair_schema = pa.schema([("exact_cluster", pa.int64()),
+                             ("lsh_cluster", pa.int64()),
+                             ("n", pa.int64())])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "lsh_cluster" not in t.column_names:
+            return pair_schema.empty_table()
+        import numpy as np
+        e = t["exact_cluster"].to_numpy(zero_copy_only=False)
+        l = t["lsh_cluster"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((l, e))
+        e, l = e[order], l[order]
+        head = np.concatenate([[True], (e[1:] != e[:-1])
+                               | (l[1:] != l[:-1])])
+        starts = np.flatnonzero(head)
+        cnt = np.diff(np.append(starts, len(e))).astype(np.int64)
+        return pa.table({"exact_cluster": pa.array(e[starts]),
+                         "lsh_cluster": pa.array(l[starts]),
+                         "n": pa.array(cnt)}, schema=pair_schema)
+
+    pairs = sorted_group_agg(
+        j.map_batches(pair_partial, batch_format="pyarrow"),
+        key=["exact_cluster", "lsh_cluster"], aggs={"n": "sum"},
+        schema=pair_schema)
+
+    out_schema = pa.schema([("exact_cluster", pa.int64()),
+                            ("n_docs", pa.int64()),
+                            ("n_lsh_clusters", pa.int64())])
+    per_g = sorted_group_agg(
+        pairs, key="exact_cluster",
+        aggs={"n_docs": ("n", "sum"), "n_lsh_clusters": "count"},
+        schema=pair_schema)
+
+    def project(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "n_docs" not in t.column_names:
+            return out_schema.empty_table()
+        return t.select(["exact_cluster", "n_docs", "n_lsh_clusters"])
+
+    return per_g.map_batches(project, batch_format="pyarrow")
+
+
 def _q_lang_id(sf_dir: str):
     from smqtk_indexing_ray.pipelines.analysis import lang_id
     return lang_id(_docs(sf_dir))
@@ -1740,6 +1861,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_containment": _q_substring_containment,
         "cluster_containment": _q_cluster_containment,
         "cluster_dup_spans": _q_cluster_dup_spans,
+        "cdc_fixed_cut_stats": _q_cdc_fixed_cut_stats,
+        "lsh_exact_group_consistency": _q_lsh_exact_group_consistency,
         "media_features": _q_media_features,
         "media_dedup": _q_media_dedup,
         "itq_codes": _q_itq_codes,
@@ -1966,6 +2089,25 @@ def oracle_sql() -> dict[str, str]:
         "exact_cluster_labels": (
             "SELECT doc_id, min(doc_id) OVER (PARTITION BY text) "
             "AS cluster_id FROM documents"
+        ),
+        "cdc_fixed_cut_stats": (
+            # mask_bits=63 => the gear mask never fires, cuts land at
+            # max_size=64 exactly; empty/null docs are omitted (the
+            # pipeline's documented contract)
+            "SELECT doc_id,"
+            " CAST(ceil(strlen(text) / 64.0) AS BIGINT)"
+            " AS n_chunks,"
+            " CAST(strlen(text) AS BIGINT) AS total_bytes"
+            " FROM documents"
+            " WHERE text IS NOT NULL AND strlen(text) > 0"
+        ),
+        "lsh_exact_group_consistency": (
+            # the invariant: a byte-identical group always lands in ONE
+            # LSH cluster, so the SQL twin pins n_lsh_clusters to 1
+            "SELECT min(doc_id) AS exact_cluster,"
+            " count(*) AS n_docs,"
+            " CAST(1 AS BIGINT) AS n_lsh_clusters"
+            " FROM documents GROUP BY text"
         ),
         "exact_cluster_sizes": (
             "SELECT doc_id, count(*) OVER (PARTITION BY text) "

@@ -20,6 +20,16 @@ Kinds used by the dedup pipeline (resolved from ``DedupConfig`` strings):
   bool mask`` applied in the verification score stage.
 * ``"select"`` — representative-selection strategy building the final
   ``keep``-flagged output from the labeled skeleton.
+
+Third-party discovery: packages that cannot rely on being imported
+first declare setuptools entry points under the
+``smqtk_indexing_ray.kernels`` group (the direct analog of the
+reference's ``smqtk_plugins`` group, /root/reference/pyproject.toml:
+72-84).  Each entry point is loaded once on first resolution; a
+module-valued entry registers through its own ``@register_kernel``
+decorators at import, and a callable-valued entry named ``kind:name``
+is registered directly (never overriding an existing name — shadowing
+a built-in stays an explicit, import-time decorator act).
 """
 
 from __future__ import annotations
@@ -29,6 +39,49 @@ from typing import Callable
 _REGISTRY: dict[tuple[str, str], Callable] = {}
 
 KINDS = ("signature", "verify", "select")
+
+#: Setuptools entry-point group scanned for third-party kernels.
+ENTRY_POINT_GROUP = "smqtk_indexing_ray.kernels"
+
+_EP_SCANNED = False
+
+
+def _iter_entry_points():
+    """Installed entry points of :data:`ENTRY_POINT_GROUP` (seam for
+    tests: monkeypatch this to inject synthetic entries)."""
+    from importlib.metadata import entry_points
+    try:
+        return list(entry_points(group=ENTRY_POINT_GROUP))
+    except TypeError:                     # pragma: no cover (py<3.10 API)
+        return list(entry_points().get(ENTRY_POINT_GROUP, []))
+
+
+def _scan_entry_points() -> None:
+    """Load third-party kernel entry points once (idempotent).
+
+    A failing entry point warns and is skipped — one broken plugin
+    must not take down resolution of the built-ins."""
+    global _EP_SCANNED
+    if _EP_SCANNED:
+        return
+    _EP_SCANNED = True
+    try:
+        eps = _iter_entry_points()
+    except Exception:                     # pragma: no cover
+        return
+    for ep in eps:
+        try:
+            obj = ep.load()
+        except Exception as exc:
+            import warnings
+            warnings.warn(
+                f"smqtk_indexing_ray kernel entry point {ep.name!r} "
+                f"failed to load: {exc!r}")
+            continue
+        if callable(obj) and ":" in ep.name:
+            kind, _, name = ep.name.partition(":")
+            if kind in KINDS and (kind, name) not in _REGISTRY:
+                _REGISTRY[(kind, name)] = obj
 
 
 def register_kernel(kind: str, name: str) -> Callable:
@@ -54,6 +107,7 @@ def _ensure_builtins() -> None:
     import smqtk_indexing_ray.stages.signatures  # noqa: F401  signature
     import smqtk_indexing_ray.stages.verify      # noqa: F401  verify
     import smqtk_indexing_ray.pipelines.dedup    # noqa: F401  select
+    _scan_entry_points()
 
 
 def resolve_kernel(kind: str, name: str) -> Callable:

@@ -151,3 +151,65 @@ def test_earliest_select_tolerates_null_timestamps():
     reps = df[df.keep]
     assert (reps.doc_id.to_numpy()
             == reps.cluster_id.to_numpy()).all()
+
+
+def test_entry_point_kernel_from_external_module(tmp_path, monkeypatch):
+    """A third-party package's kernels are discovered via the
+    ``smqtk_indexing_ray.kernels`` entry-point group without being
+    imported first (the reference's smqtk_plugins contract,
+    pyproject.toml:72-84): a module-valued entry registers through its
+    own decorators at import; a callable-valued ``kind:name`` entry is
+    registered directly and never overrides an existing name."""
+    import sys
+
+    from smqtk_indexing_ray import registry
+
+    ext = tmp_path / "ext_kernels_mod.py"
+    ext.write_text(
+        "from smqtk_indexing_ray.registry import register_kernel\n"
+        "@register_kernel('verify', 'ep-always')\n"
+        "def always(ej, ham, cfg):\n"
+        "    return ej >= 0\n"
+    )
+    monkeypatch.syspath_prepend(str(tmp_path))
+
+    class _EP:
+        def __init__(self, name, loader):
+            self.name = name
+            self._loader = loader
+
+        def load(self):
+            return self._loader()
+
+    def _load_module():
+        import importlib
+        return importlib.import_module("ext_kernels_mod")
+
+    def marker(ej, ham, cfg):
+        return ej < 0
+
+    eps = [
+        _EP("ext_kernels_mod", _load_module),          # module-valued
+        _EP("select:ep-select", lambda: marker),       # callable-valued
+        _EP("verify:est-jaccard", lambda: marker),     # must NOT override
+        _EP("broken", lambda: (_ for _ in ()).throw(   # must warn, not kill
+            RuntimeError("boom"))),
+    ]
+    monkeypatch.setattr(registry, "_iter_entry_points", lambda: eps)
+    monkeypatch.setattr(registry, "_EP_SCANNED", False)
+    for key in [("verify", "ep-always"), ("select", "ep-select")]:
+        registry._REGISTRY.pop(key, None)
+    sys.modules.pop("ext_kernels_mod", None)
+
+    with pytest.warns(UserWarning, match="broken"):
+        got = registry.resolve_kernel("verify", "ep-always")
+    assert got.__name__ == "always"
+    assert registry.resolve_kernel("select", "ep-select") is marker
+    # builtin not clobbered by the callable-valued collision
+    assert registry.resolve_kernel("verify", "est-jaccard") is not marker
+    assert "ep-select" in registry.available_kernels("select")
+
+    # cleanup so later tests see pristine state
+    for key in [("verify", "ep-always"), ("select", "ep-select")]:
+        registry._REGISTRY.pop(key, None)
+    sys.modules.pop("ext_kernels_mod", None)

@@ -218,8 +218,18 @@ class Checkpoint:
             return self.read_stage(name)
         t0 = time.time()
         ds = fn()
-        return self.write_stage(ds, name, inputs=inputs,
-                                wall_s=time.time() - t0, **extra)
+        out = self.write_stage(ds, name, inputs=inputs,
+                               wall_s=time.time() - t0, **extra)
+        # Fault-injection seam for the kill/resume checks: a preempted
+        # or OOM-killed job dies with no cleanup, leaving exactly the
+        # stages completed so far on disk.  SMQTK_RAY_DIE_AFTER_STAGE=
+        # <name> reproduces that deterministically — os._exit skips
+        # every finally/atexit, like SIGKILL — only AFTER a fresh
+        # compute (a resumed run sails past the same stage).
+        import os as _os
+        if _os.environ.get("SMQTK_RAY_DIE_AFTER_STAGE") == name:
+            _os._exit(17)
+        return out
 
 
 def checkpointed_dedup(pages_path: str, cfg, ckpt_root: str, *,

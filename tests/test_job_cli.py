@@ -83,3 +83,74 @@ def test_job_cli_config_overrides_change_hash(ray_session, pages_path,
     assert rc == 0
     from smqtk_indexing_ray.config import DedupConfig
     assert out["config_hash"] != DedupConfig().config_hash()
+
+
+def test_job_cli_killed_midrun_resumes_identically(ray_session, pages_path,
+                                                   tmp_path, capsys):
+    """Induced mid-run KILL: the job runs as a real subprocess and dies
+    with no cleanup (os._exit via the SMQTK_RAY_DIE_AFTER_STAGE seam —
+    the SIGKILL/preemption equivalent) right after the `edges` stage
+    commits.  The resumed run must skip the completed stages
+    (created_at unchanged in the manifest) and the final sharded
+    parquet must be row-identical to an uninterrupted run."""
+    import subprocess
+
+    import pandas as pd
+
+    cli = _load_cli()
+
+    # uninterrupted reference run (in-process, parent Ray session)
+    ckpt_a = str(tmp_path / "ckpt_clean")
+    rc = cli.main(["--input", pages_path, "--checkpoint", ckpt_a,
+                   "--num-partitions", "4"])
+    capsys.readouterr()
+    assert rc == 0
+
+    # killed run: a fresh process with its own Ray session dies
+    # uncleanly right after `edges` lands on disk
+    ckpt_b = str(tmp_path / "ckpt_killed")
+    script = os.path.join(os.path.dirname(__file__), "..", "scripts",
+                          "run_dedup_job.py")
+    repo_root = os.path.abspath(
+        os.path.join(os.path.dirname(__file__), ".."))
+    env = dict(os.environ, SMQTK_RAY_DIE_AFTER_STAGE="edges",
+               PYTHONPATH=repo_root + os.pathsep
+               + os.environ.get("PYTHONPATH", ""))
+    proc = subprocess.run(
+        [sys.executable, script, "--input", pages_path,
+         "--checkpoint", ckpt_b, "--num-partitions", "4"],
+        env=env, capture_output=True, text=True, timeout=300)
+    assert proc.returncode == 17, proc.stderr[-2000:]
+    with open(os.path.join(ckpt_b, "manifest.json")) as f:
+        man_killed = json.load(f)
+    assert set(man_killed) == {"signatures", "edges"}
+    created_before = {k: v["created_at"] for k, v in man_killed.items()}
+
+    # resume (in-process): completed stages are read back, not
+    # recomputed; the run finishes and matches the clean reference
+    rc2 = cli.main(["--input", pages_path, "--checkpoint", ckpt_b,
+                    "--num-partitions", "4"])
+    capsys.readouterr()
+    assert rc2 == 0
+    with open(os.path.join(ckpt_b, "manifest.json")) as f:
+        man_resumed = json.load(f)
+    assert set(man_resumed) == {"signatures", "edges", "labels", "output"}
+    for stage in ("signatures", "edges"):
+        assert man_resumed[stage]["created_at"] == created_before[stage]
+
+    def read_out(ckpt):
+        import glob
+
+        import pyarrow.parquet as _pq
+        files = sorted(glob.glob(os.path.join(ckpt, "output", "**",
+                                              "*.parquet"),
+                                 recursive=True))
+        assert files
+        df = pd.concat([_pq.read_table(f).to_pandas() for f in files])
+        return df[["doc_id", "cluster_id", "keep"]].sort_values(
+            "doc_id", ignore_index=True)
+
+    a = read_out(ckpt_a)
+    b = read_out(ckpt_b)
+    assert len(a) == 300
+    assert a.equals(b)

@@ -653,6 +653,16 @@ def _q_lsh_exact_group_consistency(sf_dir: str):
     return per_g.map_batches(project, batch_format="pyarrow")
 
 
+def _q_dup_span_stats(sf_dir: str):
+    """Corpus-wide duplicated-span accounting (cross-document form of
+    Lee et al. 2022 ExactSubstr, k-token-window grain): per doc, the
+    token positions covered by windows whose shingle occurs in >= 2
+    DISTINCT docs, merged into maximal spans.  One vocabulary-sized
+    shuffle; text never moves; exact int64 ratios."""
+    from smqtk_indexing_ray.pipelines.terms import dup_span_stats
+    return dup_span_stats(_docs(sf_dir), k=3, min_df=2)
+
+
 def _q_lang_id(sf_dir: str):
     from smqtk_indexing_ray.pipelines.analysis import lang_id
     return lang_id(_docs(sf_dir))
@@ -1863,6 +1873,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_dup_spans": _q_cluster_dup_spans,
         "cdc_fixed_cut_stats": _q_cdc_fixed_cut_stats,
         "lsh_exact_group_consistency": _q_lsh_exact_group_consistency,
+        "dup_span_stats": _q_dup_span_stats,
         "media_features": _q_media_features,
         "media_dedup": _q_media_dedup,
         "itq_codes": _q_itq_codes,
@@ -2108,6 +2119,47 @@ def oracle_sql() -> dict[str, str]:
             " count(*) AS n_docs,"
             " CAST(1 AS BIGINT) AS n_lsh_clusters"
             " FROM documents GROUP BY text"
+        ),
+        "dup_span_stats": (
+            r"WITH toks AS ("
+            r"  SELECT doc_id, list_filter("
+            r"    string_split_regex(text, '\s+'), x -> x <> '') AS w"
+            r"  FROM documents"
+            r"), win AS ("
+            r"  SELECT doc_id, len(w) AS n_tokens, i AS pos,"
+            r"         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS kg"
+            r"  FROM toks, unnest(generate_series(1, len(w) - 2))"
+            r"    AS t(i)"
+            r"  WHERE len(w) >= 3"
+            r"), dupset AS ("
+            r"  SELECT kg FROM win GROUP BY kg"
+            r"  HAVING count(DISTINCT doc_id) >= 2"
+            r"), flagged AS ("
+            r"  SELECT w.doc_id, w.pos FROM win w JOIN dupset USING (kg)"
+            r"), lagged AS ("
+            r"  SELECT doc_id, pos,"
+            r"    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)"
+            r"      AS prev"
+            r"  FROM flagged"
+            r"), per AS ("
+            r"  SELECT doc_id, count(*) AS dup_windows,"
+            r"    sum(CASE WHEN prev IS NULL OR pos - prev > 3"
+            r"        THEN 1 ELSE 0 END) AS n_dup_spans,"
+            r"    sum(CASE WHEN prev IS NULL THEN 3"
+            r"        ELSE least(pos - prev, 3) END) AS dup_tokens"
+            r"  FROM lagged GROUP BY doc_id"
+            r"), base AS ("
+            r"  SELECT DISTINCT doc_id, n_tokens,"
+            r"         n_tokens - 2 AS n_windows FROM win"
+            r") SELECT b.doc_id, b.n_tokens, b.n_windows,"
+            r"  CAST(coalesce(p.dup_windows, 0) AS BIGINT)"
+            r"    AS dup_windows,"
+            r"  CAST(coalesce(p.n_dup_spans, 0) AS BIGINT)"
+            r"    AS n_dup_spans,"
+            r"  CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,"
+            r"  CAST(coalesce(p.dup_tokens, 0) AS DOUBLE) / b.n_tokens"
+            r"    AS dup_token_frac"
+            r" FROM base b LEFT JOIN per p USING (doc_id)"
         ),
         "exact_cluster_sizes": (
             "SELECT doc_id, count(*) OVER (PARTITION BY text) "

@@ -409,6 +409,7 @@ def run_sf_suite(sf_dir: str) -> dict[str, float]:
         "dsir_weights": lambda: terms.dsir_weights(docs(),
                                                    target_lang="en"),
         "ppjoin_pairs": lambda: analysis.ppjoin_pairs(docs()),
+        "dup_span_stats": lambda: terms.dup_span_stats(docs()),
         "large_orders": _large_orders_fn(sf_dir),
         "bloom_contamination": _bloom_contamination_fn(sf_dir),
         "cohort_retention": _cohort_retention_fn(sf_dir),

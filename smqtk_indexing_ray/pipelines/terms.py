@@ -2226,3 +2226,286 @@ def dup_ngram_chars(docs):
         docs.select_columns(["doc_id", "text", "n_chars"]).map_batches(
             _dup_ngram_batch, batch_format="pyarrow"),
         DUP_NGRAM_SCHEMA)
+
+
+DUP_SPAN_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()),
+    ("n_tokens", pa.int64()),
+    ("n_windows", pa.int64()),
+    ("dup_windows", pa.int64()),
+    ("n_dup_spans", pa.int64()),
+    ("dup_tokens", pa.int64()),
+    ("dup_token_frac", pa.float64()),
+])
+
+#: Broadcast gate for the duplicated-shingle set (shingles with
+#: df >= min_df): web boilerplate keeps it far below the vocabulary,
+#: but a pathological corpus (every doc a near-copy) can approach
+#: vocabulary size — above the gate the flags ride a ``sort_attach``
+#: and the span merge rides the LAG stage instead (the scale path,
+#: same convention as the tf-idf/DSIR/PPJoin gates).
+DUP_SPAN_MAX_BROADCAST = 8_000_000
+
+
+def dup_span_stats(docs, *, k: int = 3, min_df: int = 2,
+                   num_partitions: int = 16,
+                   max_broadcast: int = DUP_SPAN_MAX_BROADCAST):
+    """Corpus-wide duplicated-span accounting (the cross-document form
+    of Lee et al. 2022 "Deduplicating Training Data Makes Language
+    Models Better", arXiv:2107.06499, at k-token-window grain): for
+    every document with >= ``k`` tokens, how many of its token
+    positions are covered by a k-token window whose shingle occurs in
+    at least ``min_df`` DISTINCT documents, and how many maximal
+    contiguous such spans there are.  This is the "how much of this
+    page exists verbatim elsewhere, and in how many blocks" signal —
+    :func:`dup_ngram_chars` sees only WITHIN-doc repetition and the
+    suffix passes only within-cluster text; this one is corpus-wide
+    and position-exact.
+
+    Decomposition (one vocabulary-sized shuffle, text never moves):
+
+    - pass A: per-batch distinct ``(doc, shingle)`` partials ->
+      ``sorted_group_agg`` df counts; the duplicated set is the
+      ``df >= min_df`` slice.
+    - pass B (broadcast, dup set <= ``max_broadcast``): re-shingle each
+      batch (documents are rows, so every doc is batch-complete),
+      flag windows by one ``searchsorted`` membership test, and merge
+      flagged windows into maximal spans with a vectorized per-doc
+      interval sweep: windows at positions ``p_1 < p_2 < ...`` add
+      ``k`` covered tokens for a span head and ``min(p_i - p_{i-1},
+      k)`` otherwise; a new span starts when the gap exceeds ``k``.
+    - pass B (scale): one row per window rides a df ``sort_attach``
+      (inner, pre-filtered to the duplicated slice), the previous
+      flagged position comes from ``sorted_lag_attach``, the same
+      per-row contributions reduce through ``sorted_group_agg``, and
+      zero-dup docs re-enter via a left attach — identical output.
+
+    Output: ``doc_id, n_tokens, n_windows, dup_windows, n_dup_spans,
+    dup_tokens, dup_token_frac`` (exact int64 ratio).  Docs with fewer
+    than ``k`` tokens are omitted (they have no windows).
+
+    Reference analog: the bucket-multimap df accounting of
+    /root/reference/smqtk_indexing/impls/nn_index/lsh.py:315-323,
+    taken to position grain.
+    """
+    import ray
+
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+
+    from smqtk_indexing_ray.functions.tokenize import (
+        shingle_flat,
+        tokenize_flat,
+    )
+    from smqtk_indexing_ray.stages._util import (
+        auto_blocks,
+        collect_table,
+        drop_empty_blocks,
+    )
+    from smqtk_indexing_ray.stages.agg import (
+        sorted_group_agg,
+        sorted_lag_attach,
+    )
+    from smqtk_indexing_ray.stages.attach import (
+        _broadcast_cache_get,
+        sort_attach,
+    )
+
+    df_schema = pa.schema([("shingle", pa.int64()), ("df", pa.int64())])
+    src = docs.select_columns(["doc_id", "text"])
+    nb = max(num_partitions, auto_blocks())
+
+    def _windows(t: pa.Table):
+        """(sh, soff, doc_ids, n_tok per doc) for one batch of docs."""
+        tok, off = tokenize_flat(t["text"], lowercase=False)
+        sh, soff = shingle_flat(tok, off, k)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return sh, soff, ids, np.diff(off)
+
+    # --- pass A: distinct-doc df per shingle ------------------------
+    def df_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "text" not in t.column_names:
+            return df_schema.empty_table()
+        sh, soff, _ids, _ntok = _windows(t)
+        if not len(sh):
+            return df_schema.empty_table()
+        did = np.repeat(np.arange(len(soff) - 1), np.diff(soff))
+        order = np.lexsort((sh, did))
+        d_s, s_s = did[order], sh[order]
+        head = np.concatenate([[True], (d_s[1:] != d_s[:-1])
+                               | (s_s[1:] != s_s[:-1])])
+        uniq, counts = np.unique(s_s[head], return_counts=True)
+        return pa.table({"shingle": pa.array(uniq.view(np.int64)),
+                         "df": pa.array(counts.astype(np.int64))},
+                        schema=df_schema)
+
+    df_tab = sorted_group_agg(
+        src.map_batches(df_partial, batch_format="pyarrow",
+                        batch_size=None),
+        key="shingle", aggs={"df": "sum"},
+        num_blocks=nb, schema=df_schema).materialize()
+    dup_tab = df_tab.filter(expr=f"df >= {int(min_df)}").materialize()
+    n_dup = dup_tab.count()
+
+    def _contrib(prev_valid, diff):
+        cov = np.where(prev_valid, np.minimum(diff, k), k)
+        brk = (~prev_valid) | (diff > k)
+        return cov.astype(np.int64), brk
+
+    if n_dup <= max_broadcast:
+        vt = collect_table(dup_tab, df_schema)
+        dup = np.sort(vt["shingle"].to_numpy(
+            zero_copy_only=False).astype(np.int64))
+        dup_ref = ray.put(dup)
+
+        def span_stats(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "text" not in t.column_names:
+                return DUP_SPAN_SCHEMA.empty_table()
+            sh, soff, ids, ntok = _windows(t)
+            nw = np.diff(soff)
+            has = nw > 0
+            if not has.any():
+                return DUP_SPAN_SCHEMA.empty_table()
+            dset = _broadcast_cache_get(dup_ref)
+            sh64 = sh.view(np.int64)
+            if len(dset):
+                pos_d = np.clip(np.searchsorted(dset, sh64), 0,
+                                len(dset) - 1)
+                flag = dset[pos_d] == sh64
+            else:
+                flag = np.zeros(len(sh64), bool)
+            did_w = np.repeat(np.arange(len(nw)), nw)
+            pos_w = np.arange(len(sh64)) - np.repeat(soff[:-1], nw)
+            d_f = did_w[flag]
+            p_f = pos_w[flag]
+            dw = np.zeros(len(nw), np.int64)
+            spans = np.zeros(len(nw), np.int64)
+            covered = np.zeros(len(nw), np.int64)
+            if len(d_f):
+                first = np.concatenate([[True], d_f[1:] != d_f[:-1]])
+                diff = np.empty(len(p_f), np.int64)
+                diff[0] = 0
+                diff[1:] = p_f[1:] - p_f[:-1]
+                cov, brk = _contrib(~first, diff)
+                np.add.at(dw, d_f, 1)
+                np.add.at(spans, d_f, brk.astype(np.int64))
+                np.add.at(covered, d_f, cov)
+            sel = has
+            return pa.table({
+                "doc_id": pa.array(ids[sel]),
+                "n_tokens": pa.array(ntok[sel].astype(np.int64)),
+                "n_windows": pa.array(nw[sel].astype(np.int64)),
+                "dup_windows": pa.array(dw[sel]),
+                "n_dup_spans": pa.array(spans[sel]),
+                "dup_tokens": pa.array(covered[sel]),
+                "dup_token_frac": pa.array(
+                    covered[sel] / ntok[sel].astype(np.float64)),
+            }, schema=DUP_SPAN_SCHEMA)
+
+        return stamp_schema(
+            src.map_batches(span_stats, batch_format="pyarrow",
+                            batch_size=None), DUP_SPAN_SCHEMA)
+
+    # --- scale path: window rows + df attach + LAG + sorted reduce --
+    win_schema = pa.schema([("shingle", pa.int64()),
+                            ("doc_id", pa.int64()),
+                            ("pos", pa.int64())])
+    base_schema = pa.schema([("doc_id", pa.int64()),
+                             ("n_tokens", pa.int64()),
+                             ("n_windows", pa.int64())])
+
+    def explode_windows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "text" not in t.column_names:
+            return win_schema.empty_table()
+        sh, soff, ids, _ntok = _windows(t)
+        if not len(sh):
+            return win_schema.empty_table()
+        nw = np.diff(soff)
+        return pa.table({
+            "shingle": pa.array(sh.view(np.int64)),
+            "doc_id": pa.array(np.repeat(ids, nw)),
+            "pos": pa.array(np.arange(len(sh))
+                            - np.repeat(soff[:-1], nw)),
+        }, schema=win_schema)
+
+    def per_doc_base(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "text" not in t.column_names:
+            return base_schema.empty_table()
+        _sh, soff, ids, ntok = _windows(t)
+        nw = np.diff(soff)
+        sel = nw > 0
+        return pa.table({
+            "doc_id": pa.array(ids[sel]),
+            "n_tokens": pa.array(ntok[sel].astype(np.int64)),
+            "n_windows": pa.array(nw[sel].astype(np.int64)),
+        }, schema=base_schema)
+
+    windows = src.map_batches(explode_windows, batch_format="pyarrow",
+                              batch_size=None)
+    flagged = sort_attach(
+        windows, drop_empty_blocks(dup_tab, df_schema), key="shingle",
+        payload_key="shingle", payload_cols=["df"], how="inner",
+        rows_schema=win_schema, payload_schema=df_schema, num_blocks=nb)
+    fl_schema = pa.schema([("shingle", pa.int64()), ("doc_id", pa.int64()),
+                           ("pos", pa.int64()), ("df", pa.int64())])
+    lagged = sorted_lag_attach(
+        flagged, key="doc_id", order="pos", value="pos", out="prev",
+        num_blocks=nb, schema=fl_schema)
+
+    part_schema = pa.schema([("doc_id", pa.int64()),
+                             ("dup_windows", pa.int64()),
+                             ("n_dup_spans", pa.int64()),
+                             ("dup_tokens", pa.int64())])
+
+    def contrib(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "prev" not in t.column_names:
+            return part_schema.empty_table()
+        pos = t["pos"].to_numpy(zero_copy_only=False)
+        prev = pc.fill_null(t["prev"], -(10 ** 15)).to_numpy(
+            zero_copy_only=False)
+        valid = prev > -(10 ** 15)
+        diff = np.where(valid, pos - prev, 0).astype(np.int64)
+        cov, brk = _contrib(valid, diff)
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "dup_windows": pa.array(np.ones(t.num_rows, np.int64)),
+            "n_dup_spans": pa.array(brk.astype(np.int64)),
+            "dup_tokens": pa.array(cov),
+        }, schema=part_schema)
+
+    per_doc = sorted_group_agg(
+        lagged.map_batches(contrib, batch_format="pyarrow"),
+        key="doc_id",
+        aggs={"dup_windows": "sum", "n_dup_spans": "sum",
+              "dup_tokens": "sum"},
+        num_blocks=nb, schema=part_schema)
+
+    base = src.map_batches(per_doc_base, batch_format="pyarrow",
+                           batch_size=None)
+    joined = sort_attach(
+        base, per_doc, key="doc_id", payload_key="doc_id",
+        payload_cols=["dup_windows", "n_dup_spans", "dup_tokens"],
+        how="left", rows_schema=base_schema, payload_schema=part_schema,
+        num_blocks=nb)
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "dup_tokens" not in t.column_names:
+            return DUP_SPAN_SCHEMA.empty_table()
+        ntok = t["n_tokens"].to_numpy(zero_copy_only=False)
+        dt = pc.fill_null(t["dup_tokens"], 0).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_tokens": pc.cast(t["n_tokens"], pa.int64()),
+            "n_windows": pc.cast(t["n_windows"], pa.int64()),
+            "dup_windows": pc.cast(
+                pc.fill_null(t["dup_windows"], 0), pa.int64()),
+            "n_dup_spans": pc.cast(
+                pc.fill_null(t["n_dup_spans"], 0), pa.int64()),
+            "dup_tokens": pa.array(dt.astype(np.int64)),
+            "dup_token_frac": pa.array(dt / ntok.astype(np.float64)),
+        }, schema=DUP_SPAN_SCHEMA)
+
+    return stamp_schema(
+        joined.map_batches(finish, batch_format="pyarrow"),
+        DUP_SPAN_SCHEMA)

@@ -931,3 +931,66 @@ class TestDsirWeights:
         b = dsir_weights(self._ds(texts, langs, parts=8)).to_pandas(
         ).sort_values("doc_id", ignore_index=True)
         assert a.equals(b)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDupSpanStats:
+    def _docs(self, texts, parts=3):
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        })).repartition(parts)
+
+    def test_planted_spans_hand_computed(self):
+        """Two docs share one 5-token phrase (one span each: 5 dup
+        tokens = 3 flagged windows), a third doc is unique, a fourth
+        shares TWO disjoint phrases with doc 0 (two spans)."""
+        from smqtk_indexing_ray.pipelines.terms import dup_span_stats
+        ph1 = "the quick brown fox jumps"
+        ph2 = "over lazy sleeping dogs now"
+        texts = [
+            f"{ph1} u0a u0b u0c {ph2}",          # doc0: both phrases
+            f"v0 v1 {ph1} v2 v3",                 # doc1: phrase 1
+            "w0 w1 w2 w3 w4 w5 w6 w7",            # doc2: unique
+            f"x0 {ph2} x1 x2 x3 x4",              # doc3: phrase 2
+        ]
+        got = dup_span_stats(self._docs(texts), k=3).to_pandas(
+        ).set_index("doc_id").sort_index()
+        # doc0: 13 tokens; dup windows = 3 (ph1) + 3 (ph2); spans 2;
+        # dup tokens 5 + 5
+        assert got.loc[0, "n_tokens"] == 13
+        assert got.loc[0, "dup_windows"] == 6
+        assert got.loc[0, "n_dup_spans"] == 2
+        assert got.loc[0, "dup_tokens"] == 10
+        assert got.loc[1, "n_dup_spans"] == 1
+        assert got.loc[1, "dup_tokens"] == 5
+        assert got.loc[2, "dup_windows"] == 0
+        assert got.loc[2, "dup_tokens"] == 0
+        assert got.loc[2, "dup_token_frac"] == 0.0
+        assert got.loc[3, "n_dup_spans"] == 1
+        assert got.loc[3, "dup_tokens"] == 5
+
+    def test_scale_path_equals_broadcast(self):
+        """max_broadcast=0 drives the sort_attach + LAG path; output
+        must equal the broadcast path bit-for-bit, including zero-dup
+        docs re-entered by the left attach."""
+        from smqtk_indexing_ray.pipelines.terms import dup_span_stats
+        rng = np.random.default_rng(47)
+        words = ["w%d" % i for i in range(40)]
+        base = [" ".join(rng.choice(words, 30)) for _ in range(15)]
+        texts = base + [base[0] + " tail x y", "zz yy xx ww vv"]
+        a = dup_span_stats(self._docs(texts), k=3).to_pandas(
+        ).sort_values("doc_id", ignore_index=True)
+        b = dup_span_stats(self._docs(texts), k=3,
+                           max_broadcast=0).to_pandas().sort_values(
+            "doc_id", ignore_index=True)
+        assert len(a) == len(texts)
+        assert a.equals(b)
+
+    def test_short_and_empty_docs_omitted(self):
+        from smqtk_indexing_ray.pipelines.terms import dup_span_stats
+        texts = ["a b", "", "one two three four", "one two three four"]
+        got = dup_span_stats(self._docs(texts), k=3).to_pandas()
+        assert sorted(got.doc_id) == [2, 3]
+        assert (got.dup_token_frac == 1.0).all()

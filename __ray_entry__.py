@@ -663,6 +663,15 @@ def _q_dup_span_stats(sf_dir: str):
     return dup_span_stats(_docs(sf_dir), k=3, min_df=2)
 
 
+def _q_dup_span_scrub(sf_dir: str):
+    """ExactSubstr-style cut: remove every token covered by a
+    cross-document duplicated k-window and rebuild the text
+    (single-space joined) — the actionable form of dup_span_stats.
+    Exact string parity with the SQL rebuild."""
+    from smqtk_indexing_ray.pipelines.terms import dup_span_scrub
+    return dup_span_scrub(_docs(sf_dir), k=3, min_df=2)
+
+
 def _q_lang_id(sf_dir: str):
     from smqtk_indexing_ray.pipelines.analysis import lang_id
     return lang_id(_docs(sf_dir))
@@ -1874,6 +1883,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_fixed_cut_stats": _q_cdc_fixed_cut_stats,
         "lsh_exact_group_consistency": _q_lsh_exact_group_consistency,
         "dup_span_stats": _q_dup_span_stats,
+        "dup_span_scrub": _q_dup_span_scrub,
         "media_features": _q_media_features,
         "media_dedup": _q_media_dedup,
         "itq_codes": _q_itq_codes,
@@ -2119,6 +2129,44 @@ def oracle_sql() -> dict[str, str]:
             " count(*) AS n_docs,"
             " CAST(1 AS BIGINT) AS n_lsh_clusters"
             " FROM documents GROUP BY text"
+        ),
+        "dup_span_scrub": (
+            r"WITH toks AS ("
+            r"  SELECT doc_id, list_filter("
+            r"    string_split_regex(text, '\s+'), x -> x <> '') AS w"
+            r"  FROM documents"
+            r"), win AS ("
+            r"  SELECT doc_id, i AS pos,"
+            r"         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS kg"
+            r"  FROM toks, unnest(generate_series(1, len(w) - 2))"
+            r"    AS t(i)"
+            r"  WHERE len(w) >= 3"
+            r"), dupset AS ("
+            r"  SELECT kg FROM win GROUP BY kg"
+            r"  HAVING count(DISTINCT doc_id) >= 2"
+            r"), covered AS ("
+            r"  SELECT DISTINCT f.doc_id, f.pos + s.o AS j"
+            r"  FROM (SELECT w.doc_id, w.pos FROM win w"
+            r"        JOIN dupset USING (kg)) f,"
+            r"       unnest(generate_series(0, 2)) AS s(o)"
+            r"), tok_rows AS ("
+            r"  SELECT doc_id, j, w[j] AS tok FROM toks,"
+            r"       unnest(generate_series(1, len(w))) AS u(j)"
+            r"), kept AS ("
+            r"  SELECT t.doc_id, t.j, t.tok FROM tok_rows t"
+            r"  LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.j = c.j"
+            r"  WHERE c.j IS NULL"
+            r"), rebuilt AS ("
+            r"  SELECT doc_id, string_agg(tok, ' ' ORDER BY j) AS text"
+            r"  FROM kept GROUP BY doc_id"
+            r"), per AS ("
+            r"  SELECT doc_id, count(*) AS n_removed FROM covered"
+            r"  GROUP BY doc_id"
+            r") SELECT t.doc_id, coalesce(r.text, '') AS text,"
+            r"  CAST(len(w) AS BIGINT) AS n_tokens,"
+            r"  CAST(coalesce(p.n_removed, 0) AS BIGINT) AS n_removed"
+            r" FROM toks t LEFT JOIN rebuilt r USING (doc_id)"
+            r" LEFT JOIN per p USING (doc_id)"
         ),
         "dup_span_stats": (
             r"WITH toks AS ("

@@ -410,6 +410,7 @@ def run_sf_suite(sf_dir: str) -> dict[str, float]:
                                                    target_lang="en"),
         "ppjoin_pairs": lambda: analysis.ppjoin_pairs(docs()),
         "dup_span_stats": lambda: terms.dup_span_stats(docs()),
+        "dup_span_scrub": lambda: terms.dup_span_scrub(docs()),
         "large_orders": _large_orders_fn(sf_dir),
         "bloom_contamination": _bloom_contamination_fn(sf_dir),
         "cohort_retention": _cohort_retention_fn(sf_dir),

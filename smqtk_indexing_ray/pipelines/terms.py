@@ -2509,3 +2509,145 @@ def dup_span_stats(docs, *, k: int = 3, min_df: int = 2,
     return stamp_schema(
         joined.map_batches(finish, batch_format="pyarrow"),
         DUP_SPAN_SCHEMA)
+
+
+DUP_SPAN_SCRUB_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()),
+    ("text", pa.string()),
+    ("n_tokens", pa.int64()),
+    ("n_removed", pa.int64()),
+])
+
+
+def dup_span_scrub(docs, *, k: int = 3, min_df: int = 2,
+                   num_partitions: int = 16,
+                   max_broadcast: int = DUP_SPAN_MAX_BROADCAST):
+    """The actionable companion of :func:`dup_span_stats`: REMOVE every
+    token covered by a k-window whose shingle occurs in >= ``min_df``
+    distinct documents, and rebuild the text from the surviving tokens
+    (single-space joined — the same whitespace normalization contract
+    as :func:`line_dedup`'s rebuilt text).  This is the ExactSubstr-
+    style cut (Lee et al. 2022) a training-data pipeline actually
+    applies after the accounting pass.
+
+    Every document is emitted (token-normalized), including docs with
+    fewer than ``k`` tokens (nothing to remove) and docs scrubbed to
+    the empty string.  ``n_tokens`` counts the ORIGINAL tokens,
+    ``n_removed`` the covered ones.
+
+    Scale shape: identical to :func:`line_dedup` — the duplicated
+    shingle set is the only broadcast (gated at ``max_broadcast``,
+    raise-with-advice above: shard the scrub by hash-bucketing shingles
+    and re-running per bucket, or lift ``min_df``), text never crosses
+    a shuffle, and the removal is one batch-local vectorized pass
+    (coverage via a +1/-1 cumsum over window bounds, rebuild via one
+    ``pc.binary_join``).
+    """
+    import ray
+
+    from smqtk_indexing_ray.context import ensure_data_context
+    ensure_data_context()
+
+    from smqtk_indexing_ray.functions.hashing import hash_strings_u64
+    from smqtk_indexing_ray.functions.tokenize import (
+        shingle_flat,
+        tokens_flat,
+    )
+    from smqtk_indexing_ray.stages._util import auto_blocks, collect_table
+    from smqtk_indexing_ray.stages.agg import sorted_group_agg
+
+    df_schema = pa.schema([("shingle", pa.int64()), ("df", pa.int64())])
+    src = docs.select_columns(["doc_id", "text"])
+    nb = max(num_partitions, auto_blocks())
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "text" not in t.column_names:
+            return df_schema.empty_table()
+        flat, off = tokens_flat(t["text"], lowercase=False)
+        tok = hash_strings_u64(flat)
+        sh, soff = shingle_flat(tok, off, k)
+        if not len(sh):
+            return df_schema.empty_table()
+        did = np.repeat(np.arange(len(soff) - 1), np.diff(soff))
+        order = np.lexsort((sh, did))
+        d_s, s_s = did[order], sh[order]
+        head = np.concatenate([[True], (d_s[1:] != d_s[:-1])
+                               | (s_s[1:] != s_s[:-1])])
+        uniq, counts = np.unique(s_s[head], return_counts=True)
+        return pa.table({"shingle": pa.array(uniq.view(np.int64)),
+                         "df": pa.array(counts.astype(np.int64))},
+                        schema=df_schema)
+
+    df_tab = sorted_group_agg(
+        src.map_batches(df_partial, batch_format="pyarrow",
+                        batch_size=None),
+        key="shingle", aggs={"df": "sum"},
+        num_blocks=nb, schema=df_schema).materialize()
+    dup_tab = df_tab.filter(expr=f"df >= {int(min_df)}").materialize()
+    n_dup = dup_tab.count()
+    if n_dup > max_broadcast:
+        raise ValueError(
+            f"dup_span_scrub: {n_dup} duplicated shingles > "
+            f"max_broadcast={max_broadcast}; shard the scrub by "
+            "hash-bucketing shingles and re-running per bucket, or "
+            "raise min_df")
+    vt = collect_table(dup_tab, df_schema)
+    dup = np.sort(vt["shingle"].to_numpy(
+        zero_copy_only=False).astype(np.int64))
+    dup_ref = ray.put(dup)
+
+    from smqtk_indexing_ray.stages.attach import _broadcast_cache_get
+
+    def scrub(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "text" not in t.column_names:
+            return DUP_SPAN_SCRUB_SCHEMA.empty_table()
+        flat, off = tokens_flat(t["text"], lowercase=False)
+        tok = hash_strings_u64(flat)
+        sh, soff = shingle_flat(tok, off, k)
+        n_tok = np.diff(off)
+        n_flat = int(off[-1])
+        covered = np.zeros(n_flat, bool)
+        if len(sh):
+            dset = _broadcast_cache_get(dup_ref)
+            sh64 = sh.view(np.int64)
+            if len(dset):
+                pos_d = np.clip(np.searchsorted(dset, sh64), 0,
+                                len(dset) - 1)
+                flag = dset[pos_d] == sh64
+            else:
+                flag = np.zeros(len(sh64), bool)
+            if flag.any():
+                nw = np.diff(soff)
+                # global flat start of each flagged window; windows
+                # never cross docs, so one +1/-1 cumsum covers all docs
+                win_start = (np.arange(len(sh64))
+                             - np.repeat(soff[:-1], nw)
+                             + np.repeat(off[:-1], nw))
+                starts = win_start[flag]
+                delta = np.zeros(n_flat + 1, np.int64)
+                np.add.at(delta, starts, 1)
+                np.add.at(delta, starts + k, -1)
+                covered = np.cumsum(delta[:-1]) > 0
+        kept = ~covered
+        did_flat = np.repeat(np.arange(len(n_tok)), n_tok)
+        kept_per_doc = np.bincount(did_flat[kept],
+                                   minlength=len(n_tok)).astype(np.int64)
+        kept_flat = (flat.filter(pa.array(kept)) if n_flat
+                     else flat)
+        if isinstance(kept_flat, pa.ChunkedArray):
+            kept_flat = kept_flat.combine_chunks()
+        offsets = np.concatenate([[0], kept_per_doc.cumsum()])
+        lists = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), kept_flat)
+        text = pc.binary_join(lists, " ")
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "text": pc.cast(text, pa.string()),
+            "n_tokens": pa.array(n_tok.astype(np.int64)),
+            "n_removed": pa.array(
+                (n_tok - kept_per_doc).astype(np.int64)),
+        }, schema=DUP_SPAN_SCRUB_SCHEMA)
+
+    return stamp_schema(
+        src.map_batches(scrub, batch_format="pyarrow",
+                        batch_size=None), DUP_SPAN_SCRUB_SCHEMA)

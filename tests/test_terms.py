@@ -994,3 +994,51 @@ class TestDupSpanStats:
         got = dup_span_stats(self._docs(texts), k=3).to_pandas()
         assert sorted(got.doc_id) == [2, 3]
         assert (got.dup_token_frac == 1.0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDupSpanScrub:
+    def _docs(self, texts, parts=3):
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        })).repartition(parts)
+
+    def test_planted_phrase_removed(self):
+        from smqtk_indexing_ray.pipelines.terms import dup_span_scrub
+        ph = "the quick brown fox jumps"
+        texts = [
+            f"{ph} u0 u1 u2",
+            f"v0 v1 {ph} v2",
+            "w0 w1 w2 w3 w4",
+            "a b",                     # < k tokens: untouched
+            None,                      # null: empty rebuild
+        ]
+        got = dup_span_scrub(self._docs(texts), k=3).to_pandas(
+        ).set_index("doc_id").sort_index()
+        assert got.loc[0, "text"] == "u0 u1 u2"
+        assert got.loc[0, "n_removed"] == 5
+        assert got.loc[1, "text"] == "v0 v1 v2"
+        assert got.loc[1, "n_removed"] == 5
+        assert got.loc[2, "text"] == "w0 w1 w2 w3 w4"
+        assert got.loc[2, "n_removed"] == 0
+        assert got.loc[3, "text"] == "a b"
+        assert got.loc[4, "text"] == "" and got.loc[4, "n_tokens"] == 0
+
+    def test_whole_doc_removed_is_empty(self):
+        from smqtk_indexing_ray.pipelines.terms import dup_span_scrub
+        texts = ["same exact tiny doc", "same exact tiny doc",
+                 "an unrelated document here"]
+        got = dup_span_scrub(self._docs(texts), k=3).to_pandas(
+        ).set_index("doc_id").sort_index()
+        assert got.loc[0, "text"] == "" and got.loc[1, "text"] == ""
+        assert got.loc[0, "n_removed"] == 4
+        assert got.loc[2, "n_removed"] == 0
+
+    def test_broadcast_gate_raises(self):
+        from smqtk_indexing_ray.pipelines.terms import dup_span_scrub
+        texts = ["p q r s t", "p q r s t"]
+        with pytest.raises(ValueError, match="max_broadcast"):
+            dup_span_scrub(self._docs(texts), k=3,
+                           max_broadcast=0).to_pandas()

@@ -2163,7 +2163,9 @@ def oracle_sql() -> dict[str, str]:
             r"  SELECT doc_id, count(*) AS n_removed FROM covered"
             r"  GROUP BY doc_id"
             r") SELECT t.doc_id, coalesce(r.text, '') AS text,"
-            r"  CAST(len(w) AS BIGINT) AS n_tokens,"
+            # null text -> w is NULL -> len(w) NULL; the pipeline
+            # normalizes null docs to 0 tokens / empty rebuild
+            r"  CAST(coalesce(len(w), 0) AS BIGINT) AS n_tokens,"
             r"  CAST(coalesce(p.n_removed, 0) AS BIGINT) AS n_removed"
             r" FROM toks t LEFT JOIN rebuilt r USING (doc_id)"
             r" LEFT JOIN per p USING (doc_id)"

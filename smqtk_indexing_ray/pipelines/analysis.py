@@ -1003,6 +1003,16 @@ def ppjoin_pairs(docs, *, k: int = 3, threshold: float = 0.5,
                              ("blob", pa.large_binary())])
 
     def pack(t: pa.Table) -> pa.Table:
+        # blobs are THE materialized source every later pass derives
+        # from, so the input contract is checked once, here: duplicate
+        # doc_id rows in a batch would silently merge into one blob
+        # with repeated shingle values (inflating df counts and the
+        # verify intersections) — fail loudly instead
+        ids = t["doc_id"].to_numpy(zero_copy_only=False) \
+            if t.num_rows and "doc_id" in t.column_names else None
+        if ids is not None and len(np.unique(ids)) != len(ids):
+            raise ValueError(
+                "ppjoin_pairs: duplicate doc_id rows in the input")
         ex = _shingle_explode(t, k)
         if ex.num_rows == 0:
             return blob_schema.empty_table()

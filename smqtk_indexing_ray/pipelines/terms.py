@@ -2228,6 +2228,34 @@ def dup_ngram_chars(docs):
         DUP_NGRAM_SCHEMA)
 
 
+_DUP_SPAN_DF_SCHEMA = pa.schema([("shingle", pa.int64()),
+                                 ("df", pa.int64())])
+
+
+def _shingle_df_partial(sh: np.ndarray, soff: np.ndarray) -> pa.Table:
+    """Distinct-doc df partial rows for one batch's flat shingle
+    stream — the shared pass-A core of the dup-span operators."""
+    if not len(sh):
+        return _DUP_SPAN_DF_SCHEMA.empty_table()
+    did = np.repeat(np.arange(len(soff) - 1), np.diff(soff))
+    order = np.lexsort((sh, did))
+    d_s, s_s = did[order], sh[order]
+    head = np.concatenate([[True], (d_s[1:] != d_s[:-1])
+                           | (s_s[1:] != s_s[:-1])])
+    uniq, counts = np.unique(s_s[head], return_counts=True)
+    return pa.table({"shingle": pa.array(uniq.view(np.int64)),
+                     "df": pa.array(counts.astype(np.int64))},
+                    schema=_DUP_SPAN_DF_SCHEMA)
+
+
+def _sorted_member(dset: np.ndarray, vals: np.ndarray) -> np.ndarray:
+    """Membership mask of int64 ``vals`` in the SORTED array ``dset``."""
+    if not len(dset):
+        return np.zeros(len(vals), bool)
+    pos = np.clip(np.searchsorted(dset, vals), 0, len(dset) - 1)
+    return dset[pos] == vals
+
+
 DUP_SPAN_SCHEMA = pa.schema([
     ("doc_id", pa.int64()),
     ("n_tokens", pa.int64()),
@@ -2311,7 +2339,7 @@ def dup_span_stats(docs, *, k: int = 3, min_df: int = 2,
         sort_attach,
     )
 
-    df_schema = pa.schema([("shingle", pa.int64()), ("df", pa.int64())])
+    df_schema = _DUP_SPAN_DF_SCHEMA
     src = docs.select_columns(["doc_id", "text"])
     nb = max(num_partitions, auto_blocks())
 
@@ -2327,17 +2355,7 @@ def dup_span_stats(docs, *, k: int = 3, min_df: int = 2,
         if t.num_rows == 0 or "text" not in t.column_names:
             return df_schema.empty_table()
         sh, soff, _ids, _ntok = _windows(t)
-        if not len(sh):
-            return df_schema.empty_table()
-        did = np.repeat(np.arange(len(soff) - 1), np.diff(soff))
-        order = np.lexsort((sh, did))
-        d_s, s_s = did[order], sh[order]
-        head = np.concatenate([[True], (d_s[1:] != d_s[:-1])
-                               | (s_s[1:] != s_s[:-1])])
-        uniq, counts = np.unique(s_s[head], return_counts=True)
-        return pa.table({"shingle": pa.array(uniq.view(np.int64)),
-                         "df": pa.array(counts.astype(np.int64))},
-                        schema=df_schema)
+        return _shingle_df_partial(sh, soff)
 
     df_tab = sorted_group_agg(
         src.map_batches(df_partial, batch_format="pyarrow",
@@ -2367,15 +2385,9 @@ def dup_span_stats(docs, *, k: int = 3, min_df: int = 2,
             if not has.any():
                 return DUP_SPAN_SCHEMA.empty_table()
             dset = _broadcast_cache_get(dup_ref)
-            sh64 = sh.view(np.int64)
-            if len(dset):
-                pos_d = np.clip(np.searchsorted(dset, sh64), 0,
-                                len(dset) - 1)
-                flag = dset[pos_d] == sh64
-            else:
-                flag = np.zeros(len(sh64), bool)
+            flag = _sorted_member(dset, sh.view(np.int64))
             did_w = np.repeat(np.arange(len(nw)), nw)
-            pos_w = np.arange(len(sh64)) - np.repeat(soff[:-1], nw)
+            pos_w = np.arange(len(sh)) - np.repeat(soff[:-1], nw)
             d_f = did_w[flag]
             p_f = pos_w[flag]
             dw = np.zeros(len(nw), np.int64)
@@ -2551,32 +2563,22 @@ def dup_span_scrub(docs, *, k: int = 3, min_df: int = 2,
     from smqtk_indexing_ray.functions.hashing import hash_strings_u64
     from smqtk_indexing_ray.functions.tokenize import (
         shingle_flat,
+        tokenize_flat,
         tokens_flat,
     )
     from smqtk_indexing_ray.stages._util import auto_blocks, collect_table
     from smqtk_indexing_ray.stages.agg import sorted_group_agg
 
-    df_schema = pa.schema([("shingle", pa.int64()), ("df", pa.int64())])
+    df_schema = _DUP_SPAN_DF_SCHEMA
     src = docs.select_columns(["doc_id", "text"])
     nb = max(num_partitions, auto_blocks())
 
     def df_partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "text" not in t.column_names:
             return df_schema.empty_table()
-        flat, off = tokens_flat(t["text"], lowercase=False)
-        tok = hash_strings_u64(flat)
+        tok, off = tokenize_flat(t["text"], lowercase=False)
         sh, soff = shingle_flat(tok, off, k)
-        if not len(sh):
-            return df_schema.empty_table()
-        did = np.repeat(np.arange(len(soff) - 1), np.diff(soff))
-        order = np.lexsort((sh, did))
-        d_s, s_s = did[order], sh[order]
-        head = np.concatenate([[True], (d_s[1:] != d_s[:-1])
-                               | (s_s[1:] != s_s[:-1])])
-        uniq, counts = np.unique(s_s[head], return_counts=True)
-        return pa.table({"shingle": pa.array(uniq.view(np.int64)),
-                         "df": pa.array(counts.astype(np.int64))},
-                        schema=df_schema)
+        return _shingle_df_partial(sh, soff)
 
     df_tab = sorted_group_agg(
         src.map_batches(df_partial, batch_format="pyarrow",
@@ -2609,18 +2611,12 @@ def dup_span_scrub(docs, *, k: int = 3, min_df: int = 2,
         covered = np.zeros(n_flat, bool)
         if len(sh):
             dset = _broadcast_cache_get(dup_ref)
-            sh64 = sh.view(np.int64)
-            if len(dset):
-                pos_d = np.clip(np.searchsorted(dset, sh64), 0,
-                                len(dset) - 1)
-                flag = dset[pos_d] == sh64
-            else:
-                flag = np.zeros(len(sh64), bool)
+            flag = _sorted_member(dset, sh.view(np.int64))
             if flag.any():
                 nw = np.diff(soff)
                 # global flat start of each flagged window; windows
                 # never cross docs, so one +1/-1 cumsum covers all docs
-                win_start = (np.arange(len(sh64))
+                win_start = (np.arange(len(sh))
                              - np.repeat(soff[:-1], nw)
                              + np.repeat(off[:-1], nw))
                 starts = win_start[flag]

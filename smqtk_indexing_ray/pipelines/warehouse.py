@@ -186,7 +186,15 @@ def supplier_nation_volume(lineitem, supplier, nation, region, *,
             if t.num_rows == 0 or "s_nationkey" not in t.column_names:
                 return part_schema.empty_table()
             nk = t["s_nationkey"].to_numpy(zero_copy_only=False)
-            idx = np.searchsorted(nk_keys, nk)
+            idx = np.clip(np.searchsorted(nk_keys, nk), 0,
+                          max(len(nk_keys) - 1, 0))
+            if len(nk_keys) == 0 or not (nk_keys[idx] == nk).all():
+                # the broadcast path fails loudly at smap build on an
+                # FK violation — match that instead of silently
+                # attributing revenue to the neighboring nation
+                raise ValueError(
+                    "supplier_nation_volume: s_nationkey missing from "
+                    "the nation dimension")
             return pa.table({
                 "r_name": pa.array(nk_r[idx], pa.string()),
                 "n_name": pa.array(nk_n[idx], pa.string()),

@@ -228,6 +228,13 @@ class Checkpoint:
         # compute (a resumed run sails past the same stage).
         import os as _os
         if _os.environ.get("SMQTK_RAY_DIE_AFTER_STAGE") == name:
+            import sys as _sys
+            # one visible trace in case the var leaks into a real run;
+            # _exit still skips every finally/atexit (the point)
+            _sys.stderr.write(
+                f"SMQTK_RAY_DIE_AFTER_STAGE={name}: injected death "
+                f"after stage commit (exit 17)\n")
+            _sys.stderr.flush()
             _os._exit(17)
         return out
 

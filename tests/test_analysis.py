@@ -1798,3 +1798,19 @@ class TestPpjoinPairs:
             max_shingle_freq=None).to_pandas().sort_values(
             ["doc_a", "doc_b"], ignore_index=True)
         assert pp.equals(ng)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ppjoin_duplicate_doc_id_raises():
+    """Duplicate doc_id rows would silently merge into one packed blob
+    (inflated df + wrong verify intersections) — the pack stage must
+    fail loudly instead (r5 review guard)."""
+    import ray.data as rd
+
+    from smqtk_indexing_ray.pipelines.analysis import ppjoin_pairs
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 1], pa.int64()),
+        "text": pa.array(["a b c d e", "f g h i j", "k l m n o"]),
+    })
+    with pytest.raises(Exception, match="duplicate doc_id"):
+        ppjoin_pairs(rd.from_arrow(t)).to_pandas()

@@ -706,3 +706,33 @@ def test_dim_gate_fallback_matches_broadcast():
         ds(li, 7), ds(part, 3), start="1996-01-01", end="1997-01-01",
         max_dim_rows=0).to_pandas()
     assert len(a) == 1 and a.equals(b)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_supplier_nation_fallback_fk_violation_raises():
+    """A supplier nationkey missing from the nation dimension must fail
+    loudly on the sort-merge fallback path (the broadcast path already
+    KeyErrors at map build) instead of silently crediting the
+    neighboring nation (r5 review guard)."""
+    import ray.data as rd
+
+    from smqtk_indexing_ray.pipelines.warehouse import (
+        supplier_nation_volume)
+
+    region = pa.table({"r_regionkey": pa.array([0], pa.int64()),
+                       "r_name": pa.array(["EAST"])})
+    nation = pa.table({"n_nationkey": pa.array([0, 1], pa.int64()),
+                       "n_name": pa.array(["N0", "N1"]),
+                       "n_regionkey": pa.array([0, 0], pa.int64())})
+    supplier = pa.table({"s_suppkey": pa.array([0, 1], pa.int64()),
+                         "s_nationkey": pa.array([0, 9], pa.int64())})
+    li = pa.table({
+        "l_suppkey": pa.array([0, 1, 0], pa.int64()),
+        "l_extendedprice": pa.array([100.0, 200.0, 300.0]),
+        "l_discount": pa.array([0.0, 0.05, 0.1]),
+    })
+    with pytest.raises(Exception, match="missing from"):
+        supplier_nation_volume(
+            rd.from_arrow(li), rd.from_arrow(supplier),
+            rd.from_arrow(nation), rd.from_arrow(region),
+            max_dim_rows=0).to_pandas()
